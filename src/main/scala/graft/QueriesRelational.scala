@@ -1,0 +1,556 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Fns._
+import graft.ops.{Analytic, Qc, Relational}
+import SqlOracles.ctes
+
+/** Relational + analytic tier queries (SURVEY.md §2.2-§2.8), each with a
+  * DuckDB oracle. Naming: `<survey-id>_<slug>`.
+  *
+  * Determinism policy for the oracle compare: every emitted double is either
+  * (a) an exact data value (min/max), (b) derived from exact integer moments
+  * via a fixed double-op sequence ([[graft.functions.Fns.varFromMoments]]),
+  * or (c) rounded to 6 decimals after an aggregation whose cross-engine
+  * error is ≤1e-10 — so Spark and DuckDB agree bit-for-bit.
+  */
+object QueriesRelational {
+
+  private val B = (s: org.apache.spark.sql.SparkSession, d: String) => Tables.betaLong(s, d)
+  private val D = (s: org.apache.spark.sql.SparkSession, d: String) => Tables.detpLong(s, d)
+  private val SS = (s: org.apache.spark.sql.SparkSession, d: String) => Tables.sampleSheet(s, d)
+
+  def all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // J — joins (reference /root/reference/filter.py:45, workflow.R:78-79,
+    // pca_analysis.py:52-56, main.py:144-153, volcano.R:77)
+    // ------------------------------------------------------------------
+
+    Q("j01_outer_merge_runs", (s, d) => {
+      val b = B(s, d).join(broadcast(SS(s, d)), "sample_id")
+      val perRun = Seq("run_0", "run_1", "run_2").map { r =>
+        b.filter(col("run") === r).groupBy("probe_id")
+          .agg(round(avg("beta"), 6).as(s"avg_$r"))
+      }
+      Relational.outerMergeByKey("probe_id", perRun).orderBy("probe_id")
+    }, Some(ctes +
+      """, br AS (SELECT b.probe_id, s.run, b.beta FROM beta b JOIN sheet s USING (sample_id)),
+        |a0 AS (SELECT probe_id, round(avg(beta), 6) AS avg_run_0 FROM br WHERE run = 'run_0' GROUP BY 1),
+        |a1 AS (SELECT probe_id, round(avg(beta), 6) AS avg_run_1 FROM br WHERE run = 'run_1' GROUP BY 1),
+        |a2 AS (SELECT probe_id, round(avg(beta), 6) AS avg_run_2 FROM br WHERE run = 'run_2' GROUP BY 1)
+        |SELECT probe_id, avg_run_0, avg_run_1, avg_run_2
+        |FROM a0 FULL JOIN a1 USING (probe_id) FULL JOIN a2 USING (probe_id)
+        |ORDER BY probe_id""".stripMargin)),
+
+    Q("j03_inner_align", (s, d) =>
+      B(s, d).join(D(s, d), Seq("probe_id", "sample_id"))
+        .groupBy("sample_id")
+        .agg(count(lit(1)).as("n"), round(avg(col("beta") - col("pval")), 6).as("avg_diff"))
+        .orderBy("sample_id"),
+      Some(ctes +
+        """SELECT b.sample_id, count(*) AS n, round(avg(b.beta - d.pval), 6) AS avg_diff
+          |FROM beta b JOIN detp d USING (probe_id, sample_id)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("j04_left_join_metadata", (s, d) => {
+      val sheet0 = SS(s, d).filter(col("run") === "run_0")
+      B(s, d).join(broadcast(sheet0), Seq("sample_id"), "left")
+        .groupBy(coalesce(col("run"), lit("UNMATCHED")).as("run_tag"))
+        .agg(count(lit(1)).as("n"), round(avg("beta"), 6).as("avg_beta"))
+        .orderBy("run_tag")
+    }, Some(ctes +
+      """SELECT coalesce(s.run, 'UNMATCHED') AS run_tag, count(*) AS n,
+        |       round(avg(b.beta), 6) AS avg_beta
+        |FROM beta b LEFT JOIN (SELECT * FROM sheet WHERE run = 'run_0') s USING (sample_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("j05_lookup_rename", (s, d) => {
+      val mapping = Tables.table(s, d, "supplier")
+        .filter(col("s_suppkey") % 5 === 0)
+        .select(format_string("S%03d", col("s_suppkey")).as("old_id"),
+          concat(lit("N"), col("s_nationkey").cast("string"), lit("_"),
+            col("s_suppkey").cast("string")).as("new_id"))
+      Relational.lookupRename(B(s, d), mapping, "sample_id", "old_id", "new_id")
+        .groupBy("sample_id")
+        .agg(count(lit(1)).as("n"), round(avg("beta"), 6).as("avg_beta"))
+        .orderBy("sample_id")
+    }, Some(ctes +
+      """, mapping AS (
+        |  SELECT printf('S%03d', s_suppkey) AS old_id,
+        |         'N' || CAST(s_nationkey AS VARCHAR) || '_' || CAST(s_suppkey AS VARCHAR) AS new_id
+        |  FROM supplier WHERE s_suppkey % 5 = 0)
+        |SELECT coalesce(m.new_id, b.sample_id) AS sample_id, count(*) AS n,
+        |       round(avg(b.beta), 6) AS avg_beta
+        |FROM beta b LEFT JOIN mapping m ON b.sample_id = m.old_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("j06_match_align_order", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ordered = SS(s, d).withColumn("ord",
+        row_number().over(Window.orderBy(col("run"), col("sample_id"))))
+      B(s, d).groupBy("sample_id").agg(count(lit(1)).as("n"))
+        .join(broadcast(ordered), "sample_id")
+        .select("ord", "sample_id", "run", "n")
+        .orderBy("ord")
+    }, Some(ctes +
+      """, ordered AS (
+        |  SELECT sample_id, run, row_number() OVER (ORDER BY run, sample_id) AS ord FROM sheet)
+        |SELECT o.ord, b.sample_id, o.run, b.n
+        |FROM (SELECT sample_id, count(*) AS n FROM beta GROUP BY 1) b
+        |JOIN ordered o USING (sample_id)
+        |ORDER BY o.ord""".stripMargin)),
+
+    Q("j07_union_group_concat", (s, d) => {
+      val b = B(s, d).join(broadcast(SS(s, d)), "sample_id")
+      val cols = Seq("probe_id", "sample_id", "beta")
+      Relational.unionWithTag("grp", Seq(
+        "g1" -> b.filter(col("group") === "WT").select(cols.map(col): _*),
+        "g2" -> b.filter(col("group") === "MUT").select(cols.map(col): _*)))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), countDistinct("sample_id").as("n_samples"),
+          round(avg("beta"), 6).as("avg_beta"))
+        .orderBy("grp")
+    }, Some(ctes +
+      """, tagged AS (
+        |  SELECT 'g1' AS grp, b.probe_id, b.sample_id, b.beta
+        |  FROM beta b JOIN sheet s USING (sample_id) WHERE s."group" = 'WT'
+        |  UNION ALL
+        |  SELECT 'g2' AS grp, b.probe_id, b.sample_id, b.beta
+        |  FROM beta b JOIN sheet s USING (sample_id) WHERE s."group" = 'MUT')
+        |SELECT grp, count(*) AS n, count(DISTINCT sample_id) AS n_samples,
+        |       round(avg(beta), 6) AS avg_beta
+        |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // P — filters / prunes (reference filter.py:16-19, combat_norm.py:28-30,
+    // dataset.py:41/123, workflow.R:44-62, plots.R:106-107/165/266-299)
+    // ------------------------------------------------------------------
+
+    Q("p01_prune_by_name", (s, d) =>
+      B(s, d).filter(col("sample_id").like("S0%"))
+        .groupBy("sample_id").agg(count(lit(1)).as("n"))
+        .orderBy("sample_id"),
+      Some(ctes +
+        """SELECT sample_id, count(*) AS n FROM beta
+          |WHERE sample_id LIKE 'S0%' GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("p03_complete_cases", (s, d) =>
+      Relational.completeKeys(
+        B(s, d).filter(col("sample_id").isin("S001", "S002")),
+        "probe_id", "beta", 2L).orderBy("probe_id"),
+      Some(ctes +
+        """SELECT probe_id FROM beta WHERE sample_id IN ('S001', 'S002')
+          |GROUP BY 1 HAVING count(beta) = 2 ORDER BY 1""".stripMargin)),
+
+    Q("p05_semi_join", (s, d) => {
+      val run0 = SS(s, d).filter(col("run") === "run_0").select("sample_id")
+      B(s, d).join(broadcast(run0), Seq("sample_id"), "left_semi")
+        .agg(count(lit(1)).as("n_rows"), countDistinct("sample_id").as("n_samples"))
+    }, Some(ctes +
+      """SELECT count(*) AS n_rows, count(DISTINCT sample_id) AS n_samples FROM beta
+        |WHERE sample_id IN (SELECT sample_id FROM sheet WHERE run = 'run_0')""".stripMargin)),
+
+    Q("p06_anti_join", (s, d) => {
+      val run0 = SS(s, d).filter(col("run") === "run_0").select("sample_id")
+      B(s, d).join(broadcast(run0), Seq("sample_id"), "left_anti")
+        .agg(count(lit(1)).as("n_rows"), countDistinct("sample_id").as("n_samples"))
+    }, Some(ctes +
+      """SELECT count(*) AS n_rows, count(DISTINCT sample_id) AS n_samples FROM beta
+        |WHERE sample_id NOT IN (SELECT sample_id FROM sheet WHERE run = 'run_0')""".stripMargin)),
+
+    Q("p07_regex_probe_filter", (s, d) =>
+      B(s, d).filter(col("probe_id").rlike("^cg0{4}"))
+        .join(broadcast(Tables.probeManifest(s, d)), "probe_id")
+        .groupBy("design_type")
+        .agg(countDistinct("probe_id").as("n_probes"), count(lit(1)).as("n_rows"))
+        .orderBy("design_type"),
+      Some(ctes +
+        """SELECT m.design_type, count(DISTINCT b.probe_id) AS n_probes, count(*) AS n_rows
+          |FROM beta b JOIN manifest m USING (probe_id)
+          |WHERE regexp_matches(b.probe_id, '^cg0{4}')
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("p08_anno_anti_join", (s, d) => {
+      val anno = Tables.chipAnnotation(s, d)
+      val sexProbes = anno.filter(col("chr").isin("chrX", "chrY")).select("probe_id")
+      B(s, d).join(broadcast(sexProbes), Seq("probe_id"), "left_anti")
+        .join(broadcast(anno), "probe_id")
+        .groupBy("chr").agg(countDistinct("probe_id").as("n_probes"))
+        .orderBy("chr")
+    }, Some(ctes +
+      """SELECT a.chr, count(DISTINCT b.probe_id) AS n_probes
+        |FROM beta b JOIN anno a USING (probe_id)
+        |WHERE b.probe_id NOT IN (SELECT probe_id FROM anno WHERE chr IN ('chrX', 'chrY'))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Integer-exact reformulation of mean(detP) < 0.05: pval = k/1010 with
+    // k integral, so mean < 1/20  ⟺  20*sum(k) < 1010*n — no FP boundary.
+    Q("p09_qc_sample_filter", (s, d) =>
+      D(s, d).withColumn("k", round(col("pval") * 1010).cast("bigint"))
+        .groupBy("sample_id").agg(sum("k").as("sk"), count(lit(1)).as("n"))
+        .filter(col("sk") * 20 < col("n") * 1010)
+        .select("sample_id").orderBy("sample_id"),
+      Some(ctes +
+        """SELECT sample_id FROM (
+          |  SELECT sample_id, CAST(sum(CAST(round(pval * 1010) AS BIGINT)) AS BIGINT) AS sk,
+          |         count(*) AS n
+          |  FROM detp GROUP BY 1)
+          |WHERE sk * 20 < n * 1010 ORDER BY sample_id""".stripMargin)),
+
+    // detP < 0.05 in every (observed) sample: k <= 50 for all rows of the probe.
+    Q("p10_qc_probe_filter", (s, d) =>
+      D(s, d).withColumn("k", round(col("pval") * 1010).cast("bigint"))
+        .groupBy("probe_id").agg(max("k").as("mk"), count(lit(1)).as("n"))
+        .filter(col("mk") <= 50)
+        .select("probe_id", "n").orderBy("probe_id"),
+      Some(ctes +
+        """SELECT probe_id, n FROM (
+          |  SELECT probe_id, max(CAST(round(pval * 1010) AS BIGINT)) AS mk, count(*) AS n
+          |  FROM detp GROUP BY 1)
+          |WHERE mk <= 50 ORDER BY probe_id""".stripMargin)),
+
+    Q("p12_mvalue_roundtrip", (s, d) => {
+      val withM = B(s, d)
+        .withColumn("m", mValueClamped(col("beta")))
+        .withColumn("b2", inverseMValue(col("m")))
+      withM.groupBy("sample_id")
+        .agg(round(avg("m"), 6).as("avg_m"),
+          round(max(abs(col("b2") - clamp(col("beta"), 0.001, 0.999))), 6).as("max_roundtrip_err"))
+        .orderBy("sample_id")
+    }, Some(ctes +
+      s""", mv AS (
+         |  SELECT sample_id, ${SqlOracles.mValueClamped("beta")} AS m,
+         |         least(greatest(beta, 0.001), 0.999) AS bc
+         |  FROM beta)
+         |SELECT sample_id, round(avg(m), 6) AS avg_m,
+         |       round(max(abs(least(greatest(pow(2.0, m) / (1.0 + pow(2.0, m)), 0.0), 1.0) - bc)), 6) AS max_roundtrip_err
+         |FROM mv GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("p13_empty_to_null", (s, d) =>
+      Tables.table(s, d, "part")
+        .withColumn("name2",
+          nullif(when(col("p_size") % 7 === 0, lit("")).otherwise(col("p_name")), lit("")))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum(when(col("name2").isNull, 1L).otherwise(0L)).as("n_null"))
+        .orderBy("p_brand"),
+      Some(
+        """SELECT p_brand, count(*) AS n,
+          |       sum(CASE WHEN nullif(CASE WHEN p_size % 7 = 0 THEN '' ELSE p_name END, '') IS NULL
+          |                THEN 1 ELSE 0 END) AS n_null
+          |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("p14_significance_filter", (s, d) =>
+      Tables.table(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(sum(when(col("l_discount") > 0.05 && col("l_tax") > 0.04, 1L).otherwise(0L)).as("n_sig"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |       sum(CASE WHEN l_discount > 0.05 AND l_tax > 0.04 THEN 1 ELSE 0 END) AS n_sig,
+          |       count(*) AS n
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("p15_pattern_group_masks", (s, d) => {
+      val a = SS(s, d).filter(col("run").rlike("run_[01]")).select("sample_id")
+      val b = SS(s, d).filter(col("group") === "WT").select("sample_id")
+      a.except(b).orderBy("sample_id")
+    }, Some(ctes +
+      """SELECT sample_id FROM sheet WHERE regexp_matches(run, 'run_[01]')
+        |EXCEPT
+        |SELECT sample_id FROM sheet WHERE "group" = 'WT'
+        |ORDER BY sample_id""".stripMargin)),
+
+    Q("p16_dedup_first", (s, d) =>
+      Relational.dedupFirst(Tables.table(s, d, "orders"),
+        Seq("o_custkey"), Seq(col("o_orderkey").asc))
+        .select(col("o_custkey"), col("o_orderkey").as("first_order"),
+          round(col("o_totalprice"), 2).as("totalprice"))
+        .orderBy("o_custkey"),
+      Some(
+        """SELECT o_custkey, o_orderkey AS first_order, round(o_totalprice, 2) AS totalprice
+          |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+          |      FROM orders)
+          |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // A — aggregations (reference main.py:147, top10k.py:8, workflow.R:44,
+    // health_check.py:19-22, dataset.py:146-150)
+    // ------------------------------------------------------------------
+
+    Q("a01_group_collect", (s, d) =>
+      SS(s, d).groupBy("run")
+        .agg(array_join(sort_array(collect_list(col("sample_id"))), ",").as("samples"))
+        .orderBy("run"),
+      Some(ctes +
+        """SELECT run, string_agg(sample_id, ',' ORDER BY sample_id) AS samples
+          |FROM sheet GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("a04_per_sample_mean", (s, d) =>
+      B(s, d).groupBy("sample_id")
+        .agg(count(lit(1)).as("n"), round(avg("beta"), 6).as("mean_beta"))
+        .orderBy("sample_id"),
+      Some(ctes +
+        """SELECT sample_id, count(*) AS n, round(avg(beta), 6) AS mean_beta
+          |FROM beta GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("a05_null_profiling", (s, d) =>
+      Qc.nullProfile(B(s, d), "probe_id", "sample_id", "beta"),
+      Some(ctes +
+        """SELECT count(*) AS total_cells, count(b.beta) AS present,
+          |       count(*) - count(b.beta) AS missing
+          |FROM (SELECT p.probe_id, s.sample_id
+          |      FROM (SELECT DISTINCT probe_id FROM beta) p
+          |      CROSS JOIN (SELECT DISTINCT sample_id FROM beta) s) g
+          |LEFT JOIN beta b ON g.probe_id = b.probe_id AND g.sample_id = b.sample_id""".stripMargin)),
+
+    Q("a06_frequency_table", (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("a07_distinct", (s, d) =>
+      Tables.table(s, d, "orders").select("o_orderpriority").distinct()
+        .orderBy("o_orderpriority"),
+      Some("SELECT DISTINCT o_orderpriority FROM orders ORDER BY 1")),
+
+    Q("a08_minmax_summary", (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .withColumn("q", round(col("l_quantity")).cast("bigint"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+          sum("q").as("s"), sum(col("q") * col("q")).as("ss"),
+          round(min("l_extendedprice"), 2).as("min_price"),
+          round(max("l_extendedprice"), 2).as("max_price"))
+        .select(col("l_returnflag"), col("n"), col("min_qty"), col("max_qty"),
+          col("min_price"), col("max_price"),
+          round(sqrt(varFromMoments(col("n"), col("s"), col("ss"))), 6).as("sd_qty"))
+        .orderBy("l_returnflag"),
+      Some(
+        s"""SELECT l_returnflag, n, min_qty, max_qty, min_price, max_price,
+           |       round(sqrt(${SqlOracles.varFromMoments("n", "s", "ss")}), 6) AS sd_qty
+           |FROM (
+           |  SELECT l_returnflag, count(*) AS n, min(l_quantity) AS min_qty,
+           |         max(l_quantity) AS max_qty,
+           |         CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * q) AS BIGINT) AS ss,
+           |         round(min(l_extendedprice), 2) AS min_price,
+           |         round(max(l_extendedprice), 2) AS max_price
+           |  FROM (SELECT *, CAST(round(l_quantity) AS BIGINT) AS q FROM lineitem)
+           |  GROUP BY 1)
+           |ORDER BY l_returnflag""".stripMargin)),
+
+    Q("a10_histogram", (s, d) =>
+      Analytic.histogram(B(s, d), "beta", 10),
+      Some(ctes +
+        """SELECT CAST(least(floor(beta * 10), 9) AS INT) AS bucket, count(*) AS n
+          |FROM beta GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // W — sorts / top-k / BH (reference top10k.py:11-14, volcano.R:138,
+    // plots.R:162)
+    // ------------------------------------------------------------------
+
+    // Flagship: per-group variance via exact integer moments, top-k desc.
+    Q("w01_topk_variance", (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .withColumn("c", cents(col("l_extendedprice")))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"), sum("c").as("s"), sum(col("c") * col("c")).as("ss"))
+        .filter(col("n") >= 2)
+        .select(col("l_partkey"), col("n"),
+          round(varFromMoments(col("n"), col("s"), col("ss")) / 10000.0, 4).as("var_price"))
+        .orderBy(col("var_price").desc, col("l_partkey").asc)
+        .limit(100),
+      Some(
+        s"""SELECT l_partkey, n,
+           |       round((${SqlOracles.varFromMoments("n", "s", "ss")}) / 10000.0, 4) AS var_price
+           |FROM (
+           |  SELECT l_partkey, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+           |         CAST(sum(c * c) AS BIGINT) AS ss
+           |  FROM (SELECT l_partkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+           |        FROM lineitem)
+           |  GROUP BY 1)
+           |WHERE n >= 2
+           |ORDER BY var_price DESC, l_partkey LIMIT 100""".stripMargin)),
+
+    Q("w02_top10_pvalue", (s, d) =>
+      D(s, d).groupBy("probe_id").agg(min("pval").as("p"))
+        .orderBy(col("p").asc, col("probe_id").asc).limit(10)
+        .select(col("probe_id"), round(col("p"), 6).as("p")),
+      Some(ctes +
+        """SELECT probe_id, round(p, 6) AS p
+          |FROM (SELECT probe_id, min(pval) AS p FROM detp GROUP BY 1)
+          |ORDER BY p, probe_id LIMIT 10""".stripMargin)),
+
+    Q("w03_bh_adjust", (s, d) => {
+      val p = D(s, d).groupBy("probe_id").agg(min("pval").as("p"))
+      Analytic.bhAdjust(p, "p", "probe_id")
+        .select(col("probe_id"), round(col("p"), 6).as("p"), round(col("fdr"), 6).as("fdr"))
+        .orderBy("probe_id")
+    }, Some(ctes +
+      """, pp AS (SELECT probe_id, min(pval) AS p FROM detp GROUP BY 1),
+        |r AS (SELECT probe_id, p, row_number() OVER (ORDER BY p, probe_id) AS rn,
+        |             count(*) OVER () AS n
+        |      FROM pp),
+        |m AS (SELECT probe_id, p,
+        |             least(min(p * CAST(n AS DOUBLE) / CAST(rn AS DOUBLE))
+        |                   OVER (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |                   1.0) AS fdr
+        |      FROM r)
+        |SELECT probe_id, round(p, 6) AS p, round(fdr, 6) AS fdr FROM m ORDER BY probe_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // SO — set ops (reference workflow.R:78, idat.r:96, dataset.py:123)
+    // ------------------------------------------------------------------
+
+    Q("so01_intersect", (s, d) => {
+      val br = B(s, d).join(broadcast(SS(s, d)), "sample_id")
+      br.filter(col("run") === "run_0").select("probe_id")
+        .intersect(br.filter(col("run") === "run_1").select("probe_id"))
+        .orderBy("probe_id")
+    }, Some(ctes +
+      """SELECT b.probe_id FROM beta b JOIN sheet s USING (sample_id) WHERE s.run = 'run_0'
+        |INTERSECT
+        |SELECT b.probe_id FROM beta b JOIN sheet s USING (sample_id) WHERE s.run = 'run_1'
+        |ORDER BY probe_id""".stripMargin)),
+
+    Q("so02_union_distinct", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val extra = Seq("S901", "S902").toDF("sample_id")
+      B(s, d).select("sample_id").union(extra).distinct()
+        .agg(count(lit(1)).as("n_ids"), min("sample_id").as("min_id"),
+          max("sample_id").as("max_id"))
+    }, Some(ctes +
+      """SELECT count(*) AS n_ids, min(sample_id) AS min_id, max(sample_id) AS max_id
+        |FROM (SELECT sample_id FROM beta UNION SELECT 'S901' UNION SELECT 'S902')""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // F — scalar functions (reference main.py:140-177, pca_analysis.py:25-35,
+    // DoBMIQ.R:53, workflow.R:128)
+    // ------------------------------------------------------------------
+
+    Q("f01_regex_extract", (s, d) =>
+      SS(s, d)
+        .withColumn("run_num", regexp_extract(col("run"), "run_(\\d+)", 1).cast("int"))
+        .withColumn("skey", regexp_extract(col("sample_id"), "S(\\d+)", 1).cast("bigint"))
+        .groupBy("run_num")
+        .agg(count(lit(1)).as("n_samples"), sum("skey").as("sum_key"))
+        .orderBy("run_num"),
+      Some(ctes +
+        """SELECT CAST(regexp_extract(run, 'run_(\d+)', 1) AS INT) AS run_num,
+          |       count(*) AS n_samples,
+          |       CAST(sum(CAST(regexp_extract(sample_id, 'S(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_key
+          |FROM sheet GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("f02_regex_replace", (s, d) =>
+      B(s, d).select(regexp_replace(col("sample_id"), "^S0*", "").as("sid"))
+        .groupBy("sid").agg(count(lit(1)).as("n"))
+        .orderBy("sid"),
+      Some(ctes +
+        """SELECT regexp_replace(sample_id, '^S0*', '') AS sid, count(*) AS n
+          |FROM beta GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("f03_concat_keys", (s, d) =>
+      Tables.table(s, d, "supplier")
+        .select(concat_ws("_", col("s_name"), col("s_nationkey").cast("string")).as("skey"))
+        .orderBy("skey").limit(25),
+      Some(
+        """SELECT s_name || '_' || CAST(s_nationkey AS VARCHAR) AS skey
+          |FROM supplier ORDER BY skey LIMIT 25""".stripMargin)),
+
+    Q("f04_string_funcs", (s, d) =>
+      Tables.table(s, d, "part")
+        .select(lower(split(col("p_type"), " ").getItem(0)).as("type_head"),
+          substring(col("p_brand"), -2, 2).as("brand_sfx"),
+          col("p_name"))
+        .groupBy("type_head", "brand_sfx")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("p_name").startsWith("a"), 1L).otherwise(0L)).as("n_a"))
+        .orderBy("type_head", "brand_sfx"),
+      Some(
+        """SELECT lower(split_part(p_type, ' ', 1)) AS type_head,
+          |       substr(p_brand, length(p_brand) - 1, 2) AS brand_sfx,
+          |       count(*) AS n,
+          |       sum(CASE WHEN p_name LIKE 'a%' THEN 1 ELSE 0 END) AS n_a
+          |FROM part GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("f09_neglog10", (s, d) =>
+      D(s, d).select(col("sample_id"), negLog10(col("pval")).as("nl"))
+        .groupBy("sample_id")
+        .agg(count(col("nl")).as("n_pos"), round(avg("nl"), 6).as("avg_neglog10"))
+        .orderBy("sample_id"),
+      Some(ctes +
+        """SELECT sample_id, count(nl) AS n_pos, round(avg(nl), 6) AS avg_neglog10
+          |FROM (SELECT sample_id, CASE WHEN pval > 0 THEN -log10(pval) END AS nl FROM detp)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("f11_casts_conditional", (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .select(when(col("l_linenumber") <= 2, "BATCH1").otherwise("BATCH2").as("batch"),
+          floor(col("l_quantity")).cast("int").as("qty_int"))
+        .withColumn("qty_str", col("qty_int").cast("string"))
+        .groupBy("batch", "qty_str")
+        .agg(count(lit(1)).as("n"), sum("qty_int").as("sum_qty"))
+        .orderBy("batch", "qty_str"),
+      Some(
+        """SELECT CASE WHEN l_linenumber <= 2 THEN 'BATCH1' ELSE 'BATCH2' END AS batch,
+          |       CAST(CAST(floor(l_quantity) AS INT) AS VARCHAR) AS qty_str,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(floor(l_quantity) AS INT)) AS BIGINT) AS sum_qty
+          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // R — reshape / partitioned write (reference main.py:162-167,
+    // dataset.py:66-101, S7 sinks)
+    // ------------------------------------------------------------------
+
+    Q("r02_partitioned_write", (s, d) => {
+      val out = s"${Q.scratch}/r02_partitioned"
+      B(s, d).join(broadcast(SS(s, d)), "sample_id")
+        .write.mode("overwrite").partitionBy("run").parquet(out)
+      s.read.parquet(out)
+        .groupBy("run")
+        .agg(count(lit(1)).as("n"), round(sum("beta"), 6).as("sum_beta"))
+        .orderBy("run")
+    }, Some(ctes +
+      """SELECT s.run, count(*) AS n, round(sum(b.beta), 6) AS sum_beta
+        |FROM beta b JOIN sheet s USING (sample_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("r04_pivot_export", (s, d) => {
+      val samples = Seq("S001", "S002", "S003", "S004", "S005", "S006")
+      B(s, d).filter(col("sample_id").isin(samples: _*))
+        .groupBy("probe_id").pivot("sample_id", samples).agg(round(min("beta"), 6))
+        .orderBy("probe_id")
+    }, Some(ctes +
+      """SELECT probe_id,
+        |       round(min(CASE WHEN sample_id = 'S001' THEN beta END), 6) AS "S001",
+        |       round(min(CASE WHEN sample_id = 'S002' THEN beta END), 6) AS "S002",
+        |       round(min(CASE WHEN sample_id = 'S003' THEN beta END), 6) AS "S003",
+        |       round(min(CASE WHEN sample_id = 'S004' THEN beta END), 6) AS "S004",
+        |       round(min(CASE WHEN sample_id = 'S005' THEN beta END), 6) AS "S005",
+        |       round(min(CASE WHEN sample_id = 'S006' THEN beta END), 6) AS "S006"
+        |FROM beta WHERE sample_id IN ('S001','S002','S003','S004','S005','S006')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("r05_melt_unpivot", (s, d) => {
+      val p = Tables.table(s, d, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+      Relational.melt(p, Seq("p_partkey"), Seq("p_size", "p_retailprice"), "metric", "value")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("metric")
+    }, Some(
+      """SELECT metric, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM (SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |      UNION ALL
+        |      SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part)
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** QC filters (SURVEY.md §2.2 P9/P10, §2.4 A5) over the long-form detection
+  * p-value table `detp(probe_id, sample_id, pval)`.
+  *
+  * Reference: /root/reference/workflow.R:44-53 — drop samples with
+  * colMeans(detP) >= 0.05, keep probes with detP < 0.05 in ALL samples.
+  *
+  * Both are one hash-aggregate + one semi-join: shuffle on the grouping key
+  * only, partial aggregation map-side. At 100 TB the detp table is
+  * partitioned by sample (ingest order), so the sample filter aggregates
+  * mostly map-side; the probe filter is the one full shuffle.
+  */
+object Qc {
+
+  /** P9 — samples whose mean detP < thr. */
+  def passingSamples(detp: DataFrame, thr: Double = 0.05): DataFrame =
+    detp.groupBy("sample_id")
+      .agg(avg("pval").as("mean_detp"))
+      .filter(col("mean_detp") < thr)
+      .select("sample_id")
+
+  /** P10 — probes with detP < thr in every sample (and present in all
+    * `nSamples` samples, matching rowSums(detP<thr)==ncol).
+    */
+  def passingProbes(detp: DataFrame, nSamples: Long, thr: Double = 0.05): DataFrame =
+    detp.groupBy("probe_id")
+      .agg(sum(when(col("pval") < thr, 1L).otherwise(0L)).as("__ok"),
+           count(lit(1)).as("__n"))
+      .filter(col("__ok") === nSamples && col("__n") === nSamples)
+      .select("probe_id")
+
+  /** Composite QC (reference per-run loop workflow.R:43-75): apply sample
+    * filter then probe filter to the beta table via semi-joins.
+    */
+  def qcBetas(beta: DataFrame, detp: DataFrame, nSamples: Long,
+              thr: Double = 0.05): DataFrame = {
+    val goodSamples = passingSamples(detp, thr)
+    val goodProbes = passingProbes(detp.join(goodSamples, Seq("sample_id"), "left_semi"),
+      nSamples, thr)
+    beta.join(goodSamples, Seq("sample_id"), "left_semi")
+      .join(goodProbes, Seq("probe_id"), "left_semi")
+  }
+
+  /** A5 — null/missingness profile of a long table against its full
+    * key-grid (reference /root/reference/health_check.py:19-22).
+    */
+  def nullProfile(long: DataFrame, rowKey: String, colKey: String,
+                  valCol: String): DataFrame = {
+    val rows = long.select(rowKey).distinct()
+    val cols = long.select(colKey).distinct()
+    rows.crossJoin(cols)
+      .join(long, Seq(rowKey, colKey), "left")
+      .agg(count(lit(1)).as("total_cells"),
+           count(col(valCol)).as("present"),
+           (count(lit(1)) - count(col(valCol))).as("missing"))
+  }
+}
