@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dmp, Mds, Pca}
+import SqlOracles.ctes
+
+/** Statistical-kernel queries (SURVEY.md §2.9). The DuckDB-expressible
+  * pass (K3 moments) carries a full oracle; the iterative/eigen kernels
+  * (moderated eBayes, PCA, MDS) are registered rows-only and covered by
+  * unit tests against hand-computed values.
+  */
+object QueriesStats {
+
+  def all: Seq[Q] = Seq(
+
+    // K3 pass 1 — per-probe two-group M-value moments, pooled variance,
+    // logFC (reference lmFit/topTable inputs, /root/reference/plots.R:130-159).
+    Q("k03_dmp_pass1", (s, d) => {
+      val bg = Tables.betaLong(s, d)
+        .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+      Dmp.moments(bg, "WT", "MUT")
+        .select(col("probe_id"), col("n1"), col("n2"),
+          round(col("logfc"), 4).as("logfc"),
+          round(col("s2"), 4).as("s2_pooled"))
+        .orderBy("probe_id")
+    }, Some(ctes +
+      s""", bg AS (
+         |  SELECT b.probe_id, s."group" AS grp, ${SqlOracles.mValueClamped("b.beta")} AS m
+         |  FROM beta b JOIN sheet s USING (sample_id)),
+         |agg AS (
+         |  SELECT probe_id,
+         |         count(CASE WHEN grp = 'WT' THEN 1 END) AS n1,
+         |         count(CASE WHEN grp = 'MUT' THEN 1 END) AS n2,
+         |         avg(CASE WHEN grp = 'WT' THEN m END) AS mean1,
+         |         avg(CASE WHEN grp = 'MUT' THEN m END) AS mean2,
+         |         var_samp(CASE WHEN grp = 'WT' THEN m END) AS var1,
+         |         var_samp(CASE WHEN grp = 'MUT' THEN m END) AS var2
+         |  FROM bg GROUP BY 1)
+         |SELECT probe_id, n1, n2,
+         |       round(mean1 - mean2, 4) AS logfc,
+         |       round((CAST(n1 - 1 AS DOUBLE) * var1 + CAST(n2 - 1 AS DOUBLE) * var2)
+         |             / CAST(n1 + n2 - 2 AS DOUBLE), 4) AS s2_pooled
+         |FROM agg WHERE n1 >= 3 AND n2 >= 3 ORDER BY probe_id""".stripMargin)),
+
+    // K3 full — moderated t / p / BH FDR / significance call. The eBayes
+    // prior fit + t CDF have no SQL analog → rows-only; unit-tested in
+    // DmpSpec against hand-computed moments.
+    Q("k03_dmp_moderated", (s, d) => {
+      val bg = Tables.betaLong(s, d)
+        .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+      Dmp.dmp(bg, "WT", "MUT")
+        .select(col("probe_id"), col("n1"), col("n2"),
+          round(col("logfc"), 6).as("logfc"),
+          round(col("t_mod"), 6).as("t_mod"),
+          round(col("p_value"), 6).as("p_value"),
+          round(col("fdr"), 6).as("fdr"),
+          col("significant"))
+        .orderBy("probe_id")
+    }, None),
+
+    // K1 — StandardScaler+PCA flavor (reference pca_analysis.py:38-48).
+    Q("k01_pca_scaled", (s, d) =>
+      Pca.pcaCoords(Tables.betaLong(s, d), topK = 50, k = 3, scale = true),
+      None),
+
+    // K1 — centered-only prcomp flavor (reference workflow.R:218,321).
+    Q("k01_pca_centered", (s, d) =>
+      Pca.pcaCoords(Tables.betaLong(s, d), topK = 50, k = 2, scale = false),
+      None),
+
+    // K2 — classical MDS coords on top-100 probes (reference
+    // Mouse_Microarray_General_Workflow.R:66-75).
+    Q("k02_mds_coords", (s, d) =>
+      Mds.mdsCoords(s, Tables.betaLong(s, d), topK = 100),
+      None)
+  )
+}

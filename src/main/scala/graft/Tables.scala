@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * has no methylation tables, so the views below derive deterministic
   * beta/detP/sample-sheet tables from `lineitem`/`supplier` with pure
   * integer arithmetic — bit-exact reproducible in ANSI SQL for the DuckDB
-  * oracle, and scale-proportional (rows grow with the scale factor).
+  * oracle (SqlOracles.ctes), and scale-proportional (rows grow with the
+  * scale factor).
   */
 object Tables {
 
@@ -22,6 +23,23 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Memoized+persisted derived views. Verify/Bench run dozens of queries
+    * against the same views in one session; without this every query would
+    * re-aggregate lineitem from parquet (the reference's analog is keeping
+    * the combined matrix in memory across steps, workflow.R throughout).
+    * Keyed by session so test-local sessions don't leak cache entries.
+    */
+  private val viewCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
+  private def cached(spark: SparkSession, dir: String, key: String)
+                    (build: => DataFrame): DataFrame =
+    viewCache.getOrElseUpdate((System.identityHashCode(spark), dir, key), {
+      val df = build
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    })
 
   /** `l_extendedprice` always carries exactly 2 decimals; this recovers the
     * exact integer cent count (round() is safe: the double is within 1e-9
@@ -35,61 +53,71 @@ object Tables {
     * (0,1). Duplicate (probe, sample) pairs are deduplicated with min()
     * (exact, order-independent — no float-summation nondeterminism).
     *
-    * DuckDB-equivalent SQL: [[SqlOracles.betaLongSql]].
+    * DuckDB-equivalent SQL: the `beta` CTE in [[SqlOracles.ctes]].
     */
   def betaLong(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "lineitem")
-      .select(
-        format_string("cg%07d", col("l_partkey")).as("probe_id"),
-        format_string("S%03d", col("l_suppkey")).as("sample_id"),
-        (((cents("l_extendedprice") + col("l_linenumber")) % 997)
-          .cast("double") / 997.0).as("beta_raw"))
-      .groupBy("probe_id", "sample_id")
-      .agg(min("beta_raw").as("beta"))
+    cached(spark, dir, "beta") {
+      table(spark, dir, "lineitem")
+        .select(
+          format_string("cg%07d", col("l_partkey")).as("probe_id"),
+          format_string("S%03d", col("l_suppkey")).as("sample_id"),
+          (((cents("l_extendedprice") + col("l_linenumber")) % 997)
+            .cast("double") / 997.0).as("beta_raw"))
+        .groupBy("probe_id", "sample_id")
+        .agg(min("beta_raw").as("beta"))
+    }
 
   /** Long-form detection p-value matrix (reference `detP`,
     * /root/reference/workflow.R:24-25) with the same keys as [[betaLong]].
     */
   def detpLong(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "lineitem")
-      .select(
-        format_string("cg%07d", col("l_partkey")).as("probe_id"),
-        format_string("S%03d", col("l_suppkey")).as("sample_id"),
-        (((col("l_orderkey") * 7 + col("l_linenumber")) % 101)
-          .cast("double") / 1010.0).as("pval_raw"))
-      .groupBy("probe_id", "sample_id")
-      .agg(min("pval_raw").as("pval"))
+    cached(spark, dir, "detp") {
+      table(spark, dir, "lineitem")
+        .select(
+          format_string("cg%07d", col("l_partkey")).as("probe_id"),
+          format_string("S%03d", col("l_suppkey")).as("sample_id"),
+          (((col("l_orderkey") * 7 + col("l_linenumber")) % 101)
+            .cast("double") / 1010.0).as("pval_raw"))
+        .groupBy("probe_id", "sample_id")
+        .agg(min("pval_raw").as("pval"))
+    }
 
   /** Sample sheet (reference samplesheet flavors, SURVEY.md §1.2):
     * one row per sample with run/batch and a two-level group assignment —
     * the dims the QC/ComBat/DMP kernels join against.
     */
   def sampleSheet(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "supplier")
-      .select(
-        format_string("S%03d", col("s_suppkey")).as("sample_id"),
-        concat(lit("run_"), (col("s_suppkey") % 3).cast("string")).as("run"),
-        when(col("s_suppkey") % 2 === 0, "WT").otherwise("MUT").as("group"))
+    cached(spark, dir, "sheet") {
+      table(spark, dir, "supplier")
+        .select(
+          format_string("S%03d", col("s_suppkey")).as("sample_id"),
+          concat(lit("run_"), (col("s_suppkey") % 3).cast("string")).as("run"),
+          when(col("s_suppkey") % 2 === 0, "WT").otherwise("MUT").as("group"))
+    }
 
   /** Probe manifest (reference /root/reference/bmiq/DoBMIQ.R:46-54 — design
     * type encoded in the last two chars of `targetid`): probe = part,
     * Infinium type I/II from the part key parity.
     */
   def probeManifest(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "part")
-      .select(
-        format_string("cg%07d", col("p_partkey")).as("probe_id"),
-        when(col("p_partkey") % 2 === 0, 1).otherwise(2).as("design_type"))
+    cached(spark, dir, "manifest") {
+      table(spark, dir, "part")
+        .select(
+          format_string("cg%07d", col("p_partkey")).as("probe_id"),
+          when(col("p_partkey") % 2 === 0, 1).otherwise(2).as("design_type"))
+    }
 
   /** Chip annotation (reference /root/reference/workflow.R:16,61-62):
     * probe → chromosome, including chrX/chrY for the sex-probe anti-join.
     */
   def chipAnnotation(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "part")
-      .select(
-        format_string("cg%07d", col("p_partkey")).as("probe_id"),
-        when(col("p_partkey") % 23 === 21, "chrX")
-          .when(col("p_partkey") % 23 === 22, "chrY")
-          .otherwise(concat(lit("chr"), (col("p_partkey") % 23 + 1)
-            .cast("string"))).as("chr"))
+    cached(spark, dir, "anno") {
+      table(spark, dir, "part")
+        .select(
+          format_string("cg%07d", col("p_partkey")).as("probe_id"),
+          when(col("p_partkey") % 23 === 21, "chrX")
+            .when(col("p_partkey") % 23 === 22, "chrY")
+            .otherwise(concat(lit("chr"), (col("p_partkey") % 23 + 1)
+              .cast("string"))).as("chr"))
+    }
 }

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.commons.math3.distribution.TDistribution
+import org.apache.commons.math3.special.Gamma
+
+import graft.functions.Fns
+
+/** K3 — per-probe two-group differential-methylation linear model with
+  * empirical-Bayes variance moderation: the engine's restatement of the
+  * reference's limma lmFit → contrasts.fit → eBayes → topTable chain
+  * (/root/reference/plots.R:88-162, volcano.R:93-121,
+  * Mouse_Microarray_General_Workflow.R:113-146).
+  *
+  * Three passes, all scale-friendly:
+  *  1. one hash aggregate — per-probe per-group moments of M-values
+  *     (single shuffle on probe_id, partial aggregation map-side);
+  *  2. one tiny driver-side reduce — fit the inverse-gamma variance prior
+  *     (d0, s0²) from the distribution of per-probe pooled variances. The
+  *     collected input is ONE ROW (mean/var of adjusted log s²), so this
+  *     step is O(1) on the driver at any probe cardinality;
+  *  3. column expressions for the moderated t and p-value. The Student-t
+  *     CDF is the engine's only scalar UDF (commons-math3); everything
+  *     else stays in codegen.
+  */
+object Dmp {
+
+  /** Fitted variance prior: s²_g ~ s0² · F(df_g, d0). */
+  final case class Prior(d0: Double, s02: Double)
+
+  /** Pass 1: per-probe two-group moments of clamped M-values.
+    * Input columns: probe_id, group, beta. Output adds n1/n2, mean1/mean2,
+    * var1/var2, logfc = mean1-mean2, df = n1+n2-2, pooled s².
+    * Group-size guard: the reference requires >= 3 samples per group
+    * (/root/reference/plots.R:73-76).
+    */
+  def moments(betaWithGroup: DataFrame, g1: String, g2: String,
+              minPerGroup: Int = 3): DataFrame = {
+    val m = Fns.mValueClamped(col("beta"))
+    betaWithGroup.groupBy("probe_id")
+      .agg(
+        count(when(col("group") === g1, 1)).as("n1"),
+        count(when(col("group") === g2, 1)).as("n2"),
+        avg(when(col("group") === g1, m)).as("mean1"),
+        avg(when(col("group") === g2, m)).as("mean2"),
+        var_samp(when(col("group") === g1, m)).as("var1"),
+        var_samp(when(col("group") === g2, m)).as("var2"))
+      .filter(col("n1") >= minPerGroup && col("n2") >= minPerGroup)
+      .withColumn("logfc", col("mean1") - col("mean2"))
+      .withColumn("df", (col("n1") + col("n2") - 2).cast("double"))
+      .withColumn("s2",
+        ((col("n1") - 1).cast("double") * col("var1") +
+         (col("n2") - 1).cast("double") * col("var2")) / col("df"))
+  }
+
+  /** Inverse of the trigamma function (monotone decreasing on (0,∞)),
+    * solved by bisection — needed to fit d0 from the spread of log s².
+    */
+  private[ops] def trigammaInverse(y: Double): Double = {
+    if (y <= 0) return Double.PositiveInfinity
+    var lo = 1e-6
+    var hi = 1e7
+    if (Gamma.trigamma(lo) < y) return lo
+    if (Gamma.trigamma(hi) > y) return hi
+    var i = 0
+    while (i < 200 && (hi - lo) / hi > 1e-12) {
+      val mid = (lo + hi) / 2
+      if (Gamma.trigamma(mid) > y) lo = mid else hi = mid
+      i += 1
+    }
+    (lo + hi) / 2
+  }
+
+  /** Pass 2: fit (d0, s0²) by method of moments on log s².
+    * With s² ~ s0²·F(df, d0):
+    *   E[log s²]   = log s0² + (ψ(df/2) − log(df/2)) − (ψ(d0/2) − log(d0/2))
+    *   Var[log s²] = ψ′(df/2) + ψ′(d0/2)
+    * Per-probe df may vary, so the ψ(df/2) terms are removed row-wise
+    * before the one-row reduce.
+    */
+  def fitPrior(moments: DataFrame): Prior = {
+    val adj = udf((dfree: Double) => Gamma.digamma(dfree / 2) - math.log(dfree / 2))
+    val tri = udf((dfree: Double) => Gamma.trigamma(dfree / 2))
+    val row = moments
+      .filter(col("s2") > 0 && !isnan(col("s2")))
+      .select(avg(log(col("s2")) - adj(col("df"))).as("emean"),
+        var_samp(log(col("s2"))).as("evar"),
+        avg(tri(col("df"))).as("etri"))
+      .head()
+    val emean = row.getDouble(0)
+    val evar = row.getDouble(1) - row.getDouble(2)
+    if (evar > 0) {
+      val d0 = 2 * trigammaInverse(evar)
+      val s02 = math.exp(emean + Gamma.digamma(d0 / 2) - math.log(d0 / 2))
+      Prior(d0, s02)
+    } else {
+      // No excess spread: variances fully shrink to the common value.
+      Prior(Double.PositiveInfinity, math.exp(emean))
+    }
+  }
+
+  /** Two-sided Student-t p-value; dof capped so commons-math accepts the
+    * d0=∞ (complete-shrinkage) case as an effectively-normal tail.
+    */
+  private val tPval = udf { (t: Double, dfree: Double) =>
+    if (t.isNaN || t.isInfinite) Double.NaN
+    else 2.0 * new TDistribution(math.min(dfree, 1e6)).cumulativeProbability(-math.abs(t))
+  }
+
+  /** Pass 3: moderated statistics + BH FDR + the reference's significance
+    * call (FDR < 0.05 AND |logFC| > log2(1.5), /root/reference/plots.R:165).
+    */
+  def moderated(moments: DataFrame, prior: Prior): DataFrame = {
+    val d0 = if (prior.d0.isInfinite) 1e12 else prior.d0
+    val withT = moments
+      .withColumn("s2_post",
+        (lit(d0 * prior.s02) + col("df") * col("s2")) / (lit(d0) + col("df")))
+      .withColumn("t_mod",
+        col("logfc") / sqrt(col("s2_post") *
+          (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double"))))
+      .withColumn("p_value", tPval(col("t_mod"), col("df") + lit(d0)))
+    Analytic.bhAdjust(withT, "p_value", "probe_id")
+      .withColumn("significant",
+        col("fdr") < 0.05 && abs(col("logfc")) > math.log(1.5) / math.log(2))
+  }
+
+  /** Full K3 pipeline. */
+  def dmp(betaWithGroup: DataFrame, g1: String, g2: String): DataFrame = {
+    val mom = moments(betaWithGroup, g1, g2)
+    mom.persist()
+    moderated(mom, fitPrior(mom))
+  }
+}

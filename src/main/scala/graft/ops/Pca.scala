@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.{PCA, StandardScaler, VectorAssembler}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** K1 — StandardScaler + PCA over samples×top-k-probes
+  * (reference /root/reference/pca_analysis.py:38-48 sklearn
+  * StandardScaler+PCA; workflow.R:218 prcomp(center=TRUE) on t(mvals)).
+  *
+  * The feature dimension is bounded by topK (10k in the reference), so the
+  * samples-as-rows matrix is safe to pivot: width is a constant, rows scale
+  * with samples. For an unbounded all-CpG PCA the scale path is
+  * RowMatrix.computeSVD over the long table — not needed by the reference
+  * surface, which always selects top-k first.
+  */
+object Pca {
+
+  /** PCA coordinates per sample + explained-variance ratios.
+    * `scale=true` ~ sklearn StandardScaler flavor; `false` ~ the
+    * centered-only prcomp "DESeq2 method" flavor (workflow.R:321).
+    */
+  def pcaCoords(beta: DataFrame, topK: Int, k: Int, scale: Boolean): DataFrame = {
+    val topProbes = Analytic.topKByVariance(beta, "probe_id", "beta", topK)
+      .select("probe_id").collect().map(_.getString(0)).sorted.toSeq
+    val wide = beta.filter(col("probe_id").isin(topProbes: _*))
+      .groupBy("sample_id").pivot("probe_id", topProbes).agg(first("beta"))
+      .na.fill(0.5) // reference drops NA rows pre-PCA; absent cells are imputed at the midpoint
+    val assembled = new VectorAssembler()
+      .setInputCols(topProbes.toArray).setOutputCol("features")
+      .transform(wide)
+    val feats =
+      if (scale) {
+        new StandardScaler().setWithMean(true).setWithStd(true)
+          .setInputCol("features").setOutputCol("scaled")
+          .fit(assembled).transform(assembled)
+      } else assembled.withColumn("scaled", col("features"))
+    val model = new PCA().setK(k).setInputCol("scaled").setOutputCol("pcs")
+      .fit(feats)
+    val evr = model.explainedVariance.toArray
+    val arr = model.transform(feats)
+      .select(col("sample_id"), vector_to_array(col("pcs")).as("pc"))
+    (1 to k).foldLeft(arr) { (df, i) =>
+      df.withColumn(s"pc$i", round(col("pc").getItem(i - 1), 6))
+        .withColumn(s"evr$i", round(lit(evr(i - 1)), 6))
+    }.drop("pc").orderBy("sample_id")
+  }
+}
