@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dmp, Mds, Pca}
+import graft.functions.Fns
+import graft.ops.{Bmiq, Combat, Dmp, Mds, Pca}
 import SqlOracles.ctes
 
 /** Statistical-kernel queries (SURVEY.md §2.9). The DuckDB-expressible
@@ -72,6 +73,29 @@ object QueriesStats {
     // Mouse_Microarray_General_Workflow.R:66-75).
     Q("k02_mds_coords", (s, d) =>
       Mds.mdsCoords(s, Tables.betaLong(s, d), topK = 100),
+      None),
+
+    // K5 — ComBat batch adjustment on M-values, batch = run, covariate =
+    // group (reference workflow.R:132-150). Rows-only; CombatSpec asserts
+    // the batch-mean-spread-shrinks / grand-mean-preserved invariants.
+    Q("k05_combat_adjust", (s, d) => {
+      val m = Tables.betaLong(s, d)
+        .withColumn("m", Fns.mValueClamped(col("beta")))
+        .select("probe_id", "sample_id", "m")
+      Combat.combat(m, Tables.sampleSheet(s, d))
+        .select(col("probe_id"), col("sample_id"), col("run"), col("group"),
+          round(col("m"), 6).as("m"), round(col("m_adj"), 6).as("m_adj"))
+        .orderBy("probe_id", "sample_id")
+    }, None),
+
+    // K6 — BMIQ normalization (reference bmiq/BMIQ_1.4.R). Rows-only;
+    // BmiqSpec asserts identity-on-type-I / range / guard invariants.
+    Q("k06_bmiq_normalize", (s, d) =>
+      Bmiq.bmiq(Tables.betaLong(s, d), Tables.probeManifest(s, d))
+        .select(col("probe_id"), col("sample_id"),
+          round(col("beta"), 6).as("beta"),
+          round(col("beta_norm"), 6).as("beta_norm"), col("design_type"))
+        .orderBy("probe_id", "sample_id"),
       None)
   )
 }

@@ -1,0 +1,177 @@
+package graft.ops
+
+import breeze.linalg.{pinv, DenseMatrix, DenseVector}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** K5 — ComBat batch correction with parametric empirical-Bayes priors
+  * (the engine's restatement of the reference's sva::ComBat call on
+  * M-values with a group design, /root/reference/workflow.R:132-150; model
+  * per the published location-scale EB formulation).
+  *
+  * Everything is keyed by probe_id — no step materializes more than
+  * (batches × groups) rows per probe, so the algorithm survives any probe
+  * cardinality. Pass structure:
+  *   1. cell moments: groupBy(probe, batch, group) → (n, Σy, Σy²). The only
+  *      full-data shuffle.
+  *   2. per-probe OLS + standardization: the additive batch+group design's
+  *      normal equations are exact functions of the cell moments, so each
+  *      probe solves a (B+G-1)² system in mapGroups — no second pass over
+  *      observations. Emits per-cell standardized stats + per-batch
+  *      γ̂ (location) and δ̂² (scale) estimates.
+  *   3. hyperpriors: per-batch moments of γ̂ / δ̂² across probes (normal and
+  *      inverse-gamma moment fits) — B rows collected to the driver.
+  *   4. EB shrinkage: the coupled (γ*, δ²*) fixed point is row-local given the
+  *      per-(probe,batch) z-sums — a plain iterative UDF, ≤100 steps.
+  *   5. adjust: join (γ*, δ²*) and stand-means back onto the long table and
+  *      apply (y − stand − γ*)/√δ²* · σ_pool + stand.
+  */
+object Combat {
+
+  final case class CellStats(
+      probe_id: String, batch: String, group: String,
+      stand_mean: Double, var_pooled: Double,
+      n_b: Long, z_sum_b: Double, z_ss_b: Double,
+      gamma_hat: Double, delta2_hat: Double)
+
+  /** Input: long M-values `m(probe_id, sample_id, m)` and a sample sheet
+    * with `sample_id, run (batch), group`. Output adds `m_adj`.
+    */
+  def combat(mvals: DataFrame, sheet: DataFrame): DataFrame = {
+    val spark = mvals.sparkSession
+    import spark.implicits._
+
+    val dims = sheet.select("sample_id", "run", "group")
+    val joined = mvals.join(broadcast(dims), "sample_id")
+
+    val batches = dims.select("run").distinct().as[String].collect().sorted
+    val groups = dims.select("group").distinct().as[String].collect().sorted
+    val batchCounts = dims.groupBy("run").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val bc = spark.sparkContext.broadcast((batches, groups, batchCounts))
+
+    val cells = joined.groupBy("probe_id", "run", "group")
+      .agg(count(lit(1)).as("n"), sum("m").as("s"), sum(col("m") * col("m")).as("ss"))
+      .as[(String, String, String, Long, Double, Double)]
+
+    val cellStats = cells.groupByKey(_._1).flatMapGroups { (probe, it) =>
+      val (bs, gs, _) = bc.value
+      val bIdx = bs.zipWithIndex.toMap
+      val gIdx = gs.zipWithIndex.toMap
+      val bN = bs.length
+      val gN = gs.length
+      val p = bN + (gN - 1) // batch one-hots + non-baseline group dummies
+      val cellArr = it.toArray
+      val xtx = DenseMatrix.zeros[Double](p, p)
+      val xty = DenseVector.zeros[Double](p)
+      var yy = 0.0
+      var nTot = 0L
+      cellArr.foreach { case (_, b, g, n, s, ss) =>
+        val bi = bIdx(b)
+        xtx(bi, bi) += n.toDouble
+        xty(bi) += s
+        val gi = gIdx(g)
+        if (gi > 0) {
+          val gcol = bN + gi - 1
+          xtx(gcol, gcol) += n.toDouble
+          xtx(bi, gcol) += n.toDouble
+          xtx(gcol, bi) += n.toDouble
+          xty(gcol) += s
+        }
+        yy += ss
+        nTot += n
+      }
+      if (nTot < p + 2) Iterator.empty
+      else {
+        val beta = pinv(xtx) * xty
+        val ssr = yy - (beta dot xty)
+        val varPooled = ssr / nTot
+        if (!(varPooled > 1e-12)) Iterator.empty
+        else {
+          val sd = math.sqrt(varPooled)
+          // grand mean = batch-size-weighted mean of batch coefficients
+          // over the probe's own observation counts.
+          val nPerBatch = Array.fill(bN)(0L)
+          cellArr.foreach { case (_, b, _, n, _, _) => nPerBatch(bIdx(b)) += n }
+          val grand = (0 until bN).map(i => beta(i) * nPerBatch(i) / nTot).sum
+          def standMean(g: String): Double = {
+            val gi = gIdx(g)
+            grand + (if (gi > 0) beta(bN + gi - 1) else 0.0)
+          }
+          // per-cell z sums → per-batch γ̂ / δ̂²
+          val zs = Array.fill(bN)(0.0)
+          val zss = Array.fill(bN)(0.0)
+          cellArr.foreach { case (_, b, g, n, s, ss) =>
+            val sm = standMean(g)
+            zs(bIdx(b)) += (s - n * sm) / sd
+            zss(bIdx(b)) += (ss - 2 * sm * s + n * sm * sm) / varPooled
+          }
+          cellArr.iterator.map { case (_, b, g, n, _, _) =>
+            val bi = bIdx(b)
+            val nb = nPerBatch(bi)
+            val gHat = if (nb > 0) zs(bi) / nb else 0.0
+            val d2Hat =
+              if (nb > 1) math.max((zss(bi) - zs(bi) * zs(bi) / nb) / (nb - 1), 1e-8)
+              else 1.0
+            CellStats(probe, b, g, standMean(g), varPooled, nb, zs(bi), zss(bi), gHat, d2Hat)
+          }
+        }
+      }
+    }.toDF().persist()
+
+    val batchStats = cellStats.groupBy("probe_id", "batch")
+      .agg(first("gamma_hat").as("gamma_hat"), first("delta2_hat").as("delta2_hat"),
+        first("n_b").as("n_b"), first("z_sum_b").as("z_sum_b"),
+        first("z_ss_b").as("z_ss_b"))
+
+    // Parametric hyperpriors: γ̂_bg ~ N(γ̄_b, τ̄²_b); δ̂²_bg ~ InvGamma(a_b, b_b)
+    // fitted by moments across probes.
+    val hyper = batchStats.groupBy("batch")
+      .agg(avg("gamma_hat").as("gbar"), var_samp("gamma_hat").as("tau2"),
+        avg("delta2_hat").as("dmean"), var_samp("delta2_hat").as("dvar"))
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map { case (b, gbar, tau2, dm, ds2) =>
+        val a = if (ds2 > 1e-12) (2 * ds2 + dm * dm) / ds2 else 1e6
+        val bp = if (ds2 > 1e-12) (dm * ds2 + dm * dm * dm) / ds2 else (1e6 - 1) * dm
+        b -> (gbar, math.max(tau2, 1e-12), a, bp)
+      }.toMap
+    val bcHyper = spark.sparkContext.broadcast(hyper)
+
+    val ebSolve = udf { (batch: String, gHat: Double, d2Hat: Double, n: Long,
+                         zSum: Double, zSs: Double) =>
+      val (gBar, t2, a, b) = bcHyper.value(batch)
+      var g = gHat
+      var dlt = math.max(d2Hat, 1e-8)
+      var i = 0
+      var change = 1.0
+      while (i < 100 && change > 1e-6) {
+        val gNew = (n * t2 * gHat + dlt * gBar) / (n * t2 + dlt)
+        val sse = zSs - 2 * gNew * zSum + n * gNew * gNew
+        val dNew = math.max((b + 0.5 * sse) / (n / 2.0 + a - 1), 1e-8)
+        change = math.max(math.abs(gNew - g) / math.max(math.abs(g), 1e-12),
+          math.abs(dNew - dlt) / dlt)
+        g = gNew; dlt = dNew; i += 1
+      }
+      (g, dlt)
+    }
+
+    val eb = batchStats.withColumn("eb",
+        ebSolve(col("batch"), col("gamma_hat"), col("delta2_hat"), col("n_b"),
+          col("z_sum_b"), col("z_ss_b")))
+      .select(col("probe_id"), col("batch").as("run"),
+        col("eb._1").as("gamma_star"), col("eb._2").as("delta_star"))
+
+    val stand = cellStats.groupBy("probe_id", "group")
+      .agg(first("stand_mean").as("stand_mean"), first("var_pooled").as("var_pooled"))
+
+    joined
+      .join(stand, Seq("probe_id", "group"))
+      .join(eb, Seq("probe_id", "run"))
+      .withColumn("sd", sqrt(col("var_pooled")))
+      .withColumn("z", (col("m") - col("stand_mean")) / col("sd"))
+      .withColumn("m_adj",
+        col("sd") * (col("z") - col("gamma_star")) / sqrt(col("delta_star")) +
+          col("stand_mean"))
+      .select("probe_id", "sample_id", "run", "group", "m", "m_adj")
+  }
+}
