@@ -1,0 +1,249 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline queries over documents/embeddings
+  * (BASELINE.json north-star: dedup, similarity search, text analysis,
+  * multimodal columns — each designed shuffle-blocked for 100 TB).
+  */
+object QueriesLlm {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.table(s, d, "documents")
+  private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.table(s, d, "embeddings")
+
+  /** Documents plus planted near-duplicates (slightly-extended copies of
+    * doc_id < 5) so near-dup operators have true positives to find on the
+    * otherwise-all-distinct synthetic corpus. Deterministic.
+    */
+  private def withPlantedDups(docsDf: org.apache.spark.sql.DataFrame) = {
+    val planted = docsDf.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" extra trailing token")).as("text"))
+    docsDf.select("doc_id", "text").union(planted)
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // Dedup
+    // ------------------------------------------------------------------
+
+    Q("d01_dedup_exact", (s, d) =>
+      docs(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_raw"),
+          countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_norm"))
+        .orderBy("source"),
+      Some(
+        """SELECT source, count(*) AS n_docs,
+          |       count(DISTINCT md5(text)) AS n_raw,
+          |       count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_norm
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exact word-3-gram Jaccard over an inverted-index (shingle) join —
+    // the blocked all-pairs pattern that survives scale.
+    Q("d02_ngram_jaccard", (s, d) =>
+      Dedup.jaccardPairs(Dedup.shingles(docs(s, d)), 0.01)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b"),
+      Some(
+        """WITH words AS (
+          |  SELECT doc_id,
+          |         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w,
+          |         generate_subscripts(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), 1) AS i
+          |  FROM documents),
+          |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+          |       FROM words a
+          |       JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+          |       JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+          |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          |          GROUP BY 1, 2)
+          |SELECT doc_a, doc_b, inter,
+          |       round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+          |FROM inter
+          |JOIN sz sa ON inter.doc_a = sa.doc_id
+          |JOIN sz sb ON inter.doc_b = sb.doc_id
+          |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.01
+          |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // MinHash+LSH near-dups: banded signature join → exact-Jaccard verify.
+    // Hash-function-specific (xxhash64) → rows-only; DedupSpec covers
+    // recall against planted duplicates.
+    Q("d03_minhash_lsh", (s, d) =>
+      Dedup.minhashNearDups(withPlantedDups(docs(s, d)), numPerm = 16,
+        bands = 4, minJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b"),
+      None),
+
+    // SimHash near-dups: 64-bit signatures, top-16-bit blocking, Hamming
+    // verify. rows-only (xxhash64-specific).
+    Q("d04_simhash", (s, d) =>
+      Dedup.simhashPairs(Dedup.simhash(withPlantedDups(docs(s, d))), maxHamming = 6)
+        .orderBy("doc_a", "doc_b"),
+      None),
+
+    // Embedding-cosine near-dup pairs, label-blocked.
+    Q("d05_embedding_neardup", (s, d) =>
+      Similarity.cosineNearDups(emb(s, d), "label", 0.3)
+        .orderBy("vec_a", "vec_b"),
+      Some(
+        """WITH e AS (SELECT vec_id, label, unnest(embedding) AS v,
+          |                  generate_subscripts(embedding, 1) AS i
+          |           FROM embeddings),
+          |n AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+          |      FROM e GROUP BY 1),
+          |d AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.label AS block,
+          |             sum(CAST(x.v AS DOUBLE) * CAST(y.v AS DOUBLE)) AS dot
+          |      FROM e x JOIN e y ON x.label = y.label AND x.i = y.i AND x.vec_id < y.vec_id
+          |      GROUP BY 1, 2, 3)
+          |SELECT vec_a, vec_b, block, round(dot / na.nrm / nb.nrm, 6) AS cos
+          |FROM d JOIN n na ON d.vec_a = na.vec_id JOIN n nb ON d.vec_b = nb.vec_id
+          |WHERE round(dot / na.nrm / nb.nrm, 6) >= 0.3
+          |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Similarity search
+    // ------------------------------------------------------------------
+
+    Q("n01_ann_cosine_topk", (s, d) =>
+      Similarity.cosineTopK(emb(s, d), queryId = 0L, k = 10),
+      Some(
+        """WITH q AS (SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+          |           FROM embeddings WHERE vec_id = 0),
+          |e AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+          |      FROM embeddings WHERE vec_id != 0),
+          |dots AS (SELECT e.vec_id,
+          |                sum(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS dot,
+          |                sum(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS nrm
+          |         FROM e JOIN q USING (i) GROUP BY 1),
+          |qn AS (SELECT sqrt(sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE))) AS qnrm FROM q)
+          |SELECT vec_id, round(dot / sqrt(nrm) / qnrm, 6) AS cos
+          |FROM dots, qn ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    Q("n02_ann_lsh_bucketed", (s, d) =>
+      Similarity.lshTopK(emb(s, d), queryId = 0L, k = 5, bits = 4),
+      Some(
+        """WITH b AS (SELECT vec_id, embedding,
+          |                  (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END) +
+          |                  (CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END) +
+          |                  (CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END) +
+          |                  (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+          |           FROM embeddings),
+          |qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0),
+          |q AS (SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+          |      FROM embeddings WHERE vec_id = 0),
+          |e AS (SELECT b.vec_id, b.bucket, unnest(b.embedding) AS v,
+          |             generate_subscripts(b.embedding, 1) AS i
+          |      FROM b, qb WHERE b.vec_id != 0 AND b.bucket = qb.qbucket),
+          |dots AS (SELECT e.vec_id, e.bucket,
+          |                sum(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS dot,
+          |                sum(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS nrm
+          |         FROM e JOIN q USING (i) GROUP BY 1, 2),
+          |qn AS (SELECT sqrt(sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE))) AS qnrm FROM q)
+          |SELECT vec_id, bucket, round(dot / sqrt(nrm) / qnrm, 6) AS cos
+          |FROM dots, qn ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Text analysis
+    // ------------------------------------------------------------------
+
+    Q("t01_langid", (s, d) =>
+      docs(s, d)
+        .groupBy(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted"),
+      Some(
+        """WITH sc AS (SELECT lang,
+          |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b', 0)) AS en,
+          |  len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht)\b', 0)) AS de,
+          |  len(regexp_extract_all(lower(text), '\b(le|la|et|les|une|est)\b', 0)) AS fr,
+          |  len(regexp_extract_all(lower(text), '\b(el|los|las|una|es|y)\b', 0)) AS es
+          |FROM documents)
+          |SELECT lang,
+          |       CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+          |            WHEN de >= es AND de >= fr THEN 'de'
+          |            WHEN es >= fr THEN 'es'
+          |            ELSE 'fr' END AS predicted,
+          |       count(*) AS n
+          |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("t02_quality_score", (s, d) =>
+      docs(s, d)
+        .withColumn("score", TextAnalysis.qualityScore(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), round(avg("score"), 6).as("avg_score"),
+          sum(when(col("score") < 0.5, 1L).otherwise(0L)).as("n_low"))
+        .orderBy("source"),
+      Some(
+        """WITH f AS (SELECT source,
+          |  CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)), 1) AS DOUBLE) AS words,
+          |  CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) AS alpha,
+          |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b', 0)) AS DOUBLE) AS stops,
+          |  CAST(length(text) AS DOUBLE) AS chars
+          |FROM documents),
+          |s AS (SELECT source,
+          |  least(stops / words * 2.0, 1.0) * 0.4 +
+          |  (CASE WHEN alpha / words >= 3.0 AND alpha / words <= 8.0 THEN 0.3 ELSE 0.0 END) +
+          |  least(chars / 500.0, 1.0) * 0.3 AS score
+          |FROM f)
+          |SELECT source, count(*) AS n, round(avg(score), 6) AS avg_score,
+          |       sum(CASE WHEN score < 0.5 THEN 1 ELSE 0 END) AS n_low
+          |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("t03_token_count", (s, d) =>
+      docs(s, d)
+        .withColumn("tokens", TextAnalysis.tokenCount(col("text")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("sum_tokens"),
+          round(avg("tokens"), 6).as("avg_tokens"))
+        .orderBy("lang"),
+      Some(
+        """SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]', 0))) AS BIGINT) AS sum_tokens,
+          |       round(avg(len(regexp_extract_all(text, '\w+|[^\w\s]', 0))), 6) AS avg_tokens
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Fingerprint dedup: planted case/punctuation variants collapse to the
+    // same normalized-md5 fingerprint.
+    Q("t04_fingerprint", (s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val variants = docs(s, d).filter(col("doc_id") < 3)
+        .select((col("doc_id") + 1000000).as("doc_id"), upper(col("text")).as("text"))
+      base.union(variants)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .filter(col("n") > 1)
+        .orderBy("fingerprint")
+    }, Some(
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id < 3),
+        |fp AS (SELECT doc_id,
+        |              md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+        |       FROM all_docs)
+        |SELECT fingerprint, count(*) AS n, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM fp GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Multimodal columns
+    // ------------------------------------------------------------------
+
+    Q("m01_multimodal_stub", (s, d) =>
+      Multimodal.stubPipeline(docs(s, d)).orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+          |       (CAST(octet_length(encode(text)) AS BIGINT) * 31 + ascii(substr(text, 1, 1))) % 997 AS stub_feature
+          |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators, exact through near-dup. Scale design: every
+  * pairwise step is blocked — candidates only ever meet through a join key
+  * (content hash, shared shingle, LSH band bucket), never a cross join, so
+  * the shuffles stay proportional to collisions rather than n².
+  */
+object Dedup {
+
+  /** Word tokens with positions from normalized text. */
+  def words(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(TextAnalysis.normalized(col(textCol)), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+
+  /** Distinct word n-gram shingles per document (lead-window composition). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val base = words(docs)
+    val withNext = (1 until n).foldLeft(base) { (df, i) =>
+      df.withColumn(s"w$i", lead(col("w"), i).over(w))
+    }
+    val parts = col("w") +: (1 until n).map(i => col(s"w$i"))
+    withNext.filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for documents sharing >=1 shingle
+    * (inverted-index blocking: the self-join key is the shingle itself).
+    */
+  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"), "shingle")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+  }
+
+  /** MinHash signatures: numPerm independent permutations simulated by
+    * seeded xxhash64 of the shingle; per-doc minimum per permutation.
+    * Deterministic (fixed seeds), unlike sampling-based approaches.
+    */
+  def minhashSignatures(sh: DataFrame, numPerm: Int): DataFrame = {
+    val aggs = (0 until numPerm).map { i =>
+      min(xxhash64(concat_ws("#", lit(s"perm$i"), col("shingle")))).as(s"h$i")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the signature into `bands`, hash each band, and
+    * self-join on (band, bandHash) — candidate pairs are docs agreeing on
+    * at least one full band. This is the 100 TB path: the join fan-out is
+    * bounded by bucket collisions, never all-pairs.
+    */
+  def minhashCandidates(sig: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*).as("sig"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+    banded.as("x").join(banded.as("y"), Seq("band", "sig"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: candidates from banding, verified
+    * with exact Jaccard over the (already small) shared-shingle pair stats.
+    */
+  def minhashNearDups(docs: DataFrame, numPerm: Int = 16, bands: Int = 4,
+                      minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingles(docs).persist()
+    val cand = minhashCandidates(minhashSignatures(sh, numPerm), numPerm, bands)
+    jaccardPairs(sh, minJaccard).join(cand, Seq("doc_a", "doc_b"), "left_semi")
+  }
+
+  /** 64-bit SimHash per document: sign of the per-bit weighted sum of word
+    * hashes. One groupBy with 64 conditional aggregates — no row blow-up.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val wh = words(docs).groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitAggs = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$j")
+    }
+    val sums = wh.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    sums.select(col("doc_id"),
+      (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on the top-16 bits, verify by Hamming
+    * distance (bit_count of xor) within the bucket.
+    */
+  def simhashPairs(sim: DataFrame, maxHamming: Int): DataFrame = {
+    val bucketed = sim.withColumn("bucket", shiftright(col("simhash"), 48))
+    bucketed.as("x").join(bucketed.as("y"), "bucket")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .withColumn("hamming", bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("hamming"))
+  }
+
+  /** Exact dedup keeping the first doc per content hash (deterministic). */
+  def exactDedup(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy("h").orderBy(col("doc_id").asc)
+    docs.withColumn("h", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "h")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * n-gram/stopword language ID, quality scoring, document fingerprinting.
+  * All pure Column expressions (codegen-friendly, no UDFs) over the
+  * `documents(doc_id, text, lang, source, n_chars)` table.
+  */
+object TextAnalysis {
+
+  /** BPE-ish tokenization: word runs plus single punctuation marks. */
+  val tokenPattern = "\\w+|[^\\w\\s]"
+
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(tokenPattern), lit(0))).cast("bigint")
+
+  def wordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))).cast("bigint")
+
+  private def stopCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0))).cast("bigint")
+
+  val enStops = "\\b(the|and|of|to|is|in)\\b"
+  val deStops = "\\b(der|die|und|das|ist|nicht)\\b"
+  val frStops = "\\b(le|la|et|les|une|est)\\b"
+  val esStops = "\\b(el|los|las|una|es|y)\\b"
+
+  /** Stopword-hit language ID with a deterministic en>de>es>fr tie-break. */
+  def langId(text: Column): Column = {
+    val en = stopCount(text, enStops)
+    val de = stopCount(text, deStops)
+    val fr = stopCount(text, frStops)
+    val es = stopCount(text, esStops)
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Heuristic quality score in [0,1]: stopword density (0.4), mean word
+    * length plausibility (0.3), length saturation at 500 chars (0.3).
+    */
+  def qualityScore(text: Column): Column = {
+    val words = greatest(wordCount(text), lit(1L)).cast("double")
+    val alphaChars = length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("double")
+    val meanWordLen = alphaChars / words
+    val stopRatio = stopCount(text, enStops).cast("double") / words
+    least(stopRatio * 2.0, lit(1.0)) * 0.4 +
+      when(meanWordLen >= 3.0 && meanWordLen <= 8.0, lit(0.3)).otherwise(lit(0.0)) +
+      least(length(text).cast("double") / 500.0, lit(1.0)) * 0.3
+  }
+
+  /** Normalized text for fingerprinting/near-exact dedup: lowercase,
+    * non-alphanumeric runs collapsed to single spaces.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Content fingerprint (md5 of normalized text — identical across engines). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+}
