@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import graft.sources.SectionedReport
+import graft.streaming.QcMonitor
+
+/** Source/sink queries (SURVEY.md §2.1): CSV round-trip, sectioned
+  * FinalReport + sample-report parsers over deterministic fixtures written
+  * under target/qtmp, binaryFile discovery, and the batch flavor of the
+  * streaming QC window. Fixture-based oracles are literal VALUES lists.
+  */
+object QueriesSources {
+
+  private def writeFixture(relPath: String, content: String): String = {
+    val p = Paths.get(s"${Q.scratch}/$relPath")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // S1+S7 — CSV sink then scan with an explicit schema; result must equal
+    // the parquet original (round-trip fidelity).
+    Q("s01_csv_roundtrip", (s, d) => {
+      val out = s"${Q.scratch}/s01_region_csv"
+      Tables.table(s, d, "region")
+        .write.mode("overwrite").option("header", true).csv(out)
+      s.read.option("header", true)
+        .schema(SectionedReport.csvSchema("r_regionkey" -> IntegerType, "r_name" -> StringType))
+        .csv(out)
+        .orderBy("r_regionkey")
+    }, Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    // S3 — sectioned FinalReport parse → long model (marker scan, header
+    // split, melt, .AVG_Beta strip, empty→NULL).
+    Q("s03_final_report", (s, _) => {
+      val path = writeFixture("s03/final_report.txt",
+        """GenomeStudio Methylation Module
+          |[Header]
+          |Date	2024-01-01
+          |[Sample Methylation Profile]
+          |TargetID	S1.AVG_Beta	S2.AVG_Beta
+          |cg000001	0.25	0.5
+          |cg000002	0.75
+          |cg000003	0.125	0.375
+          |""".stripMargin)
+      SectionedReport.parseFinalReport(s, path)
+        .orderBy("target_id", "sample_id")
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  ('cg000001', 'S1', CAST(0.25 AS DOUBLE)),
+        |  ('cg000001', 'S2', CAST(0.5 AS DOUBLE)),
+        |  ('cg000002', 'S1', CAST(0.75 AS DOUBLE)),
+        |  ('cg000002', 'S2', CAST(NULL AS DOUBLE)),
+        |  ('cg000003', 'S1', CAST(0.125 AS DOUBLE)),
+        |  ('cg000003', 'S2', CAST(0.375 AS DOUBLE))
+        |) t(target_id, sample_id, beta) ORDER BY target_id, sample_id""".stripMargin)),
+
+    // S4 — multi-file sample reports: keyword header detection + run-prefix.
+    Q("s04_sample_report", (s, _) => {
+      writeFixture("s04/reports/run1_report.txt",
+        """Illumina Sample Report
+          |Generated	2024
+          |Index	Sample ID	Sample Group	Sentrix Barcode
+          |1	A01	G1	205001
+          |2	A02	G1	205001
+          |""".stripMargin)
+      writeFixture("s04/reports/run2_report.txt",
+        """Illumina Sample Report
+          |Index	Sample ID	Sample Group	Sentrix Barcode
+          |1	B01	G2	205002
+          |""".stripMargin)
+      SectionedReport.parseSampleReports(s, s"${Q.scratch}/s04/reports/*.txt")
+        .orderBy("prefixed_index")
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  (1, '1_1', 'A01'),
+        |  (1, '1_2', 'A02'),
+        |  (2, '2_1', 'B01')
+        |) t(run, prefixed_index, sample_id) ORDER BY prefixed_index""".stripMargin)),
+
+    // S6 — directory discovery via the binaryFile source + glob filter
+    // (reference health_check.py:67-76 find_all_idat_files).
+    Q("s06_binary_discovery", (s, _) => {
+      writeFixture("s06/idats/a_Grn.idat", "AAAAA")
+      writeFixture("s06/idats/b_Red.idat", "BBBBBBB")
+      writeFixture("s06/idats/notes.txt", "ignored")
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.idat")
+        .load(s"${Q.scratch}/s06/idats")
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+          col("length"))
+        .orderBy("file")
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  ('a_Grn.idat', CAST(5 AS BIGINT)),
+        |  ('b_Red.idat', CAST(7 AS BIGINT))
+        |) t(file, length) ORDER BY file""".stripMargin)),
+
+    // E — batch flavor of the streaming QC window (same transform the
+    // Structured Streaming monitor uses; StreamingSpec drives the
+    // streaming flavor through a file-source stream).
+    Q("e01_streaming_window_qc", (s, d) =>
+      QcMonitor.windowedQc(Tables.events(s, d))
+        .orderBy("hour", "event_type"),
+      Some(
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+          |       event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+}

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def packs: Seq[Q] =
-    QueriesRelational.all ++ QueriesStats.all ++ QueriesLlm.all
+    QueriesRelational.all ++ QueriesStats.all ++ QueriesLlm.all ++ QueriesSources.all
 
   /** Flagship query (SURVEY.md §7.2 M0): per-group variance of
     * l_extendedprice by l_partkey via exact integer moments, top-k desc —

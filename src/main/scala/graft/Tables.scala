@@ -24,6 +24,21 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table is written with TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects unless nanos are surfaced as longs; normalize
+    * back to a timestamp with integer division (no double round-trip —
+    * nanos since epoch exceed 2^53).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
   /** Memoized+persisted derived views. Verify/Bench run dozens of queries
     * against the same views in one session; without this every query would
     * re-aggregate lineitem from parquet (the reference's analog is keeping

@@ -57,7 +57,7 @@ object Dmp {
   /** Inverse of the trigamma function (monotone decreasing on (0,∞)),
     * solved by bisection — needed to fit d0 from the spread of log s².
     */
-  private[ops] def trigammaInverse(y: Double): Double = {
+  private[graft] def trigammaInverse(y: Double): Double = {
     if (y <= 0) return Double.PositiveInfinity
     var lo = 1e-6
     var hi = 1e7

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** M6 / SURVEY.md §2.10 — streaming QC monitor: watermarked tumbling-window
+  * per-event-type counts and means over the `events` stream. The reference
+  * is batch-only; this is the engine's incremental restatement of its QC
+  * profiling (A4/A5), shared between batch and streaming so the batch
+  * flavor is DuckDB-oracle-checked and the streaming flavor reuses the
+  * exact same transform.
+  */
+object QcMonitor {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The shared transform: 1-hour tumbling window × event_type →
+    * count + mean value. Works on both batch and streaming inputs.
+    */
+  def windowedQc(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("avg_value"))
+
+  /** Streaming entry: file-source stream over a parquet directory with a
+    * 2-hour watermark (late events beyond it are dropped from state —
+    * bounded state is what makes this run forever at scale).
+    */
+  def stream(spark: SparkSession, dir: String): DataFrame =
+    windowedQc(
+      spark.readStream.schema(eventsSchema).parquet(dir)
+        .withWatermark("ts", "2 hours"))
+}

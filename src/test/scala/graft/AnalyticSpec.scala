@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Analytic
+
+class AnalyticSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bhAdjust matches R p.adjust(method='BH'), including ties") {
+    // R: p.adjust(c(0.1, 0.2, 0.2, 0.5), "BH") == c(0.266667, 0.266667, 0.266667, 0.5)
+    val df = Seq(("a", 0.1), ("b", 0.2), ("c", 0.2), ("d", 0.5)).toDF("id", "p")
+    val got = Analytic.bhAdjust(df, "p", "id").orderBy("id")
+      .select("fdr").as[Double].collect()
+    val expected = Seq(4.0 * 0.2 / 3, 4.0 * 0.2 / 3, 4.0 * 0.2 / 3, 0.5)
+    got.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9, s"$g vs $e") }
+  }
+
+  test("bhAdjust clamps at 1 and keeps the smallest p monotone") {
+    val df = Seq(("a", 0.9), ("b", 0.95), ("c", 0.01)).toDF("id", "p")
+    val m = Analytic.bhAdjust(df, "p", "id").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(m("c") == 0.03) // 0.01 * 3 / 1
+    assert(m("a") <= 1.0 && m("b") <= 1.0)
+  }
+
+  test("topKByVariance returns the k most variable keys in order") {
+    val df = Seq(
+      ("p1", 1.0), ("p1", 1.0), ("p1", 1.0), // var 0
+      ("p2", 0.0), ("p2", 10.0), ("p2", 20.0), // var 100
+      ("p3", 0.0), ("p3", 1.0), ("p3", 2.0)) // var 1
+      .toDF("probe_id", "beta")
+    val got = Analytic.topKByVariance(df, "probe_id", "beta", 2)
+      .select("probe_id").as[String].collect()
+    assert(got.toSeq == Seq("p2", "p3"))
+  }
+}

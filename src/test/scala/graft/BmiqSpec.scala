@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Bmiq
+
+class BmiqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // One sample: 240 type-I probes in three clean modes (0.08 / 0.5 / 0.92),
+  // 240 type-II probes with the classic type-II compression toward 0.5
+  // (0.12 / 0.5 / 0.80). Modes sit clear of the 0.2/0.75 EM init thresholds.
+  private def fixture(sampleId: String) = {
+    def tri(i: Int, lo: Double, mid: Double, hi: Double) = {
+      val jitter = 0.03 * math.sin(i * 3.1)
+      if (i % 3 == 0) lo + jitter else if (i % 3 == 1) mid + jitter else hi + jitter
+    }
+    val t1 = (0 until 240).map(i => (f"cg1_$i%04d", sampleId, tri(i, 0.08, 0.50, 0.92), 1))
+    val t2 = (0 until 240).map(i => (f"cg2_$i%04d", sampleId, tri(i, 0.12, 0.50, 0.80), 2))
+    (t1 ++ t2).toDF("probe_id", "sample_id", "beta", "design_type")
+  }
+
+  private def manifest(df: org.apache.spark.sql.DataFrame) =
+    df.select("probe_id", "design_type").distinct()
+
+  test("type-I probes are untouched, all outputs in [0,1], decompression is directional") {
+    val df = fixture("S1")
+    val out = Bmiq.bmiq(df.select("probe_id", "sample_id", "beta"), manifest(df)).persist()
+
+    val t1changed = out.filter(col("design_type") === 1 && col("beta_norm") =!= col("beta")).count()
+    assert(t1changed == 0)
+    val oob = out.filter(col("beta_norm") < 0 || col("beta_norm") > 1).count()
+    assert(oob == 0)
+
+    // type-II methylated mode (0.80-compressed) must move UP toward the
+    // type-I 0.92 mode; unmethylated (0.12) must move DOWN toward 0.08.
+    val stats = out.filter(col("design_type") === 2)
+      .select(
+        avg(when(col("beta") > 0.65, col("beta"))).as("m_before"),
+        avg(when(col("beta") > 0.65, col("beta_norm"))).as("m_after"),
+        avg(when(col("beta") < 0.3, col("beta"))).as("u_before"),
+        avg(when(col("beta") < 0.3, col("beta_norm"))).as("u_after"))
+      .head()
+    assert(stats.getDouble(1) > stats.getDouble(0) + 0.03,
+      s"M mode not decompressed: ${stats.getDouble(0)} -> ${stats.getDouble(1)}")
+    assert(stats.getDouble(3) < stats.getDouble(2) - 0.03,
+      s"U mode not decompressed: ${stats.getDouble(2)} -> ${stats.getDouble(3)}")
+  }
+
+  test("deterministic: identical input gives identical output") {
+    val df = fixture("S1")
+    val a = Bmiq.bmiq(df.select("probe_id", "sample_id", "beta"), manifest(df))
+      .orderBy("probe_id").select("beta_norm").as[Double].collect()
+    val b = Bmiq.bmiq(df.select("probe_id", "sample_id", "beta"), manifest(df))
+      .orderBy("probe_id").select("beta_norm").as[Double].collect()
+    assert(a.sameElements(b))
+  }
+
+  test("below the 50-probe-per-type guard the sample passes through unchanged") {
+    val tiny = fixture("S2").filter(col("probe_id").rlike("_000[0-9]$")) // 20+20 probes
+    val out = Bmiq.bmiq(tiny.select("probe_id", "sample_id", "beta"), manifest(tiny))
+    val changed = out.filter(col("beta_norm") =!= col("beta")).count()
+    assert(changed == 0)
+  }
+}

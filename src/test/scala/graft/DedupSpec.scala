@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different words about spark engines and distributed shuffles here"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact Jaccard on shingles matches hand computation") {
+    // docs 1 and 4 identical → jaccard 1.0; docs 1 and 2 (14 words → 12
+    // trigrams) differ in the last word → 11 shared, union 13
+    val pairs = Dedup.jaccardPairs(Dedup.shingles(docs), 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(pairs((1L, 4L)) - 1.0) < 1e-9)
+    assert(math.abs(pairs((1L, 2L)) - 11.0 / 13) < 1e-9)
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("minhash LSH recovers the planted near-dup and exact-dup pairs") {
+    val found = Dedup.minhashNearDups(docs, numPerm = 16, bands = 4, minJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(found.contains((1L, 4L)))
+    assert(found.contains((1L, 2L)))
+    assert(!found.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical docs collide at hamming 0, unrelated docs don't pair") {
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("exactDedup keeps the lowest doc_id per content hash") {
+    val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+}

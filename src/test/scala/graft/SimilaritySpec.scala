@@ -1,0 +1,38 @@
+package graft
+
+import graft.llm.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emb = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Seq(1.0f, 1.0f, 0.0f, 0.0f), 0), // cos with q = 1/sqrt(2)
+    (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 0), // cos 0
+    (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f), 1) // cos -1, different sign bucket
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosineTopK ranks by exact cosine") {
+    val got = Similarity.cosineTopK(emb, 0L, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(got(0)._2 - math.sqrt(0.5)) < 1e-5)
+    assert(math.abs(got(1)._2) < 1e-9)
+    assert(math.abs(got(2)._2 + 1.0) < 1e-9)
+  }
+
+  test("lshTopK only scores the query's sign bucket") {
+    val got = Similarity.lshTopK(emb, 0L, 5, bits = 4)
+      .select("vec_id").as[Long].collect().toSet
+    // vec 3 has a negative first dim → different bucket → excluded
+    assert(got.contains(1L) && !got.contains(3L))
+  }
+
+  test("cosineNearDups blocks by the given column") {
+    val pairs = Similarity.cosineNearDups(emb, "label", -2.0)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // only same-label pairs can appear
+    assert(pairs.forall { case (a, b) => Set(a, b).subsetOf(Set(0L, 1L, 2L)) })
+    assert(pairs.contains((0L, 1L)))
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.QcMonitor
+
+class StreamingSpec extends SparkSpec {
+
+  test("windowedQc aggregates a live stream into hourly windows") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val df = ms.toDF().toDF("ts", "event_type", "value")
+
+    val q = QcMonitor.windowedQc(df).writeStream
+      .format("memory").queryName("qc_out").outputMode("complete").start()
+    try {
+      ms.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:45:00"), "click", 3.0),
+        (Timestamp.valueOf("2024-01-01 11:05:00"), "click", 5.0),
+        (Timestamp.valueOf("2024-01-01 10:30:00"), "error", 7.0))
+      q.processAllAvailable()
+      val out = sp.table("qc_out").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(out(("2024-01-01 10:00:00", "click")) == ((2L, 2.0)))
+      assert(out(("2024-01-01 11:00:00", "click")) == ((1L, 5.0)))
+      assert(out(("2024-01-01 10:00:00", "error")) == ((1L, 7.0)))
+    } finally q.stop()
+  }
+}
