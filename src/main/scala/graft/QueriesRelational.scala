@@ -522,6 +522,21 @@ object QueriesRelational {
         |FROM beta b JOIN sheet s USING (sample_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // R3 — nested split: two partition keys (reference dataset.py:66-101
+    // writes Experiment_{e}/{g}.csv; partitionBy is n-ary).
+    Q("r03_partitioned_write_2key", (s, d) => {
+      val out = s"${Q.scratch}/r03_partitioned"
+      B(s, d).join(broadcast(SS(s, d)), "sample_id")
+        .write.mode("overwrite").partitionBy("run", "group").parquet(out)
+      s.read.parquet(out)
+        .groupBy("run", "group")
+        .agg(count(lit(1)).as("n"), round(sum("beta"), 6).as("sum_beta"))
+        .orderBy("run", "group")
+    }, Some(ctes +
+      """SELECT s.run, s."group" AS "group", count(*) AS n, round(sum(b.beta), 6) AS sum_beta
+        |FROM beta b JOIN sheet s USING (sample_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("r04_pivot_export", (s, d) => {
       val samples = Seq("S001", "S002", "S003", "S004", "S005", "S006")
       B(s, d).filter(col("sample_id").isin(samples: _*))

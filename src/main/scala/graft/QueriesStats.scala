@@ -59,6 +59,43 @@ object QueriesStats {
         .orderBy("probe_id")
     }, None),
 
+    // K3 multi-contrast — all comparisons in one job, comparison_id as an
+    // extra grouping column (reference 16-contrast variant,
+    // Mouse_Microarray_General_Workflow.R:113-146).
+    Q("k03_dmp_multicontrast", (s, d) => {
+      val bg = Tables.betaLong(s, d)
+        .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+        .withColumn("group", concat_ws("_", col("group"), col("run")))
+      val contrasts = Seq(
+        ("c_run0", "WT_run_0", "MUT_run_0"),
+        ("c_run1", "WT_run_1", "MUT_run_1"),
+        ("c_run2", "WT_run_2", "MUT_run_2"))
+      Dmp.multiContrastMoments(bg, contrasts)
+        .select(col("comparison_id"), col("probe_id"), col("n1"), col("n2"),
+          round(col("logfc"), 4).as("logfc"))
+        .orderBy("comparison_id", "probe_id")
+    }, Some(ctes +
+      s""", bg AS (
+         |  SELECT b.probe_id, s."group" || '_' || s.run AS grp,
+         |         ${SqlOracles.mValueClamped("b.beta")} AS m
+         |  FROM beta b JOIN sheet s USING (sample_id)),
+         |c(comparison_id, g1, g2) AS (VALUES
+         |  ('c_run0', 'WT_run_0', 'MUT_run_0'),
+         |  ('c_run1', 'WT_run_1', 'MUT_run_1'),
+         |  ('c_run2', 'WT_run_2', 'MUT_run_2')),
+         |j AS (SELECT c.comparison_id, bg.probe_id,
+         |             CASE WHEN bg.grp = c.g1 THEN 'A' ELSE 'B' END AS side, bg.m
+         |      FROM bg JOIN c ON bg.grp = c.g1 OR bg.grp = c.g2),
+         |agg AS (SELECT comparison_id, probe_id,
+         |               count(CASE WHEN side = 'A' THEN 1 END) AS n1,
+         |               count(CASE WHEN side = 'B' THEN 1 END) AS n2,
+         |               avg(CASE WHEN side = 'A' THEN m END) AS m1,
+         |               avg(CASE WHEN side = 'B' THEN m END) AS m2
+         |        FROM j GROUP BY 1, 2)
+         |SELECT comparison_id, probe_id, n1, n2, round(m1 - m2, 4) AS logfc
+         |FROM agg WHERE n1 >= 3 AND n2 >= 3
+         |ORDER BY comparison_id, probe_id""".stripMargin)),
+
     // K1 — StandardScaler+PCA flavor (reference pca_analysis.py:38-48).
     Q("k01_pca_scaled", (s, d) =>
       Pca.pcaCoords(Tables.betaLong(s, d), topK = 50, k = 3, scale = true),

@@ -131,4 +131,30 @@ object Dmp {
     mom.persist()
     moderated(mom, fitPrior(mom))
   }
+
+  /** Multi-contrast variant (reference
+    * /root/reference/Mouse_Microarray_General_Workflow.R:113-146 runs 16
+    * contrasts in one limma fit): the contrasts are a broadcast dim table
+    * and `comparison_id` becomes an extra grouping column, so all
+    * comparisons run in ONE job — the moments pass shuffles once on
+    * (comparison, probe) instead of looping per contrast.
+    */
+  def multiContrastMoments(betaWithGroup: DataFrame,
+                           contrasts: Seq[(String, String, String)]): DataFrame = {
+    val spark = betaWithGroup.sparkSession
+    import spark.implicits._
+    val c = contrasts.toDF("comparison_id", "g1", "g2")
+    val m = Fns.mValueClamped(col("beta"))
+    betaWithGroup
+      .join(broadcast(c), col("group") === col("g1") || col("group") === col("g2"))
+      .withColumn("side", when(col("group") === col("g1"), "A").otherwise("B"))
+      .groupBy("comparison_id", "probe_id")
+      .agg(
+        count(when(col("side") === "A", 1)).as("n1"),
+        count(when(col("side") === "B", 1)).as("n2"),
+        avg(when(col("side") === "A", m)).as("mean1"),
+        avg(when(col("side") === "B", m)).as("mean2"))
+      .filter(col("n1") >= 3 && col("n2") >= 3)
+      .withColumn("logfc", col("mean1") - col("mean2"))
+  }
 }
