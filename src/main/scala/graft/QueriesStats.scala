@@ -133,6 +133,20 @@ object QueriesStats {
           round(col("beta"), 6).as("beta"),
           round(col("beta_norm"), 6).as("beta_norm"), col("design_type"))
         .orderBy("probe_id", "sample_id"),
+      None),
+
+    // E2 — the full reference lifecycle (QC → BMIQ → ComBat → top-k → PCA)
+    // chained as one DAG; output is the workflow's final plot-ready PCA
+    // coordinate table. Rows-only.
+    // qcThr 0.09: the synthetic detP is uniform-ish on [0, 0.1], so the
+    // reference's 0.05 all-observed probe gate would pass ~nothing; 0.09
+    // keeps a realistic surviving fraction. bmiqMinPerType lowered to
+    // match the post-QC per-sample probe counts.
+    Q("e02_full_workflow", (s, d) =>
+      graft.ops.Pipelines.fullWorkflow(s,
+        Tables.betaLong(s, d), Tables.detpLong(s, d),
+        Tables.sampleSheet(s, d), Tables.probeManifest(s, d),
+        qcThr = 0.09, topK = 50, pcs = 3, bmiqMinPerType = 10),
       None)
   )
 }

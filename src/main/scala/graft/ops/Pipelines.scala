@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** E2 — the reference's flagship end-to-end lifecycle as ONE lazy DataFrame
+  * DAG (reference /root/reference/workflow.R:1-722: "IDAT -> QC -> BMIQ
+  * (per run) -> ComBat (across all runs) -> PCA"). Where the reference
+  * crosses Python↔R process boundaries and round-trips CSV/RData temp
+  * files between stages (workflow.R:86-91), the engine chains the same
+  * stages as transforms — Catalyst sees the whole plan, and the only
+  * materialization points are the two iterative kernels' internal
+  * persists.
+  */
+object Pipelines {
+
+  /** QC'd → BMIQ-normalized → ComBat-adjusted → top-k → PCA coordinates.
+    *
+    * @return PCA coordinates per surviving sample (the workflow's final
+    *         plot-ready table, workflow.R:229-237).
+    */
+  def fullWorkflow(spark: SparkSession, beta: DataFrame, detp: DataFrame,
+                   sheet: DataFrame, manifest: DataFrame,
+                   qcThr: Double = 0.05, topK: Int = 50, pcs: Int = 3,
+                   bmiqMinPerType: Int = 50): DataFrame = {
+    // 1. per-run QC (workflow.R:43-75): sample mean-detP filter + probe
+    // filter (observed-entry semantics — long model)
+    val qcd = Qc.qcBetas(beta, detp, nSamples = -1, thr = qcThr)
+
+    // 2. BMIQ intra-sample normalization (workflow.R:84-108)
+    val normalized = Bmiq.bmiq(qcd, manifest, minPerType = bmiqMinPerType)
+      .select(col("probe_id"), col("sample_id"), col("beta_norm").as("beta"))
+
+    // 3. ComBat across runs on M-values (workflow.R:112-150), back to betas
+    val m = normalized.withColumn("m", Fns.mValueClamped(col("beta")))
+      .select("probe_id", "sample_id", "m")
+    val adjusted = Combat.combat(m, sheet)
+      .withColumn("beta", Fns.inverseMValue(col("m_adj")))
+      .select("probe_id", "sample_id", "beta")
+
+    // 4-5. top-k variable probes + PCA (workflow.R:155-237)
+    Pca.pcaCoords(adjusted, topK, pcs, scale = true)
+  }
+}

@@ -23,20 +23,24 @@ object Qc {
       .filter(col("mean_detp") < thr)
       .select("sample_id")
 
-  /** P10 — probes with detP < thr in every sample (and present in all
-    * `nSamples` samples, matching rowSums(detP<thr)==ncol).
+  /** P10 — probes with detP < thr in every sample. With `nSamples > 0`
+    * the probe must also be present in all nSamples samples (the wide
+    * matrix's rowSums(detP<thr)==ncol); with `nSamples = -1` the filter is
+    * over observed entries only — the long-model reading where an absent
+    * (probe, sample) cell means "not measured", not "failed".
     */
-  def passingProbes(detp: DataFrame, nSamples: Long, thr: Double = 0.05): DataFrame =
-    detp.groupBy("probe_id")
-      .agg(sum(when(col("pval") < thr, 1L).otherwise(0L)).as("__ok"),
-           count(lit(1)).as("__n"))
-      .filter(col("__ok") === nSamples && col("__n") === nSamples)
+  def passingProbes(detp: DataFrame, nSamples: Long = -1, thr: Double = 0.05): DataFrame = {
+    val agg = detp.groupBy("probe_id")
+      .agg(max("pval").as("__max"), count(lit(1)).as("__n"))
+      .filter(col("__max") < thr)
+    (if (nSamples > 0) agg.filter(col("__n") === nSamples) else agg)
       .select("probe_id")
+  }
 
   /** Composite QC (reference per-run loop workflow.R:43-75): apply sample
     * filter then probe filter to the beta table via semi-joins.
     */
-  def qcBetas(beta: DataFrame, detp: DataFrame, nSamples: Long,
+  def qcBetas(beta: DataFrame, detp: DataFrame, nSamples: Long = -1,
               thr: Double = 0.05): DataFrame = {
     val goodSamples = passingSamples(detp, thr)
     val goodProbes = passingProbes(detp.join(goodSamples, Seq("sample_id"), "left_semi"),
