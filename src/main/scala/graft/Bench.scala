@@ -22,7 +22,8 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          System.err.println(s"[bench] $name FAILED: $e")
+          e.getStackTrace.take(12).foreach(f => System.err.println(s"[bench]   at $f"))
           false
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)

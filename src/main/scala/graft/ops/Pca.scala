@@ -17,6 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object Pca {
 
+  /** The eigensolve inside Spark ML's PCA (breeze/LAPACK on the collected
+    * covariance) can intermittently throw NotConvergedException (empty
+    * message): the input covariance jitters in the last ulp run-to-run
+    * because aggregation merge order isn't fixed, and near-degenerate
+    * spectra (synthetic data) occasionally trip LAPACK. Recomputing gives
+    * a different ulp pattern, so a bounded retry is a sound fix.
+    */
+  private def fitWithRetry[T](what: String, attempts: Int = 3)(f: => T): T = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return f
+      catch {
+        case e: Throwable =>
+          last = e
+          System.err.println(s"[pca] $what attempt ${i + 1}/$attempts failed: $e")
+      }
+      i += 1
+    }
+    throw last
+  }
+
   /** PCA coordinates per sample + explained-variance ratios.
     * `scale=true` ~ sklearn StandardScaler flavor; `false` ~ the
     * centered-only prcomp "DESeq2 method" flavor (workflow.R:321).
@@ -32,12 +54,16 @@ object Pca {
       .transform(wide)
     val feats =
       if (scale) {
-        new StandardScaler().setWithMean(true).setWithStd(true)
-          .setInputCol("features").setOutputCol("scaled")
-          .fit(assembled).transform(assembled)
+        val scaler = fitWithRetry("StandardScaler.fit") {
+          new StandardScaler().setWithMean(true).setWithStd(true)
+            .setInputCol("features").setOutputCol("scaled")
+            .fit(assembled)
+        }
+        scaler.transform(assembled)
       } else assembled.withColumn("scaled", col("features"))
-    val model = new PCA().setK(k).setInputCol("scaled").setOutputCol("pcs")
-      .fit(feats)
+    val model = fitWithRetry("PCA.fit") {
+      new PCA().setK(k).setInputCol("scaled").setOutputCol("pcs").fit(feats)
+    }
     val evr = model.explainedVariance.toArray
     val arr = model.transform(feats)
       .select(col("sample_id"), vector_to_array(col("pcs")).as("pc"))

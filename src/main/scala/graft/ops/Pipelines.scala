@@ -39,6 +39,10 @@ object Pipelines {
     val adjusted = Combat.combat(m, sheet)
       .withColumn("beta", Fns.inverseMValue(col("m_adj")))
       .select("probe_id", "sample_id", "beta")
+      // PCA reads its input twice (top-k selection, then the pivot); persist
+      // so the QC→BMIQ→ComBat chain isn't recomputed — the reference's
+      // in-memory reuse of intermediates (SURVEY.md §4).
+      .persist()
 
     // 4-5. top-k variable probes + PCA (workflow.R:155-237)
     Pca.pcaCoords(adjusted, topK, pcs, scale = true)

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.Fns
+import graft.ops.Analytic
+
+/** Property-based invariants (SURVEY.md §5): M-transform round-trip, BH
+  * bounds/monotonicity, top-k permutation invariance. Inputs are drawn
+  * from scalacheck generators with fixed seeds (deterministic CI) and run
+  * through the real Spark expressions, not Scala reimplementations.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("property: M-value round-trip within 1e-9 on any (0,1) vector") {
+    samples(Gen.listOfN(40, Gen.choose(1e-6, 1.0 - 1e-6)), 15).foreach { betas =>
+      val err = betas.toDF("beta")
+        .select(max(abs(Fns.inverseMValue(Fns.mValueClamped(col("beta"))) -
+          Fns.clamp(col("beta"), 0.001, 0.999))).as("e"))
+        .head().getDouble(0)
+      assert(err < 1e-9)
+    }
+  }
+
+  test("property: BH fdr is in [p, 1] and order-preserving in p") {
+    samples(Gen.listOfN(25, Gen.choose(0.0, 1.0)), 10).foreach { ps =>
+      val df = ps.zipWithIndex.map { case (p, i) => (f"k$i%03d", p) }.toDF("id", "p")
+      val rows = Analytic.bhAdjust(df, "p", "id")
+        .select("p", "fdr").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1)))
+      rows.foreach { case (p, f) =>
+        assert(f >= p - 1e-12 && f <= 1.0 + 1e-12, s"fdr $f out of [p=$p, 1]")
+      }
+      val sorted = rows.sortBy(_._1).map(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a <= b + 1e-12)
+        case _ =>
+      }
+    }
+  }
+
+  test("property: top-k by variance is invariant under row permutation") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 5), Gen.choose(0.0, 100.0)))
+    samples(gen, 10).filter(_.map(_._1).distinct.size >= 3).foreach { rows =>
+      val df1 = rows.map { case (k, v) => (s"p$k", v) }.toDF("probe_id", "beta")
+      val df2 = rows.reverse.map { case (k, v) => (s"p$k", v) }.toDF("probe_id", "beta")
+      val a = Analytic.topKByVariance(df1, "probe_id", "beta", 3)
+        .select("probe_id").as[String].collect().toSeq
+      val b = Analytic.topKByVariance(df2, "probe_id", "beta", 3)
+        .select("probe_id").as[String].collect().toSeq
+      assert(a == b)
+    }
+  }
+}
