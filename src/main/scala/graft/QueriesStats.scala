@@ -59,6 +59,29 @@ object QueriesStats {
         .orderBy("probe_id")
     }, None),
 
+    // E3 — the volcano/DMP result table (reference plots.R:139-165,
+    // volcano.R:117-166): moderated stats + delta-beta + -log10(p) +
+    // sigUp/sigDown/notSig partition (SO4 rbind restated as a tag column).
+    Q("k03_volcano_table", (s, d) => {
+      val bg = Tables.betaLong(s, d)
+        .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+      val deltaBeta = bg.groupBy("probe_id")
+        .agg((avg(when(col("group") === "WT", col("beta"))) -
+          avg(when(col("group") === "MUT", col("beta")))).as("delta_beta"))
+      Dmp.dmp(bg, "WT", "MUT")
+        .join(deltaBeta, "probe_id")
+        .withColumn("neg_log10_p", Fns.negLog10(col("p_value")))
+        .withColumn("category",
+          when(col("significant") && col("logfc") > 0, "sigUp")
+            .when(col("significant") && col("logfc") < 0, "sigDown")
+            .otherwise("notSig"))
+        .select(col("probe_id"), round(col("logfc"), 6).as("logfc"),
+          round(col("delta_beta"), 6).as("delta_beta"),
+          round(col("neg_log10_p"), 6).as("neg_log10_p"),
+          round(col("fdr"), 6).as("fdr"), col("category"))
+        .orderBy("probe_id")
+    }, None),
+
     // K3 multi-contrast — all comparisons in one job, comparison_id as an
     // extra grouping column (reference 16-contrast variant,
     // Mouse_Microarray_General_Workflow.R:113-146).

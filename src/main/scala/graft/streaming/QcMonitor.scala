@@ -39,4 +39,23 @@ object QcMonitor {
     windowedQc(
       spark.readStream.schema(eventsSchema).parquet(dir)
         .withWatermark("ts", "2 hours"))
+
+  /** Streaming exact dedup with custom state
+    * (KeyValueGroupedDataset.flatMapGroupsWithState): emit each event_id
+    * the first time it is seen, suppress replays. State per key is one
+    * boolean; with a real watermark + state timeout this is the bounded
+    * streaming analog of the batch keep-first dedup (llm/Dedup.exactDedup).
+    */
+  def dedupStream(events: org.apache.spark.sql.Dataset[(Long, String)]):
+      org.apache.spark.sql.Dataset[(Long, String)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1) }
+      }
+  }
 }

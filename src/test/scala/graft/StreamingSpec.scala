@@ -30,4 +30,24 @@ class StreamingSpec extends SparkSpec {
       assert(out(("2024-01-01 10:00:00", "error")) == ((1L, 7.0)))
     } finally q.stop()
   }
+
+  test("dedupStream emits each key once across micro-batches (custom state)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = QcMonitor.dedupStream(ms.toDS()).toDF("event_id", "payload")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "a"), (2L, "b"), (1L, "a-dup-same-batch"))
+      q.processAllAvailable()
+      ms.addData((1L, "a-dup-later-batch"), (3L, "c"))
+      q.processAllAvailable()
+      val out = sp.table("dedup_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.keySet == Set(1L, 2L, 3L))
+      assert(out(1L) == "a") // first occurrence wins, replays suppressed
+    } finally q.stop()
+  }
 }
