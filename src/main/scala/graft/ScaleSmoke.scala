@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Developer tool: replicate the sf0.1 testdata N× with per-replica key
+  * offsets (so the derived long model actually grows N× — probes, samples
+  * and documents all multiply, not just raw rows) and time headline
+  * queries at 1× vs N×. Evidence for the scale-up claims in PERF.md.
+  * Usage: runMain graft.ScaleSmoke [reps] [srcDir]
+  */
+object ScaleSmoke {
+
+  def main(args: Array[String]): Unit = {
+    val reps = if (args.nonEmpty) args(0).toInt else 8
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val out = s"${Q.scratch}/scale$reps"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = Tables.table(spark, src, name)
+      (0 until reps).map(i => f(base, i)).reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    val pOff = 1000000L
+    val sOff = 100000L
+    val oOff = 10000000L
+    replicate("lineitem")((df, i) => df
+      .withColumn("l_orderkey", col("l_orderkey") + i * oOff)
+      .withColumn("l_partkey", col("l_partkey") + i * pOff)
+      .withColumn("l_suppkey", col("l_suppkey") + i * sOff))
+    replicate("supplier")((df, i) => df.withColumn("s_suppkey", col("s_suppkey") + i * sOff))
+    replicate("part")((df, i) => df.withColumn("p_partkey", col("p_partkey") + i * pOff))
+    replicate("orders")((df, i) => df.withColumn("o_orderkey", col("o_orderkey") + i * oOff))
+    replicate("documents")((df, i) => df
+      .withColumn("doc_id", col("doc_id") + i * oOff)
+      .withColumn("text", concat(col("text"), lit(s" replica token r$i"))))
+    replicate("embeddings")((df, i) => df
+      .withColumn("vec_id", col("vec_id") + i * oOff)
+      .withColumn("embedding",
+        transform(col("embedding"), (x, idx) =>
+          when(idx === 0, x + lit(i * 0.001)).otherwise(x))
+          .cast("array<float>")))
+    Seq("region", "nation", "customer").foreach { n =>
+      Tables.table(spark, src, n).write.mode("overwrite").parquet(s"$out/$n.parquet")
+    }
+    Tables.events(spark, src).write.mode("overwrite").parquet(s"$out/events.parquet")
+    println(s"[scale] built ${reps}x replica at $out")
+
+    val queries = Seq("w01_topk_variance", "p09_qc_sample_filter", "j01_outer_merge_runs",
+      "k03_dmp_pass1", "w03_bh_adjust", "d02_ngram_jaccard", "d03_minhash_lsh",
+      "d05_embedding_neardup", "n01_ann_cosine_topk", "d01_dedup_exact", "t03_token_count")
+    Seq("1x" -> src, s"${reps}x" -> out).foreach { case (tag, dir) =>
+      queries.foreach { qn =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(qn)(spark, dir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] $tag%4s $qn%-24s ${secs}%8.2f s  rows=$n")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -78,14 +78,35 @@ object Dedup {
       .distinct()
   }
 
-  /** Full MinHash+LSH near-dup pipeline: candidates from banding, verified
-    * with exact Jaccard over the (already small) shared-shingle pair stats.
+  /** Exact Jaccard restricted to an explicit candidate-pair set: shingle
+    * stats are joined onto the pairs, so the work is O(candidates ×
+    * shingles-per-doc) — never the all-shared-shingle pair explosion that
+    * a duplicate-heavy corpus produces (on an 8× replicated corpus the
+    * unrestricted inverted-index join emits 77M pairs; the banded
+    * candidate set stays proportional to true near-dups).
+    */
+  def jaccardForPairs(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double"))
+      .select("doc_a", "doc_b", "inter", "jaccard")
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: candidates from banding, exact
+    * Jaccard computed ONLY for candidate pairs.
     */
   def minhashNearDups(docs: DataFrame, numPerm: Int = 16, bands: Int = 4,
                       minJaccard: Double = 0.5): DataFrame = {
     val sh = shingles(docs).persist()
     val cand = minhashCandidates(minhashSignatures(sh, numPerm), numPerm, bands)
-    jaccardPairs(sh, minJaccard).join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    jaccardForPairs(sh, cand).filter(col("jaccard") >= minJaccard)
   }
 
   /** 64-bit SimHash per document: sign of the per-bit weighted sum of word
