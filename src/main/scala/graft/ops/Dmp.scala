@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.commons.math3.distribution.TDistribution
 import org.apache.commons.math3.special.Gamma
 
 import graft.functions.Fns
@@ -100,18 +99,23 @@ object Dmp {
     }
   }
 
-  /** Two-sided Student-t p-value; dof capped so commons-math accepts the
-    * d0=∞ (complete-shrinkage) case as an effectively-normal tail.
+  /** Register the engine's native scalar functions in the session's
+    * function registry (the lightweight flavor of a SparkSessionExtensions
+    * injection — same builder, no restart needed).
     */
-  private val tPval = udf { (t: Double, dfree: Double) =>
-    if (t.isNaN || t.isInfinite) Double.NaN
-    else 2.0 * new TDistribution(math.min(dfree, 1e6)).cumulativeProbability(-math.abs(t))
-  }
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_t_pvalue",
+      exprs => graft.functions.StudentTPValue(exprs.head, exprs(1)),
+      "built-in")
 
   /** Pass 3: moderated statistics + BH FDR + the reference's significance
     * call (FDR < 0.05 AND |logFC| > log2(1.5), /root/reference/plots.R:165).
+    * The t CDF is a native codegen Expression ([[graft.functions.StudentTPValue]]),
+    * not a UDF — the projection stays inside whole-stage codegen.
     */
   def moderated(moments: DataFrame, prior: Prior): DataFrame = {
+    registerFunctions(moments.sparkSession)
     val d0 = if (prior.d0.isInfinite) 1e12 else prior.d0
     val withT = moments
       .withColumn("s2_post",
@@ -119,7 +123,7 @@ object Dmp {
       .withColumn("t_mod",
         col("logfc") / sqrt(col("s2_post") *
           (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double"))))
-      .withColumn("p_value", tPval(col("t_mod"), col("df") + lit(d0)))
+      .withColumn("p_value", expr(s"graft_t_pvalue(t_mod, df + ${d0}D)"))
     Analytic.bhAdjust(withT, "p_value", "probe_id")
       .withColumn("significant",
         col("fdr") < 0.05 && abs(col("logfc")) > math.log(1.5) / math.log(2))

@@ -39,6 +39,15 @@ class DmpSpec extends SparkSpec {
     assert(math.abs(pA.getAs[Double]("s2") - expS2) < 1e-9)
   }
 
+  test("StudentTPValue matches commons-math TDistribution two-sided tails") {
+    import org.apache.commons.math3.distribution.TDistribution
+    for (t <- Seq(0.0, 0.5, 1.96, -2.5, 7.0); df <- Seq(3.0, 10.0, 120.0)) {
+      val expected = 2.0 * new TDistribution(df).cumulativeProbability(-math.abs(t))
+      val got = graft.functions.StudentT.twoSidedP(t, df)
+      assert(math.abs(got - expected) < 1e-10, s"t=$t df=$df: $got vs $expected")
+    }
+  }
+
   test("trigammaInverse inverts trigamma") {
     Seq(0.01, 0.5, 2.0, 50.0).foreach { x =>
       val y = Gamma.trigamma(x)
