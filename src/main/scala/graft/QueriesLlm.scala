@@ -128,6 +128,13 @@ object QueriesLlm {
           |SELECT vec_id, round(dot / sqrt(nrm) / qnrm, 6) AS cos
           |FROM dots, qn ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // IVF ANN — k-means coarse cells, nprobe-cell search. Rows-only (the
+    // quantizer is Spark-ML-specific); SimilaritySpec checks recall vs the
+    // brute-force baseline.
+    Q("n03_ann_ivf", (s, d) =>
+      Similarity.ivfTopK(emb(s, d), queryId = 0L, k = 10, nlist = 16, nprobe = 4),
+      None),
+
     Q("n02_ann_lsh_bucketed", (s, d) =>
       Similarity.lshTopK(emb(s, d), queryId = 0L, k = 5, bits = 4),
       Some(

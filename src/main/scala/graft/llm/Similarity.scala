@@ -59,6 +59,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: a k-means coarse quantizer (Spark ML, fixed seed)
+    * partitions the corpus into nlist cells; a query scores only the
+    * nprobe cells whose centroids are closest to it. The 100 TB shape:
+    * cell id becomes a partition column at ingest, so probing is file-level
+    * partition pruning and each query touches nprobe/nlist of the data.
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
+              nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = withVec(emb).withColumn("fv", array_to_vector(col("v"))).persist()
+    val model = new KMeans().setK(nlist).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
+    val assigned = model.transform(e)
+    val q = queryVec(e, queryId)
+    val centroids = model.clusterCenters.zipWithIndex
+    val probeCells = centroids
+      .map { case (c, i) =>
+        val d = c.toArray.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1).toSeq
+    scored(assigned.filter(col("vec_id") =!= queryId &&
+        col("cell").isin(probeCells: _*)), q)
+      .select("vec_id", "cell", "cos")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by label (or any coarse
     * bucket column) so the pair join is per-block, never global n².
     */

@@ -28,6 +28,14 @@ class SimilaritySpec extends SparkSpec {
     assert(got.contains(1L) && !got.contains(3L))
   }
 
+  test("ivfTopK finds the brute-force top hit on real embeddings") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.cosineTopK(real, 0L, 1).head().getLong(0)
+    val ivf = Similarity.ivfTopK(real, 0L, 5, nlist = 8, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.contains(brute), s"IVF candidates $ivf miss brute-force top $brute")
+  }
+
   test("cosineNearDups blocks by the given column") {
     val pairs = Similarity.cosineNearDups(emb, "label", -2.0)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
