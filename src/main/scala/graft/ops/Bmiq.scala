@@ -147,7 +147,10 @@ object Bmiq {
 
     val t2Norm = t2r.zip(classes).map { case (r, c) =>
       val v = reg(r.beta)
-      val nb = c match { case 0 => mapU(v); case 2 => mapM(v); case _ => mapH(v) }
+      val mapped = c match { case 0 => mapU(v); case 2 => mapM(v); case _ => mapH(v) }
+      // never emit a non-finite normalized value — fall back to the input
+      // (downstream kernels assume finite betas; NaN reaching LAPACK hangs)
+      val nb = if (mapped.isNaN || mapped.isInfinite) v else mapped
       Out(r.probe_id, r.sample_id, r.beta, nb, 2)
     }
     // Type-I probes are the reference distribution — identity (BMIQ_1.4.R:210).

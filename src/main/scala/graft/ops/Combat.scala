@@ -1,6 +1,6 @@
 package graft.ops
 
-import breeze.linalg.{pinv, DenseMatrix, DenseVector}
+import breeze.linalg.{DenseMatrix, DenseVector}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -66,7 +66,9 @@ object Combat {
       val xty = DenseVector.zeros[Double](p)
       var yy = 0.0
       var nTot = 0L
+      var finite = true
       cellArr.foreach { case (_, b, g, n, s, ss) =>
+        if (s.isNaN || s.isInfinite || ss.isNaN || ss.isInfinite) finite = false
         val bi = bIdx(b)
         xtx(bi, bi) += n.toDouble
         xty(bi) += s
@@ -81,9 +83,17 @@ object Combat {
         yy += ss
         nTot += n
       }
-      if (nTot < p + 2) Iterator.empty
+      // Non-finite cell moments are dropped outright: beyond being wrong,
+      // NaN/Inf reaching LAPACK's SVD (dgesdd) makes the f2j implementation
+      // spin forever — observed wedging a whole bench run.
+      if (!finite || nTot < p + 2) Iterator.empty
       else {
-        val beta = pinv(xtx) * xty
+        // Ridge-regularized LU solve of the normal equations: LAPACK dgesv
+        // has no iterative-convergence path (unlike SVD-based pinv), and
+        // the tiny ridge makes rank-deficient designs (empty cells)
+        // solvable with negligible bias.
+        val ridge = 1e-8 * (breeze.linalg.trace(xtx) / p + 1.0)
+        val beta = (xtx + DenseMatrix.eye[Double](p) * ridge) \ xty
         val ssr = yy - (beta dot xty)
         val varPooled = ssr / nTot
         if (!(varPooled > 1e-12)) Iterator.empty
