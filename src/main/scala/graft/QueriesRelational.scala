@@ -122,6 +122,41 @@ object QueriesRelational {
         |       round(avg(beta), 6) AS avg_beta
         |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Bucketed co-located join: both sides written bucketBy(probe_id) so
+    // the join plan carries NO shuffle exchange — the on-disk layout every
+    // recurring big-big join should use at 100 TB.
+    Q("b01_bucketed_join", (s, d) => {
+      val buckets = 8
+      Seq("graft_beta_b" -> B(s, d), "graft_detp_b" -> D(s, d)).foreach {
+        case (t, df) =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          df.write.mode("overwrite")
+            .bucketBy(buckets, "probe_id").sortBy("probe_id")
+            .option("path", s"${Q.scratch}/bucketed/$t")
+            .saveAsTable(t)
+      }
+      s.table("graft_beta_b").join(s.table("graft_detp_b"), Seq("probe_id", "sample_id"))
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n"), round(avg(col("beta") - col("pval")), 6).as("avg_diff"))
+        .orderBy("probe_id")
+    }, Some(ctes +
+      """SELECT b.probe_id, count(*) AS n, round(avg(b.beta - d.pval), 6) AS avg_diff
+        |FROM beta b JOIN detp d USING (probe_id, sample_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Salting for skew: replicate the dim across salt shards so a hot key
+    // spreads over many tasks; result must equal the plain join.
+    Q("j08_salted_skew_join", (s, d) => {
+      val skewedDim = SS(s, d).select("sample_id", "run")
+      Relational.saltedJoin(B(s, d), skewedDim, "sample_id", salts = 4)
+        .groupBy("run")
+        .agg(count(lit(1)).as("n"), round(avg("beta"), 6).as("avg_beta"))
+        .orderBy("run")
+    }, Some(ctes +
+      """SELECT s.run, count(*) AS n, round(avg(b.beta), 6) AS avg_beta
+        |FROM beta b JOIN sheet s USING (sample_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ------------------------------------------------------------------
     // P — filters / prunes (reference filter.py:16-19, combat_norm.py:28-30,
     // dataset.py:41/123, workflow.R:44-62, plots.R:106-107/165/266-299)

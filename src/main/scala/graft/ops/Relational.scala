@@ -71,4 +71,19 @@ object Relational {
   def unionWithTag(tagCol: String, tagged: Seq[(String, DataFrame)]): DataFrame =
     tagged.map { case (tag, df) => df.withColumn(tagCol, lit(tag)) }
       .reduce(_.unionByName(_))
+
+  /** Skew-mitigated equi-join: the skewed (large) side's key is salted into
+    * `salts` shards and the small-but-not-broadcastable side is replicated
+    * across the shards, so one hot key spreads over `salts` tasks instead
+    * of landing on one. Complements AQE's skew-join split for the case
+    * where a single key exceeds what one task can hold.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    val salted = large.withColumn("__salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val replicated = small
+      .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }
