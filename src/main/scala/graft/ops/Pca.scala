@@ -52,15 +52,17 @@ object Pca {
     val assembled = new VectorAssembler()
       .setInputCols(topProbes.toArray).setOutputCol("features")
       .transform(wide)
-    val feats =
-      if (scale) {
-        val scaler = fitWithRetry("StandardScaler.fit") {
-          new StandardScaler().setWithMean(true).setWithStd(true)
-            .setInputCol("features").setOutputCol("scaled")
-            .fit(assembled)
-        }
-        scaler.transform(assembled)
-      } else assembled.withColumn("scaled", col("features"))
+    // Both flavors center (prcomp center=TRUE); `scale` toggles the
+    // unit-variance division. Without explicit centering Spark ML's PCA
+    // projects raw vectors, leaving a constant offset per component.
+    val feats = {
+      val scaler = fitWithRetry("StandardScaler.fit") {
+        new StandardScaler().setWithMean(true).setWithStd(scale)
+          .setInputCol("features").setOutputCol("scaled")
+          .fit(assembled)
+      }
+      scaler.transform(assembled)
+    }
     val model = fitWithRetry("PCA.fit") {
       new PCA().setK(k).setInputCol("scaled").setOutputCol("pcs").fit(feats)
     }
