@@ -241,6 +241,37 @@ object QueriesLlm {
         |SELECT fingerprint, count(*) AS n, min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM fp GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin)),
 
+    // TF-IDF — top-3 terms per language by summed tf·idf.
+    Q("t05_tfidf", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = TextAnalysis.tfIdf(docs(s, d))
+        .join(docs(s, d).select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "w").agg(round(sum("tfidf"), 6).as("score"))
+      scored.withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("score").desc, col("w").asc)))
+        .filter(col("rk") <= 3)
+        .select("lang", "rk", "w", "score")
+        .orderBy("lang", "rk")
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id, lang,
+        |         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, lang, w, count(*) AS tf FROM words WHERE w != '' GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.lang, tf.w,
+        |         round(sum(CAST(tf.tf AS DOUBLE) *
+        |                   ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE))), 6) AS score
+        |  FROM tf JOIN dfreq USING (w) CROSS JOIN n
+        |  GROUP BY 1, 2)
+        |SELECT lang, rk, w, score FROM (
+        |  SELECT lang, w, score,
+        |         row_number() OVER (PARTITION BY lang ORDER BY score DESC, w) AS rk
+        |  FROM scored)
+        |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin)),
+
     // ------------------------------------------------------------------
     // Multimodal columns
     // ------------------------------------------------------------------

@@ -60,4 +60,22 @@ object TextAnalysis {
 
   /** Content fingerprint (md5 of normalized text — identical across engines). */
   def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** TF-IDF per (doc, term): tf = term count in doc, idf = ln(N/df).
+    * Two hash aggregates + one join on the term — the shuffle keys are the
+    * natural ones and nothing is driver-side except the corpus count N.
+    */
+  def tfIdf(docs: org.apache.spark.sql.DataFrame,
+            idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val n = docs.count()
+    val words = docs.select(col(idCol).as("doc_id"),
+        explode(split(normalized(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "w")
+      .withColumn("tfidf",
+        col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double")))
+      .select("doc_id", "w", "tf", "df", "tfidf")
+  }
 }
