@@ -1,11 +1,14 @@
 package graft.ops
 
-import org.apache.spark.ml.feature.{PCA, StandardScaler, VectorAssembler}
+import breeze.linalg.{eigSym, DenseMatrix => BDM}
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
 import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+import org.apache.spark.mllib.linalg.distributed.RowMatrix
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** K1 — StandardScaler + PCA over samples×top-k-probes
+/** K1 — PCA over samples×top-k-probes
   * (reference /root/reference/pca_analysis.py:38-48 sklearn
   * StandardScaler+PCA; workflow.R:218 prcomp(center=TRUE) on t(mvals)).
   *
@@ -14,16 +17,18 @@ import org.apache.spark.sql.functions._
   * with samples. For an unbounded all-CpG PCA the scale path is
   * RowMatrix.computeSVD over the long table — not needed by the reference
   * surface, which always selects top-k first.
+  *
+  * Implementation note: Spark ML's PCA estimator routes through LAPACK
+  * dgesdd (SVD), whose f2j implementation intermittently fails to converge
+  * — or spins — on near-degenerate covariances (observed both ways). This
+  * kernel instead computes the covariance distributed (BLAS-only,
+  * RowMatrix.computeCovariance) and eigendecomposes the small k×k
+  * symmetric matrix with eigSym (the far more robust symmetric path),
+  * then projects with plain column expressions. Deterministic sign
+  * convention: each component's largest-|loading| entry is positive.
   */
 object Pca {
 
-  /** The eigensolve inside Spark ML's PCA (breeze/LAPACK on the collected
-    * covariance) can intermittently throw NotConvergedException (empty
-    * message): the input covariance jitters in the last ulp run-to-run
-    * because aggregation merge order isn't fixed, and near-degenerate
-    * spectra (synthetic data) occasionally trip LAPACK. Recomputing gives
-    * a different ulp pattern, so a bounded retry is a sound fix.
-    */
   private def fitWithRetry[T](what: String, attempts: Int = 3)(f: => T): T = {
     var last: Throwable = null
     var i = 0
@@ -41,7 +46,8 @@ object Pca {
 
   /** PCA coordinates per sample + explained-variance ratios.
     * `scale=true` ~ sklearn StandardScaler flavor; `false` ~ the
-    * centered-only prcomp "DESeq2 method" flavor (workflow.R:321).
+    * centered-only prcomp(center=TRUE, scale.=FALSE) flavor
+    * (workflow.R:321). Both flavors center.
     */
   def pcaCoords(beta: DataFrame, topK: Int, k: Int, scale: Boolean): DataFrame = {
     val topProbes = Analytic.topKByVariance(beta, "probe_id", "beta", topK)
@@ -52,26 +58,37 @@ object Pca {
     val assembled = new VectorAssembler()
       .setInputCols(topProbes.toArray).setOutputCol("features")
       .transform(wide)
-    // Both flavors center (prcomp center=TRUE); `scale` toggles the
-    // unit-variance division. Without explicit centering Spark ML's PCA
-    // projects raw vectors, leaving a constant offset per component.
-    val feats = {
-      val scaler = fitWithRetry("StandardScaler.fit") {
-        new StandardScaler().setWithMean(true).setWithStd(scale)
-          .setInputCol("features").setOutputCol("scaled")
-          .fit(assembled)
-      }
-      scaler.transform(assembled)
+    val scaler = fitWithRetry("StandardScaler.fit") {
+      new StandardScaler().setWithMean(true).setWithStd(scale)
+        .setInputCol("features").setOutputCol("scaled")
+        .fit(assembled)
     }
-    val model = fitWithRetry("PCA.fit") {
-      new PCA().setK(k).setInputCol("scaled").setOutputCol("pcs").fit(feats)
+    val feats = scaler.transform(assembled)
+      .select(col("sample_id"), vector_to_array(col("scaled")).as("x"))
+      .persist()
+
+    // distributed covariance (BLAS, no SVD), driver-side symmetric eigen
+    val cov = new RowMatrix(
+      feats.select("x").rdd.map(r => OldVectors.dense(r.getSeq[Double](0).toArray)))
+      .computeCovariance()
+    val d = cov.numCols
+    val covB = new BDM(d, d, cov.toArray)
+    val es = eigSym(covB) // eigenvalues ascending
+    val total = es.eigenvalues.toArray.map(math.max(_, 0.0)).sum
+    val comps = (1 to k).map { i =>
+      val idx = d - i
+      val v = es.eigenvectors(::, idx).toArray
+      // deterministic orientation: largest-|loading| entry positive
+      val maxAbs = v.maxBy(math.abs)
+      val oriented = if (maxAbs < 0) v.map(-_) else v
+      (oriented, math.max(es.eigenvalues(idx), 0.0) / math.max(total, 1e-300))
     }
-    val evr = model.explainedVariance.toArray
-    val arr = model.transform(feats)
-      .select(col("sample_id"), vector_to_array(col("pcs")).as("pc"))
-    (1 to k).foldLeft(arr) { (df, i) =>
-      df.withColumn(s"pc$i", round(col("pc").getItem(i - 1), 6))
-        .withColumn(s"evr$i", round(lit(evr(i - 1)), 6))
-    }.drop("pc").orderBy("sample_id")
+
+    comps.zipWithIndex.foldLeft(feats) { case (df, ((v, evr), j)) =>
+      df.withColumn(s"pc${j + 1}",
+          round(aggregate(zip_with(col("x"), typedLit(v.toSeq), (a, b) => a * b),
+            lit(0.0), (acc, e) => acc + e), 6))
+        .withColumn(s"evr${j + 1}", round(lit(evr), 6))
+    }.drop("x").orderBy("sample_id")
   }
 }
