@@ -43,6 +43,29 @@ object QueriesLlm {
           |       count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_norm
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Row-level keep-first exact dedup on a corpus with planted exact
+    // copies: the duplicates must vanish, originals (lowest doc_id) stay.
+    Q("d06_dedup_keepfirst", (s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val copies = docs(s, d).filter(col("doc_id") < 4)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      Dedup.exactDedup(base.union(copies))
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"), sum("doc_id").as("sum_id"))
+    }, Some(
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 4),
+        |kept AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM all_docs)
+        |  WHERE rn = 1)
+        |SELECT count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM kept""".stripMargin)),
+
     // Exact word-3-gram Jaccard over an inverted-index (shingle) join —
     // the blocked all-pairs pattern that survives scale.
     Q("d02_ngram_jaccard", (s, d) =>
