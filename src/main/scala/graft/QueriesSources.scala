@@ -104,6 +104,26 @@ object QueriesSources {
     // E — batch flavor of the streaming QC window (same transform the
     // Structured Streaming monitor uses; StreamingSpec drives the
     // streaming flavor through a file-source stream).
+    // Session windows (2h inactivity gap) — the other streaming-capable
+    // grouping; oracle is the classic gaps-and-islands formulation.
+    Q("e03_session_windows", (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "2 hours"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
+        .orderBy("user_id"),
+      Some(
+        """WITH s AS (
+          |  SELECT user_id,
+          |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          |                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 2 HOUR
+          |              THEN 1 ELSE 0 END AS new_session
+          |  FROM events)
+          |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+          |       count(*) AS n_events
+          |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("e01_streaming_window_qc", (s, d) =>
       QcMonitor.windowedQc(Tables.events(s, d))
         .orderBy("hour", "event_type"),
