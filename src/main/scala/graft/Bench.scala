@@ -30,6 +30,11 @@ object Bench {
           e.getStackTrace.take(12).foreach(f => System.err.println(s"[bench]   at $f"))
           false
         }
+        // Release kernel-internal caches between queries: keeps timings
+        // honest (no cross-query kernel-cache hits) and the session
+        // leak-free. Targeted — the shared Tables views stay cached, as a
+        // warm production session would keep its dimension tables.
+        finally graft.ops.Caches.releaseAll()
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     val qs = results

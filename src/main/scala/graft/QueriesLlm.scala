@@ -225,7 +225,7 @@ object QueriesLlm {
           |  least(chars / 500.0, 1.0) * 0.3 AS score
           |FROM f)
           |SELECT source, count(*) AS n, round(avg(score), 6) AS avg_score,
-          |       sum(CASE WHEN score < 0.5 THEN 1 ELSE 0 END) AS n_low
+          |       CAST(sum(CASE WHEN score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("t03_token_count", (s, d) =>
@@ -299,7 +299,37 @@ object QueriesLlm {
     // Multimodal columns
     // ------------------------------------------------------------------
 
-    Q("m01_multimodal_stub", (s, d) =>
+    // Real decode: JDK-written PNG/JPEG/GIF fixtures ingested via
+    // binaryFile, dimensions parsed from the raw container headers by the
+    // engine's own byte-level parser (no codec dependency). The non-image
+    // decoy exercises the unrecognized-payload drop path.
+    Q("m01_image_meta", (s, _) => {
+      val dir = java.nio.file.Paths.get(s"${Q.scratch}/m01/images")
+      java.nio.file.Files.createDirectories(dir)
+      def img(w: Int, h: Int) = {
+        val b = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h) b.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+        b
+      }
+      javax.imageio.ImageIO.write(img(5, 3), "png", dir.resolve("a.png").toFile)
+      javax.imageio.ImageIO.write(img(4, 2), "jpg", dir.resolve("b.jpg").toFile)
+      javax.imageio.ImageIO.write(img(7, 1), "gif", dir.resolve("c.gif").toFile)
+      java.nio.file.Files.writeString(dir.resolve("d.txt"), "not an image")
+      Multimodal.imageMeta(s.read.format("binaryFile").load(dir.toString))
+        .select("file", "format", "width", "height")
+        .orderBy("file")
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  ('a.png', 'png', 5, 3),
+        |  ('b.jpg', 'jpeg', 4, 2),
+        |  ('c.gif', 'gif', 7, 1)
+        |) t(file, format, width, height) ORDER BY file""".stripMargin)),
+
+    // Stub tier: opaque-binary packing + per-partition batched feature
+    // extraction over text payloads (the mapInPandas plumbing shape); the
+    // pixel-decode stand-in is a deterministic fake, oracle-checked.
+    Q("m02_multimodal_stub", (s, d) =>
       Multimodal.stubPipeline(docs(s, d)).orderBy("doc_id"),
       Some(
         """SELECT doc_id,

@@ -271,8 +271,8 @@ object QueriesRelational {
         .orderBy("p_brand"),
       Some(
         """SELECT p_brand, count(*) AS n,
-          |       sum(CASE WHEN nullif(CASE WHEN p_size % 7 = 0 THEN '' ELSE p_name END, '') IS NULL
-          |                THEN 1 ELSE 0 END) AS n_null
+          |       CAST(sum(CASE WHEN nullif(CASE WHEN p_size % 7 = 0 THEN '' ELSE p_name END, '') IS NULL
+          |                THEN 1 ELSE 0 END) AS BIGINT) AS n_null
           |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("p14_significance_filter", (s, d) =>
@@ -282,7 +282,7 @@ object QueriesRelational {
         .orderBy("l_returnflag"),
       Some(
         """SELECT l_returnflag,
-          |       sum(CASE WHEN l_discount > 0.05 AND l_tax > 0.04 THEN 1 ELSE 0 END) AS n_sig,
+          |       CAST(sum(CASE WHEN l_discount > 0.05 AND l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_sig,
           |       count(*) AS n
           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
@@ -511,7 +511,7 @@ object QueriesRelational {
         """SELECT lower(split_part(p_type, ' ', 1)) AS type_head,
           |       substr(p_brand, length(p_brand) - 1, 2) AS brand_sfx,
           |       count(*) AS n,
-          |       sum(CASE WHEN p_name LIKE 'a%' THEN 1 ELSE 0 END) AS n_a
+          |       CAST(sum(CASE WHEN p_name LIKE 'a%' THEN 1 ELSE 0 END) AS BIGINT) AS n_a
           |FROM part GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     Q("f09_neglog10", (s, d) =>

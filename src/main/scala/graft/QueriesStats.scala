@@ -95,7 +95,8 @@ object QueriesStats {
         ("c_run2", "WT_run_2", "MUT_run_2"))
       Dmp.multiContrastMoments(bg, contrasts)
         .select(col("comparison_id"), col("probe_id"), col("n1"), col("n2"),
-          round(col("logfc"), 4).as("logfc"))
+          round(col("logfc"), 4).as("logfc"),
+          round(col("s2"), 4).as("s2_pooled"))
         .orderBy("comparison_id", "probe_id")
     }, Some(ctes +
       s""", bg AS (
@@ -113,11 +114,39 @@ object QueriesStats {
          |               count(CASE WHEN side = 'A' THEN 1 END) AS n1,
          |               count(CASE WHEN side = 'B' THEN 1 END) AS n2,
          |               avg(CASE WHEN side = 'A' THEN m END) AS m1,
-         |               avg(CASE WHEN side = 'B' THEN m END) AS m2
+         |               avg(CASE WHEN side = 'B' THEN m END) AS m2,
+         |               var_samp(CASE WHEN side = 'A' THEN m END) AS v1,
+         |               var_samp(CASE WHEN side = 'B' THEN m END) AS v2
          |        FROM j GROUP BY 1, 2)
-         |SELECT comparison_id, probe_id, n1, n2, round(m1 - m2, 4) AS logfc
+         |SELECT comparison_id, probe_id, n1, n2, round(m1 - m2, 4) AS logfc,
+         |       round((CAST(n1 - 1 AS DOUBLE) * v1 + CAST(n2 - 1 AS DOUBLE) * v2)
+         |             / CAST(n1 + n2 - 2 AS DOUBLE), 4) AS s2_pooled
          |FROM agg WHERE n1 >= 3 AND n2 >= 3
          |ORDER BY comparison_id, probe_id""".stripMargin)),
+
+    // K3 multi-contrast eBayes — per-contrast prior fit + moderated t/p +
+    // per-contrast BH, all contrasts in one moments job (reference
+    // Mouse_Microarray_General_Workflow.R:113-146 contrasts.fit → eBayes →
+    // per-coef topTable). Prior fit + t CDF have no SQL analog → rows-only;
+    // DmpSpec asserts each contrast's prior matches the single-contrast fit
+    // on that slice.
+    Q("k03_dmp_multicontrast_moderated", (s, d) => {
+      val bg = Tables.betaLong(s, d)
+        .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+        .withColumn("group", concat_ws("_", col("group"), col("run")))
+      val contrasts = Seq(
+        ("c_run0", "WT_run_0", "MUT_run_0"),
+        ("c_run1", "WT_run_1", "MUT_run_1"),
+        ("c_run2", "WT_run_2", "MUT_run_2"))
+      Dmp.multiContrastModerated(bg, contrasts)
+        .select(col("comparison_id"), col("probe_id"), col("n1"), col("n2"),
+          round(col("logfc"), 6).as("logfc"),
+          round(col("t_mod"), 6).as("t_mod"),
+          round(col("p_value"), 6).as("p_value"),
+          round(col("fdr"), 6).as("fdr"),
+          col("significant"))
+        .orderBy("comparison_id", "probe_id")
+    }, None),
 
     // K1 — StandardScaler+PCA flavor (reference pca_analysis.py:38-48).
     Q("k01_pca_scaled", (s, d) =>

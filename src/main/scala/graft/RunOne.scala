@@ -26,7 +26,7 @@ object RunOne {
         case e: Throwable =>
           println(s"[runone] $name rep $i FAILED")
           e.printStackTrace(System.out)
-      }
+      } finally graft.ops.Caches.releaseAll()
     }
     spark.stop()
   }

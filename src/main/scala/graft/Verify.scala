@@ -22,6 +22,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: $e")
         e.getStackTrace.take(8).foreach(f => System.err.println(s"[verify]   at $f"))
       }
+      // Multi-action kernels (dmp, combat, minhash) persist intermediates
+      // reused across their internal jobs; release them between queries so
+      // 70+ queries sharing this session never accumulate cache blocks.
+      // (Targeted — the Tables derived-view caches survive.)
+      finally graft.ops.Caches.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

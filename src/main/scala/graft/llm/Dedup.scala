@@ -104,7 +104,7 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, numPerm: Int = 16, bands: Int = 4,
                       minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingles(docs).persist()
+    val sh = graft.ops.Caches.track(shingles(docs).persist())
     val cand = minhashCandidates(minhashSignatures(sh, numPerm), numPerm, bands)
     jaccardForPairs(sh, cand).filter(col("jaccard") >= minJaccard)
   }
@@ -125,16 +125,39 @@ object Dedup {
         .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on the top-16 bits, verify by Hamming
-    * distance (bit_count of xor) within the bucket.
+  /** SimHash near-dup pairs via banded tables (the multi-table design of
+    * Manku et al., WWW'07 §3): the 64-bit signature is split into `bands`
+    * 16-bit slices, each slice a separate blocking table; candidates agree
+    * on at least one full slice. Unlike single-prefix blocking, a near-dup
+    * whose differing bits fall in the prefix is still caught by another
+    * band (pigeonhole: ≤3 differing bits always leave one band intact).
+    * Verification is exact Hamming (bit_count of xor) on the deduplicated
+    * candidate set. Residual scale risk, inherent to any banding scheme:
+    * candidate count is Σ C(bucket,2) per band, so a corpus whose mass
+    * agrees on one full 16-bit slice still pairs quadratically inside that
+    * bucket — at 100 TB, run exact/fingerprint dedup first (collapses
+    * identical-content mass) and cap pathological buckets if the corpus is
+    * adversarial.
     */
-  def simhashPairs(sim: DataFrame, maxHamming: Int): DataFrame = {
-    val bucketed = sim.withColumn("bucket", shiftright(col("simhash"), 48))
-    bucketed.as("x").join(bucketed.as("y"), "bucket")
+  def simhashPairs(sim: DataFrame, maxHamming: Int, bands: Int = 4): DataFrame = {
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask)).as("key"))
+    }
+    val banded = sim.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    banded.as("x").join(banded.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .withColumn("hamming", bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("__sa"), col("y.simhash").as("__sb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("hamming"))
+      .select("doc_a", "doc_b", "hamming")
   }
 
   /** Exact dedup keeping the first doc per content hash (deterministic). */

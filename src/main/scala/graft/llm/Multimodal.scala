@@ -7,16 +7,23 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads with typed
   * metadata, processed per-partition in batches (the Scala analog of
-  * mapInPandas). The container has no image/audio codecs, so the decode
-  * step is a clearly-marked deterministic STUB — the Spark-side plumbing
-  * (schema, payload packing, partition-batched iteration, feature output
-  * shape) is real and tested.
+  * mapInPandas).
+  *
+  * Real decode tier: [[decodeImageMeta]] parses actual image container
+  * headers (PNG IHDR, JPEG SOFn, GIF logical screen descriptor) from raw
+  * bytes — no codec dependency, pure JVM — which is the metadata extraction
+  * a training-data pipeline runs at ingest. Full pixel decode / resize /
+  * frame-sample would slot into the same per-partition iterator; that step
+  * alone remains a clearly-marked deterministic STUB ([[extractFeatures]])
+  * because the container ships no pixel codecs.
   */
 object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte], kind: String,
                             meta_len: Long)
   final case class MediaFeat(doc_id: Long, payload_len: Long, stub_feature: Long)
+  final case class ImageMeta(file: String, format: String, width: Int,
+                             height: Int, payload_len: Long)
 
   /** Pack a text column as the opaque binary payload + metadata struct.
     * In a real pipeline this is the parquet `binary` column written at
@@ -31,11 +38,15 @@ object Multimodal {
 
   /** STUB decode: a real deployment decodes/resizes/frame-samples here.
     * Deterministic fake so the batch plumbing is verifiable end-to-end:
-    * feature = (len·31 + firstByte) mod 997.
+    * feature = (len·31 + first code point) mod 997. Uses the Unicode code
+    * point (not the raw first byte) so the DuckDB oracle's
+    * `ascii(substr(text,1,1))` matches for non-ASCII-leading documents.
     */
   private def decodeStub(payload: Array[Byte]): Long = {
-    val firstByte = if (payload.nonEmpty) payload(0) & 0xff else 0
-    (payload.length.toLong * 31 + firstByte) % 997
+    val firstCp =
+      if (payload.nonEmpty) new String(payload, StandardCharsets.UTF_8).codePointAt(0)
+      else 0
+    (payload.length.toLong * 31 + firstCp) % 997
   }
 
   /** Per-partition batched feature extraction over the binary column —
@@ -55,6 +66,67 @@ object Multimodal {
   /** Convenience: text table → packed binary → features. */
   def stubPipeline(docs: DataFrame): DataFrame =
     extractFeatures(packBinary(docs))
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** Real (non-stub) header decode: format + dimensions from raw image
+    * bytes. Supports PNG (IHDR chunk, RFC 2083 §4.1.1), JPEG (first SOFn
+    * segment, ITU T.81 §B.2.2 — APPn/quantization segments are skipped via
+    * their big-endian lengths), and GIF (logical screen descriptor,
+    * GIF89a spec §18). Returns None for anything unrecognized/truncated.
+    */
+  def decodeImageMeta(payload: Array[Byte]): Option[(String, Int, Int)] = {
+    if (payload.length >= 24 && (payload(0) & 0xff) == 0x89 &&
+        payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') {
+      Some(("png", be32(payload, 16), be32(payload, 20)))
+    } else if (payload.length >= 4 &&
+        (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 9 < payload.length) {
+        if ((payload(i) & 0xff) != 0xff) return None
+        val marker = payload(i + 1) & 0xff
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2 // standalone
+        else {
+          // SOF0..SOF15 carry dimensions; DHT(C4)/JPG(C8)/DAC(CC) do not.
+          if (marker >= 0xc0 && marker <= 0xcf &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+            return Some(("jpeg", be16(payload, i + 7), be16(payload, i + 5)))
+          i += 2 + be16(payload, i + 2)
+        }
+      }
+      None
+    } else if (payload.length >= 13 &&
+        payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F') {
+      Some(("gif", le16(payload, 6), le16(payload, 8)))
+    } else None
+  }
+
+  /** binaryFile-ingested images → per-file metadata rows. Same shape as
+    * [[extractFeatures]]: one per-partition init point, rows streamed
+    * through it; unrecognized payloads are dropped (a real pipeline would
+    * route them to a quarantine sink).
+    */
+  def imageMeta(binaryFiles: DataFrame): DataFrame = {
+    val spark = binaryFiles.sparkSession
+    import spark.implicits._
+    binaryFiles
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init point (codec handle / model session goes here)
+        it.flatMap { case (file, bytes) =>
+          decodeImageMeta(bytes).map { case (fmt, w, h) =>
+            ImageMeta(file, fmt, w, h, bytes.length.toLong)
+          }
+        }
+      }.toDF()
+  }
 
   /** UTF-8 byte length sanity helper used by tests. */
   def utf8Len(s: String): Int = s.getBytes(StandardCharsets.UTF_8).length

@@ -69,7 +69,8 @@ object Similarity {
               nprobe: Int = 2): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val e = withVec(emb).withColumn("fv", array_to_vector(col("v"))).persist()
+    val e = graft.ops.Caches.track(
+      withVec(emb).withColumn("fv", array_to_vector(col("v"))).persist())
     val model = new KMeans().setK(nlist).setSeed(42L)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
     val assigned = model.transform(e)

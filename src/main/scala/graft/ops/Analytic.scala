@@ -1,12 +1,13 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Analytic tier (SURVEY.md §2.4/§2.5): per-key variance, top-k selection,
-  * group means, and the Benjamini–Hochberg adjustment as pure window
-  * functions.
+  * group means, and the Benjamini–Hochberg adjustment.
   */
 object Analytic {
 
@@ -41,17 +42,113 @@ object Analytic {
     * largest p down, clamp to 1. Ties resolve identically to R because the
     * running min absorbs any within-tie rank assignment.
     *
-    * Scale note: the global rank needs a total order. Spark implements the
-    * empty-partition window with a single-partition sort — fine up to ~1e8
-    * test rows (one row per probe, not per observation). Beyond that, swap
-    * in a range-partitioned two-pass rank (sortWithinPartitions + partition
-    * offsets); semantics identical.
+    * Dispatches on row count: up to `windowMaxRows` the empty-partition
+    * window (single-partition sort) is cheapest; above it the
+    * range-partitioned two-pass rank takes over — no single task ever sees
+    * more than one range partition, so the adjustment scales to any probe
+    * cardinality. Both paths compute the identical double-op sequence
+    * (p·n then /rank, suffix-min, clamp), asserted bit-equal in PropertySpec.
     */
   def bhAdjust(df: DataFrame, pCol: String, tieBreak: String,
-               outCol: String = "fdr"): DataFrame = {
+               outCol: String = "fdr", windowMaxRows: Long = 5000000L): DataFrame = {
+    if (df.count() <= windowMaxRows) bhAdjustWindowed(df, pCol, tieBreak, outCol)
+    else bhAdjustRanged(df, pCol, tieBreak, outCol)
+  }
+
+  /** Windowed BH — one single-partition sort; right up to ~1e7 result rows. */
+  private[graft] def bhAdjustWindowed(df: DataFrame, pCol: String, tieBreak: String,
+                                      outCol: String = "fdr"): DataFrame = {
     val wRank = Window.orderBy(col(pCol).asc, col(tieBreak).asc)
     val wAll = Window.partitionBy()
     val wMin = Window.orderBy(col("__rn").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__rn", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__bh", col(pCol) * col("__n").cast("double") / col("__rn").cast("double"))
+      .withColumn(outCol, least(min(col("__bh")).over(wMin), lit(1.0)))
+      .drop("__rn", "__n", "__bh")
+  }
+
+  /** Range-partitioned two-pass BH — the 100 TB path. One range shuffle on
+    * (p, tieBreak), then two tiny driver reduces (per-partition row counts →
+    * rank offsets; per-partition BH minima → suffix minima) and one
+    * partition-local pass that assigns rank = offset − i and folds the
+    * running suffix-min. Driver state is O(partitions), never O(rows).
+    */
+  private[graft] def bhAdjustRanged(df: DataFrame, pCol: String, tieBreak: String,
+                                    outCol: String = "fdr",
+                                    numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // Sort DESC within ASC range partitions: partition 0 holds the smallest
+    // p-values, but each partition is iterated largest-p-first so the
+    // suffix-min folds in one forward pass.
+    val sorted = df
+      .repartitionByRange(parts, col(pCol).asc, col(tieBreak).asc)
+      .sortWithinPartitions(col(pCol).desc, col(tieBreak).desc)
+    sorted.persist()
+    try {
+      val pIdx = sorted.schema.fieldIndex(pCol)
+      // Pass 1 (O(partitions) to driver): row count per range partition.
+      val cnts = sorted.groupBy(spark_partition_id().as("__pid"))
+        .agg(count(lit(1)).as("__cnt"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val total = cnts.values.sum
+      val totalD = total.toDouble
+      // Highest global rank inside each partition (ranks ascend with pid).
+      val rankHigh = (0 until parts).map { pid =>
+        pid -> (0 to pid).map(q => cnts.getOrElse(q, 0L)).sum
+      }.toMap
+      val bHigh = spark.sparkContext.broadcast(rankHigh)
+      // Pass 2 (O(partitions) to driver): min raw-BH value per partition.
+      val minBh = sorted.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var mn = Double.PositiveInfinity
+        var i = 0L
+        val high = bHigh.value.getOrElse(pid, 0L)
+        it.foreach { r =>
+          val bh = r.getDouble(pIdx) * totalD / (high - i).toDouble
+          i += 1
+          if (bh < mn) mn = bh
+        }
+        Iterator.single((pid, mn))
+      }.collect().toMap
+      // Suffix minima: the smallest raw-BH among all LARGER p-values.
+      val suffix = (0 until parts).map { pid =>
+        val later = (pid + 1 until parts).map(q => minBh.getOrElse(q, Double.PositiveInfinity))
+        pid -> (if (later.isEmpty) Double.PositiveInfinity else later.min)
+      }.toMap
+      val bSuffix = spark.sparkContext.broadcast(suffix)
+      // Pass 3: emit fdr = min(running suffix-min, 1).
+      val outSchema = sorted.schema.add(outCol, DoubleType, nullable = false)
+      sorted.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val high = bHigh.value.getOrElse(pid, 0L)
+        var run = bSuffix.value.getOrElse(pid, Double.PositiveInfinity)
+        var i = 0L
+        it.map { r =>
+          val bh = r.getDouble(pIdx) * totalD / (high - i).toDouble
+          i += 1
+          if (bh < run) run = bh
+          Row.fromSeq(r.toSeq :+ math.min(run, 1.0))
+        }
+      }(Encoders.row(outSchema))
+    } finally sorted.unpersist(false)
+  }
+
+  /** Per-group BH — FDR within each `byCol` slice (the multi-contrast
+    * per-coef p.adjust). The window is hash-partitioned on the group key, so
+    * the sort is per-contrast, never global; bounded by the largest single
+    * contrast's probe count.
+    */
+  def bhAdjustBy(df: DataFrame, byCol: String, pCol: String, tieBreak: String,
+                 outCol: String = "fdr"): DataFrame = {
+    val wRank = Window.partitionBy(byCol).orderBy(col(pCol).asc, col(tieBreak).asc)
+    val wAll = Window.partitionBy(byCol)
+    val wMin = Window.partitionBy(byCol).orderBy(col("__rn").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__rn", row_number().over(wRank))
       .withColumn("__n", count(lit(1)).over(wAll))

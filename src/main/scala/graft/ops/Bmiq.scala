@@ -27,13 +27,16 @@ object Bmiq {
 
   /** 3-state beta mixture fitted by EM with moment-matching M-steps.
     * Returns (weight, a, b) per state, states ordered U < H < M.
+    * `thLo`/`thHi` seed the initial hard assignment (reference
+    * BMIQ_1.4.R:60-64 for type-1 defaults 0.2/0.75; the type-2 fit shifts
+    * them by the KDE-mode offsets, BMIQ_1.4.R:108-115).
     */
-  private[ops] def fitMixture(x: Array[Double], niter: Int): Array[(Double, Double, Double)] = {
+  private[ops] def fitMixture(x: Array[Double], niter: Int,
+                              thLo: Double = 0.2, thHi: Double = 0.75): Array[(Double, Double, Double)] = {
     val n = x.length
-    // threshold init (reference BMIQ_1.4.R:62-65): U < 0.2, M > 0.75
     val resp = Array.ofDim[Double](n, 3)
     x.zipWithIndex.foreach { case (v, i) =>
-      val s = if (v < 0.2) 0 else if (v > 0.75) 2 else 1
+      val s = if (v < thLo) 0 else if (v > thHi) 2 else 1
       resp(i)(s) = 1.0
     }
     var params = Array.tabulate(3)(j => mStep(x, resp, j))
@@ -92,6 +95,57 @@ object Bmiq {
   private def regularize(x: Double, minPos: Double, maxSub1: Double): Double =
     if (x <= 0) minPos else if (x >= 1) maxSub1 else x
 
+  /** Mode of a sample by binned Gaussian KDE — the task-local equivalent of
+    * R's `density()$x[which.max(density()$y)]` (reference BMIQ_1.4.R:99-106
+    * estimates per-class modes this way). bw.nrd0 bandwidth, 512-point
+    * grid, data pre-binned onto the grid so cost is O(n + 512²) regardless
+    * of class size. Returns NaN for an empty input (caller falls back).
+    */
+  private[graft] def kdeMode(x: Array[Double]): Double = {
+    val n = x.length
+    if (n == 0) return Double.NaN
+    if (n == 1) return x(0)
+    val mean = x.sum / n
+    val sd = math.sqrt(x.map(v => (v - mean) * (v - mean)).sum / (n - 1))
+    val sorted = x.sorted
+    def q7(q: Double): Double = { // R type-7 quantile
+      val h = (n - 1) * q
+      val lo = math.floor(h).toInt
+      val hi = math.ceil(h).toInt
+      sorted(lo) + (h - lo) * (sorted(hi) - sorted(lo))
+    }
+    val iqr = q7(0.75) - q7(0.25)
+    val spread = math.min(sd, if (iqr > 0) iqr / 1.349 else sd)
+    val bw = math.max(0.9 * spread * math.pow(n, -0.2), 1e-9) // bw.nrd0
+    val lo = sorted.head - 3 * bw
+    val hi = sorted.last + 3 * bw
+    val grid = 512
+    val step = (hi - lo) / (grid - 1)
+    if (step <= 0) return sorted.head
+    val counts = new Array[Double](grid)
+    x.foreach { v =>
+      val b = math.min(math.max(((v - lo) / step).round.toInt, 0), grid - 1)
+      counts(b) += 1
+    }
+    var best = lo
+    var bestY = -1.0
+    var g = 0
+    while (g < grid) {
+      var y = 0.0
+      var b = 0
+      while (b < grid) {
+        if (counts(b) > 0) {
+          val u = (g - b) * step / bw
+          y += counts(b) * math.exp(-0.5 * u * u)
+        }
+        b += 1
+      }
+      if (y > bestY) { bestY = y; best = lo + g * step }
+      g += 1
+    }
+    best
+  }
+
   private def normalizeSample(rows: Array[In], nfit: Int, niter: Int,
                               minPerType: Int): Iterator[Out] = {
     val sorted = rows.sortBy(_.probe_id)
@@ -105,24 +159,49 @@ object Bmiq {
     val maxSub1 = sorted.map(_.beta).filter(_ < 1).foldLeft(0.0)(math.max)
     def reg(v: Double) = regularize(v, minPos, maxSub1)
 
-    val p1 = fitMixture(strideSample(t1.map(reg), nfit), niter)
-    val p2 = fitMixture(strideSample(t2.map(reg), nfit), niter)
-    val d1U = new BetaDistribution(p1(0)._2, p1(0)._3)
-    val d1M = new BetaDistribution(p1(2)._2, p1(2)._3)
-    val d2U = new BetaDistribution(p2(0)._2, p2(0)._3)
-    val d2M = new BetaDistribution(p2(2)._2, p2(2)._3)
-    val dists2 = p2.map { case (_, a, b) => new BetaDistribution(a, b) }
-
-    def classify2(v: Double): Int = {
+    def classify(p: Array[(Double, Double, Double)],
+                 d: Array[BetaDistribution], v: Double): Int = {
       var best = 0; var bestD = -1.0
       var j = 0
       while (j < 3) {
-        val dd = p2(j)._1 * math.max(dists2(j).density(v), 1e-300)
+        val dd = p(j)._1 * math.max(d(j).density(v), 1e-300)
         if (dd > bestD) { bestD = dd; best = j }
         j += 1
       }
       best
     }
+
+    val t1r = t1.map(reg)
+    val t2rAll = t2.map(reg)
+    val p1 = fitMixture(strideSample(t1r, nfit), niter)
+    val dists1 = p1.map { case (_, a, b) => new BetaDistribution(a, b) }
+
+    // Type-2 EM initialization: type-1 class boundaries shifted by the
+    // KDE-mode offsets between the two designs (reference
+    // BMIQ_1.4.R:99-115 — d(beta1|U/M) and d(beta2<0.4 / >0.6) modes).
+    val c1 = t1r.map(v => classify(p1, dists1, v))
+    def boundary(vals: Array[Double], cls: Array[Int], a: Int, b: Int,
+                 fallback: Double): Double = {
+      val left = vals.zip(cls).collect { case (v, c) if c == a => v }
+      val right = vals.zip(cls).collect { case (v, c) if c == b => v }
+      if (left.isEmpty || right.isEmpty) fallback else (left.max + right.min) / 2
+    }
+    val th1Lo = boundary(t1r, c1, 0, 1, 0.2)
+    val th1Hi = boundary(t1r, c1, 1, 2, 0.75)
+    val mod1U = kdeMode(t1r.zip(c1).collect { case (v, 0) => v })
+    val mod1M = kdeMode(t1r.zip(c1).collect { case (v, 2) => v })
+    val mod2U = kdeMode(t2rAll.filter(_ < 0.4))
+    val mod2M = kdeMode(t2rAll.filter(_ > 0.6))
+    val (th2Lo, th2Hi) =
+      if (mod1U.isNaN || mod1M.isNaN || mod2U.isNaN || mod2M.isNaN) (th1Lo, th1Hi)
+      else (th1Lo + (mod2U - mod1U), th1Hi + (mod2M - mod1M))
+    val p2 = fitMixture(strideSample(t2rAll, nfit), niter, th2Lo, th2Hi)
+    val dists2 = p2.map { case (_, a, b) => new BetaDistribution(a, b) }
+
+    val d1U = new BetaDistribution(p1(0)._2, p1(0)._3)
+    val d1M = new BetaDistribution(p1(2)._2, p1(2)._3)
+    val d2U = new BetaDistribution(p2(0)._2, p2(0)._3)
+    val d2M = new BetaDistribution(p2(2)._2, p2(2)._3)
 
     def clamp01(v: Double) = math.min(math.max(v, 0.0), 1.0)
     def mapU(v: Double) = clamp01(d1U.inverseCumulativeProbability(
@@ -130,24 +209,41 @@ object Bmiq {
     def mapM(v: Double) = clamp01(d1M.inverseCumulativeProbability(
       math.min(math.max(d2M.cumulativeProbability(v), 1e-12), 1 - 1e-12)))
 
-    // Classify all type-II probes once; derive the conformal H interval
-    // (reference "Hubble" shift+dilation, BMIQ_1.4.R:184-207).
+    // Classify type-II probes; M-class probes LEFT of the fitted M mean
+    // join the H set (reference's ML patching — the left M tail is not
+    // beta-shaped, BMIQ_1.4.R:167-186).
     val t2r = sorted.filter(_.design_type == 2)
-    val classes = t2r.map(r => classify2(reg(r.beta)))
-    val uMapped = t2r.zip(classes).collect { case (r, 0) => mapU(reg(r.beta)) }
-    val mMapped = t2r.zip(classes).collect { case (r, 2) => mapM(reg(r.beta)) }
-    val hVals = t2r.zip(classes).collect { case (r, 1) => reg(r.beta) }
-    val uMax = if (uMapped.nonEmpty) uMapped.max else 0.2
-    val mMin = if (mMapped.nonEmpty) mMapped.min else 0.8
-    val (hLo, hHi) =
-      if (hVals.nonEmpty) (hVals.min, hVals.max) else (uMax, mMin)
-    def mapH(v: Double): Double =
-      if (hHi - hLo < 1e-12) (uMax + mMin) / 2
-      else clamp01(uMax + (v - hLo) / (hHi - hLo) * (mMin - uMax))
+    val vraw = t2r.map(r => reg(r.beta))
+    val avM2 = p2(2)._2 / (p2(2)._2 + p2(2)._3)
+    val kinds = vraw.map { v =>
+      val c = classify(p2, dists2, v)
+      if (c == 2 && v <= avM2) 1 else c // ML → H
+    }
+    val uRaw = vraw.zip(kinds).collect { case (v, 0) => v }
+    val mrRaw = vraw.zip(kinds).collect { case (v, 2) => v }
+    val hRaw = vraw.zip(kinds).collect { case (v, 1) => v }
+    val uMapped = uRaw.map(mapU)
+    val mrMapped = mrRaw.map(mapM)
 
-    val t2Norm = t2r.zip(classes).map { case (r, c) =>
-      val v = reg(r.beta)
-      val mapped = c match { case 0 => mapU(v); case 2 => mapM(v); case _ => mapH(v) }
+    // Conformal H transform (shift+dilation, BMIQ_1.4.R:184-207): the new
+    // H interval preserves the RAW gaps to the neighboring classes around
+    // the MAPPED class endpoints — nminH = max(U′) + (minH − max(U)),
+    // nmaxH = min(MR′) − (min(MR) − maxH).
+    val uRawMax = if (uRaw.nonEmpty) uRaw.max else 0.0
+    val mrRawMin = if (mrRaw.nonEmpty) mrRaw.min else 1.0
+    val uMapMax = if (uMapped.nonEmpty) uMapped.max else 0.2
+    val mrMapMin = if (mrMapped.nonEmpty) mrMapped.min else 0.8
+    val (minH, maxH) = if (hRaw.nonEmpty) (hRaw.min, hRaw.max) else (uRawMax, mrRawMin)
+    val nminH = uMapMax + (minH - uRawMax)
+    val nmaxH = mrMapMin - (mrRawMin - maxH)
+    def mapH(v: Double): Double =
+      if (maxH - minH < 1e-12) clamp01((nminH + nmaxH) / 2)
+      else clamp01(nminH + (v - minH) / (maxH - minH) * (nmaxH - nminH))
+
+    val t2Norm = t2r.indices.map { i =>
+      val r = t2r(i)
+      val v = vraw(i)
+      val mapped = kinds(i) match { case 0 => mapU(v); case 2 => mapM(v); case _ => mapH(v) }
       // never emit a non-finite normalized value — fall back to the input
       // (downstream kernels assume finite betas; NaN reaching LAPACK hangs)
       val nb = if (mapped.isNaN || mapped.isInfinite) v else mapped

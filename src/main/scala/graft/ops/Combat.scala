@@ -127,7 +127,12 @@ object Combat {
           }
         }
       }
+    // Deliberate multi-consumer cache: cellStats feeds the hyperprior
+    // collect, the EB join, and the stand-mean join. It lives until the
+    // caller's query completes; tracked so session-sharing harnesses
+    // release it between queries (ops.Caches).
     }.toDF().persist()
+    Caches.track(cellStats)
 
     val batchStats = cellStats.groupBy("probe_id", "batch")
       .agg(first("gamma_hat").as("gamma_hat"), first("delta2_hat").as("delta2_hat"),

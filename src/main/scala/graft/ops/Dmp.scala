@@ -75,20 +75,16 @@ object Dmp {
     * With s² ~ s0²·F(df, d0):
     *   E[log s²]   = log s0² + (ψ(df/2) − log(df/2)) − (ψ(d0/2) − log(d0/2))
     *   Var[log s²] = ψ′(df/2) + ψ′(d0/2)
-    * Per-probe df may vary, so the ψ(df/2) terms are removed row-wise
-    * before the one-row reduce.
+    * Per-probe df may vary, so the ψ(df/2)−log(df/2) offset is removed
+    * row-wise — from BOTH the mean and the spread (limma's fitFDist centers
+    * the same adjusted variable; taking the variance of raw log s² would let
+    * a df-varying mean offset inflate evar and under-moderate).
     */
-  def fitPrior(moments: DataFrame): Prior = {
-    val adj = udf((dfree: Double) => Gamma.digamma(dfree / 2) - math.log(dfree / 2))
-    val tri = udf((dfree: Double) => Gamma.trigamma(dfree / 2))
-    val row = moments
-      .filter(col("s2") > 0 && !isnan(col("s2")))
-      .select(avg(log(col("s2")) - adj(col("df"))).as("emean"),
-        var_samp(log(col("s2"))).as("evar"),
-        avg(tri(col("df"))).as("etri"))
-      .head()
-    val emean = row.getDouble(0)
-    val evar = row.getDouble(1) - row.getDouble(2)
+  private val adjCol = udf((dfree: Double) => Gamma.digamma(dfree / 2) - math.log(dfree / 2))
+  private val triCol = udf((dfree: Double) => Gamma.trigamma(dfree / 2))
+
+  private def priorFromMoments(emean: Double, evarAdj: Double, etri: Double): Prior = {
+    val evar = evarAdj - etri
     if (evar > 0) {
       val d0 = 2 * trigammaInverse(evar)
       val s02 = math.exp(emean + Gamma.digamma(d0 / 2) - math.log(d0 / 2))
@@ -97,6 +93,35 @@ object Dmp {
       // No excess spread: variances fully shrink to the common value.
       Prior(Double.PositiveInfinity, math.exp(emean))
     }
+  }
+
+  def fitPrior(moments: DataFrame): Prior = {
+    val z = log(col("s2")) - adjCol(col("df"))
+    val row = moments
+      .filter(col("s2") > 0 && !isnan(col("s2")))
+      .select(avg(z).as("emean"), var_samp(z).as("evar"),
+        avg(triCol(col("df"))).as("etri"))
+      .head()
+    priorFromMoments(row.getDouble(0), row.getDouble(1), row.getDouble(2))
+  }
+
+  /** Per-group prior fit: one aggregate shuffled on `byCol`, C rows to the
+    * driver (C = number of contrasts) — the grouped analog of [[fitPrior]],
+    * used by the multi-contrast eBayes (reference
+    * Mouse_Microarray_General_Workflow.R:113-146 fits eBayes once over all
+    * coefficients; per-contrast MoM fit is the per-coef restatement).
+    */
+  def fitPriorsBy(moments: DataFrame, byCol: String): Map[String, Prior] = {
+    val z = log(col("s2")) - adjCol(col("df"))
+    moments
+      .filter(col("s2") > 0 && !isnan(col("s2")))
+      .groupBy(byCol)
+      .agg(avg(z).as("emean"), var_samp(z).as("evar"),
+        avg(triCol(col("df"))).as("etri"))
+      .collect()
+      .map(r => r.getString(0) ->
+        priorFromMoments(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
   }
 
   /** Register the engine's native scalar functions in the session's
@@ -129,10 +154,13 @@ object Dmp {
         col("fdr") < 0.05 && abs(col("logfc")) > math.log(1.5) / math.log(2))
   }
 
-  /** Full K3 pipeline. */
+  /** Full K3 pipeline. The moments cache serves both the eager prior fit
+    * and the final moderated pass (two actions, one input scan). It is a
+    * deliberate multi-action cache, tracked in [[Caches]] so
+    * session-sharing harnesses release it between queries.
+    */
   def dmp(betaWithGroup: DataFrame, g1: String, g2: String): DataFrame = {
-    val mom = moments(betaWithGroup, g1, g2)
-    mom.persist()
+    val mom = Caches.track(moments(betaWithGroup, g1, g2).persist())
     moderated(mom, fitPrior(mom))
   }
 
@@ -157,8 +185,48 @@ object Dmp {
         count(when(col("side") === "A", 1)).as("n1"),
         count(when(col("side") === "B", 1)).as("n2"),
         avg(when(col("side") === "A", m)).as("mean1"),
-        avg(when(col("side") === "B", m)).as("mean2"))
+        avg(when(col("side") === "B", m)).as("mean2"),
+        var_samp(when(col("side") === "A", m)).as("var1"),
+        var_samp(when(col("side") === "B", m)).as("var2"))
       .filter(col("n1") >= 3 && col("n2") >= 3)
       .withColumn("logfc", col("mean1") - col("mean2"))
+      .withColumn("df", (col("n1") + col("n2") - 2).cast("double"))
+      .withColumn("s2",
+        ((col("n1") - 1).cast("double") * col("var1") +
+         (col("n2") - 1).cast("double") * col("var2")) / col("df"))
+  }
+
+  /** Full multi-contrast eBayes: ONE moments job over all contrasts, then a
+    * per-contrast prior fit (C rows to the driver), a broadcast join of the
+    * priors, codegen moderated-t/p columns, and per-contrast BH. This is the
+    * reference's contrasts.fit → eBayes → per-coef topTable loop
+    * (Mouse_Microarray_General_Workflow.R:113-146) collapsed into two
+    * shuffles (moments; per-contrast FDR window) regardless of how many
+    * contrasts run.
+    */
+  def multiContrastModerated(betaWithGroup: DataFrame,
+                             contrasts: Seq[(String, String, String)]): DataFrame = {
+    val spark = betaWithGroup.sparkSession
+    import spark.implicits._
+    registerFunctions(spark)
+    // reused by the prior-fit action and the final pass; released by the
+    // harness between queries (ops.Caches)
+    val mom = Caches.track(multiContrastMoments(betaWithGroup, contrasts).persist())
+    val priors = fitPriorsBy(mom, "comparison_id")
+    val pdf = priors.toSeq.map { case (cid, p) =>
+      (cid, if (p.d0.isInfinite) 1e12 else p.d0, p.s02)
+    }.toDF("comparison_id", "__d0", "__s02")
+    val withT = mom
+      .join(broadcast(pdf), "comparison_id")
+      .withColumn("s2_post",
+        (col("__d0") * col("__s02") + col("df") * col("s2")) / (col("__d0") + col("df")))
+      .withColumn("t_mod",
+        col("logfc") / sqrt(col("s2_post") *
+          (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double"))))
+      .withColumn("p_value", expr("graft_t_pvalue(t_mod, df + __d0)"))
+    Analytic.bhAdjustBy(withT, "comparison_id", "p_value", "probe_id")
+      .withColumn("significant",
+        col("fdr") < 0.05 && abs(col("logfc")) > math.log(1.5) / math.log(2))
+      .drop("__d0", "__s02")
   }
 }

@@ -50,9 +50,16 @@ object Pca {
     * (workflow.R:321). Both flavors center.
     */
   def pcaCoords(beta: DataFrame, topK: Int, k: Int, scale: Boolean): DataFrame = {
+    val spark = beta.sparkSession
+    import spark.implicits._
+    // The collected id list is needed for the pivot's column order, but the
+    // row filter goes through a broadcast semi-join on a LocalRelation —
+    // an `isin(10k literals)` would ship a 10k-term predicate in every task
+    // closure and defeat codegen.
     val topProbes = Analytic.topKByVariance(beta, "probe_id", "beta", topK)
       .select("probe_id").collect().map(_.getString(0)).sorted.toSeq
-    val wide = beta.filter(col("probe_id").isin(topProbes: _*))
+    val topDf = topProbes.toDF("probe_id")
+    val wide = beta.join(broadcast(topDf), Seq("probe_id"), "left_semi")
       .groupBy("sample_id").pivot("probe_id", topProbes).agg(first("beta"))
       .na.fill(0.5) // reference drops NA rows pre-PCA; absent cells are imputed at the midpoint
     val assembled = new VectorAssembler()
@@ -84,11 +91,19 @@ object Pca {
       (oriented, math.max(es.eigenvalues(idx), 0.0) / math.max(total, 1e-300))
     }
 
-    comps.zipWithIndex.foldLeft(feats) { case (df, ((v, evr), j)) =>
+    val projected = comps.zipWithIndex.foldLeft(feats) { case (df, ((v, evr), j)) =>
       df.withColumn(s"pc${j + 1}",
           round(aggregate(zip_with(col("x"), typedLit(v.toSeq), (a, b) => a * b),
             lit(0.0), (acc, e) => acc + e), 6))
         .withColumn(s"evr${j + 1}", round(lit(evr), 6))
     }.drop("x").orderBy("sample_id")
+
+    // The result is samples × (1+2k) — the same bounded-by-design axis MDS
+    // already collects — so materialize it here and release the features
+    // cache: no cache block outlives the call.
+    val rows = projected.collect()
+    val schema = projected.schema
+    feats.unpersist(false)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
   }
 }

@@ -44,7 +44,10 @@ object Pipelines {
       // in-memory reuse of intermediates (SURVEY.md §4).
       .persist()
 
-    // 4-5. top-k variable probes + PCA (workflow.R:155-237)
-    Pca.pcaCoords(adjusted, topK, pcs, scale = true)
+    // 4-5. top-k variable probes + PCA (workflow.R:155-237). pcaCoords
+    // materializes its bounded result eagerly, so the chain cache can be
+    // dropped before returning — nothing leaks past the call.
+    try Pca.pcaCoords(adjusted, topK, pcs, scale = true)
+    finally adjusted.unpersist(false)
   }
 }

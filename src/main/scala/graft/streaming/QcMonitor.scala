@@ -55,7 +55,15 @@ object QcMonitor {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: Long, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
           if (state.exists) Iterator.empty
-          else { state.update(true); rows.take(1) }
+          else {
+            state.update(true)
+            // Intra-batch arrival order is undefined after the groupByKey
+            // shuffle, so "first" within one micro-batch is resolved by a
+            // total order on the payload — deterministic run-to-run.
+            var best: (Long, String) = null
+            rows.foreach(r => if (best == null || r._2 < best._2) best = r)
+            Iterator.single(best)
+          }
       }
   }
 }

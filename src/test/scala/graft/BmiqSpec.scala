@@ -55,6 +55,34 @@ class BmiqSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("post-BMIQ type-II U/M class quantiles align with type-I's (mode fidelity)") {
+    val df = fixture("S3")
+    val out = Bmiq.bmiq(df.select("probe_id", "sample_id", "beta"), manifest(df))
+      .filter(col("design_type") === 2)
+      .select("beta", "beta_norm").as[(Double, Double)].collect()
+    val t1 = df.filter(col("design_type") === 1).select("beta").as[Double].collect()
+    def med(a: Array[Double]) = { val s = a.sorted; s(s.length / 2) }
+    // mapped type-II U and M classes should land on the type-I class
+    // locations (0.08 / 0.92 modes), not stay at the compressed 0.12 / 0.80
+    val uNorm = out.filter(_._1 < 0.3).map(_._2)
+    val mNorm = out.filter(_._1 > 0.65).map(_._2)
+    val uT1 = t1.filter(_ < 0.3)
+    val mT1 = t1.filter(_ > 0.65)
+    assert(math.abs(med(uNorm) - med(uT1)) < 0.05,
+      s"U class: ${med(uNorm)} vs type-I ${med(uT1)}")
+    assert(math.abs(med(mNorm) - med(mT1)) < 0.05,
+      s"M class: ${med(mNorm)} vs type-I ${med(mT1)}")
+  }
+
+  test("kdeMode recovers the dominant mode of a bimodal sample") {
+    val x = (0 until 300).map(i => 0.1 + 0.02 * math.sin(i * 7.3)).toArray ++
+      (0 until 100).map(i => 0.8 + 0.02 * math.cos(i * 3.7)).toArray
+    val m = Bmiq.kdeMode(x)
+    assert(math.abs(m - 0.1) < 0.04, s"mode $m")
+    assert(Bmiq.kdeMode(Array.empty[Double]).isNaN)
+    assert(Bmiq.kdeMode(Array(0.42)) == 0.42)
+  }
+
   test("below the 50-probe-per-type guard the sample passes through unchanged") {
     val tiny = fixture("S2").filter(col("probe_id").rlike("_000[0-9]$")) // 20+20 probes
     val out = Bmiq.bmiq(tiny.select("probe_id", "sample_id", "beta"), manifest(tiny))

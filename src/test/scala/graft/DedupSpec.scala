@@ -38,6 +38,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("simhash banding catches near-dups whose differing bits are in the top band") {
+    // hamming(a,b)=2, both differing bits inside bits 48..63: the old
+    // top-16-prefix blocking could never pair these; bands 0-2 still agree.
+    val base = 0x5a5a1234abcd9876L
+    val sim = Seq(
+      (10L, base),
+      (11L, base ^ (1L << 60) ^ (1L << 50)),
+      (12L, ~base) // far from both
+    ).toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairs(sim, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((10L, 11L)) == 2)
+    assert(pairs.size == 1)
+  }
+
   test("exactDedup keeps the lowest doc_id per content hash") {
     val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 3L))

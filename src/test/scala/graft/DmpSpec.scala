@@ -72,4 +72,58 @@ class DmpSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out("pA") < out("pB"))
   }
+
+  test("fitPriorsBy matches fitPrior on each contrast slice") {
+    val rnd = new scala.util.Random(7)
+    val rows = for (c <- Seq("c1", "c2"); p <- 0 until 60) yield
+      (c, f"p$p%03d",
+        math.exp(rnd.nextGaussian() * (if (c == "c1") 1.0 else 1.6)) * 0.01,
+        if (p % 3 == 0) 4.0 else 6.0) // df varies per probe on purpose
+    val mom = rows.toDF("comparison_id", "probe_id", "s2", "df")
+    val multi = Dmp.fitPriorsBy(mom, "comparison_id")
+    Seq("c1", "c2").foreach { c =>
+      val single = Dmp.fitPrior(mom.filter(col("comparison_id") === c))
+      assert(java.lang.Double.isFinite(single.d0), s"$c slice prior degenerate: $single")
+      assert(math.abs(multi(c).d0 - single.d0) / single.d0 < 1e-9,
+        s"$c d0: ${multi(c).d0} vs ${single.d0}")
+      assert(math.abs(multi(c).s02 - single.s02) / single.s02 < 1e-9,
+        s"$c s02: ${multi(c).s02} vs ${single.s02}")
+    }
+  }
+
+  // 30 probes × (4 WT + 4 MUT) per run, two runs = two disjoint contrasts.
+  private def multiFixture = {
+    val rows = for {
+      p <- 0 until 30
+      run <- Seq("r0", "r1")
+      (g, i) <- (Seq.fill(4)("WT") ++ Seq.fill(4)("MUT")).zipWithIndex
+    } yield {
+      val base = 0.25 + 0.015 * (p % 7)
+      val shift = if (g == "MUT") 0.02 * (p % 5) + (if (run == "r1") 0.05 else 0.0) else 0.0
+      val jitter = 0.004 * math.sin(p * 13 + i * 5 + (if (run == "r1") 3 else 0))
+      (f"p$p%03d", s"s_${run}_${g}_$i", s"${g}_$run", base + shift + jitter)
+    }
+    rows.toDF("probe_id", "sample_id", "group", "beta")
+  }
+
+  test("multiContrastModerated reproduces the single-contrast pipeline per slice") {
+    val df = multiFixture
+    val multi = Dmp.multiContrastModerated(df,
+        Seq(("c_r0", "WT_r0", "MUT_r0"), ("c_r1", "WT_r1", "MUT_r1")))
+      .select("comparison_id", "probe_id", "t_mod", "p_value", "fdr").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(multi.size == 60)
+    Seq(("c_r0", "WT_r0", "MUT_r0"), ("c_r1", "WT_r1", "MUT_r1")).foreach { case (cid, g1, g2) =>
+      val single = Dmp.dmp(df, g1, g2)
+        .select("probe_id", "t_mod", "p_value", "fdr").collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      single.foreach { case (p, (t, pv, fdr)) =>
+        val (mt, mp, mf) = multi((cid, p))
+        assert(math.abs(mt - t) < 1e-9, s"$cid/$p t_mod: $mt vs $t")
+        assert(math.abs(mp - pv) < 1e-9, s"$cid/$p p: $mp vs $pv")
+        assert(math.abs(mf - fdr) < 1e-9, s"$cid/$p fdr: $mf vs $fdr")
+      }
+    }
+  }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import graft.llm.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  private def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 131 + y * 17) & 0xffffff)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("decodeImageMeta parses real PNG/JPEG/GIF headers") {
+    assert(Multimodal.decodeImageMeta(encode(13, 7, "png")) == Some(("png", 13, 7)))
+    assert(Multimodal.decodeImageMeta(encode(31, 9, "jpg")) == Some(("jpeg", 31, 9)))
+    assert(Multimodal.decodeImageMeta(encode(5, 21, "gif")) == Some(("gif", 5, 21)))
+  }
+
+  test("decodeImageMeta rejects junk, truncation, and empty payloads") {
+    assert(Multimodal.decodeImageMeta("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImageMeta(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeImageMeta(encode(13, 7, "png").take(10)).isEmpty)
+    // JPEG SOI marker with no SOF segment behind it
+    assert(Multimodal.decodeImageMeta(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+  }
+
+  test("imageMeta streams binaryFile rows through the partition-batched decode") {
+    val dir = java.nio.file.Files.createTempDirectory("mmspec")
+    java.nio.file.Files.write(dir.resolve("x.png"), encode(3, 4, "png"))
+    java.nio.file.Files.write(dir.resolve("y.gif"), encode(6, 2, "gif"))
+    java.nio.file.Files.writeString(dir.resolve("z.txt"), "decoy")
+    val rows = Multimodal.imageMeta(
+        spark.read.format("binaryFile").load(dir.toString))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(rows == Set(("x.png", "png", 3, 4), ("y.gif", "gif", 6, 2)))
+  }
+}

@@ -44,6 +44,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: ranged BH is bit-equal to the windowed implementation") {
+    samples(Gen.listOfN(200, Gen.choose(0.0, 1.0)), 6).foreach { ps =>
+      val df = ps.zipWithIndex.map { case (p, i) => (f"k$i%04d", p) }.toDF("id", "p")
+      val w = Analytic.bhAdjustWindowed(df, "p", "id")
+        .select("id", "fdr").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // force several range partitions so the offset/suffix-min logic is hit
+      val g = Analytic.bhAdjustRanged(df, "p", "id", numPartitions = 7)
+        .select("id", "fdr").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(g.keySet == w.keySet)
+      g.foreach { case (k, f) => assert(f == w(k), s"$k: ranged $f != windowed ${w(k)}") }
+    }
+  }
+
+  test("property: per-group BH equals global BH run on each slice") {
+    samples(Gen.listOfN(60, Gen.zip(Gen.oneOf("c1", "c2", "c3"), Gen.choose(0.0, 1.0))), 5)
+      .foreach { rows =>
+        val df = rows.zipWithIndex.map { case ((c, p), i) => (c, f"k$i%03d", p) }
+          .toDF("cid", "id", "p")
+        val by = Analytic.bhAdjustBy(df, "cid", "p", "id")
+          .select("cid", "id", "fdr").collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+        Seq("c1", "c2", "c3").foreach { c =>
+          val slice = Analytic.bhAdjustWindowed(df.filter(col("cid") === c), "p", "id")
+            .select("id", "fdr").collect().map(r => r.getString(0) -> r.getDouble(1))
+          slice.foreach { case (id, f) => assert(by((c, id)) == f) }
+        }
+      }
+  }
+
   test("property: top-k by variance is invariant under row permutation") {
     val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 5), Gen.choose(0.0, 100.0)))
     samples(gen, 10).filter(_.map(_._1).distinct.size >= 3).foreach { rows =>
