@@ -54,7 +54,8 @@ object ScaleSmoke {
     println(s"[scale] built ${reps}x replica at $out")
 
     val queries = Seq("w01_topk_variance", "p09_qc_sample_filter", "j01_outer_merge_runs",
-      "k03_dmp_pass1", "w03_bh_adjust", "d02_ngram_jaccard", "d03_minhash_lsh",
+      "k03_dmp_pass1", "k03_dmp_multicontrast_moderated", "w03_bh_adjust",
+      "d02_ngram_jaccard", "d03_minhash_lsh", "d04_simhash",
       "d05_embedding_neardup", "n01_ann_cosine_topk", "d01_dedup_exact", "t03_token_count")
     Seq("1x" -> src, s"${reps}x" -> out).foreach { case (tag, dir) =>
       queries.foreach { qn =>
@@ -62,7 +63,23 @@ object ScaleSmoke {
         val n = SparkEntry.queries(qn)(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[scale] $tag%4s $qn%-24s ${secs}%8.2f s  rows=$n")
+        graft.ops.Caches.releaseAll()
       }
+    }
+
+    // Direct drive of the >5M-row BH path: 10M synthetic p-values through
+    // both implementations (the windowed one sorts everything in ONE task;
+    // the ranged one never does).
+    val big = spark.range(10000000L).select(
+      format_string("k%09d", col("id")).as("id"),
+      (pmod(hash(col("id")), lit(1000000)).cast("double") / 1000000.0).as("p"))
+    Seq("windowed" -> ((df: DataFrame) => graft.ops.Analytic.bhAdjustWindowed(df, "p", "id")),
+        "ranged" -> ((df: DataFrame) => graft.ops.Analytic.bhAdjustRanged(df, "p", "id"))
+    ).foreach { case (tag, f) =>
+      val t0 = System.nanoTime()
+      val chk = f(big).agg(sum("fdr")).head().getDouble(0)
+      println(f"[scale] bh-10M $tag%-9s ${(System.nanoTime() - t0) / 1e9}%8.2f s  sum=$chk%.6f")
+      graft.ops.Caches.releaseAll()
     }
     spark.stop()
   }

@@ -86,57 +86,59 @@ object Analytic {
     // Sort DESC within ASC range partitions: partition 0 holds the smallest
     // p-values, but each partition is iterated largest-p-first so the
     // suffix-min folds in one forward pass.
-    val sorted = df
+    // Tracked, not try/finally-released: the returned pass-3 plan is lazy and
+    // still reads `sorted` — an eager unpersist here would force the caller's
+    // action to redo the range shuffle + sort. The harness releases it after
+    // the query's final action (ops.Caches contract).
+    val sorted = Caches.track(df
       .repartitionByRange(parts, col(pCol).asc, col(tieBreak).asc)
       .sortWithinPartitions(col(pCol).desc, col(tieBreak).desc)
-    sorted.persist()
-    try {
-      val pIdx = sorted.schema.fieldIndex(pCol)
-      // Pass 1 (O(partitions) to driver): row count per range partition.
-      val cnts = sorted.groupBy(spark_partition_id().as("__pid"))
-        .agg(count(lit(1)).as("__cnt"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val total = cnts.values.sum
-      val totalD = total.toDouble
-      // Highest global rank inside each partition (ranks ascend with pid).
-      val rankHigh = (0 until parts).map { pid =>
-        pid -> (0 to pid).map(q => cnts.getOrElse(q, 0L)).sum
-      }.toMap
-      val bHigh = spark.sparkContext.broadcast(rankHigh)
-      // Pass 2 (O(partitions) to driver): min raw-BH value per partition.
-      val minBh = sorted.mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        var mn = Double.PositiveInfinity
-        var i = 0L
-        val high = bHigh.value.getOrElse(pid, 0L)
-        it.foreach { r =>
-          val bh = r.getDouble(pIdx) * totalD / (high - i).toDouble
-          i += 1
-          if (bh < mn) mn = bh
-        }
-        Iterator.single((pid, mn))
-      }.collect().toMap
-      // Suffix minima: the smallest raw-BH among all LARGER p-values.
-      val suffix = (0 until parts).map { pid =>
-        val later = (pid + 1 until parts).map(q => minBh.getOrElse(q, Double.PositiveInfinity))
-        pid -> (if (later.isEmpty) Double.PositiveInfinity else later.min)
-      }.toMap
-      val bSuffix = spark.sparkContext.broadcast(suffix)
-      // Pass 3: emit fdr = min(running suffix-min, 1).
-      val outSchema = sorted.schema.add(outCol, DoubleType, nullable = false)
-      sorted.mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        val high = bHigh.value.getOrElse(pid, 0L)
-        var run = bSuffix.value.getOrElse(pid, Double.PositiveInfinity)
-        var i = 0L
-        it.map { r =>
-          val bh = r.getDouble(pIdx) * totalD / (high - i).toDouble
-          i += 1
-          if (bh < run) run = bh
-          Row.fromSeq(r.toSeq :+ math.min(run, 1.0))
-        }
-      }(Encoders.row(outSchema))
-    } finally sorted.unpersist(false)
+      .persist())
+    val pIdx = sorted.schema.fieldIndex(pCol)
+    // Pass 1 (O(partitions) to driver): row count per range partition.
+    val cnts = sorted.groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = cnts.values.sum
+    val totalD = total.toDouble
+    // Highest global rank inside each partition (ranks ascend with pid).
+    val rankHigh = (0 until parts).map { pid =>
+      pid -> (0 to pid).map(q => cnts.getOrElse(q, 0L)).sum
+    }.toMap
+    val bHigh = spark.sparkContext.broadcast(rankHigh)
+    // Pass 2 (O(partitions) to driver): min raw-BH value per partition.
+    val minBh = sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var mn = Double.PositiveInfinity
+      var i = 0L
+      val high = bHigh.value.getOrElse(pid, 0L)
+      it.foreach { r =>
+        val bh = r.getDouble(pIdx) * totalD / (high - i).toDouble
+        i += 1
+        if (bh < mn) mn = bh
+      }
+      Iterator.single((pid, mn))
+    }.collect().toMap
+    // Suffix minima: the smallest raw-BH among all LARGER p-values.
+    val suffix = (0 until parts).map { pid =>
+      val later = (pid + 1 until parts).map(q => minBh.getOrElse(q, Double.PositiveInfinity))
+      pid -> (if (later.isEmpty) Double.PositiveInfinity else later.min)
+    }.toMap
+    val bSuffix = spark.sparkContext.broadcast(suffix)
+    // Pass 3: emit fdr = min(running suffix-min, 1).
+    val outSchema = sorted.schema.add(outCol, DoubleType, nullable = false)
+    sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val high = bHigh.value.getOrElse(pid, 0L)
+      var run = bSuffix.value.getOrElse(pid, Double.PositiveInfinity)
+      var i = 0L
+      it.map { r =>
+        val bh = r.getDouble(pIdx) * totalD / (high - i).toDouble
+        i += 1
+        if (bh < run) run = bh
+        Row.fromSeq(r.toSeq :+ math.min(run, 1.0))
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Per-group BH — FDR within each `byCol` slice (the multi-contrast
