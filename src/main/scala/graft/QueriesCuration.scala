@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Curation, TextAnalysis}
+
+/** Corpus-curation queries: the post-dedup / pre-training steps of an LLM
+  * data pipeline — near-dup cluster formation, deterministic stratified
+  * sampling, quality-quantile profiling, benchmark decontamination, and
+  * context-window sequence packing. All over the `documents` table.
+  */
+object QueriesCuration {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.table(s, d, "documents")
+
+  /** Shared CTE prefix: word positions and distinct 3-gram shingles per doc
+    * (the SQL restatement of Dedup.words/Dedup.shingles, identical to the
+    * d02 oracle).
+    */
+  private val shingleCte =
+    """words AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w,
+      |         generate_subscripts(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), 1) AS i
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      |       FROM words a
+      |       JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |       JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2)""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // Near-dup pairs → undirected edges → connected components → one
+    // cluster id (= kept representative) per doc. The oracle computes the
+    // same components by recursive reachability closure — tractable at
+    // oracle scale, where the Spark side's per-round label propagation is
+    // the 100 TB shape.
+    Q("c01_dedup_clusters", (s, d) =>
+      Curation.dedupClusters(docs(s, d), 0.05).orderBy("doc_id"),
+      Some(
+        s"""WITH RECURSIVE $shingleCte,
+          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+          |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          |          GROUP BY 1, 2),
+          |pairs AS (
+          |  SELECT doc_a, doc_b
+          |  FROM inter JOIN sz sa ON inter.doc_a = sa.doc_id
+          |             JOIN sz sb ON inter.doc_b = sb.doc_id
+          |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.05),
+          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |reach(start, node) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT r.start, e.b FROM reach r JOIN edges e ON r.node = e.a),
+          |cc AS (SELECT start AS doc_id, min(node) AS cluster FROM reach GROUP BY 1),
+          |csize AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+          |          FROM cc GROUP BY 1)
+          |SELECT cc.doc_id, cc.cluster, csize.cluster_size
+          |FROM cc JOIN csize USING (cluster) ORDER BY cc.doc_id""".stripMargin)),
+
+    // Deterministic per-source quota sample, ordered by an engine-portable
+    // seedless hash (md5 of the id string) — rerunnable, auditable corpus
+    // downsampling.
+    Q("c02_stratified_sample", (s, d) =>
+      Curation.stratifiedSample(docs(s, d), "source", "doc_id", 5)
+        .select("doc_id", "source", "lang").orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, source, lang FROM (
+          |  SELECT doc_id, source, lang,
+          |         row_number() OVER (PARTITION BY source
+          |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= 5 ORDER BY doc_id""".stripMargin)),
+
+    // Per-language quality-score distribution (exact linear-interpolation
+    // percentiles) — the report a curation run reads to set quality
+    // cutoffs.
+    Q("c03_quantile_profile", (s, d) =>
+      Curation.quantileProfile(
+          docs(s, d).withColumn("score", TextAnalysis.qualityScore(col("text"))),
+          "lang", "score")
+        .select(col("lang"), col("n"), round(col("p25"), 6).as("p25"),
+          round(col("p50"), 6).as("p50"), round(col("p75"), 6).as("p75"))
+        .orderBy("lang"),
+      Some(
+        """WITH f AS (SELECT lang,
+          |  CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)), 1) AS DOUBLE) AS words,
+          |  CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) AS alpha,
+          |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b', 0)) AS DOUBLE) AS stops,
+          |  CAST(length(text) AS DOUBLE) AS chars
+          |FROM documents),
+          |s AS (SELECT lang,
+          |  least(stops / words * 2.0, 1.0) * 0.4 +
+          |  (CASE WHEN alpha / words >= 3.0 AND alpha / words <= 8.0 THEN 0.3 ELSE 0.0 END) +
+          |  least(chars / 500.0, 1.0) * 0.3 AS score
+          |FROM f)
+          |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          |       round(quantile_cont(score, 0.25), 6) AS p25,
+          |       round(quantile_cont(score, 0.50), 6) AS p50,
+          |       round(quantile_cont(score, 0.75), 6) AS p75
+          |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Benchmark decontamination: docs sharing >= 3 word 3-grams with the
+    // held-out benchmark slice (source = 'src0') are flagged — the n-gram
+    // overlap contamination check run before every training job.
+    Q("c04_decontamination", (s, d) => {
+      val all = docs(s, d)
+      Curation.decontaminate(
+          all.filter(col("source") =!= "src0"),
+          all.filter(col("source") === "src0"), minOverlap = 3)
+        .orderBy("doc_id")
+    },
+      Some(
+        s"""WITH $shingleCte,
+          |bench AS (SELECT DISTINCT sh.shingle FROM sh
+          |          JOIN documents d ON sh.doc_id = d.doc_id
+          |          WHERE d.source = 'src0'),
+          |ov AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+          |       FROM sh JOIN bench USING (shingle)
+          |       JOIN documents d ON sh.doc_id = d.doc_id
+          |       WHERE d.source <> 'src0'
+          |       GROUP BY 1)
+          |SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+          |       coalesce(ov.n_overlap, 0) >= 3 AS contaminated
+          |FROM documents d LEFT JOIN ov USING (doc_id)
+          |WHERE d.source <> 'src0' ORDER BY d.doc_id""".stripMargin)),
+
+    // Context-window sequence packing (first-fit-decreasing per hash
+    // partition). Greedy/iterative → no SQL analog; CurationSpec asserts
+    // the packing invariants (capacity respected, every doc exactly once,
+    // FFD utilization bound).
+    Q("c05_sequence_packing", (s, d) =>
+      Curation.packSequences(docs(s, d), capacity = 512).toDF()
+        .orderBy("doc_id"),
+      None)
+  )
+}

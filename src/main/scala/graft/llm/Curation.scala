@@ -1,0 +1,166 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs after dedup pair
+  * generation: grouping near-dup pairs into clusters (connected components),
+  * deterministic stratified sampling, per-stratum quantile thresholds, and
+  * benchmark decontamination. Everything is join/aggregate-shaped — the only
+  * iteration (label propagation) carries one row per vertex per round and
+  * cuts its lineage every round, so the loop count is the graph diameter,
+  * never the data size.
+  */
+object Curation {
+
+  /** Connected components over an undirected edge list by iterative min-label
+    * propagation: every vertex starts as its own label; each round a vertex
+    * adopts the minimum label among itself and its neighbors; converged when
+    * no label changes. Rounds needed = component diameter — for dedup
+    * clusters (stars/short chains around a shared shingle neighborhood)
+    * that is single digits. Each round is ONE shuffle of one row per vertex;
+    * the frontier is localCheckpoint'ed so the plan does not grow with the
+    * iteration count (on a real cluster, point `spark.checkpoint.dir` at
+    * durable storage and use reliable checkpoints instead). For planet-scale
+    * graphs with long chains, the two-phase large-star/small-star algorithm
+    * (Kiveris et al., SoCC'14) halves the round count — not needed for
+    * near-dup clustering, where diameter is bounded by construction.
+    *
+    * @param edges    (srcCol, dstCol) pairs, interpreted undirected
+    * @param vertices single-column frame of all vertex ids (singletons keep
+    *                 their own label and appear as size-1 clusters)
+    * @return (id, cluster) — cluster = min vertex id of the component
+    */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+                          srcCol: String = "doc_a", dstCol: String = "doc_b",
+                          idCol: String = "doc_id", maxIter: Int = 50): DataFrame = {
+    // The edge list is read once per round — persist it (released by the
+    // harness via ops.Caches) so an expensive upstream (e.g. the Jaccard
+    // pair join) doesn't recompute every iteration.
+    val und = graft.ops.Caches.track(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+        .persist())
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      .localCheckpoint()
+    // Convergence via a monotone invariant: Σ labels strictly decreases
+    // every round until the fixpoint, so one tiny aggregate per round
+    // detects it — no join against the previous frontier, no extra count
+    // job. (Labels only ever move down to the component minimum.)
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("cluster")).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = und.join(labels, und("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster"))
+      labels = labels.union(prop)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint() // one row per vertex; cuts the iterative lineage
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("cluster"))
+  }
+
+  /** Near-dup clustering: n-gram Jaccard pairs above `minJaccard` become
+    * edges, components become dedup clusters; emits each doc with its
+    * cluster id (min doc_id of the cluster — the kept representative) and
+    * the cluster size. This is the keep-one-per-cluster step every
+    * large-scale dedup pipeline runs after pair generation.
+    */
+  def dedupClusters(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val pairs = Dedup.jaccardPairs(Dedup.shingles(docs), minJaccard)
+    val cc = connectedComponents(pairs, docs.select("doc_id"))
+    val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster").select("doc_id", "cluster", "cluster_size")
+  }
+
+  /** Deterministic stratified sample: up to `perStratum` rows per stratum,
+    * chosen by md5 of the id (a uniform, engine-portable, seedless hash
+    * order — rerunning always picks the same rows). The window partitions
+    * by stratum, so the sort is per-stratum, never global; skewed strata
+    * cost only their own partition's top-k.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       perStratum: Int): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+
+  /** Per-stratum quantile profile of a score column (exact linear-
+    * interpolation percentiles — the distribution report a curation run
+    * uses to pick quality cutoffs). One hash aggregate; each stratum's
+    * sort happens inside its own aggregation buffer.
+    */
+  def quantileProfile(df: DataFrame, strataCol: String, scoreCol: String): DataFrame =
+    df.groupBy(strataCol).agg(
+      count(lit(1)).as("n"),
+      expr(s"percentile($scoreCol, 0.25)").as("p25"),
+      expr(s"percentile($scoreCol, 0.50)").as("p50"),
+      expr(s"percentile($scoreCol, 0.75)").as("p75"))
+
+  /** Benchmark decontamination: flag training docs sharing >= `minOverlap`
+    * word n-gram shingles with any benchmark document (the n-gram-overlap
+    * test-set contamination check of Brown et al., NeurIPS'20 appendix C).
+    * The benchmark shingle set is DISTINCT'ed and joined on the shingle —
+    * benchmark suites are tiny next to the corpus, so at scale this join
+    * broadcasts; the per-doc overlap count is one hash aggregate.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                    minOverlap: Int): DataFrame = {
+    val benchSh = Dedup.shingles(benchmark).select("shingle").distinct()
+    val overlap = Dedup.shingles(docs)
+      .join(broadcast(benchSh), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    docs.select("doc_id").join(overlap, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+
+  final case class PackedDoc(doc_id: Long, tokens: Long, bin_id: Long)
+
+  /** Sequence packing: greedy first-fit-decreasing of documents into
+    * fixed-capacity token bins (context-window packing for training).
+    * Deterministic and distributed: docs are hash-partitioned by doc_id,
+    * each partition packs its own docs independently (sorted tokens-desc,
+    * first bin with room), and bin ids are namespaced by partition. FFD
+    * guarantees >= (8/9·OPT − 1) bins per partition; cross-partition
+    * packing loss is bounded by one non-full bin per partition, which at
+    * scale is noise (partitions hold millions of docs). Oversized docs get
+    * a singleton bin (a real pipeline chunks them upstream).
+    */
+  def packSequences(docs: DataFrame, capacity: Long,
+                    numPartitions: Int = 0): Dataset[PackedDoc] = {
+    val spark = docs.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sized = docs
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("tokens"))
+      .repartition(parts, col("doc_id"))
+      .sortWithinPartitions(col("tokens").desc, col("doc_id").asc)
+    sized.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      // bins: (bin id, remaining capacity); FFD scan — first bin with room
+      val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      it.map { r =>
+        val id = r.getLong(0)
+        val tok = r.getLong(1)
+        val fit = bins.indexWhere(_._2 >= tok)
+        val binIdx =
+          if (fit >= 0) { bins(fit) = (bins(fit)._1, bins(fit)._2 - tok); fit }
+          else { bins += ((pid * 1000000000L + bins.length, math.max(capacity - tok, 0L))); bins.length - 1 }
+        PackedDoc(id, tok, bins(binIdx)._1)
+      }
+    }(Encoders.product[PackedDoc])
+  }
+}

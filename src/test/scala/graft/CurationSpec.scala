@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components labels chains, pairs and singletons") {
+    // graph: 1-2-3 chain, 5-4 pair (reversed direction), 6 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("doc_a", "doc_b")
+    val verts = (1L to 6L).toDF("doc_id")
+    val got = Curation.connectedComponents(edges, verts)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("connected components converges on a long chain within maxIter") {
+    val n = 40L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val verts = (1L to n).toDF("doc_id")
+    val got = Curation.connectedComponents(edges, verts).as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 1L))
+  }
+
+  test("stratified sample takes min(quota, stratum size) deterministically") {
+    val df = (1L to 25L).map(i => (i, if (i <= 20) "big" else "small"))
+      .toDF("doc_id", "source")
+    val s1 = Curation.stratifiedSample(df, "source", "doc_id", 8)
+      .as[(Long, String)].collect().sorted.toSeq
+    val s2 = Curation.stratifiedSample(df, "source", "doc_id", 8)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(s1 == s2) // seedless determinism: same rows every run
+    val bySrc = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc == Map("big" -> 8, "small" -> 5)) // 5 rows < quota → all kept
+  }
+
+  test("decontamination flags a planted benchmark copy and not clean docs") {
+    val bench = Seq((100L, "the secret benchmark question about ancient rivers and mountain passes"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "the secret benchmark question about ancient rivers and mountain passes rephrased"),
+      (2L, "totally unrelated training text mentioning spark shuffles and joins only")
+    ).toDF("doc_id", "text")
+    val got = Curation.decontaminate(train, bench, minOverlap = 3)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(got(1L) && !got(2L))
+  }
+
+  test("sequence packing respects capacity, covers every doc, and is FFD-tight") {
+    val docs = (1L to 200L).map(i => (i, ("word " * (i % 37 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val packed = Curation.packSequences(docs, capacity = 100, numPartitions = 4)
+      .collect()
+    assert(packed.map(_.doc_id).sorted.toSeq == (1L to 200L)) // exactly once
+    val byBin = packed.groupBy(_.bin_id).map { case (_, ds) => ds.map(_.tokens).sum }
+    assert(byBin.forall(_ <= 100)) // no oversized docs here → hard cap holds
+    // FFD utilization: total bins can't exceed 2×(total tokens / capacity)+parts
+    val totalTokens = packed.map(_.tokens).sum
+    val nBins = packed.map(_.bin_id).distinct.length
+    assert(nBins <= 2 * totalTokens / 100 + 4)
+  }
+
+  test("oversized docs get singleton bins") {
+    val docs = Seq((1L, ("tok " * 50).trim), (2L, ("tok " * 3).trim))
+      .toDF("doc_id", "text")
+    val packed = Curation.packSequences(docs, capacity = 10, numPartitions = 1).collect()
+    val oversizedBin = packed.find(_.doc_id == 1L).get.bin_id
+    assert(packed.count(_.bin_id == oversizedBin) == 1)
+  }
+}
