@@ -127,6 +127,39 @@ object QueriesCuration {
           |FROM documents d LEFT JOIN ov USING (doc_id)
           |WHERE d.source <> 'src0' ORDER BY d.doc_id""".stripMargin)),
 
+    // Leakage-free split: a doc inherits its near-dup CLUSTER's hash
+    // bucket, so near-duplicates can never straddle train/val — the
+    // contamination a per-doc hash split silently creates.
+    // 0.3·16^8 = 0x4ccccccc; an 8-char lowercase-hex prefix compares the
+    // same lexically as numerically.
+    Q("c06_leakage_free_split", (s, d) =>
+      Curation.leakageFreeSplit(docs(s, d), minJaccard = 0.05, valFrac = 0.3)
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH RECURSIVE $shingleCte,
+          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+          |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          |          GROUP BY 1, 2),
+          |pairs AS (
+          |  SELECT doc_a, doc_b
+          |  FROM inter JOIN sz sa ON inter.doc_a = sa.doc_id
+          |             JOIN sz sb ON inter.doc_b = sb.doc_id
+          |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.05),
+          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |reach(start, node) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT r.start, e.b FROM reach r JOIN edges e ON r.node = e.a),
+          |cc AS (SELECT start AS doc_id, min(node) AS cluster FROM reach GROUP BY 1),
+          |csize AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+          |          FROM cc GROUP BY 1)
+          |SELECT cc.doc_id, cc.cluster, csize.cluster_size,
+          |       CASE WHEN substr(md5(CAST(cc.cluster AS VARCHAR)), 1, 8) < '4ccccccc'
+          |            THEN 'val' ELSE 'train' END AS split
+          |FROM cc JOIN csize USING (cluster) ORDER BY cc.doc_id""".stripMargin)),
+
     // Context-window sequence packing (first-fit-decreasing per hash
     // partition). Greedy/iterative → no SQL analog; CurationSpec asserts
     // the packing invariants (capacity respected, every doc exactly once,

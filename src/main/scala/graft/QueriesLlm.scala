@@ -265,6 +265,34 @@ object QueriesLlm {
         |FROM fp GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin)),
 
     // TF-IDF — top-3 terms per language by summed tf·idf.
+    // Within-doc duplicate-3-gram fraction (Gopher quality rule): the
+    // corpus is repetitive by construction, so ratios are material.
+    Q("t06_repetition", (s, d) =>
+      TextAnalysis.repetitionProfile(docs(s, d))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          round(col("rep_ratio"), 6).as("rep_ratio"))
+        .orderBy("doc_id"),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+          |  FROM documents),
+          |total AS (SELECT doc_id,
+          |                 CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n_grams
+          |          FROM toks),
+          |words AS (
+          |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM toks),
+          |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+          |       FROM words a
+          |       JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+          |       JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+          |dist AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct FROM sh GROUP BY 1)
+          |SELECT t.doc_id, t.n_grams, coalesce(d.n_distinct, 0) AS n_distinct,
+          |       CASE WHEN t.n_grams > 0
+          |            THEN round(1.0 - CAST(coalesce(d.n_distinct, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE), 6)
+          |            ELSE 0.0 END AS rep_ratio
+          |FROM total t LEFT JOIN dist d USING (doc_id) ORDER BY t.doc_id""".stripMargin)),
+
     Q("t05_tfidf", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val scored = TextAnalysis.tfIdf(docs(s, d))

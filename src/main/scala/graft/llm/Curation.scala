@@ -125,6 +125,26 @@ object Curation {
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }
 
+  /** Leakage-free train/validation split: assign every doc the split of its
+    * near-dup CLUSTER (deterministic md5 of the cluster id against a
+    * threshold), so two near-duplicates can never land on opposite sides —
+    * the train/test contamination a naive per-doc hash split silently
+    * creates. `valFrac` is approximate (hash-uniform over clusters).
+    * Builds on [[dedupClusters]]; one extra column expression, no extra
+    * shuffle.
+    */
+  def leakageFreeSplit(docs: DataFrame, minJaccard: Double,
+                       valFrac: Double): DataFrame = {
+    // md5 hex is uniform, and an 8-char lowercase-hex prefix compares the
+    // same lexically as numerically — one string comparison, portable
+    // across engines, seedless.
+    val cut = f"${(valFrac * 4294967296.0).toLong}%08x"
+    dedupClusters(docs, minJaccard)
+      .withColumn("split",
+        when(substring(md5(col("cluster").cast("string")), 1, 8) < cut, "val")
+          .otherwise("train"))
+  }
+
   final case class PackedDoc(doc_id: Long, tokens: Long, bin_id: Long)
 
   /** Sequence packing: greedy first-fit-decreasing of documents into

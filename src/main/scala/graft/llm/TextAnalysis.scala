@@ -61,6 +61,27 @@ object TextAnalysis {
   /** Content fingerprint (md5 of normalized text — identical across engines). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Within-document repetition profile (the duplicate-n-gram quality rule
+    * of Rae et al., Gopher appendix A1.2): fraction of word 3-grams that
+    * are repeats of an earlier 3-gram in the same doc. One shuffle on
+    * doc_id (the distinct-shingle count); the total 3-gram count is a
+    * scan-side expression. High ratio → template/boilerplate text.
+    */
+  def repetitionProfile(docs: org.apache.spark.sql.DataFrame,
+                        n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val words = size(split(normalized(col("text")), " "))
+    val total = docs.select(col("doc_id"),
+      greatest(words - (n - 1), lit(0)).cast("bigint").as("n_grams"))
+    val distinct = Dedup.shingles(docs, n)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_distinct"))
+    total.join(distinct, Seq("doc_id"), "left")
+      .withColumn("n_distinct", coalesce(col("n_distinct"), lit(0L)))
+      .withColumn("rep_ratio",
+        when(col("n_grams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** TF-IDF per (doc, term): tf = term count in doc, idf = ln(N/df).
     * Two hash aggregates + one join on the term — the shuffle keys are the
     * natural ones and nothing is driver-side except the corpus count N.

@@ -61,6 +61,29 @@ class CurationSpec extends SparkSpec {
     assert(nBins <= 2 * totalTokens / 100 + 4)
   }
 
+  test("leakage-free split keeps near-duplicates on the same side") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely different words about spark engines and distributed shuffles here")
+    ).toDF("doc_id", "text")
+    val got = Curation.leakageFreeSplit(docs, minJaccard = 0.5, valFrac = 0.5)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got(1L) == got(2L)) // same cluster → same side, whatever side it is
+    assert(got.size == 3)
+  }
+
+  test("repetition profile counts duplicate trigrams") {
+    // "a b c a b c a b c": 9 words → 7 trigrams, 3 distinct → ratio 4/7
+    val docs = Seq((1L, "a b c a b c a b c"), (2L, "all unique words here now"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.repetitionProfile(docs)
+      .select("doc_id", "n_grams", "n_distinct", "rep_ratio")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 7L, 3L, 4.0 / 7)))
+    assert(got(2L) == ((2L, 3L, 3L, 0.0)))
+  }
+
   test("oversized docs get singleton bins") {
     val docs = Seq((1L, ("tok " * 50).trim), (2L, ("tok " * 3).trim))
       .toDF("doc_id", "text")
