@@ -56,7 +56,8 @@ object ScaleSmoke {
     val queries = Seq("w01_topk_variance", "p09_qc_sample_filter", "j01_outer_merge_runs",
       "k03_dmp_pass1", "k03_dmp_multicontrast_moderated", "w03_bh_adjust",
       "d02_ngram_jaccard", "d03_minhash_lsh", "d04_simhash",
-      "d05_embedding_neardup", "n01_ann_cosine_topk", "d01_dedup_exact", "t03_token_count")
+      "d05_embedding_neardup", "n01_ann_cosine_topk", "d01_dedup_exact", "t03_token_count",
+      "c05_sequence_packing", "t06_repetition")
     Seq("1x" -> src, s"${reps}x" -> out).foreach { case (tag, dir) =>
       queries.foreach { qn =>
         val t0 = System.nanoTime()
@@ -65,6 +66,21 @@ object ScaleSmoke {
         println(f"[scale] $tag%4s $qn%-24s ${secs}%8.2f s  rows=$n")
         graft.ops.Caches.releaseAll()
       }
+    }
+
+    // Production dedup-clustering shape at 8x: edges from the BANDED
+    // MinHash candidates (bounded by true near-dups), components over them
+    // — the oracle query c01 instead uses exact-Jaccard edges, which
+    // inherit d02's deliberate quadratic-on-duplication behavior.
+    {
+      val t0 = System.nanoTime()
+      val docs8 = Tables.table(spark, out, "documents")
+      val edges = graft.llm.Dedup.minhashNearDups(docs8, numPerm = 16,
+        bands = 4, minJaccard = 0.5)
+      val n = graft.llm.Curation.connectedComponents(edges, docs8.select("doc_id"))
+        .groupBy("cluster").count().filter(col("count") > 1).count()
+      println(f"[scale] cc-over-lsh 8x ${(System.nanoTime() - t0) / 1e9}%8.2f s  multi-doc clusters=$n")
+      graft.ops.Caches.releaseAll()
     }
 
     // Direct drive of the >5M-row BH path: 10M synthetic p-values through

@@ -61,6 +61,27 @@ class CurationSpec extends SparkSpec {
     assert(nBins <= 2 * totalTokens / 100 + 4)
   }
 
+  test("connected components matches brute-force union-find on random graphs") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(70)((rng.nextInt(n).toLong + 1, rng.nextInt(n).toLong + 1))
+        .filter(e => e._1 != e._2)
+      // brute-force union-find ground truth
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1 to n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Curation.connectedComponents(
+          edges.toDF("doc_a", "doc_b"), (1L to n.toLong).toDF("doc_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected)
+    }
+  }
+
   test("leakage-free split keeps near-duplicates on the same side") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
