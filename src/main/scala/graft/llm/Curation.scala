@@ -42,7 +42,12 @@ object Curation {
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
         .persist())
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    // Only edge-touched vertices can ever change label — iterate over that
+    // subgraph and re-attach everything else as singleton clusters at the
+    // end. In a dedup corpus the near-dup fraction is small, so each
+    // round's shuffle carries |touched| rows, not |corpus|.
+    val touched = und.select(col("src").as("id")).distinct()
+    var labels = touched.withColumn("cluster", col("id"))
       .localCheckpoint()
     // Convergence via a monotone invariant: Σ labels strictly decreases
     // every round until the fixpoint, so one tiny aggregate per round
@@ -64,7 +69,10 @@ object Curation {
       prevSum = s
       iter += 1
     }
-    labels.select(col("id").as(idCol), col("cluster"))
+    val singletons = vertices.select(col(idCol).as("id"))
+      .join(touched, Seq("id"), "left_anti")
+      .withColumn("cluster", col("id"))
+    labels.union(singletons).select(col("id").as(idCol), col("cluster"))
   }
 
   /** Near-dup clustering: n-gram Jaccard pairs above `minJaccard` become
