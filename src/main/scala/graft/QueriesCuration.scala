@@ -28,6 +28,31 @@ object QueriesCuration {
       |       JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
       |       JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2)""".stripMargin
 
+  /** Shared CTE suffix for c01/c06: Jaccard >= 0.05 pairs → undirected
+    * edges → recursive reachability closure → (doc_id, cluster,
+    * cluster_size) in `cc`/`csize` — the SQL restatement of
+    * Curation.dedupClusters.
+    */
+  private val ccCte =
+    """sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM inter JOIN sz sa ON inter.doc_a = sa.doc_id
+      |             JOIN sz sb ON inter.doc_b = sb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.05),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(start, node) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.start, e.b FROM reach r JOIN edges e ON r.node = e.a),
+      |cc AS (SELECT start AS doc_id, min(node) AS cluster FROM reach GROUP BY 1),
+      |csize AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+      |          FROM cc GROUP BY 1)""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // Near-dup pairs → undirected edges → connected components → one
@@ -39,24 +64,7 @@ object QueriesCuration {
       Curation.dedupClusters(docs(s, d), 0.05).orderBy("doc_id"),
       Some(
         s"""WITH RECURSIVE $shingleCte,
-          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-          |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
-          |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-          |          GROUP BY 1, 2),
-          |pairs AS (
-          |  SELECT doc_a, doc_b
-          |  FROM inter JOIN sz sa ON inter.doc_a = sa.doc_id
-          |             JOIN sz sb ON inter.doc_b = sb.doc_id
-          |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.05),
-          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-          |reach(start, node) AS (
-          |  SELECT doc_id, doc_id FROM documents
-          |  UNION
-          |  SELECT r.start, e.b FROM reach r JOIN edges e ON r.node = e.a),
-          |cc AS (SELECT start AS doc_id, min(node) AS cluster FROM reach GROUP BY 1),
-          |csize AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
-          |          FROM cc GROUP BY 1)
+          |$ccCte
           |SELECT cc.doc_id, cc.cluster, csize.cluster_size
           |FROM cc JOIN csize USING (cluster) ORDER BY cc.doc_id""".stripMargin)),
 
@@ -137,24 +145,7 @@ object QueriesCuration {
         .orderBy("doc_id"),
       Some(
         s"""WITH RECURSIVE $shingleCte,
-          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-          |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
-          |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-          |          GROUP BY 1, 2),
-          |pairs AS (
-          |  SELECT doc_a, doc_b
-          |  FROM inter JOIN sz sa ON inter.doc_a = sa.doc_id
-          |             JOIN sz sb ON inter.doc_b = sb.doc_id
-          |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.05),
-          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-          |reach(start, node) AS (
-          |  SELECT doc_id, doc_id FROM documents
-          |  UNION
-          |  SELECT r.start, e.b FROM reach r JOIN edges e ON r.node = e.a),
-          |cc AS (SELECT start AS doc_id, min(node) AS cluster FROM reach GROUP BY 1),
-          |csize AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
-          |          FROM cc GROUP BY 1)
+          |$ccCte
           |SELECT cc.doc_id, cc.cluster, csize.cluster_size,
           |       CASE WHEN substr(md5(CAST(cc.cluster AS VARCHAR)), 1, 8) < '4ccccccc'
           |            THEN 'val' ELSE 'train' END AS split

@@ -54,10 +54,10 @@ object Curation {
     // detects it — no join against the previous frontier, no extra count
     // job. (Labels only ever move down to the component minimum.)
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum("cluster")).head().getLong(0)
+      df.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0) // empty graph → 0
     var prevSum = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = prevSum == 0L // no edges: nothing to propagate
     while (!converged && iter < maxIter) {
       val prop = und.join(labels, und("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster"))
@@ -69,6 +69,14 @@ object Curation {
       prevSum = s
       iter += 1
     }
+    // Unconverged labels are silently WRONG (one component reported as
+    // several — the exact leakage leakageFreeSplit exists to prevent), so
+    // fail loudly instead. Diameter > maxIter means the graph is not
+    // dedup-cluster-shaped; raise maxIter or pre-collapse with exact dedup.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "component diameter exceeds maxIter")
     val singletons = vertices.select(col(idCol).as("id"))
       .join(touched, Seq("id"), "left_anti")
       .withColumn("cluster", col("id"))
@@ -145,25 +153,33 @@ object Curation {
                        valFrac: Double): DataFrame = {
     // md5 hex is uniform, and an 8-char lowercase-hex prefix compares the
     // same lexically as numerically — one string comparison, portable
-    // across engines, seedless.
-    val cut = f"${(valFrac * 4294967296.0).toLong}%08x"
-    dedupClusters(docs, minJaccard)
-      .withColumn("split",
+    // across engines, seedless. valFrac >= 1 would format as 9 hex chars
+    // and invert the 8-char lexical compare, so the degenerate all-val /
+    // all-train cases short-circuit.
+    val clustered = dedupClusters(docs, minJaccard)
+    val splitCol =
+      if (valFrac >= 1.0) lit("val")
+      else if (valFrac <= 0.0) lit("train")
+      else {
+        val cut = f"${(valFrac * 4294967296.0).toLong}%08x"
         when(substring(md5(col("cluster").cast("string")), 1, 8) < cut, "val")
-          .otherwise("train"))
+          .otherwise("train")
+      }
+    clustered.withColumn("split", splitCol)
   }
 
   final case class PackedDoc(doc_id: Long, tokens: Long, bin_id: Long)
 
-  /** Sequence packing: greedy first-fit-decreasing of documents into
+  /** Sequence packing: greedy best-fit-decreasing of documents into
     * fixed-capacity token bins (context-window packing for training).
     * Deterministic and distributed: docs are hash-partitioned by doc_id,
     * each partition packs its own docs independently (sorted tokens-desc,
-    * first bin with room), and bin ids are namespaced by partition. FFD
-    * guarantees >= (8/9·OPT − 1) bins per partition; cross-partition
-    * packing loss is bounded by one non-full bin per partition, which at
-    * scale is noise (partitions hold millions of docs). Oversized docs get
-    * a singleton bin (a real pipeline chunks them upstream).
+    * tightest bin with room via a capacity-indexed TreeMap — O(log bins)
+    * per doc, so a partition of millions of docs stays CPU-cheap), and bin
+    * ids are namespaced by partition. BFD shares FFD's 11/9·OPT+1 bound;
+    * cross-partition packing loss is bounded by one non-full bin per
+    * partition, which at scale is noise. Oversized docs get a singleton
+    * bin (a real pipeline chunks them upstream).
     */
   def packSequences(docs: DataFrame, capacity: Long,
                     numPartitions: Int = 0): Dataset[PackedDoc] = {
@@ -178,16 +194,28 @@ object Curation {
       .sortWithinPartitions(col("tokens").desc, col("doc_id").asc)
     sized.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-      // bins: (bin id, remaining capacity); FFD scan — first bin with room
-      val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      // remaining capacity -> bin ids at that capacity (LIFO within a
+      // bucket: deterministic given the sorted input order). ceilingEntry
+      // = tightest bin with room (best fit), O(log bins) per doc.
+      val byCapacity = new java.util.TreeMap[Long, java.util.ArrayDeque[Long]]()
+      var nBins = 0L
+      def takeBin(cap: Long): (Long, Long) = {
+        val e = byCapacity.ceilingEntry(cap)
+        if (e == null) { val id = pid * 1000000000L + nBins; nBins += 1; (id, capacity) }
+        else {
+          val id = e.getValue.pollLast()
+          if (e.getValue.isEmpty) byCapacity.remove(e.getKey)
+          (id, e.getKey)
+        }
+      }
       it.map { r =>
         val id = r.getLong(0)
         val tok = r.getLong(1)
-        val fit = bins.indexWhere(_._2 >= tok)
-        val binIdx =
-          if (fit >= 0) { bins(fit) = (bins(fit)._1, bins(fit)._2 - tok); fit }
-          else { bins += ((pid * 1000000000L + bins.length, math.max(capacity - tok, 0L))); bins.length - 1 }
-        PackedDoc(id, tok, bins(binIdx)._1)
+        val (binId, cap) = takeBin(tok)
+        val remaining = math.max(cap - tok, 0L)
+        byCapacity.computeIfAbsent(remaining, _ => new java.util.ArrayDeque[Long]())
+          .addLast(binId)
+        PackedDoc(id, tok, binId)
       }
     }(Encoders.product[PackedDoc])
   }

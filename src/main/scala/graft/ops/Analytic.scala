@@ -51,8 +51,12 @@ object Analytic {
     */
   def bhAdjust(df: DataFrame, pCol: String, tieBreak: String,
                outCol: String = "fdr", windowMaxRows: Long = 5000000L): DataFrame = {
-    if (df.count() <= windowMaxRows) bhAdjustWindowed(df, pCol, tieBreak, outCol)
-    else bhAdjustRanged(df, pCol, tieBreak, outCol)
+    // Persist before the dispatch count — otherwise the (possibly
+    // expensive) upstream plan runs twice, once for the count and once for
+    // the chosen path. Released by the harness (ops.Caches contract).
+    val input = Caches.track(df.persist())
+    if (input.count() <= windowMaxRows) bhAdjustWindowed(input, pCol, tieBreak, outCol)
+    else bhAdjustRanged(input, pCol, tieBreak, outCol)
   }
 
   /** Windowed BH — one single-partition sort; right up to ~1e7 result rows. */

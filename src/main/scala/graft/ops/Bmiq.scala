@@ -115,7 +115,7 @@ object Bmiq {
       sorted(lo) + (h - lo) * (sorted(hi) - sorted(lo))
     }
     val iqr = q7(0.75) - q7(0.25)
-    val spread = math.min(sd, if (iqr > 0) iqr / 1.349 else sd)
+    val spread = math.min(sd, if (iqr > 0) iqr / 1.34 else sd) // R bw.nrd0 divides by 1.34 exactly
     val bw = math.max(0.9 * spread * math.pow(n, -0.2), 1e-9) // bw.nrd0
     val lo = sorted.head - 3 * bw
     val hi = sorted.last + 3 * bw

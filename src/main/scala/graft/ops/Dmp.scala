@@ -119,8 +119,15 @@ object Dmp {
       .agg(avg(z).as("emean"), var_samp(z).as("evar"),
         avg(triCol(col("df"))).as("etri"))
       .collect()
-      .map(r => r.getString(0) ->
-        priorFromMoments(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .map { r =>
+        // A single valid probe leaves var_samp null: no spread evidence →
+        // shrink fully to the common value (limma's moderated.t with
+        // df.prior = Inf), instead of NPE-ing on getDouble.
+        val prior =
+          if (r.isNullAt(2)) Prior(Double.PositiveInfinity, math.exp(r.getDouble(1)))
+          else priorFromMoments(r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        r.getString(0) -> prior
+      }
       .toMap
   }
 
@@ -216,8 +223,11 @@ object Dmp {
     val pdf = priors.toSeq.map { case (cid, p) =>
       (cid, if (p.d0.isInfinite) 1e12 else p.d0, p.s02)
     }.toDF("comparison_id", "__d0", "__s02")
+    // LEFT join: a contrast whose probes all have s2 <= 0 gets no fitted
+    // prior — its rows must still come through (with null inference
+    // columns and fdr 1.0), not silently vanish from the output.
     val withT = mom
-      .join(broadcast(pdf), "comparison_id")
+      .join(broadcast(pdf), Seq("comparison_id"), "left")
       .withColumn("s2_post",
         (col("__d0") * col("__s02") + col("df") * col("s2")) / (col("__d0") + col("df")))
       .withColumn("t_mod",

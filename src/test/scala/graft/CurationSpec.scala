@@ -61,6 +61,33 @@ class CurationSpec extends SparkSpec {
     assert(nBins <= 2 * totalTokens / 100 + 4)
   }
 
+  test("connected components on an empty edge list returns all singletons") {
+    val edges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val verts = (1L to 5L).toDF("doc_id")
+    val got = Curation.connectedComponents(edges, verts).as[(Long, Long)].collect().toMap
+    assert(got == (1L to 5L).map(i => i -> i).toMap)
+  }
+
+  test("connected components fails loudly when maxIter is exhausted") {
+    val edges = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val verts = (1L to 10L).toDF("doc_id")
+    val e = intercept[IllegalStateException] {
+      Curation.connectedComponents(edges, verts, maxIter = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("leakage-free split degenerate fractions: all val / all train") {
+    val docs = Seq((1L, "alpha beta gamma delta words here"),
+      (2L, "other totally different tokens")).toDF("doc_id", "text")
+    val allVal = Curation.leakageFreeSplit(docs, 0.5, valFrac = 1.0)
+      .select("split").as[String].collect()
+    assert(allVal.forall(_ == "val"))
+    val allTrain = Curation.leakageFreeSplit(docs, 0.5, valFrac = 0.0)
+      .select("split").as[String].collect()
+    assert(allTrain.forall(_ == "train"))
+  }
+
   test("connected components matches brute-force union-find on random graphs") {
     val rng = new scala.util.Random(7)
     for (_ <- 1 to 3) {

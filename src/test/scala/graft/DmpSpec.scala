@@ -91,6 +91,14 @@ class DmpSpec extends SparkSpec {
     }
   }
 
+  test("fitPriorsBy full-shrinks a single-probe contrast instead of failing") {
+    val mom = Seq(("c1", "p000", 0.02, 6.0)) // var_samp of one row is null
+      .toDF("comparison_id", "probe_id", "s2", "df")
+    val prior = Dmp.fitPriorsBy(mom, "comparison_id")("c1")
+    assert(prior.d0.isPosInfinity)
+    assert(prior.s02 > 0 && java.lang.Double.isFinite(prior.s02))
+  }
+
   // 30 probes × (4 WT + 4 MUT) per run, two runs = two disjoint contrasts.
   private def multiFixture = {
     val rows = for {
