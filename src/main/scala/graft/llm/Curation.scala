@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -92,8 +92,11 @@ object Curation {
   def dedupClusters(docs: DataFrame, minJaccard: Double): DataFrame = {
     val pairs = Dedup.jaccardPairs(Dedup.shingles(docs), minJaccard)
     val cc = connectedComponents(pairs, docs.select("doc_id"))
-    val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
-    cc.join(sizes, "cluster").select("doc_id", "cluster", "cluster_size")
+    // cluster_size via a window on the cluster key: one shuffle, vs the
+    // two (aggregate + join back) of the groupBy/join formulation.
+    cc.withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .select("doc_id", "cluster", "cluster_size")
   }
 
   /** Deterministic stratified sample: up to `perStratum` rows per stratum,
@@ -111,17 +114,26 @@ object Curation {
       .drop("__rn")
   }
 
-  /** Per-stratum quantile profile of a score column (exact linear-
-    * interpolation percentiles — the distribution report a curation run
-    * uses to pick quality cutoffs). One hash aggregate; each stratum's
-    * sort happens inside its own aggregation buffer.
+  /** Per-stratum quantile profile of a score column — the distribution
+    * report a curation run uses to pick quality cutoffs. Size-dispatched
+    * like bhAdjust: exact `percentile` buffers every value of a stratum in
+    * its aggregation buffer (right answer, bounded memory only while
+    * strata are small), so above `exactMaxRows` TOTAL rows the profile
+    * switches to `approx_percentile` — a t-digest sketch with constant
+    * per-group memory and mergeable partials, the only shape that
+    * survives a 100 TB stratum.
     */
-  def quantileProfile(df: DataFrame, strataCol: String, scoreCol: String): DataFrame =
-    df.groupBy(strataCol).agg(
+  def quantileProfile(df: DataFrame, strataCol: String, scoreCol: String,
+                      exactMaxRows: Long = 10000000L): DataFrame = {
+    val input = graft.ops.Caches.track(df.persist())
+    val exact = input.count() <= exactMaxRows
+    def pct(q: Double): Column =
+      if (exact) expr(s"percentile($scoreCol, $q)")
+      else expr(s"approx_percentile($scoreCol, $q, 10000)")
+    input.groupBy(strataCol).agg(
       count(lit(1)).as("n"),
-      expr(s"percentile($scoreCol, 0.25)").as("p25"),
-      expr(s"percentile($scoreCol, 0.50)").as("p50"),
-      expr(s"percentile($scoreCol, 0.75)").as("p75"))
+      pct(0.25).as("p25"), pct(0.50).as("p50"), pct(0.75).as("p75"))
+  }
 
   /** Benchmark decontamination: flag training docs sharing >= `minOverlap`
     * word n-gram shingles with any benchmark document (the n-gram-overlap

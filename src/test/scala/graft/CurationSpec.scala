@@ -35,6 +35,20 @@ class CurationSpec extends SparkSpec {
     assert(bySrc == Map("big" -> 8, "small" -> 5)) // 5 rows < quota → all kept
   }
 
+  test("quantile profile approx path tracks the exact path") {
+    val df = (1L to 2000L).map(i => (if (i % 2 == 0) "a" else "b", (i % 97).toDouble))
+      .toDF("lang", "score")
+    val exact = Curation.quantileProfile(df, "lang", "score")
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx = Curation.quantileProfile(df, "lang", "score", exactMaxRows = 10)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    for (k <- Seq("a", "b"); i <- 0 until 3) {
+      val e = exact(k).productElement(i).asInstanceOf[Double]
+      val a = approx(k).productElement(i).asInstanceOf[Double]
+      assert(math.abs(e - a) <= 2.0, s"$k q$i exact=$e approx=$a") // t-digest on 1k rows is near-exact
+    }
+  }
+
   test("decontamination flags a planted benchmark copy and not clean docs") {
     val bench = Seq((100L, "the secret benchmark question about ancient rivers and mountain passes"))
       .toDF("doc_id", "text")
