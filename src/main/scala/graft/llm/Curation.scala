@@ -14,18 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Connected components over an undirected edge list by iterative min-label
-    * propagation: every vertex starts as its own label; each round a vertex
-    * adopts the minimum label among itself and its neighbors; converged when
-    * no label changes. Rounds needed = component diameter — for dedup
-    * clusters (stars/short chains around a shared shingle neighborhood)
-    * that is single digits. Each round is ONE shuffle of one row per vertex;
-    * the frontier is localCheckpoint'ed so the plan does not grow with the
+  /** Connected components over an undirected edge list by min-label
+    * propagation with pointer jumping: every vertex starts as its own
+    * label; each round a vertex adopts the minimum of its own label, its
+    * neighbors' labels, and its label's label (the shortcut step —
+    * label-distance covered doubles per round, so rounds are
+    * O(log diameter) instead of O(diameter), the PRAM shortcutting
+    * technique also underlying large-star/small-star, Kiveris et al.,
+    * SoCC'14). Each round shuffles one row per edge-touched vertex; the
+    * frontier is localCheckpoint'ed so the plan does not grow with the
     * iteration count (on a real cluster, point `spark.checkpoint.dir` at
-    * durable storage and use reliable checkpoints instead). For planet-scale
-    * graphs with long chains, the two-phase large-star/small-star algorithm
-    * (Kiveris et al., SoCC'14) halves the round count — not needed for
-    * near-dup clustering, where diameter is bounded by construction.
+    * durable storage and use reliable checkpoints instead).
     *
     * @param edges    (srcCol, dstCol) pairs, interpreted undirected
     * @param vertices single-column frame of all vertex ids (singletons keep
@@ -61,7 +60,14 @@ object Curation {
     while (!converged && iter < maxIter) {
       val prop = und.join(labels, und("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster"))
-      labels = labels.union(prop)
+      // pointer jump: my label's current label (labels form a forest
+      // pointing at component minima-so-far; following two hops at once
+      // doubles convergence speed on chains)
+      val short = labels.as("a")
+        .join(labels.select(col("id").as("cluster"),
+          col("cluster").as("cluster2")).as("b"), "cluster")
+        .select(col("a.id").as("id"), col("cluster2").as("cluster"))
+      labels = labels.union(prop).union(short)
         .groupBy("id").agg(min("cluster").as("cluster"))
         .localCheckpoint() // one row per vertex; cuts the iterative lineage
       val s = labelSum(labels)
