@@ -151,6 +151,59 @@ object QueriesCuration {
           |            THEN 'val' ELSE 'train' END AS split
           |FROM cc JOIN csize USING (cluster) ORDER BY cc.doc_id""".stripMargin)),
 
+    // Keep the highest-quality member of each near-dup cluster (score
+    // desc, doc_id tiebreak) — the representative-selection step of
+    // production dedup.
+    Q("c07_best_of_cluster", (s, d) =>
+      Curation.bestOfCluster(docs(s, d), minJaccard = 0.05,
+          TextAnalysis.qualityScore(col("text")))
+        .orderBy("cluster"),
+      Some(
+        s"""WITH RECURSIVE $shingleCte,
+          |$ccCte,
+          |f AS (SELECT doc_id,
+          |  CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)), 1) AS DOUBLE) AS words,
+          |  CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) AS alpha,
+          |  CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in)\\b', 0)) AS DOUBLE) AS stops,
+          |  CAST(length(text) AS DOUBLE) AS chars
+          |FROM documents),
+          |sc AS (SELECT doc_id, round(
+          |  least(stops / words * 2.0, 1.0) * 0.4 +
+          |  (CASE WHEN alpha / words >= 3.0 AND alpha / words <= 8.0 THEN 0.3 ELSE 0.0 END) +
+          |  least(chars / 500.0, 1.0) * 0.3, 6) AS score
+          |FROM f),
+          |ranked AS (
+          |  SELECT cc.cluster, cc.doc_id, csize.cluster_size, sc.score,
+          |         row_number() OVER (PARTITION BY cc.cluster
+          |           ORDER BY sc.score DESC, cc.doc_id ASC) AS rk
+          |  FROM cc JOIN csize USING (cluster) JOIN sc USING (doc_id))
+          |SELECT cluster, doc_id AS kept_doc, cluster_size, score
+          |FROM ranked WHERE rk = 1 ORDER BY cluster""".stripMargin)),
+
+    // Incremental ingest dedup: new batch (source <> 'src0') admitted only
+    // if its fingerprint is absent from the existing corpus (source =
+    // 'src0') and first within the batch.
+    Q("d07_incremental_dedup", (s, d) => {
+      val all = docs(s, d)
+      Curation.incrementalDedup(
+          all.filter(col("source") =!= "src0").select("doc_id", "text"),
+          all.filter(col("source") === "src0"))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    },
+      Some(
+        """WITH fp AS (SELECT doc_id, source,
+          |              md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+          |            FROM documents),
+          |corpus AS (SELECT DISTINCT fp FROM fp WHERE source = 'src0'),
+          |batch AS (SELECT doc_id, fp.fp FROM fp WHERE source <> 'src0'),
+          |novel AS (SELECT b.doc_id, b.fp FROM batch b
+          |          WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)),
+          |kept AS (SELECT doc_id, fp,
+          |                row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          |         FROM novel)
+          |SELECT doc_id, fp FROM kept WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // Context-window sequence packing (first-fit-decreasing per hash
     // partition). Greedy/iterative → no SQL analog; CurationSpec asserts
     // the packing invariants (capacity respected, every doc exactly once,

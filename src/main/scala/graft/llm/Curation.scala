@@ -141,6 +141,45 @@ object Curation {
       pct(0.25).as("p25"), pct(0.50).as("p50"), pct(0.75).as("p75"))
   }
 
+  /** Keep the best member of each near-dup cluster by a quality score
+    * (descending, doc_id tiebreak) — production dedup keeps the
+    * highest-quality copy, not an arbitrary one. The rank window is
+    * per-cluster, bounded by the largest cluster. Scores are rounded
+    * before ranking so the kept doc is stable under last-ulp noise.
+    */
+  def bestOfCluster(docs: DataFrame, minJaccard: Double,
+                    scoreCol: Column): DataFrame = {
+    val scored = docs.select(col("doc_id"), round(scoreCol, 6).as("score"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    dedupClusters(docs, minJaccard)
+      .join(scored, "doc_id")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("cluster"), col("doc_id").as("kept_doc"),
+        col("cluster_size"), col("score"))
+  }
+
+  /** Incremental dedup: admit only new-batch docs whose content
+    * fingerprint is absent from the existing corpus (anti-join against the
+    * corpus fingerprint set) and not already taken by an earlier doc of
+    * the same batch (keep-first window per fingerprint). The shape of
+    * continuous ingest at scale: the corpus side reduces to DISTINCT
+    * fingerprints — at 100 TB that set lives as a bucketed table keyed by
+    * fingerprint, so the anti-join is shuffle-free.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+                       textCol: String = "text"): DataFrame = {
+    val corpusFp = corpus.select(
+      TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+    val w = Window.partitionBy("fp").orderBy(col("doc_id").asc)
+    batch.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(corpusFp, Seq("fp"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Benchmark decontamination: flag training docs sharing >= `minOverlap`
     * word n-gram shingles with any benchmark document (the n-gram-overlap
     * test-set contamination check of Brown et al., NeurIPS'20 appendix C).

@@ -61,6 +61,32 @@ class CurationSpec extends SparkSpec {
     assert(got(1L) && !got(2L))
   }
 
+  test("incremental dedup drops corpus-known and within-batch duplicate content") {
+    val corpus = Seq((100L, "existing corpus document about rivers")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "Existing corpus document about RIVERS!"), // known (normalizes equal)
+      (2L, "genuinely new content first copy"),
+      (3L, "genuinely   new content FIRST copy"), // within-batch dup of 2
+      (4L, "another new doc entirely")
+    ).toDF("doc_id", "text")
+    val kept = Curation.incrementalDedup(batch, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
+
+  test("best-of-cluster keeps the highest-scoring member") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today and more of the usual text to extend it"),
+      (3L, "unrelated standalone document")
+    ).toDF("doc_id", "text")
+    // score = text length (longer near-dup wins)
+    val got = Curation.bestOfCluster(docs, minJaccard = 0.5, length(col("text")).cast("double"))
+      .select("cluster", "kept_doc").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 2L) // cluster {1,2} keeps the longer doc 2
+    assert(got(3L) == 3L)
+  }
+
   test("sequence packing respects capacity, covers every doc, and is FFD-tight") {
     val docs = (1L to 200L).map(i => (i, ("word " * (i % 37 + 1).toInt).trim))
       .toDF("doc_id", "text")
