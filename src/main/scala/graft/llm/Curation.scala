@@ -141,6 +141,25 @@ object Curation {
       pct(0.25).as("p25"), pct(0.50).as("p50"), pct(0.75).as("p75"))
   }
 
+  /** Split assignment over a precomputed `(doc_id, cluster, …)` table —
+    * see [[leakageFreeSplit]]. md5 hex is uniform, and an 8-char
+    * lowercase-hex prefix compares the same lexically as numerically — one
+    * string comparison, portable across engines, seedless. valFrac >= 1
+    * would format as 9 hex chars and invert the 8-char lexical compare, so
+    * the degenerate all-val / all-train cases short-circuit.
+    */
+  def splitByCluster(clustered: DataFrame, valFrac: Double): DataFrame = {
+    val splitCol =
+      if (valFrac >= 1.0) lit("val")
+      else if (valFrac <= 0.0) lit("train")
+      else {
+        val cut = f"${(valFrac * 4294967296.0).toLong}%08x"
+        when(substring(md5(col("cluster").cast("string")), 1, 8) < cut, "val")
+          .otherwise("train")
+      }
+    clustered.withColumn("split", splitCol)
+  }
+
   /** Keep the best member of each near-dup cluster by a quality score
     * (descending, doc_id tiebreak) — production dedup keeps the
     * highest-quality copy, not an arbitrary one. The rank window is
@@ -148,11 +167,18 @@ object Curation {
     * before ranking so the kept doc is stable under last-ulp noise.
     */
   def bestOfCluster(docs: DataFrame, minJaccard: Double,
-                    scoreCol: Column): DataFrame = {
-    val scored = docs.select(col("doc_id"), round(scoreCol, 6).as("score"))
+                    scoreCol: Column): DataFrame =
+    bestOfClusterFrom(dedupClusters(docs, minJaccard),
+      docs.select(col("doc_id"), round(scoreCol, 6).as("score")))
+
+  /** [[bestOfCluster]] over a precomputed cluster table and a
+    * `(doc_id, score)` table (a session that keeps its cluster map
+    * materialized — the production shape — pays only the rank window).
+    */
+  def bestOfClusterFrom(clustered: DataFrame, scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("cluster")
       .orderBy(col("score").desc, col("doc_id").asc)
-    dedupClusters(docs, minJaccard)
+    clustered
       .join(scored, "doc_id")
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
@@ -208,21 +234,7 @@ object Curation {
     */
   def leakageFreeSplit(docs: DataFrame, minJaccard: Double,
                        valFrac: Double): DataFrame = {
-    // md5 hex is uniform, and an 8-char lowercase-hex prefix compares the
-    // same lexically as numerically — one string comparison, portable
-    // across engines, seedless. valFrac >= 1 would format as 9 hex chars
-    // and invert the 8-char lexical compare, so the degenerate all-val /
-    // all-train cases short-circuit.
-    val clustered = dedupClusters(docs, minJaccard)
-    val splitCol =
-      if (valFrac >= 1.0) lit("val")
-      else if (valFrac <= 0.0) lit("train")
-      else {
-        val cut = f"${(valFrac * 4294967296.0).toLong}%08x"
-        when(substring(md5(col("cluster").cast("string")), 1, 8) < cut, "val")
-          .otherwise("train")
-      }
-    clustered.withColumn("split", splitCol)
+    splitByCluster(dedupClusters(docs, minJaccard), valFrac)
   }
 
   final case class PackedDoc(doc_id: Long, tokens: Long, bin_id: Long)
