@@ -96,7 +96,11 @@ object Curation {
     * large-scale dedup pipeline runs after pair generation.
     */
   def dedupClusters(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val pairs = Dedup.jaccardPairs(Dedup.shingles(docs), minJaccard)
+    // jaccardPairs reads the shingle table three times (sizes + both sides
+    // of the inverted-index self-join) — persist it, as minhashNearDups
+    // does, so the explode/window pipeline runs once.
+    val sh = graft.ops.Caches.track(Dedup.shingles(docs).persist())
+    val pairs = Dedup.jaccardPairs(sh, minJaccard)
     val cc = connectedComponents(pairs, docs.select("doc_id"))
     // cluster_size via a window on the cluster key: one shuffle, vs the
     // two (aggregate + join back) of the groupBy/join formulation.
