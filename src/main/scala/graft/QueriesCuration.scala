@@ -222,6 +222,36 @@ object QueriesCuration {
           |         FROM novel)
           |SELECT doc_id, fp FROM kept WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
+    // Mixture sampling: per-source keep fractions from target domain
+    // weights and a token budget; kept docs are the ones whose md5 bucket
+    // falls under their source's fraction. src0/src1 upweighted, the rest
+    // share the remainder uniformly.
+    Q("c08_mixture_sample", (s, d) => {
+      val rest = 0.7 / 18
+      val weights = ("src0", 0.2) +: ("src1", 0.1) +:
+        (2 until 20).map(i => (s"src$i", rest))
+      Curation.mixtureSample(docs(s, d), weights, tokenBudget = 20000L)
+        .orderBy("doc_id")
+    },
+      Some(
+        """WITH w(source, weight) AS (
+          |  SELECT 'src0', CAST(0.2 AS DOUBLE) UNION ALL SELECT 'src1', CAST(0.1 AS DOUBLE)
+          |  UNION ALL
+          |  SELECT 'src' || CAST(i AS VARCHAR), CAST(0.7 AS DOUBLE) / 18
+          |  FROM generate_series(2, 19) AS t(i)),
+          |sized AS (SELECT doc_id, source,
+          |            CAST(len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS BIGINT) AS tokens
+          |          FROM documents),
+          |fr AS (SELECT sized.source,
+          |         least(1.0, 20000.0 * w.weight / CAST(sum(sized.tokens) AS DOUBLE)) AS frac
+          |       FROM sized JOIN w ON sized.source = w.source
+          |       GROUP BY sized.source, w.weight)
+          |SELECT s.doc_id, s.source, s.tokens
+          |FROM sized s JOIN fr ON s.source = fr.source
+          |WHERE CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          |        / 4294967296.0 < fr.frac
+          |ORDER BY s.doc_id""".stripMargin)),
+
     // Context-window sequence packing (first-fit-decreasing per hash
     // partition). Greedy/iterative → no SQL analog; CurationSpec asserts
     // the packing invariants (capacity respected, every doc exactly once,

@@ -210,6 +210,36 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Mixture sampling: downsample each source to hit a target token
+    * mixture (the data-mixing step before training — fixed domain weights
+    * à la The Pile). Per-source keep fraction = min(1, budget·w_s /
+    * tokens_s), computed from one token aggregate and broadcast back; a
+    * doc is kept when its md5 hash bucket (first 8 hex chars as an
+    * integer, uniform in [0, 2^32)) falls under the fraction — seedless,
+    * deterministic, and each source's sample is a subset of any larger
+    * budget's sample (nested samples, the property reweighting sweeps
+    * need). One aggregate + one broadcast join; no shuffle of the corpus.
+    */
+  def mixtureSample(docs: DataFrame, weights: Seq[(String, Double)],
+                    tokenBudget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toDF("source", "weight")
+    val sized = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).as("tokens"))
+    val fracs = sized.groupBy("source").agg(sum("tokens").as("src_tokens"))
+      .join(broadcast(w), "source")
+      .withColumn("frac",
+        least(lit(1.0),
+          lit(tokenBudget.toDouble) * col("weight") / col("src_tokens").cast("double")))
+      .select("source", "frac")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("bigint").cast("double") / 4294967296.0
+    sized.join(broadcast(fracs), "source")
+      .filter(bucket < col("frac"))
+      .select(col("doc_id"), col("source"), col("tokens"))
+  }
+
   /** Benchmark decontamination: flag training docs sharing >= `minOverlap`
     * word n-gram shingles with any benchmark document (the n-gram-overlap
     * test-set contamination check of Brown et al., NeurIPS'20 appendix C).

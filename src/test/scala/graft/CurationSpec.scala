@@ -61,6 +61,21 @@ class CurationSpec extends SparkSpec {
     assert(got(1L) && !got(2L))
   }
 
+  test("mixture sampling is nested across budgets and respects full-keep sources") {
+    val docs = (1L to 400L).map(i =>
+      (i, if (i <= 300) "big" else "small", "some text of a handful tokens here"))
+      .toDF("doc_id", "source", "text")
+    val small = Curation.mixtureSample(docs, Seq(("big", 0.5), ("small", 0.5)), 500L)
+      .select("doc_id").as[Long].collect().toSet
+    val large = Curation.mixtureSample(docs, Seq(("big", 0.5), ("small", 0.5)), 1500L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(large)) // nested: a larger budget only adds docs
+    // "small" source: 100 docs × 7 tokens = 700 < 1500·0.5 → frac 1, all kept
+    assert((301L to 400L).forall(large.contains))
+    // "big" source: 300 docs × 7 tokens = 2100 > 750 → downsampled
+    assert(large.count(_ <= 300) < 300 && large.count(_ <= 300) > 0)
+  }
+
   test("incremental dedup drops corpus-known and within-batch duplicate content") {
     val corpus = Seq((100L, "existing corpus document about rivers")).toDF("doc_id", "text")
     val batch = Seq(
