@@ -252,10 +252,10 @@ object QueriesCuration {
           |        / 4294967296.0 < fr.frac
           |ORDER BY s.doc_id""".stripMargin)),
 
-    // Context-window sequence packing (first-fit-decreasing per hash
-    // partition). Greedy/iterative → no SQL analog; CurationSpec asserts
-    // the packing invariants (capacity respected, every doc exactly once,
-    // FFD utilization bound).
+    // Context-window sequence packing (best-fit-decreasing on a
+    // capacity-indexed TreeMap, per hash partition). Greedy/iterative →
+    // no SQL analog; CurationSpec asserts the packing invariants
+    // (capacity respected, every doc exactly once, utilization bound).
     Q("c05_sequence_packing", (s, d) =>
       Curation.packSequences(docs(s, d), capacity = 512).toDF()
         .orderBy("doc_id"),

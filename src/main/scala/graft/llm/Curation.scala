@@ -21,10 +21,14 @@ object Curation {
     * label-distance covered doubles per round, so rounds are
     * O(log diameter) instead of O(diameter), the PRAM shortcutting
     * technique also underlying large-star/small-star, Kiveris et al.,
-    * SoCC'14). Each round shuffles one row per edge-touched vertex; the
-    * frontier is localCheckpoint'ed so the plan does not grow with the
-    * iteration count (on a real cluster, point `spark.checkpoint.dir` at
-    * durable storage and use reliable checkpoints instead).
+    * SoCC'14). Each round shuffles the edge list against the label table
+    * (the dominant volume) plus two small copies of the touched-vertex
+    * label table for the shortcut self-join — on near-dup graphs the
+    * label table is tiny next to the edges, so the shortcut's insurance
+    * against chain-shaped components costs little. The frontier is
+    * localCheckpoint'ed so the plan does not grow with the iteration
+    * count (on a real cluster, point `spark.checkpoint.dir` at durable
+    * storage and use reliable checkpoints instead).
     *
     * @param edges    (srcCol, dstCol) pairs, interpreted undirected
     * @param vertices single-column frame of all vertex ids (singletons keep
@@ -135,12 +139,17 @@ object Curation {
     */
   def quantileProfile(df: DataFrame, strataCol: String, scoreCol: String,
                       exactMaxRows: Long = 10000000L): DataFrame = {
-    val input = graft.ops.Caches.track(df.persist())
-    val exact = input.count() <= exactMaxRows
+    // Dispatch count WITHOUT persisting: the input is the caller's frame
+    // (persisting it here would register a cache we don't own — see the
+    // ops.Caches ownership contract — and materializing a 100 TB input to
+    // storage is exactly the cost the sketch path avoids). The price is
+    // one extra scan pass; callers with an expensive upstream should
+    // persist it themselves.
+    val exact = df.count() <= exactMaxRows
     def pct(q: Double): Column =
       if (exact) expr(s"percentile($scoreCol, $q)")
       else expr(s"approx_percentile($scoreCol, $q, 10000)")
-    input.groupBy(strataCol).agg(
+    df.groupBy(strataCol).agg(
       count(lit(1)).as("n"),
       pct(0.25).as("p25"), pct(0.50).as("p50"), pct(0.75).as("p75"))
   }
@@ -225,8 +234,12 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val w = weights.toDF("source", "weight")
-    val sized = docs.select(col("doc_id"), col("source"),
-      TextAnalysis.tokenCount(col("text")).as("tokens"))
+    // Read twice (fraction aggregate + output join) — persist so the
+    // corpus scan and tokenization run once. Internal frame, so tracking
+    // it for harness release is ours to do.
+    val sized = graft.ops.Caches.track(
+      docs.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("tokens")).persist())
     val fracs = sized.groupBy("source").agg(sum("tokens").as("src_tokens"))
       .join(broadcast(w), "source")
       .withColumn("frac",

@@ -53,8 +53,13 @@ object Analytic {
                outCol: String = "fdr", windowMaxRows: Long = 5000000L): DataFrame = {
     // Persist before the dispatch count — otherwise the (possibly
     // expensive) upstream plan runs twice, once for the count and once for
-    // the chosen path. Released by the harness (ops.Caches contract).
-    val input = Caches.track(df.persist())
+    // the chosen path. Only when the caller hasn't persisted it already:
+    // tracking a cache the caller owns would let the harness's releaseAll
+    // kill it (ops.Caches ownership contract).
+    val input =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        Caches.track(df.persist())
+      else df
     if (input.count() <= windowMaxRows) bhAdjustWindowed(input, pCol, tieBreak, outCol)
     else bhAdjustRanged(input, pCol, tieBreak, outCol)
   }

@@ -102,7 +102,7 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == 3L)
   }
 
-  test("sequence packing respects capacity, covers every doc, and is FFD-tight") {
+  test("sequence packing respects capacity, covers every doc, and is BFD-tight") {
     val docs = (1L to 200L).map(i => (i, ("word " * (i % 37 + 1).toInt).trim))
       .toDF("doc_id", "text")
     val packed = Curation.packSequences(docs, capacity = 100, numPartitions = 4)
@@ -110,7 +110,7 @@ class CurationSpec extends SparkSpec {
     assert(packed.map(_.doc_id).sorted.toSeq == (1L to 200L)) // exactly once
     val byBin = packed.groupBy(_.bin_id).map { case (_, ds) => ds.map(_.tokens).sum }
     assert(byBin.forall(_ <= 100)) // no oversized docs here → hard cap holds
-    // FFD utilization: total bins can't exceed 2×(total tokens / capacity)+parts
+    // BFD utilization: total bins can't exceed 2×(total tokens / capacity)+parts
     val totalTokens = packed.map(_.tokens).sum
     val nBins = packed.map(_.bin_id).distinct.length
     assert(nBins <= 2 * totalTokens / 100 + 4)
