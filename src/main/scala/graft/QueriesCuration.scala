@@ -4,9 +4,11 @@ import org.apache.spark.sql.functions._
 import graft.llm.{Curation, TextAnalysis}
 
 /** Corpus-curation queries: the post-dedup / pre-training steps of an LLM
-  * data pipeline — near-dup cluster formation, deterministic stratified
-  * sampling, quality-quantile profiling, benchmark decontamination, and
-  * context-window sequence packing. All over the `documents` table.
+  * data pipeline — near-dup cluster formation and representative
+  * selection, cluster-coherent train/val splitting, incremental ingest
+  * dedup, deterministic stratified and mixture sampling, quality-quantile
+  * profiling, benchmark decontamination, and context-window sequence
+  * packing. All over the `documents` table.
   */
 object QueriesCuration {
 

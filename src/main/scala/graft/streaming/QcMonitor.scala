@@ -66,4 +66,22 @@ object QcMonitor {
           }
       }
   }
+
+  /** Streaming incremental dedup: the streaming flavor of
+    * llm/Curation.incrementalDedup — an incoming document stream is
+    * fingerprinted, anti-joined against the STATIC corpus fingerprint set
+    * (stream-static joins are stateless: each micro-batch probes the
+    * static side, which at scale is a bucketed-by-fingerprint table), then
+    * within-stream replays are suppressed by dropDuplicates on the
+    * fingerprint (state bounded by the watermark). This is how continuous
+    * ingest admits only novel content without re-reading the corpus.
+    */
+  def incrementalDedupStream(stream: DataFrame, corpus: DataFrame,
+                             textCol: String = "text"): DataFrame = {
+    val fp = graft.llm.TextAnalysis.fingerprint(col(textCol))
+    val corpusFp = corpus.select(fp.as("fp")).distinct()
+    stream.withColumn("fp", fp)
+      .join(corpusFp, Seq("fp"), "left_anti")
+      .dropDuplicates("fp")
+  }
 }

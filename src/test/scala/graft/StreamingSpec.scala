@@ -50,4 +50,30 @@ class StreamingSpec extends SparkSpec {
       assert(out(1L) == "a") // first occurrence wins, replays suppressed
     } finally q.stop()
   }
+
+  test("incrementalDedupStream admits only corpus-novel, stream-unique content") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val corpus = Seq((100L, "existing corpus document about rivers"))
+      .toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val q = QcMonitor.incrementalDedupStream(
+        ms.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("inc_dedup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, "Existing corpus document about RIVERS!"), // known → dropped
+        (2L, "fresh new content"))
+      q.processAllAvailable()
+      ms.addData(
+        (3L, "FRESH   new content"), // replay of 2 (normalizes equal) → dropped
+        (4L, "another novel doc"))
+      q.processAllAvailable()
+      val got = sp.table("inc_dedup_out").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == Set(2L, 4L))
+    } finally q.stop()
+  }
 }
