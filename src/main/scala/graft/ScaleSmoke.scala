@@ -68,7 +68,7 @@ object ScaleSmoke {
       }
     }
 
-    // Production dedup-clustering shape at 8x: edges from the BANDED
+    // Production dedup-clustering shape at Nx: edges from the BANDED
     // MinHash candidates (bounded by true near-dups), components over them
     // — the oracle query c01 instead uses exact-Jaccard edges, which
     // inherit d02's deliberate quadratic-on-duplication behavior.
@@ -79,7 +79,7 @@ object ScaleSmoke {
         bands = 4, minJaccard = 0.5)
       val n = graft.llm.Curation.connectedComponents(edges, docs8.select("doc_id"))
         .groupBy("cluster").count().filter(col("count") > 1).count()
-      println(f"[scale] cc-over-lsh 8x ${(System.nanoTime() - t0) / 1e9}%8.2f s  multi-doc clusters=$n")
+      println(f"[scale] cc-over-lsh ${reps}x ${(System.nanoTime() - t0) / 1e9}%8.2f s  multi-doc clusters=$n")
       graft.ops.Caches.releaseAll()
     }
 
