@@ -146,6 +146,53 @@ object QueriesRelational {
 
     // Salting for skew: replicate the dim across salt shards so a hot key
     // spreads over many tasks; result must equal the plain join.
+    Q("j09_asof_join", (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      Relational.asofJoin(purchases, views, "user_id", "ts_us", Seq("ts_us"))
+        .select(col("event_id"),
+          col("ts_us").as("purchase_us"),
+          col("asof_ts_us").as("view_us"),
+          (col("ts_us") - col("asof_ts_us")).as("gap_us"))
+        .orderBy("event_id")
+    }, Some(
+      """SELECT p.event_id, epoch_us(p.ts) AS purchase_us, epoch_us(v.ts) AS view_us,
+        |       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin)),
+
+    Q("j10_range_join_binned", (s, d) => {
+      val ev = Tables.events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), unix_micros(col("ts")).as("lo"))
+        .withColumn("hi", col("lo") + 3600000000L)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(unix_micros(col("ts")).as("ts_us"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+      val matched = Relational
+        .rangeJoinBinned(signups, errors, "lo", "hi", "ts_us", 3600000000L)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_err"), sum("cents").as("sum_cents"))
+      signups.select("event_id")
+        .join(matched, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_err"), lit(0L)).as("n_err"), col("sum_cents"))
+        .orderBy("event_id")
+    }, Some(
+      """WITH si AS (SELECT event_id, epoch_us(ts) AS lo, epoch_us(ts) + 3600000000 AS hi
+        |            FROM events WHERE event_type = 'signup'),
+        |er AS (SELECT epoch_us(ts) AS ts_us, CAST(round(value * 100) AS BIGINT) AS cents
+        |       FROM events WHERE event_type = 'error')
+        |SELECT si.event_id, CAST(count(er.ts_us) AS BIGINT) AS n_err,
+        |       CAST(sum(er.cents) AS BIGINT) AS sum_cents
+        |FROM si LEFT JOIN er ON er.ts_us >= si.lo AND er.ts_us < si.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("j08_salted_skew_join", (s, d) => {
       val skewedDim = SS(s, d).select("sample_id", "run")
       Relational.saltedJoin(B(s, d), skewedDim, "sample_id", salts = 4)

@@ -72,6 +72,65 @@ object Relational {
     tagged.map { case (tag, df) => df.withColumn(tagCol, lit(tag)) }
       .reduce(_.unionByName(_))
 
+  /** As-of join (point-in-time lookup): for every left row, the single
+    * right row with the greatest `tsCol` ≤ the left row's `tsCol` within the
+    * same `keyCol` group — the temporal analog of the reference's match()
+    * alignment (beyond-reference scale operator; DuckDB/kdb ASOF JOIN
+    * semantics, ties inclusive).
+    *
+    * Implemented as union + running `last(_, ignoreNulls)` window rather
+    * than an inequality join: ONE hash shuffle on the key, a per-partition
+    * sort, constant state per group (the running last), zero join fan-out.
+    * A naive `l.ts >= r.ts` join is O(|L|·|R|) per key and collapses at
+    * scale; a sort-merge band join still re-scans the right side per left
+    * row. At equal timestamps the right row sorts first (`__side` 0 < 1),
+    * making the match inclusive like DuckDB's `ON l.ts >= r.ts`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val payCols = payload.map(c => col(c).as(s"asof_$c"))
+    val l = left.select(
+      (leftCols.map(col) :+ lit(1).as("__side")) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+    val r = right.select(
+      (Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ payCols): _*)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = l.unionByName(r)
+      .select(col("*") +: payload.map(c =>
+        last(col(s"asof_$c"), ignoreNulls = true).over(w).as(s"__f_$c")): _*)
+    joined.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"__f_$c").as(s"asof_$c")): _*)
+  }
+
+  /** Binned range join: match probe points `p.tsCol ∈ [i.loCol, i.hiCol)`
+    * against arbitrary (possibly overlapping) intervals WITHOUT a key — the
+    * classic O(n·m) inequality-join trap. Each interval explodes into the
+    * fixed-width bins it covers (`ceil(span / binWidth)` rows, ~2 for
+    * 1-hour intervals on a 1-hour grid) and probes land in exactly one bin,
+    * so the match becomes a hash equi-join on bin id + a residual range
+    * refine. Shuffle volume is |intervals|·spanBins + |probes|; fan-out is
+    * bounded by true matches per bin, never the cross product. Each true
+    * match surfaces exactly once (a probe's bin is unique), so no dedup
+    * pass is needed. Pick `binWidth` ≈ median interval span.
+    */
+  def rangeJoinBinned(intervals: DataFrame, probes: DataFrame,
+                      loCol: String, hiCol: String, tsCol: String,
+                      binWidth: Long): DataFrame = {
+    val i = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor((col(hiCol) - 1) / binWidth).cast("long"))))
+    val p = probes.withColumn("__bin", floor(col(tsCol) / binWidth).cast("long"))
+    i.join(p, Seq("__bin"))
+      .filter(col(tsCol) >= col(loCol) && col(tsCol) < col(hiCol))
+      .drop("__bin")
+  }
+
   /** Skew-mitigated equi-join: the skewed (large) side's key is salted into
     * `salts` shards and the small-but-not-broadcastable side is replicated
     * across the shards, so one hot key spreads over `salts` tasks instead

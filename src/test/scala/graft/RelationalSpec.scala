@@ -43,4 +43,33 @@ class RelationalSpec extends SparkSpec {
       .select("tag").as[String].collect()
     assert(kept.toSeq == Seq("a"))
   }
+
+  test("asofJoin matches the naive inequality-join-then-latest answer") {
+    val left = Seq(("u1", 10L, "a"), ("u1", 25L, "b"), ("u2", 5L, "c"), ("u3", 7L, "d"))
+      .toDF("user", "ts", "tag")
+    val right = Seq(("u1", 10L, 100.0), ("u1", 20L, 200.0), ("u1", 30L, 300.0),
+      ("u2", 6L, 600.0)).toDF("user", "ts", "px")
+    val got = Relational.asofJoin(left, right, "user", "ts", Seq("ts", "px"))
+      .orderBy("user", "ts")
+      .select("user", "ts", "tag", "asof_ts", "asof_px").collect()
+    // u1@10 → right@10 (ties inclusive), u1@25 → right@20,
+    // u2@5 → none (right@6 is later), u3 → no right rows at all
+    assert(got(0).getLong(3) == 10L && got(0).getDouble(4) == 100.0)
+    assert(got(1).getLong(3) == 20L && got(1).getDouble(4) == 200.0)
+    assert(got(2).isNullAt(3) && got(2).isNullAt(4))
+    assert(got(3).isNullAt(3) && got(3).isNullAt(4))
+  }
+
+  test("rangeJoinBinned equals the naive theta-join across bin boundaries") {
+    // intervals chosen to straddle, align with, and dodge the 10-wide bins
+    val intervals = Seq((1, 5L, 15L), (2, 10L, 20L), (3, 0L, 35L), (4, 38L, 39L))
+      .toDF("iid", "lo", "hi")
+    val probes = (0L to 40L).map(t => (t, s"p$t")).toDF("ts", "ptag")
+    val naive = intervals.join(probes, col("ts") >= col("lo") && col("ts") < col("hi"))
+      .select("iid", "ts").orderBy("iid", "ts").collect().toSeq
+    val binned = Relational.rangeJoinBinned(intervals, probes, "lo", "hi", "ts", 10L)
+      .select("iid", "ts").orderBy("iid", "ts").collect().toSeq
+    assert(binned == naive)
+    assert(binned.nonEmpty)
+  }
 }
