@@ -181,6 +181,24 @@ object QueriesLlm {
           |SELECT vec_id, bucket, round(dot / sqrt(nrm) / qnrm, 6) AS cos
           |FROM dots, qn ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin)),
 
+    // Per-label centroids via the typed VecMeanAgg aggregator: partial
+    // double[64] sums merge map-side, so the shuffle carries groups×dim
+    // doubles, not rows×dim exploded entries.
+    Q("n04_embedding_centroid", (s, d) => {
+      val vecMean = udaf(new graft.functions.VecMeanAgg(64))
+      emb(s, d).groupBy("label")
+        .agg(vecMean(col("embedding")).as("centroid"))
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "c")))
+        .select(col("label"), col("dim").cast("bigint").as("dim"),
+          round(col("c"), 6).as("c"))
+        .orderBy("label", "dim")
+    }, Some(
+      """WITH dims AS (SELECT unnest(range(64)) AS dim)
+        |SELECT e.label, d.dim,
+        |       round(avg(CAST(e.embedding[d.dim + 1] AS DOUBLE)), 6) AS c
+        |FROM embeddings e, dims d
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ------------------------------------------------------------------
     // Text analysis
     // ------------------------------------------------------------------
@@ -292,6 +310,47 @@ object QueriesLlm {
           |            THEN round(1.0 - CAST(coalesce(d.n_distinct, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE), 6)
           |            ELSE 0.0 END AS rep_ratio
           |FROM total t LEFT JOIN dist d USING (doc_id) ORDER BY t.doc_id""".stripMargin)),
+
+    // PII redaction: email/phone regex scrub, reported as fingerprint +
+    // per-pattern hit counts. The synthetic corpus has no PII, so each doc
+    // gets a deterministic contact line appended (derived from doc_id, same
+    // construction in the oracle) — the redactor then has real matches to
+    // remove. Pure codegen'd regexp_replace scan, no shuffle until the
+    // final ordering.
+    Q("t07_pii_redact", (s, d) => {
+      val raw = docs(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call +1-555-01"), col("doc_id").cast("string"),
+          lit(" now")).as("raw"))
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+?\\d[\\d-]{7,}\\d"
+      raw.withColumn("redacted",
+          regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"))
+        .select(col("doc_id"), md5(col("redacted")).as("fp"),
+          (size(split(col("redacted"), "<EMAIL>", -1)) - 1).cast("bigint").as("n_email"),
+          (size(split(col("redacted"), "<PHONE>", -1)) - 1).cast("bigint").as("n_phone"),
+          (length(col("raw")) - length(col("redacted"))).cast("bigint").as("chars_removed"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |         '@example.com or call +1-555-01' || CAST(doc_id AS VARCHAR) ||
+        |         ' now' AS raw
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, raw,
+        |         regexp_replace(
+        |           regexp_replace(raw,
+        |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\+?\d[\d-]{7,}\d', '<PHONE>', 'g') AS redacted
+        |  FROM raw)
+        |SELECT doc_id, md5(redacted) AS fp,
+        |       CAST(len(string_split(redacted, '<EMAIL>')) - 1 AS BIGINT) AS n_email,
+        |       CAST(len(string_split(redacted, '<PHONE>')) - 1 AS BIGINT) AS n_phone,
+        |       CAST(length(raw) - length(redacted) AS BIGINT) AS chars_removed
+        |FROM red ORDER BY doc_id""".stripMargin)),
 
     Q("t05_tfidf", (s, d) => {
       import org.apache.spark.sql.expressions.Window

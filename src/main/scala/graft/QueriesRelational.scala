@@ -144,6 +144,27 @@ object QueriesRelational {
         |FROM beta b JOIN detp d USING (probe_id, sample_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Runtime bloom pruning: sketch the dim keys, drop non-joining big-side
+    // rows at the scan, then exact-join; result equals the plain join.
+    Q("b02_bloom_prune_join", (s, d) => {
+      val dim = Tables.table(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      val big = Tables.table(s, d, "lineitem")
+        .select(col("l_orderkey"), cents(col("l_extendedprice")).as("c"))
+      Relational.bloomPruneJoin(big, dim, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum("c") / 100.0, 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }, Some(
+      """SELECT o.o_orderpriority,
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Salting for skew: replicate the dim across salt shards so a hot key
     // spreads over many tasks; result must equal the plain join.
     Q("j09_asof_join", (s, d) => {
@@ -431,6 +452,31 @@ object QueriesRelational {
         """SELECT CAST(least(floor(beta * 10), 9) AS INT) AS bucket, count(*) AS n
           |FROM beta GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Hierarchical totals in one pass: ROLLUP emits (lang, source),
+    // (lang, ALL), (ALL, ALL) levels from a single shuffle instead of a
+    // union of three aggregations — the standard reporting rollup shape.
+    Q("a11_rollup", (s, d) =>
+      Tables.table(s, d, "documents")
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first),
+      Some(
+        """SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+          |FROM documents GROUP BY ROLLUP(lang, source)
+          |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin)),
+
+    // Sketch cardinality: HLL++ estimate next to the exact distinct count.
+    // At 100 TB the exact count is a full shuffle of the key; the sketch is
+    // a fixed-size (~kB) mergeable register set per group — rows-only check
+    // (estimates are engine-specific) plus AnalyticSpec's error bound.
+    Q("a12_approx_distinct", (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_orderkey", 0.02).as("approx_orders"),
+          countDistinct("l_orderkey").as("exact_orders"))
+        .orderBy("l_returnflag"),
+      None),
+
     // ------------------------------------------------------------------
     // W — sorts / top-k / BH (reference top10k.py:11-14, volcano.R:138,
     // plots.R:162)
@@ -484,6 +530,76 @@ object QueriesRelational {
         |                   1.0) AS fdr
         |      FROM r)
         |SELECT probe_id, round(p, 6) AS p, round(fdr, 6) AS fdr FROM m ORDER BY probe_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // W4+ — windowed time-series analytics over the events table
+    // (beyond-reference scale tier: rolling features, deltas, running
+    // totals, gap-filled resampling — one hash shuffle on the partition
+    // key each, sort within partitions, no self-joins)
+    // ------------------------------------------------------------------
+
+    Q("w04_rolling_avg", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      ev.select(col("event_id"), col("user_id"),
+          round(avg("value").over(w), 6).as("roll_avg"))
+        .orderBy("event_id")
+    }, Some(
+      """SELECT event_id, user_id,
+        |       round(avg(value) OVER (PARTITION BY user_id
+        |         ORDER BY epoch_us(ts), event_id
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS roll_avg
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("w05_lag_delta", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      ev.select(col("event_id"),
+          round(col("value") - lag("value", 1).over(w), 6).as("delta"),
+          (col("ts_us") - lag("ts_us", 1).over(w)).as("gap_us"))
+        .orderBy("event_id")
+    }, Some(
+      """SELECT event_id,
+        |       round(value - lag(value, 1) OVER w, 6) AS delta,
+        |       epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY event_id""".stripMargin)),
+
+    Q("w06_cumulative_cents", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(col("event_id"), sum("cents").over(w).as("cum_cents"))
+        .orderBy("event_id")
+    }, Some(
+      """SELECT event_id,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("w07_gap_fill", (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("hour"))
+      graft.ops.Timeseries.gapFillCounts(ev, "user_id", "hour")
+        .orderBy("user_id", "hour")
+    }, Some(
+      """WITH c AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(hour) AS lo, max(hour) AS hi FROM c GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hour FROM sp)
+        |SELECT g.user_id, g.hour, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM grid g LEFT JOIN c USING (user_id, hour)
+        |ORDER BY 1, 2""".stripMargin)),
 
     // ------------------------------------------------------------------
     // SO — set ops (reference workflow.R:78, idat.r:96, dataset.py:123)
@@ -585,6 +701,23 @@ object QueriesRelational {
           |       count(*) AS n,
           |       CAST(sum(CAST(floor(l_quantity) AS INT)) AS BIGINT) AS sum_qty
           |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Semi-structured extraction: pull typed fields out of a JSON props
+    // column without a full parse-to-struct pass — the Spark side stays a
+    // codegen'd get_json_object scan, no UDF.
+    Q("f14_json_extract", (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type"),
+      Some(
+        """SELECT event_type, count(*) AS n,
+          |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+          |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ------------------------------------------------------------------
     // R — reshape / partitioned write (reference main.py:162-167,

@@ -131,6 +131,27 @@ object Relational {
       .drop("__bin")
   }
 
+  /** Bloom-pruned join: build a BloomFilter sketch over the dim side's join
+    * keys (one aggregation pass, sketch size ∝ expected keys, not data),
+    * broadcast it, and pre-filter the big side BEFORE the shuffle join —
+    * the runtime-filter pattern Spark's own
+    * `spark.sql.optimizer.runtime.bloomFilter` applies, made explicit so
+    * it also fires when the optimizer's heuristics decline. The exact join
+    * afterwards removes the sketch's false positives, so the result is
+    * bit-identical to the plain join; what changes is shuffle volume — at
+    * a 1% hit rate, 99% of the big side is dropped at the scan instead of
+    * being shuffled.
+    */
+  def bloomPruneJoin(big: DataFrame, dim: DataFrame, bigKey: String,
+                     dimKey: String, fpp: Double = 0.01): DataFrame = {
+    val expected = math.max(dim.count(), 64L)
+    val bf = dim.stat.bloomFilter(dimKey, expected, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    big.filter(mightContain(col(bigKey))).join(dim, col(bigKey) === col(dimKey))
+  }
+
   /** Skew-mitigated equi-join: the skewed (large) side's key is salted into
     * `salts` shards and the small-but-not-broadcastable side is replicated
     * across the shards, so one hot key spreads over `salts` tasks instead

@@ -33,4 +33,33 @@ class AnalyticSpec extends SparkSpec {
       .select("probe_id").as[String].collect()
     assert(got.toSeq == Seq("p2", "p3"))
   }
+
+  test("approx_count_distinct stays within its configured error bound") {
+    val df = (1L to 20000L).map(k => (k % 7, k % 5000)).toDF("g", "k")
+    val rows = df.groupBy("g")
+      .agg(approx_count_distinct("k", 0.02).as("est"),
+        countDistinct("k").as("exact"))
+      .collect()
+    rows.foreach { r =>
+      val est = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      // 0.02 is the target rsd; allow 4 sigma
+      assert(math.abs(est - exact) / exact < 0.08, s"g=${r.get(0)}: $est vs $exact")
+    }
+  }
+
+  test("VecMeanAgg matches the posexplode restatement of the centroid") {
+    val vecs = Seq(
+      (0, Seq(1.0f, 2.0f, 3.0f)), (0, Seq(3.0f, 2.0f, 1.0f)),
+      (1, Seq(10.0f, 0.0f, -2.0f)))
+      .toDF("label", "embedding")
+    val vecMean = udaf(new graft.functions.VecMeanAgg(3))
+    val agg = vecs.groupBy("label").agg(vecMean(col("embedding")).as("c"))
+      .select(col("label"), posexplode(col("c")).as(Seq("dim", "v")))
+    val naive = vecs.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .groupBy("label", "dim").agg(avg("e").as("v"))
+    val diff = agg.join(naive, Seq("label", "dim"))
+      .select(abs(agg("v") - naive("v")).as("d")).agg(max("d")).head().getDouble(0)
+    assert(diff < 1e-9)
+  }
 }

@@ -60,6 +60,28 @@ class RelationalSpec extends SparkSpec {
     assert(got(3).isNullAt(3) && got(3).isNullAt(4))
   }
 
+  test("bloomPruneJoin is bit-identical to the plain join") {
+    val big = (1L to 2000L).map(k => (k % 97, k)).toDF("key", "v")
+    val dim = (0L to 96L by 7).map(k => (k, s"d$k")).toDF("dkey", "tag")
+    val plain = big.join(dim, col("key") === col("dkey"))
+      .agg(count(lit(1)), sum("v")).head()
+    val pruned = Relational.bloomPruneJoin(big, dim, "key", "dkey")
+      .agg(count(lit(1)), sum("v")).head()
+    assert(plain == pruned)
+  }
+
+  test("gapFillCounts fills interior holes with zeros, bounded by each key's span") {
+    import graft.ops.Timeseries
+    val ev = Seq(("u1", 3L), ("u1", 3L), ("u1", 6L), ("u2", 10L))
+      .toDF("user", "bucket")
+    val got = Timeseries.gapFillCounts(ev, "user", "bucket")
+      .orderBy("user", "bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("u1", 3L, 2L), ("u1", 4L, 0L), ("u1", 5L, 0L), ("u1", 6L, 1L),
+      ("u2", 10L, 1L)))
+  }
+
   test("rangeJoinBinned equals the naive theta-join across bin boundaries") {
     // intervals chosen to straddle, align with, and dodge the 10-wide bins
     val intervals = Seq((1, 5L, 15L), (2, 10L, 20L), (3, 0L, 35L), (4, 38L, 39L))
