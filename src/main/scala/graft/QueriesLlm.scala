@@ -352,6 +352,25 @@ object QueriesLlm {
         |       CAST(length(raw) - length(redacted) AS BIGINT) AS chars_removed
         |FROM red ORDER BY doc_id""".stripMargin)),
 
+    // Unigram-LM quality proxy (perplexity-filter stand-in).
+    Q("t08_unigram_logprob", (s, d) =>
+      TextAnalysis.unigramLogProb(docs(s, d))
+        .select(col("doc_id"), col("n_toks"),
+          round(col("mean_logprob"), 6).as("mean_logprob"))
+        .orderBy("doc_id"),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+          |  FROM documents),
+          |tk AS (SELECT * FROM toks WHERE w != ''),
+          |tf AS (SELECT w, count(*) AS cw FROM tk GROUP BY 1),
+          |n AS (SELECT CAST(sum(cw) AS BIGINT) AS nt FROM tf)
+          |SELECT t.doc_id, count(*) AS n_toks,
+          |       round(avg(ln(CAST(tf.cw AS DOUBLE) / CAST(n.nt AS DOUBLE))), 6) AS mean_logprob
+          |FROM tk t JOIN tf USING (w), n
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("t05_tfidf", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val scored = TextAnalysis.tfIdf(docs(s, d))

@@ -50,14 +50,25 @@ object ScaleSmoke {
     Seq("region", "nation", "customer").foreach { n =>
       Tables.table(spark, src, n).write.mode("overwrite").parquet(s"$out/$n.parquet")
     }
-    Tables.events(spark, src).write.mode("overwrite").parquet(s"$out/events.parquet")
+    // Events replicate with user/event offsets (users multiply, the time
+    // axis stays fixed — the realistic growth direction for an event log).
+    locally {
+      val ev = Tables.events(spark, src)
+      (0 until reps).map(i => ev
+        .withColumn("event_id", col("event_id") + i * oOff)
+        .withColumn("user_id", col("user_id") + i * sOff))
+        .reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
     println(s"[scale] built ${reps}x replica at $out")
 
     val queries = Seq("w01_topk_variance", "p09_qc_sample_filter", "j01_outer_merge_runs",
       "k03_dmp_pass1", "k03_dmp_multicontrast_moderated", "w03_bh_adjust",
       "d02_ngram_jaccard", "d03_minhash_lsh", "d04_simhash",
       "d05_embedding_neardup", "n01_ann_cosine_topk", "d01_dedup_exact", "t03_token_count",
-      "c05_sequence_packing", "t06_repetition")
+      "c05_sequence_packing", "t06_repetition",
+      "j09_asof_join", "j10_range_join_binned", "w04_rolling_avg", "w07_gap_fill",
+      "b02_bloom_prune_join", "n04_embedding_centroid", "t07_pii_redact")
     Seq("1x" -> src, s"${reps}x" -> out).foreach { case (tag, dir) =>
       queries.foreach { qn =>
         val t0 = System.nanoTime()

@@ -99,4 +99,25 @@ object TextAnalysis {
         col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double")))
       .select("doc_id", "w", "tf", "df", "tfidf")
   }
+
+  /** Unigram LM quality proxy (the cheap stand-in for a KenLM perplexity
+    * filter): corpus unigram probabilities from one aggregation pass, then
+    * each doc scored by its mean token log-probability. Repetitive or
+    * ultra-common-word text scores high, rare-gibberish text scores low —
+    * filter on either tail. Shuffle keys are the natural ones (token, then
+    * doc); the corpus-size scalar rides a broadcast, nothing driver-side.
+    */
+  def unigramLogProb(docs: org.apache.spark.sql.DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(normalized(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+    val total = tf.agg(sum("cw").as("nt"))
+    toks.join(tf, "w")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        avg(log(col("cw").cast("double") / col("nt").cast("double"))).as("mean_logprob"))
+  }
 }

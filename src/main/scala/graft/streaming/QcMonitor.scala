@@ -67,6 +67,28 @@ object QcMonitor {
       }
   }
 
+  /** Stream-stream interval join (attribution): each purchase joins the
+    * views by the same user within the preceding hour. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can expire buffered rows — per-key state is one hour of views
+    * plus the watermark delays, independent of stream length. That bounded
+    * state is the whole design: an unconstrained stream-stream join would
+    * buffer both streams forever.
+    */
+  def attributionJoin(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "30 minutes")
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "30 minutes")
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("ts") &&
+        col("v_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("view_id"), col("ts").as("purchase_ts"), col("v_ts").as("view_ts"))
+  }
+
   /** Streaming incremental dedup: the streaming flavor of
     * llm/Curation.incrementalDedup — an incoming document stream is
     * fingerprinted, anti-joined against the STATIC corpus fingerprint set

@@ -76,4 +76,29 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set(2L, 4L))
     } finally q.stop()
   }
+
+  test("attributionJoin matches purchases to same-user views within the hour") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val q = QcMonitor.attributionJoin(
+        purchases.toDF().toDF("event_id", "ts", "user_id"),
+        views.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        (11L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L), // in window
+        (12L, Timestamp.valueOf("2024-01-01 09:00:00"), 1L), // > 1h before
+        (13L, Timestamp.valueOf("2024-01-01 10:15:00"), 2L)) // other user
+      purchases.addData((21L, Timestamp.valueOf("2024-01-01 10:30:00"), 1L))
+      q.processAllAvailable()
+      val got = sp.table("attr_out")
+        .select("purchase_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((21L, 11L)))
+    } finally q.stop()
+  }
 }
