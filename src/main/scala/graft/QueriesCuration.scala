@@ -261,6 +261,31 @@ object QueriesCuration {
     Q("c05_sequence_packing", (s, d) =>
       Curation.packSequences(docs(s, d), capacity = 512).toDF()
         .orderBy("doc_id"),
-      None)
+      None),
+
+    // Context-window chunking: 50-token windows, stride 40 (10-token
+    // overlap) — the step that feeds c05's packer.
+    Q("c09_chunk_documents", (s, d) =>
+      Curation.chunkDocuments(docs(s, d), chunkSize = 50, stride = 40)
+        .select(col("doc_id"), col("chunk_id"), col("n_toks"),
+          md5(col("chunk")).as("fp"))
+        .orderBy("doc_id", "chunk_id"),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+          |  FROM documents),
+          |k AS (SELECT doc_id, ws,
+          |             CASE WHEN len(ws) <= 50 THEN 1
+          |                  ELSE CAST(ceil((len(ws) - 50) / 40.0) AS BIGINT) + 1 END AS k
+          |      FROM toks),
+          |ch AS (SELECT doc_id, unnest(range(k)) AS chunk_id, ws FROM k),
+          |sl AS (SELECT doc_id, chunk_id,
+          |              list_slice(ws, CAST(chunk_id * 40 + 1 AS BIGINT),
+          |                         CAST(chunk_id * 40 + 50 AS BIGINT)) AS chunk_toks
+          |       FROM ch)
+          |SELECT doc_id, chunk_id, CAST(len(chunk_toks) AS BIGINT) AS n_toks,
+          |       md5(array_to_string(chunk_toks, ' ')) AS fp
+          |FROM sl ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }

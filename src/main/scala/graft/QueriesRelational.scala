@@ -781,6 +781,22 @@ object QueriesRelational {
         |FROM (SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
         |      UNION ALL
         |      SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part)
-        |GROUP BY 1 ORDER BY 1""".stripMargin))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // JSONL training-export sink: to_json(struct(...)) → text files →
+    // re-read. The oracle reconstructs Spark's compact JSON encoding
+    // byte-for-byte, so the round-trip (serialize, write, read) is
+    // value-checked, not just counted.
+    Q("r06_jsonl_export", (s, d) => {
+      val out = s"${Q.scratch}/r06_jsonl"
+      Tables.table(s, d, "documents")
+        .select(to_json(struct(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out).orderBy("value")
+    }, Some(
+      """SELECT '{"doc_id":' || doc_id || ',"lang":"' || lang ||
+        |       '","source":"' || source || '","n_chars":' || n_chars || '}' AS value
+        |FROM documents ORDER BY 1""".stripMargin))
   )
 }

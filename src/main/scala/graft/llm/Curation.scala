@@ -335,4 +335,32 @@ object Curation {
       }
     }(Encoders.product[PackedDoc])
   }
+
+  /** Split each document into fixed-size token windows with overlap (the
+    * context-window chunking step upstream of sequence packing; stride =
+    * chunkSize − overlap). Row-local: tokenization, chunk-count arithmetic
+    * and the per-chunk slice all happen inside one projection + a bounded
+    * explode (≈ tokens/stride rows per doc) — no shuffle at all until a
+    * consumer aggregates, and chunk boundaries are deterministic pure
+    * arithmetic, so the operator is embarrassingly parallel at corpus
+    * scale.
+    */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int, stride: Int,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(stride > 0 && stride <= chunkSize)
+    val toks = split(TextAnalysis.normalized(col(textCol)), " ")
+    val n = size(toks)
+    val k = when(n <= chunkSize, lit(1L))
+      .otherwise(ceil((n - chunkSize).cast("double") / stride).cast("long") + 1L)
+    docs.select(col(idCol).as("doc_id"), toks.as("__toks"), k.as("__k"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("__k") - 1L)).as("chunk_id"),
+        col("__toks"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize))
+          .as("__chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("__chunk")).cast("bigint").as("n_toks"),
+        array_join(col("__chunk"), " ").as("chunk"))
+  }
 }

@@ -194,4 +194,22 @@ class CurationSpec extends SparkSpec {
     val oversizedBin = packed.find(_.doc_id == 1L).get.bin_id
     assert(packed.count(_.bin_id == oversizedBin) == 1)
   }
+
+  test("chunkDocuments covers every token with the declared overlap") {
+    // 12 tokens, chunk 5, stride 3 → ceil((12-5)/3)+1 = 4 chunks
+    val words = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words), (2L, "a b c")).toDF("doc_id", "text")
+    val got = Curation.chunkDocuments(docs, chunkSize = 5, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "n_toks", "chunk")
+      .as[(Long, Long, Long, String)].collect()
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._4).toSeq == Seq(
+      "w1 w2 w3 w4 w5", "w4 w5 w6 w7 w8", "w7 w8 w9 w10 w11", "w10 w11 w12"))
+    // short doc → one whole-doc chunk
+    assert(got.filter(_._1 == 2L).map(_._4).toSeq == Seq("a b c"))
+    // every source token appears in some chunk (full coverage)
+    val covered = d1.flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 12).map(i => s"w$i").toSet)
+  }
 }
