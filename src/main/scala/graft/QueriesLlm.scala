@@ -199,6 +199,37 @@ object QueriesLlm {
         |FROM embeddings e, dims d
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Int8 scalar quantization for embedding storage (4× smaller vectors
+    // for the 100 TB ANN index): clamp to [-1,1], scale to 0..255. Pure
+    // row-local higher-order functions (transform/aggregate) — zero
+    // shuffle, embarrassingly parallel; reconstruction error reported
+    // per vector.
+    Q("n05_vector_quantize", (s, d) => {
+      val quant = transform(col("embedding"), x =>
+        floor((least(greatest(x.cast("double"), lit(-1.0)), lit(1.0)) + 1.0) * 127.5)
+          .cast("bigint"))
+      val absErr = transform(col("embedding"), x => {
+        val xd = x.cast("double")
+        val cl = least(greatest(xd, lit(-1.0)), lit(1.0))
+        abs(xd - (floor((cl + 1.0) * 127.5) / 127.5 - 1.0))
+      })
+      emb(s, d).select(col("vec_id"),
+          md5(array_join(quant, ",")).as("fp"),
+          round(aggregate(absErr, lit(0.0), (acc, v) => acc + v) / 64.0, 6)
+            .as("mean_abs_err"))
+        .orderBy("vec_id")
+    }, Some(
+      """SELECT vec_id,
+        |       md5(array_to_string(
+        |         list_transform(embedding, x ->
+        |           CAST(floor((least(greatest(CAST(x AS DOUBLE), -1), 1) + 1) * 127.5) AS BIGINT)),
+        |         ',')) AS fp,
+        |       round(CAST(list_sum(list_transform(embedding, x ->
+        |           abs(CAST(x AS DOUBLE) -
+        |               (floor((least(greatest(CAST(x AS DOUBLE), -1), 1) + 1) * 127.5) / 127.5 - 1))))
+        |         AS DOUBLE) / 64.0, 6) AS mean_abs_err
+        |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
     // ------------------------------------------------------------------
     // Text analysis
     // ------------------------------------------------------------------

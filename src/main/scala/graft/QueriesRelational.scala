@@ -477,6 +477,24 @@ object QueriesRelational {
         .orderBy("l_returnflag"),
       None),
 
+    // Top-k per group: rank window AFTER the aggregation, so the window
+    // input is one row per (group, item), never raw observations.
+    Q("a13_topk_per_group", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.table(s, d, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("source").asc)
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("lang"), col("rk").cast("bigint").as("rk"), col("source"), col("n"))
+        .orderBy("lang", "rk")
+    }, Some(
+      """SELECT lang, rk, source, n FROM (
+        |  SELECT lang, source, n,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, source) AS BIGINT) AS rk
+        |  FROM (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2))
+        |WHERE rk <= 2 ORDER BY lang, rk""".stripMargin)),
+
     // ------------------------------------------------------------------
     // W — sorts / top-k / BH (reference top10k.py:11-14, volcano.R:138,
     // plots.R:162)
