@@ -463,6 +463,33 @@ object QueriesLlm {
         |  ('c.gif', 'gif', 7, 1)
         |) t(file, format, width, height) ORDER BY file""".stripMargin)),
 
+    // Full pixel decode through the JDK's own ImageIO codecs: lossless PNG
+    // fixtures with a known spectrum pattern, exact per-channel integer
+    // sums checked against hand-computed VALUES. A decoy exercises the
+    // unreadable-payload drop path.
+    Q("m03_image_pixels", (s, _) => {
+      val dir = java.nio.file.Paths.get(s"${Q.scratch}/m03/images")
+      java.nio.file.Files.createDirectories(dir)
+      def img(w: Int, h: Int) = {
+        val b = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h)
+          b.setRGB(x, y, ((x.toLong * 2654435761L + y.toLong * 40503L) & 0xffffff).toInt)
+        b
+      }
+      javax.imageio.ImageIO.write(img(5, 3), "png", dir.resolve("p1.png").toFile)
+      javax.imageio.ImageIO.write(img(8, 4), "png", dir.resolve("p2.png").toFile)
+      javax.imageio.ImageIO.write(img(6, 2), "png", dir.resolve("p3.png").toFile)
+      java.nio.file.Files.writeString(dir.resolve("junk.txt"), "not an image")
+      Multimodal.imagePixelFeatures(s.read.format("binaryFile").load(dir.toString))
+        .orderBy("file")
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  ('p1.png', 5, 3, CAST(1667 AS BIGINT), CAST(1665 AS BIGINT), CAST(1783 AS BIGINT)),
+        |  ('p2.png', 8, 4, CAST(3155 AS BIGINT), CAST(4057 AS BIGINT), CAST(3776 AS BIGINT)),
+        |  ('p3.png', 6, 2, CAST(1150 AS BIGINT), CAST(1522 AS BIGINT), CAST(1544 AS BIGINT))
+        |) t(file, width, height, sum_r, sum_g, sum_b) ORDER BY file""".stripMargin)),
+
     // Stub tier: opaque-binary packing + per-partition batched feature
     // extraction over text payloads (the mapInPandas plumbing shape); the
     // pixel-decode stand-in is a deterministic fake, oracle-checked.

@@ -11,11 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * Real decode tier: [[decodeImageMeta]] parses actual image container
   * headers (PNG IHDR, JPEG SOFn, GIF logical screen descriptor) from raw
-  * bytes — no codec dependency, pure JVM — which is the metadata extraction
-  * a training-data pipeline runs at ingest. Full pixel decode / resize /
-  * frame-sample would slot into the same per-partition iterator; that step
-  * alone remains a clearly-marked deterministic STUB ([[extractFeatures]])
-  * because the container ships no pixel codecs.
+  * bytes — no codec dependency, pure JVM — and [[imagePixelFeatures]] runs
+  * a full pixel decode through the JDK's built-in ImageIO codecs with
+  * exact integer channel sums as features. Decode for formats the JRE has
+  * no codec for (audio/video) would slot into the same per-partition
+  * iterator; only that external-codec case remains a clearly-marked
+  * deterministic STUB ([[extractFeatures]]).
   */
 object Multimodal {
 
@@ -123,6 +124,48 @@ object Multimodal {
         it.flatMap { case (file, bytes) =>
           decodeImageMeta(bytes).map { case (fmt, w, h) =>
             ImageMeta(file, fmt, w, h, bytes.length.toLong)
+          }
+        }
+      }.toDF()
+  }
+
+  final case class ImagePixelFeat(file: String, width: Int, height: Int,
+                                  sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Real pixel decode via the JDK's own ImageIO codecs (PNG/GIF/JPEG
+    * readers ship with the JRE — no external dependency): per-partition
+    * batched decode over binaryFile payloads, exact integer per-channel
+    * sums as the extracted feature (deterministic, unlike float means, so
+    * it is VALUES-oracle-checkable for lossless formats). This fills the
+    * decode slot [[extractFeatures]] reserves: same iterator shape, real
+    * bytes → real pixels. Unreadable payloads are dropped (quarantine sink
+    * in a real pipeline).
+    */
+  def imagePixelFeatures(binaryFiles: DataFrame): DataFrame = {
+    val spark = binaryFiles.sparkSession
+    import spark.implicits._
+    binaryFiles
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init point (decoder handle reuse goes here)
+        it.flatMap { case (file, bytes) =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: java.io.IOException => None }
+          img.map { im =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < im.getHeight) {
+              var x = 0
+              while (x < im.getWidth) {
+                val v = im.getRGB(x, y)
+                sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            ImagePixelFeat(file, im.getWidth, im.getHeight, sr, sg, sb)
           }
         }
       }.toDF()

@@ -41,4 +41,26 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
     assert(rows == Set(("x.png", "png", 3, 4), ("y.gif", "gif", 6, 2)))
   }
+
+  test("imagePixelFeatures recovers exact channel sums from a lossless round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("mmpix")
+    val w = 9; val h = 5
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for (x <- 0 until w; y <- 0 until h) {
+      val v = ((x.toLong * 104729L + y.toLong * 7919L) & 0xffffff).toInt
+      img.setRGB(x, y, v)
+      er += (v >> 16) & 0xff; eg += (v >> 8) & 0xff; eb += v & 0xff
+    }
+    javax.imageio.ImageIO.write(img, "png", dir.resolve("t.png").toFile)
+    java.nio.file.Files.writeString(dir.resolve("bad.txt"), "decoy")
+    val rows = Multimodal.imagePixelFeatures(
+        spark.read.format("binaryFile").load(dir.toString))
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getString(0), r.getInt(1), r.getInt(2)) == (("t.png", w, h)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((er, eg, eb)))
+  }
 }
