@@ -490,6 +490,37 @@ object QueriesLlm {
         |  ('p3.png', 6, 2, CAST(1150 AS BIGINT), CAST(1522 AS BIGINT), CAST(1544 AS BIGINT))
         |) t(file, width, height, sum_r, sum_g, sum_b) ORDER BY file""".stripMargin)),
 
+    // Deterministic nearest-neighbor resize to a 3×2 thumbnail over the
+    // same m03 PNG fixtures: exact channel sums + thumbnail fingerprint
+    // vs hand-computed VALUES.
+    Q("m04_image_resize", (s, _) => {
+      val dir = java.nio.file.Paths.get(s"${Q.scratch}/m03/images")
+      java.nio.file.Files.createDirectories(dir)
+      def img(w: Int, h: Int) = {
+        val b = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h)
+          b.setRGB(x, y, ((x.toLong * 2654435761L + y.toLong * 40503L) & 0xffffff).toInt)
+        b
+      }
+      javax.imageio.ImageIO.write(img(5, 3), "png", dir.resolve("p1.png").toFile)
+      javax.imageio.ImageIO.write(img(8, 4), "png", dir.resolve("p2.png").toFile)
+      javax.imageio.ImageIO.write(img(6, 2), "png", dir.resolve("p3.png").toFile)
+      java.nio.file.Files.writeString(dir.resolve("junk.txt"), "not an image")
+      Multimodal.resizeNearest(
+          s.read.format("binaryFile").load(dir.toString), tw = 3, th = 2)
+        .orderBy("file")
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  ('p1.png', 3, 2, CAST(444 AS BIGINT), CAST(422 AS BIGINT), CAST(557 AS BIGINT),
+        |   '1f83f45b08b107d3e2739782c7567ef2'),
+        |  ('p2.png', 3, 2, CAST(266 AS BIGINT), CAST(602 AS BIGINT), CAST(760 AS BIGINT),
+        |   '3b468bff14946a290eb3e49f9a64ce6a'),
+        |  ('p3.png', 3, 2, CAST(664 AS BIGINT), CAST(908 AS BIGINT), CAST(753 AS BIGINT),
+        |   '559952a0a297d0bcc85ba7f1d180b776')
+        |) t(file, t_width, t_height, sum_r, sum_g, sum_b, thumb_fp)
+        |ORDER BY file""".stripMargin)),
+
     // Stub tier: opaque-binary packing + per-partition batched feature
     // extraction over text payloads (the mapInPandas plumbing shape); the
     // pixel-decode stand-in is a deterministic fake, oracle-checked.

@@ -171,6 +171,55 @@ object Multimodal {
       }.toDF()
   }
 
+  final case class ThumbRow(file: String, t_width: Int, t_height: Int,
+                            sum_r: Long, sum_g: Long, sum_b: Long, thumb_fp: String)
+
+  /** Deterministic nearest-neighbor resize (the thumbnail/downsample step
+    * of an image-ingest pipeline): decode via JDK ImageIO, sample source
+    * pixel `(tx·w/tw, ty·h/th)` for each target pixel — explicit integer
+    * index arithmetic, no interpolation, so the thumbnail is bit-exact
+    * reproducible across JVMs (Graphics2D filtering would not be). Emits
+    * exact channel sums plus an md5 fingerprint of the raw thumbnail
+    * pixels. Same per-partition batched iterator shape as the other
+    * decode ops.
+    */
+  def resizeNearest(binaryFiles: DataFrame, tw: Int, th: Int): DataFrame = {
+    val spark = binaryFiles.sparkSession
+    import spark.implicits._
+    binaryFiles
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
+        it.flatMap { case (file, bytes) =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: java.io.IOException => None }
+          img.map { im =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            val parts = new StringBuilder
+            var ty = 0
+            while (ty < th) {
+              var tx = 0
+              while (tx < tw) {
+                val v = im.getRGB(tx * im.getWidth / tw, ty * im.getHeight / th)
+                val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff; val b = v & 0xff
+                sr += r; sg += g; sb += b
+                if (parts.nonEmpty) parts.append(';')
+                parts.append(r).append(',').append(g).append(',').append(b)
+                tx += 1
+              }
+              ty += 1
+            }
+            md.reset()
+            val fp = md.digest(parts.toString.getBytes(StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString
+            ThumbRow(file, tw, th, sr, sg, sb, fp)
+          }
+        }
+      }.toDF()
+  }
+
   /** UTF-8 byte length sanity helper used by tests. */
   def utf8Len(s: String): Int = s.getBytes(StandardCharsets.UTF_8).length
 }
