@@ -521,6 +521,27 @@ object QueriesLlm {
         |) t(file, t_width, t_height, sum_r, sum_g, sum_b, thumb_fp)
         |ORDER BY file""".stripMargin)),
 
+    // Real audio decode: RIFF/WAVE 16-bit PCM parsed from raw bytes, exact
+    // integer loudness features vs hand-computed VALUES.
+    Q("m05_audio_wav", (s, _) => {
+      val dir = java.nio.file.Paths.get(s"${Q.scratch}/m05/audio")
+      java.nio.file.Files.createDirectories(dir)
+      def pcm(n: Int, mul: Int): Array[Short] =
+        Array.tabulate(n)(i => (((i * mul) % 2048) - 1024).toShort)
+      java.nio.file.Files.write(dir.resolve("a.wav"),
+        Multimodal.encodeWavPcm16Mono(pcm(500, 37), 8000))
+      java.nio.file.Files.write(dir.resolve("b.wav"),
+        Multimodal.encodeWavPcm16Mono(pcm(300, 91), 16000))
+      java.nio.file.Files.writeString(dir.resolve("junk.txt"), "not audio")
+      Multimodal.wavFeatures(s.read.format("binaryFile").load(dir.toString))
+        .orderBy("file")
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  ('a.wav', 1, 8000, CAST(500 AS BIGINT), CAST(256912 AS BIGINT), CAST(1024 AS BIGINT)),
+        |  ('b.wav', 1, 16000, CAST(300 AS BIGINT), CAST(155274 AS BIGINT), CAST(1024 AS BIGINT))
+        |) t(file, channels, sample_rate, n_samples, sum_abs, peak)
+        |ORDER BY file""".stripMargin)),
+
     // Stub tier: opaque-binary packing + per-partition batched feature
     // extraction over text payloads (the mapInPandas plumbing shape); the
     // pixel-decode stand-in is a deterministic fake, oracle-checked.

@@ -220,6 +220,85 @@ object Multimodal {
       }.toDF()
   }
 
+  final case class WavMeta(file: String, channels: Int, sample_rate: Int,
+                           n_samples: Long, sum_abs: Long, peak: Long)
+
+  /** Real audio decode: RIFF/WAVE PCM parser over raw bytes (RIFF spec:
+    * "RIFF"+size+"WAVE", then chunks; "fmt " carries format 1 = integer
+    * PCM with channels/rate/bits, "data" carries little-endian samples).
+    * Pure byte arithmetic — 16-bit PCM needs no codec — emitting exact
+    * integer loudness features (abs-sum, peak). Non-PCM or malformed
+    * payloads are dropped. Same per-partition batched iterator shape as
+    * the image decodes.
+    */
+  def decodeWavPcm16(b: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    def tag(i: Int) = new String(b, i, 4, StandardCharsets.US_ASCII)
+    def le32(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // (audioFormat, channels, rate)
+    var bits = 0
+    while (i + 8 <= b.length) {
+      val id = tag(i)
+      val size = le32(i + 4)
+      if (id == "fmt " && size >= 16) {
+        fmt = Some((le16(b, i + 8), le16(b, i + 10), le32(i + 12)))
+        bits = le16(b, i + 22)
+      } else if (id == "data") {
+        return fmt.collect { case (1, ch, rate) if bits == 16 && ch > 0 =>
+          val n = math.min(size, b.length - i - 8) / 2
+          var s = 0L; var peak = 0L
+          var k = 0
+          while (k < n) {
+            val v = ((b(i + 8 + 2 * k) & 0xff) | (b(i + 9 + 2 * k) << 8)).toLong
+            val a = math.abs(v)
+            s += a
+            if (a > peak) peak = a
+            k += 1
+          }
+          (ch, rate, n.toLong / ch, s, peak)
+        }
+      }
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** binaryFile-ingested WAVs → exact loudness/metadata features. */
+  def wavFeatures(binaryFiles: DataFrame): DataFrame = {
+    val spark = binaryFiles.sparkSession
+    import spark.implicits._
+    binaryFiles
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init point (decoder handle reuse goes here)
+        it.flatMap { case (file, bytes) =>
+          decodeWavPcm16(bytes).map { case (ch, rate, n, sumAbs, peak) =>
+            WavMeta(file, ch, rate, n, sumAbs, peak)
+          }
+        }
+      }.toDF()
+  }
+
+  /** Serialize mono 16-bit PCM to a canonical RIFF/WAVE byte array (the
+    * fixture writer for [[wavFeatures]]; also usable as a sink encoder).
+    */
+  def encodeWavPcm16Mono(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + dataLen)
+      .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+      .put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes(StandardCharsets.US_ASCII)).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
   /** UTF-8 byte length sanity helper used by tests. */
   def utf8Len(s: String): Int = s.getBytes(StandardCharsets.UTF_8).length
 }

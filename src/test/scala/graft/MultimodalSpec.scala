@@ -63,4 +63,16 @@ class MultimodalSpec extends SparkSpec {
     assert((r.getString(0), r.getInt(1), r.getInt(2)) == (("t.png", w, h)))
     assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((er, eg, eb)))
   }
+
+  test("decodeWavPcm16 round-trips the canonical encoder and rejects junk") {
+    val samples = Array.tabulate(64)(i => ((i * 523) % 4096 - 2048).toShort)
+    val bytes = Multimodal.encodeWavPcm16Mono(samples, 44100)
+    val Some((ch, rate, n, sumAbs, peak)) = Multimodal.decodeWavPcm16(bytes)
+    assert((ch, rate, n) == ((1, 44100, 64L)))
+    assert(sumAbs == samples.map(s => math.abs(s.toLong)).sum)
+    assert(peak == samples.map(s => math.abs(s.toLong)).max)
+    assert(Multimodal.decodeWavPcm16("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.decodeWavPcm16(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeWavPcm16(bytes.take(30)).isEmpty)
+  }
 }
