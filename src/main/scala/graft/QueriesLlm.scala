@@ -542,6 +542,33 @@ object QueriesLlm {
         |) t(file, channels, sample_rate, n_samples, sum_abs, peak)
         |ORDER BY file""".stripMargin)),
 
+    // Temporal frame sampling: a 6-frame animated GIF (written by the
+    // engine's own bit-exact GIF89a encoder), every 2nd frame decoded via
+    // the JDK multi-image reader, exact channel sums vs hand-computed
+    // VALUES.
+    Q("m06_gif_frames", (s, _) => {
+      val dir = java.nio.file.Paths.get(s"${Q.scratch}/m06/video")
+      java.nio.file.Files.createDirectories(dir)
+      val (w, h) = (4, 3)
+      val palette = Array.tabulate(16)(i => (i * 17, 255 - i * 17, (i * 37) % 256))
+      def idx(f: Int) = Array.tabulate(w * h) { p =>
+        val x = p % w; val y = p / w
+        (f * 5 + x * 3 + y * 7) % 16
+      }
+      java.nio.file.Files.write(dir.resolve("anim.gif"),
+        Multimodal.encodeAnimatedGif16(w, h, palette, (0 until 6).map(idx)))
+      java.nio.file.Files.writeString(dir.resolve("junk.txt"), "not video")
+      Multimodal.gifFrameFeatures(
+          s.read.format("binaryFile").load(dir.toString), stride = 2)
+        .orderBy("file", "frame_id")
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  ('anim.gif', 0, 4, 3, CAST(1258 AS BIGINT), CAST(1802 AS BIGINT), CAST(946 AS BIGINT)),
+        |  ('anim.gif', 2, 4, 3, CAST(1394 AS BIGINT), CAST(1666 AS BIGINT), CAST(986 AS BIGINT)),
+        |  ('anim.gif', 4, 4, 3, CAST(1530 AS BIGINT), CAST(1530 AS BIGINT), CAST(1282 AS BIGINT))
+        |) t(file, frame_id, width, height, sum_r, sum_g, sum_b)
+        |ORDER BY file, frame_id""".stripMargin)),
+
     // Stub tier: opaque-binary packing + per-partition batched feature
     // extraction over text payloads (the mapInPandas plumbing shape); the
     // pixel-decode stand-in is a deterministic fake, oracle-checked.

@@ -299,6 +299,97 @@ object Multimodal {
     out.array()
   }
 
+  final case class FrameFeat(file: String, frame_id: Int, width: Int,
+                             height: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Frame sampling over animated GIFs (the video-style temporal decode,
+    * via the JDK's multi-image GIF reader): keep every `stride`-th frame,
+    * emit exact per-frame channel sums. Palette-indexed GIF frames decode
+    * losslessly, so the features are bit-exact. Per-partition batched:
+    * one reader instance per partition, payloads streamed through it.
+    */
+  def gifFrameFeatures(binaryFiles: DataFrame, stride: Int): DataFrame = {
+    val spark = binaryFiles.sparkSession
+    import spark.implicits._
+    binaryFiles
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next() // per-partition init
+        val out = it.flatMap { case (file, bytes) =>
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            (0 until n by stride).map { f =>
+              val im = reader.read(f)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < im.getHeight) {
+                var x = 0
+                while (x < im.getWidth) {
+                  val v = im.getRGB(x, y)
+                  sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              FrameFeat(file, f, im.getWidth, im.getHeight, sr, sg, sb)
+            }
+          } catch { case _: java.io.IOException => Seq.empty }
+        }
+        out
+      }.toDF()
+  }
+
+  /** Minimal GIF89a encoder for 16-color palette-indexed animated frames
+    * (fixture writer / sink encoder for [[gifFrameFeatures]]). Bit-exact
+    * by construction: the global color table is written verbatim and each
+    * pixel is emitted as a literal LZW code with a clear code every few
+    * symbols (the standard "uncompressed GIF" technique), so no quantizer
+    * ever touches the colors — unlike the JDK's GIF *writer*, whose
+    * palette handling is lossy (its *reader*, the operator under test,
+    * decodes this stream exactly). GIF89a spec: header/LSD §17-18, image
+    * descriptor §20, LZW data §22.
+    */
+  def encodeAnimatedGif16(width: Int, height: Int,
+                          palette: Array[(Int, Int, Int)],
+                          frames: Seq[Array[Int]]): Array[Byte] = {
+    require(palette.length == 16)
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes(StandardCharsets.US_ASCII))
+    le16(width); le16(height)
+    out.write(0xf3) // global table, 8-bit color resolution, 16 entries
+    out.write(0); out.write(0)
+    palette.foreach { case (r, g, b) => out.write(r); out.write(g); out.write(b) }
+    frames.foreach { px =>
+      require(px.length == width * height)
+      out.write(0x2c); le16(0); le16(0); le16(width); le16(height); out.write(0)
+      out.write(4) // LZW min code size for a 16-color palette
+      // 5-bit codes, LSB-first; clear(16) resets the table before it can
+      // force a width bump, so every pixel index is a literal code.
+      val data = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nbits = 0
+      def put(code: Int): Unit = {
+        acc |= (code.toLong << nbits); nbits += 5
+        while (nbits >= 8) { data.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+      }
+      put(16) // initial clear
+      px.grouped(10).foreach { chunk => chunk.foreach(put); put(16) }
+      put(17) // end of information
+      if (nbits > 0) data.write((acc & 0xff).toInt)
+      data.toByteArray.grouped(255).foreach { blk =>
+        out.write(blk.length); out.write(blk)
+      }
+      out.write(0) // block terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   /** UTF-8 byte length sanity helper used by tests. */
   def utf8Len(s: String): Int = s.getBytes(StandardCharsets.UTF_8).length
 }

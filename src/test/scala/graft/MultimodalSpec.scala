@@ -75,4 +75,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWavPcm16(Array.empty[Byte]).isEmpty)
     assert(Multimodal.decodeWavPcm16(bytes.take(30)).isEmpty)
   }
+
+  test("gifFrameFeatures samples frames losslessly at the given stride") {
+    val (w, h, nFrames) = (4, 3, 6)
+    val palette = Array.tabulate(16)(i => (i * 17, 255 - i * 17, (i * 37) % 256))
+    def idx(f: Int) = Array.tabulate(w * h) { p =>
+      val x = p % w; val y = p / w
+      (f * 5 + x * 3 + y * 7) % 16
+    }
+    val dir = java.nio.file.Files.createTempDirectory("mmgif")
+    java.nio.file.Files.write(dir.resolve("anim.gif"),
+      Multimodal.encodeAnimatedGif16(w, h, palette, (0 until nFrames).map(idx)))
+    val rows = Multimodal.gifFrameFeatures(
+        spark.read.format("binaryFile").load(dir.toString), stride = 2)
+      .orderBy("frame_id").collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    // expected sums computed directly from the palette formula
+    def sums(f: Int) = {
+      val s = idx(f).map(palette)
+      (s.map(_._1.toLong).sum, s.map(_._2.toLong).sum, s.map(_._3.toLong).sum)
+    }
+    rows.foreach { row =>
+      val f = row.getInt(1)
+      assert((row.getLong(4), row.getLong(5), row.getLong(6)) == sums(f),
+        s"frame $f")
+    }
+  }
 }
