@@ -801,6 +801,37 @@ object QueriesRelational {
         |      SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // MERGE/upsert: a deterministic change batch (updates for doc_id%10=0,
+    // deletes for doc_id%17=0, inserts above the id range) applied to the
+    // documents table in one full-outer join.
+    Q("r07_upsert_merge", (s, d) => {
+      val base = Tables.table(s, d, "documents")
+        .select("doc_id", "lang", "n_chars")
+      val updates = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("U").as("op"), col("lang"),
+          (col("n_chars") + 1000).as("n_chars"))
+      val deletes = base.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), lit("D").as("op"), col("lang"), col("n_chars"))
+      val inserts = base.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000).as("doc_id"), lit("I").as("op"),
+          lit("new").as("lang"), lit(42L).as("n_chars"))
+      // deletes win over updates on overlapping keys (doc_id % 170 == 0)
+      val changes = deletes.unionByName(
+        updates.join(deletes.select("doc_id"), Seq("doc_id"), "left_anti"))
+        .unionByName(inserts)
+      Relational.upsertMerge(base, changes, "doc_id", "op", Seq("lang", "n_chars"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        |merged AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM base WHERE doc_id % 17 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new', 42 FROM base WHERE doc_id < 5)
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM merged ORDER BY doc_id""".stripMargin)),
+
     // JSONL training-export sink: to_json(struct(...)) → text files →
     // re-read. The oracle reconstructs Spark's compact JSON encoding
     // byte-for-byte, so the round-trip (serialize, write, read) is

@@ -152,6 +152,27 @@ object Relational {
     big.filter(mightContain(col(bigKey))).join(dim, col(bigKey) === col(dimKey))
   }
 
+  /** Data-lake MERGE/upsert: apply a change batch (op = I/U/D per row) to
+    * a base table in ONE full-outer join on the key — inserts surface from
+    * the change side, updates prefer change values, deletes drop the row,
+    * untouched base rows pass through. The relational core of Delta/
+    * Iceberg MERGE INTO restated as a plain join: shuffle ∝ base+changes
+    * on the key (co-partitionable/bucketable at scale), never a rewrite
+    * of unmatched data. `valueCols` are the payload columns shared by both
+    * sides.
+    */
+  def upsertMerge(base: DataFrame, changes: DataFrame, key: String,
+                  opCol: String, valueCols: Seq[String]): DataFrame = {
+    val c = changes.select(
+      col(key) +: col(opCol).as("__op") +:
+        valueCols.map(v => col(v).as(s"__c_$v")): _*)
+    base.join(c, Seq(key), "full_outer")
+      .filter(coalesce(col("__op"), lit("")) =!= "D")
+      .select(col(key) +: valueCols.map(v =>
+        when(col("__op").isin("I", "U"), col(s"__c_$v"))
+          .otherwise(col(v)).as(v)): _*)
+  }
+
   /** Skew-mitigated equi-join: the skewed (large) side's key is salted into
     * `salts` shards and the small-but-not-broadcastable side is replicated
     * across the shards, so one hot key spreads over `salts` tasks instead

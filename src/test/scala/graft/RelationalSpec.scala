@@ -82,6 +82,20 @@ class RelationalSpec extends SparkSpec {
       ("u2", 10L, 1L)))
   }
 
+  test("upsertMerge applies inserts, updates, deletes, and passthrough") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "tag", "v")
+    val changes = Seq(
+      (2L, "U", "b2", 21L),  // update
+      (3L, "D", "c", 30L),   // delete
+      (9L, "I", "new", 99L)) // insert
+      .toDF("id", "op", "tag", "v")
+    val got = Relational.upsertMerge(base, changes, "id", "op", Seq("tag", "v"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a", 10L), (2L, "b2", 21L), (9L, "new", 99L)))
+  }
+
   test("rangeJoinBinned equals the naive theta-join across bin boundaries") {
     // intervals chosen to straddle, align with, and dodge the 10-wide bins
     val intervals = Seq((1, 5L, 15L), (2, 10L, 20L), (3, 0L, 35L), (4, 38L, 39L))
