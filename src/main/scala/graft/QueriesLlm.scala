@@ -569,6 +569,48 @@ object QueriesLlm {
         |) t(file, frame_id, width, height, sum_r, sum_g, sum_b)
         |ORDER BY file, frame_id""".stripMargin)),
 
+    // Perceptual difference hash (dHash) per image: nearest-neighbor 9×8
+    // grayscale grid over the full pixel decode, 64 gradient-sign bits.
+    // Fixtures: a base pattern, a +10-uniform-brightness copy (dHash is
+    // gradient-based, so the hash is IDENTICAL), a locally-perturbed copy
+    // (1 bit flips), and an unrelated pattern (26 bits differ). Expected
+    // hex values computed independently in Python from the pattern
+    // formulas, not from this implementation.
+    Q("m07_image_dhash", (s, _) => {
+      val dir = java.nio.file.Paths.get(s"${Q.scratch}/m07/images")
+      java.nio.file.Files.createDirectories(dir)
+      Multimodal.writeDHashFixtures(dir)
+      Multimodal.imageDHash(s.read.format("binaryFile").load(dir.toString))
+        .select("file", "dhash_hex")
+        .orderBy("file")
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  ('a_base.png',    '90909430a0202020'),
+        |  ('a_bright.png',  '90909430a0202020'),
+        |  ('a_neardup.png', '90909430a0202000'),
+        |  ('b_other.png',   '529229a4299252a4')
+        |) t(file, dhash_hex) ORDER BY file""".stripMargin)),
+
+    // Image near-dup pairs: banded Hamming blocking over the dHash (the
+    // same 4×16-bit multi-table scheme as text SimHash — Dedup.simhashPairs
+    // generalized over id/hash columns), exact bit_count verification on
+    // candidates only. The unrelated image shares no 16-bit band with the
+    // others, so it never even becomes a candidate pair.
+    Q("d08_image_neardup", (s, _) => {
+      val dir = java.nio.file.Paths.get(s"${Q.scratch}/m07/images")
+      java.nio.file.Files.createDirectories(dir)
+      Multimodal.writeDHashFixtures(dir)
+      val hashes = Multimodal.imageDHash(s.read.format("binaryFile").load(dir.toString))
+      Dedup.simhashPairs(hashes, maxHamming = 10, idCol = "file", hashCol = "dhash")
+        .withColumnRenamed("doc_a", "file_a").withColumnRenamed("doc_b", "file_b")
+        .orderBy("file_a", "file_b")
+    }, Some(
+      """SELECT * FROM (VALUES
+        |  ('a_base.png',   'a_bright.png',  0),
+        |  ('a_base.png',   'a_neardup.png', 1),
+        |  ('a_bright.png', 'a_neardup.png', 1)
+        |) t(file_a, file_b, hamming) ORDER BY file_a, file_b""".stripMargin)),
+
     // Stub tier: opaque-binary packing + per-partition batched feature
     // extraction over text payloads (the mapInPandas plumbing shape); the
     // pixel-decode stand-in is a deterministic fake, oracle-checked.

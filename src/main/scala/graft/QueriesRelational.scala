@@ -619,6 +619,51 @@ object QueriesRelational {
         |FROM grid g LEFT JOIN c USING (user_id, hour)
         |ORDER BY 1, 2""".stripMargin)),
 
+    // Batch sessionization (12 h inactivity gap): session index via one
+    // keyed window pass, then per-session aggregates. Money stays in exact
+    // integer cents (w06 convention) so the cross-engine hash is stable.
+    Q("w08_sessionize", (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      graft.ops.Timeseries.sessionize(ev, "user_id", "ts_us", "event_id",
+          gapUs = 43200000000L)
+        .groupBy("user_id", "session_idx")
+        .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+          count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+        .orderBy("user_id", "session_idx")
+    }, Some(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                       OR ts_us - lag(ts_us) OVER w > 43200000000 THEN 1 ELSE 0 END AS nw
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |      FROM f)
+        |SELECT user_id, session_idx, min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |       CAST(count(*) AS BIGINT) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // SCD type-2 dimension from the event_type change log: collapse
+    // consecutive repeats per user, stamp [valid_from, valid_to) via lead.
+    Q("r08_scd2_dimension", (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      graft.ops.Timeseries.scd2(ev, "user_id", "event_type", "ts_us", "event_id")
+        .select("user_id", "event_type", "valid_from_us", "valid_to_us", "is_current")
+        .orderBy("user_id", "valid_from_us")
+    }, Some(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |      FROM e),
+        |f AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ts_us AS valid_from_us,
+        |       lead(ts_us) OVER w AS valid_to_us,
+        |       lead(ts_us) OVER w IS NULL AS is_current
+        |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, valid_from_us""".stripMargin)),
+
     // ------------------------------------------------------------------
     // SO — set ops (reference workflow.R:78, idat.r:96, dataset.py:123)
     // ------------------------------------------------------------------

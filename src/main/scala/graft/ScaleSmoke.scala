@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
-    val reps = if (args.nonEmpty) args(0).toInt else 8
-    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reuse = args.contains("--reuse")
+    val rest = args.filterNot(_ == "--reuse")
+    val reps = if (rest.nonEmpty) rest(0).toInt else 8
+    val src = if (rest.length > 1) rest(1) else "/root/testdata/sf0.1"
     val out = s"${Q.scratch}/scale$reps"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -23,11 +25,12 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
-      val base = Tables.table(spark, src, name)
-      (0 until reps).map(i => f(base, i)).reduce(_.unionByName(_))
-        .write.mode("overwrite").parquet(s"$out/$name.parquet")
-    }
+    def replicate(name: String)(f: (DataFrame, Int) => DataFrame): Unit =
+      if (!reuse) {
+        val base = Tables.table(spark, src, name)
+        (0 until reps).map(i => f(base, i)).reduce(_.unionByName(_))
+          .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      }
     val pOff = 1000000L
     val sOff = 100000L
     val oOff = 10000000L
@@ -47,12 +50,12 @@ object ScaleSmoke {
         transform(col("embedding"), (x, idx) =>
           when(idx === 0, x + lit(i * 0.001)).otherwise(x))
           .cast("array<float>")))
-    Seq("region", "nation", "customer").foreach { n =>
-      Tables.table(spark, src, n).write.mode("overwrite").parquet(s"$out/$n.parquet")
-    }
-    // Events replicate with user/event offsets (users multiply, the time
-    // axis stays fixed — the realistic growth direction for an event log).
-    locally {
+    if (!reuse) {
+      Seq("region", "nation", "customer").foreach { n =>
+        Tables.table(spark, src, n).write.mode("overwrite").parquet(s"$out/$n.parquet")
+      }
+      // Events replicate with user/event offsets (users multiply, the time
+      // axis stays fixed — the realistic growth direction for an event log).
       val ev = Tables.events(spark, src)
       (0 until reps).map(i => ev
         .withColumn("event_id", col("event_id") + i * oOff)
@@ -68,7 +71,9 @@ object ScaleSmoke {
       "d05_embedding_neardup", "n01_ann_cosine_topk", "d01_dedup_exact", "t03_token_count",
       "c05_sequence_packing", "t06_repetition",
       "j09_asof_join", "j10_range_join_binned", "w04_rolling_avg", "w07_gap_fill",
-      "b02_bloom_prune_join", "n04_embedding_centroid", "t07_pii_redact")
+      "b02_bloom_prune_join", "n04_embedding_centroid", "t07_pii_redact",
+      "t08_unigram_logprob", "c09_chunk_documents", "r07_upsert_merge",
+      "n05_vector_quantize", "w08_sessionize", "r08_scd2_dimension")
     Seq("1x" -> src, s"${reps}x" -> out).foreach { case (tag, dir) =>
       queries.foreach { qn =>
         val t0 = System.nanoTime()

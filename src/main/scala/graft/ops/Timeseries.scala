@@ -29,4 +29,53 @@ object Timeseries {
     grid.join(counts, Seq(keyCol, bucketCol), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
   }
+
+  /** Batch sessionization: assign a per-key session index that increments
+    * whenever the gap to the previous event exceeds `gapUs`. The classic
+    * event-log primitive (the batch analog of streaming session windows,
+    * which `streaming/QcMonitor` covers on the live path).
+    *
+    * Scale shape: ONE hash shuffle on the key, a sort within partitions,
+    * two window passes over the same (key, ts, ord) sort order — Catalyst
+    * reuses the sort, so no second exchange. Session state never leaves
+    * the executor; nothing is collected. Skew note: a single key's events
+    * sort within one task — at 100 TB with a pathological power-user key,
+    * pre-split such keys by a coarse time bucket first.
+    */
+  def sessionize(events: DataFrame, keyCol: String, tsUsCol: String,
+                 ordCol: String, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsUsCol), col(ordCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__new",
+        when(lag(tsUsCol, 1).over(w).isNull
+          .or(col(tsUsCol) - lag(tsUsCol, 1).over(w) > gapUs), 1L).otherwise(0L))
+      .withColumn("session_idx", sum("__new").over(wRun))
+      .drop("__new")
+  }
+
+  /** SCD type-2 dimension build from a change log: collapse consecutive
+    * repeats of the tracked attribute per key, then stamp each surviving
+    * row with a [valid_from, valid_to) interval (valid_to = next change's
+    * timestamp, NULL while current). The standard warehouse temporal-
+    * dimension primitive; the as-of join (`j09`) is its read-side dual.
+    *
+    * Same one-shuffle shape as [[sessionize]]: both the collapse filter's
+    * lag and the interval's lead run over the identical (key, ts, ord)
+    * sort, and the post-filter lead window re-sorts within the partitions
+    * the first pass already clustered — no second exchange.
+    */
+  def scd2(changes: DataFrame, keyCol: String, attrCol: String,
+           tsUsCol: String, ordCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsUsCol), col(ordCol))
+    changes
+      .withColumn("__prev", lag(attrCol, 1).over(w))
+      .filter(col("__prev").isNull.or(col("__prev") =!= col(attrCol)))
+      .withColumn("valid_from_us", col(tsUsCol))
+      .withColumn("valid_to_us", lead(tsUsCol, 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .drop("__prev")
+  }
 }

@@ -101,4 +101,46 @@ class MultimodalSpec extends SparkSpec {
         s"frame $f")
     }
   }
+
+  test("imageDHash is invariant to uniform brightness shift and pixel doubling") {
+    def png(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, pix(x, y))
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def base(x: Int, y: Int): Int =
+      (((x * 7 + y * 3) & 0xff) << 16) | (((x * 5 + y * 11) & 0xff) << 8) |
+        ((x * 13 + y * 2) & 0xff)
+    val dir = java.nio.file.Files.createTempDirectory("mmdhash")
+    java.nio.file.Files.write(dir.resolve("orig.png"), png(32, 32)(base))
+    java.nio.file.Files.write(dir.resolve("bright.png"), png(32, 32) { (x, y) =>
+      val v = base(x, y)
+      (math.min(255, ((v >> 16) & 0xff) + 10) << 16) |
+        (math.min(255, ((v >> 8) & 0xff) + 10) << 8) | math.min(255, (v & 0xff) + 10)
+    })
+    // pixel doubling: floor(floor(2a)/2) == floor(a), so the 9×8 sample
+    // grid lands on the same source pixels → identical hash by construction
+    java.nio.file.Files.write(dir.resolve("doubled.png"),
+      png(64, 64)((x, y) => base(x / 2, y / 2)))
+    val got = Multimodal.imageDHash(spark.read.format("binaryFile").load(dir.toString))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 3)
+    assert(got("bright.png") == got("orig.png"))
+    assert(got("doubled.png") == got("orig.png"))
+  }
+
+  test("dHash near-dup pairs via banded Hamming blocking find only true near-dups") {
+    val dir = java.nio.file.Files.createTempDirectory("mmdhashpairs")
+    Multimodal.writeDHashFixtures(dir)
+    val hashes = Multimodal.imageDHash(spark.read.format("binaryFile").load(dir.toString))
+    val pairs = graft.llm.Dedup
+      .simhashPairs(hashes, maxHamming = 10, idCol = "file", hashCol = "dhash")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(pairs == Set(
+      ("a_base.png", "a_bright.png", 0),
+      ("a_base.png", "a_neardup.png", 1),
+      ("a_bright.png", "a_neardup.png", 1)))
+  }
 }

@@ -82,6 +82,32 @@ class RelationalSpec extends SparkSpec {
       ("u2", 10L, 1L)))
   }
 
+  test("sessionize splits on gaps above the threshold, first event opens session 1") {
+    import graft.ops.Timeseries
+    val ev = Seq(("u1", 1L, 0L), ("u1", 2L, 10L), ("u1", 3L, 100L), ("u1", 4L, 110L),
+      ("u2", 5L, 7L))
+      .toDF("user", "id", "ts_us")
+    val got = Timeseries.sessionize(ev, "user", "ts_us", "id", gapUs = 50L)
+      .orderBy("user", "ts_us")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(got == Seq(("u1", 1L, 1L), ("u1", 2L, 1L), ("u1", 3L, 2L), ("u1", 4L, 2L),
+      ("u2", 5L, 1L)))
+  }
+
+  test("scd2 collapses consecutive repeats and chains validity intervals") {
+    import graft.ops.Timeseries
+    val log = Seq(("u1", "a", 0L, 1L), ("u1", "a", 10L, 2L), ("u1", "b", 20L, 3L),
+      ("u1", "a", 30L, 4L))
+      .toDF("user", "attr", "ts_us", "id")
+    val got = Timeseries.scd2(log, "user", "attr", "ts_us", "id")
+      .orderBy("valid_from_us")
+      .select("attr", "valid_from_us", "valid_to_us", "is_current")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == Seq(("a", 0L, 20L, false), ("b", 20L, 30L, false), ("a", 30L, -1L, true)))
+  }
+
   test("upsertMerge applies inserts, updates, deletes, and passthrough") {
     val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
       .toDF("id", "tag", "v")
