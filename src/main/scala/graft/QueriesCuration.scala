@@ -286,6 +286,43 @@ object QueriesCuration {
           |       FROM ch)
           |SELECT doc_id, chunk_id, CAST(len(chunk_toks) AS BIGINT) AS n_toks,
           |       md5(array_to_string(chunk_toks, ' ')) AS fp
-          |FROM sl ORDER BY doc_id, chunk_id""".stripMargin))
+          |FROM sl ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // DSIR importance weights: log-likelihood ratio of each document's
+    // tokens under the English-subset unigram LM vs the rest-of-corpus LM
+    // (add-1 smoothing over the shared vocab). The resampling weight for
+    // target-domain selection.
+    Q("c10_importance_weights", (s, d) =>
+      Curation.importanceWeights(docs(s, d), col("lang") === "en")
+        .select(col("doc_id"), col("n_toks"),
+          round(col("log_ratio"), 6).as("log_ratio"))
+        .orderBy("doc_id"),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, lang = 'en' AS t,
+          |         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+          |  FROM documents),
+          |tk AS (SELECT * FROM toks WHERE w != ''),
+          |tf AS (SELECT w,
+          |              CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+          |              CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+          |       FROM tk GROUP BY 1),
+          |n AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr,
+          |             CAST(count(*) AS BIGINT) AS v FROM tf)
+          |SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+          |       round(sum(ln(CAST(tf.ct + 1 AS DOUBLE) / (n.nt + n.v))
+          |               - ln(CAST(tf.cr + 1 AS DOUBLE) / (n.nr + n.v))), 6) AS log_ratio
+          |FROM tk k JOIN tf USING (w), n
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // BPE merge induction over the corpus word-frequency table: 16 merge
+    // rounds, each one shuffle over the vocab (never the corpus). Iterative
+    // argmax is not SQL-expressible → rows-only here; BpeSpec pins the
+    // merge sequence to an independent implementation on the canonical
+    // Sennrich corpus.
+    Q("t09_bpe_merges", (s, d) =>
+      graft.llm.Bpe.mergesDF(s, docs(s, d), numMerges = 16)
+        .orderBy("merge_rank"),
+      None)
   )
 }

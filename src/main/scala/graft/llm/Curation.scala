@@ -363,4 +363,39 @@ object Curation {
         size(col("__chunk")).cast("bigint").as("n_toks"),
         array_join(col("__chunk"), " ").as("chunk"))
   }
+
+  /** DSIR-style importance weights (Xie et al., NeurIPS'23, "Data Selection
+    * for Language Models via Importance Resampling"): score every document
+    * by the log-likelihood ratio of its tokens under a target-subset
+    * unigram LM vs the rest-of-corpus LM, add-1 smoothed over the shared
+    * vocabulary. High-weight raw documents "look like" the target domain;
+    * resampling by these weights (e.g. via [[stratifiedSample]]'s ordering
+    * trick on weight-tilted keys) is the selection step.
+    *
+    * Scale shape: two shuffles total — the (word → target/rest count)
+    * aggregate, then the token→model equi-join re-aggregated per doc
+    * (identical shape to the TF-IDF and unigram-LM operators). The model
+    * totals are a single broadcast row. The word-level model is exact; at
+    * 100 TB DSIR hashes n-grams into a fixed bucket count so the model
+    * side becomes a broadcast-able constant-size table — same plan, bounded
+    * build side.
+    */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), isTarget.as("__t"),
+        explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = toks.groupBy("w").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("cr"))
+    val totals = tf.agg(sum("ct").as("nt"), sum("cr").as("nr"),
+      count(lit(1)).as("v"))
+    toks.join(tf, "w")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(log((col("ct") + 1L).cast("double") / (col("nt") + col("v"))) -
+          log((col("cr") + 1L).cast("double") / (col("nr") + col("v"))))
+          .as("log_ratio"))
+  }
 }
