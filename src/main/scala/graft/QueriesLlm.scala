@@ -383,6 +383,15 @@ object QueriesLlm {
         |       CAST(length(raw) - length(redacted) AS BIGINT) AS chars_removed
         |FROM red ORDER BY doc_id""".stripMargin)),
 
+    // Model-based quality filter: logistic regression on row-local text
+    // features, trained on the heuristic rule's weak labels, scoring the
+    // whole corpus (the CCNet/GPT-3 classifier step). Iterative L-BFGS →
+    // rows-only; QualityModelSpec pins separation on a planted corpus.
+    Q("t10_quality_classifier", (s, d) =>
+      graft.llm.QualityModel.trainScore(docs(s, d))
+        .orderBy("doc_id"),
+      None),
+
     // Unigram-LM quality proxy (perplexity-filter stand-in).
     Q("t08_unigram_logprob", (s, d) =>
       TextAnalysis.unigramLogProb(docs(s, d))

@@ -1,0 +1,68 @@
+package graft.llm
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the classifier step of CCNet/GPT-3-style
+  * pipelines (a linear model scores every document; low scorers are dropped
+  * or downsampled), restated on Spark ML. A logistic regression is trained
+  * on weak labels from the engine's own heuristic quality rule, then scores
+  * the full corpus; swapping the weak labels for human/reference labels
+  * changes nothing structurally.
+  *
+  * Scale shape: features are pure row-local Column expressions (one
+  * codegen'd projection, no shuffle); training is Spark ML's distributed
+  * L-BFGS over the assembled vectors (treeAggregate passes, nothing
+  * driver-side but the coefficient vector); scoring is a broadcast of that
+  * coefficient vector into one more projection. The corpus is never
+  * collected.
+  */
+object QualityModel {
+
+  /** Row-local feature columns: word count (log-scaled), mean word length,
+    * type-token ratio, digit fraction, and the heuristic composite.
+    */
+  def featureFrame(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = split(TextAnalysis.normalized(t), " ")
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val alpha = length(regexp_replace(lower(t), "[^a-z0-9]", "")).cast("double")
+    val digits = length(regexp_replace(lower(t), "[^0-9]", "")).cast("double")
+    docs.withColumn("f_logwords", log(nToks + 1.0))
+      .withColumn("f_mwl", alpha / nToks)
+      .withColumn("f_ttr", size(array_distinct(toks)).cast("double") / nToks)
+      .withColumn("f_digit", digits / greatest(alpha, lit(1.0)))
+      .withColumn("f_heur", TextAnalysis.qualityScore(t))
+  }
+
+  val featureCols: Array[String] =
+    Array("f_logwords", "f_mwl", "f_ttr", "f_digit", "f_heur")
+
+  /** Weak label: the heuristic quality rule's verdict (stand-in for a
+    * curated label set).
+    */
+  def weakLabel(text: Column): Column =
+    (TextAnalysis.qualityScore(text) >= 0.6).cast("double")
+
+  /** Train on the weak labels and score every document. Returns
+    * (doc_id, label, quality_prob, prediction).
+    */
+  def trainScore(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val labeled = featureFrame(docs, textCol)
+      .withColumn("label", weakLabel(col(textCol)))
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols).setOutputCol("features")
+      .transform(labeled)
+    val model = new LogisticRegression()
+      .setMaxIter(100).setRegParam(1e-3).setStandardization(true)
+      .fit(assembled)
+    model.transform(assembled)
+      .select(col(idCol), col("label"),
+        vector_to_array(col("probability")).getItem(1).as("quality_prob"),
+        col("prediction"))
+  }
+}
