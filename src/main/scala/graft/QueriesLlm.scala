@@ -383,6 +383,14 @@ object QueriesLlm {
         |       CAST(length(raw) - length(redacted) AS BIGINT) AS chars_removed
         |FROM red ORDER BY doc_id""".stripMargin)),
 
+    // Deflate compression-ratio repetitiveness signal. JDK-deflate output
+    // is not reproducible in DuckDB → rows-only; the spec asserts the
+    // planted ordering (boilerplate ≪ varied prose) and determinism.
+    Q("t11_compression_ratio", (s, d) =>
+      TextAnalysis.compressionRatio(docs(s, d))
+        .orderBy("doc_id"),
+      None),
+
     // Model-based quality filter: logistic regression on row-local text
     // features, trained on the heuristic rule's weak labels, scoring the
     // whole corpus (the CCNet/GPT-3 classifier step). Iterative L-BFGS →

@@ -35,6 +35,22 @@ object QueriesSources {
         .orderBy("r_regionkey")
     }, Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
+    // ORC sink + source roundtrip (Spark's second columnar format, free
+    // via the same DataSource API — predicate pushdown and column pruning
+    // apply to the re-read exactly as for parquet). The oracle aggregates
+    // the original parquet: a lossless roundtrip is indistinguishable.
+    Q("s07_orc_roundtrip", (s, d) => {
+      val out = s"${Q.scratch}/s07_nation_orc"
+      Tables.table(s, d, "nation").write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"), min("n_name").as("first_name"))
+        .orderBy("n_regionkey")
+    }, Some(
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+        |       min(n_name) AS first_name
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S3 — sectioned FinalReport parse → long model (marker scan, header
     // split, melt, .AVG_Beta strip, empty→NULL).
     Q("s03_final_report", (s, _) => {

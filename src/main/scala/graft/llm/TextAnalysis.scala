@@ -100,6 +100,37 @@ object TextAnalysis {
       .select("doc_id", "w", "tf", "df", "tfidf")
   }
 
+  /** Deflate compression ratio per document — the repetitiveness heuristic
+    * of Gopher/RefinedWeb-style curation (boilerplate and template text
+    * compresses far better than natural prose; filter on a low ratio).
+    * Row-local: one `Deflater` allocated per PARTITION (the same
+    * init-once-stream-rows iterator shape as the multimodal decoders),
+    * reset per document — no shuffle, embarrassingly parallel. The ratio
+    * is deterministic for a fixed JDK deflate implementation; treat it as
+    * a filter signal, not a cross-engine-stable value.
+    */
+  def compressionRatio(docs: org.apache.spark.sql.DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("bigint").as("doc_id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, t) =>
+          val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          defl.reset()
+          defl.setInput(raw)
+          defl.finish()
+          var n = 0L
+          while (!defl.finished()) n += defl.deflate(buf)
+          (id, raw.length.toLong, n,
+            if (raw.length > 0) n.toDouble / raw.length else 1.0)
+        }
+      }.toDF("doc_id", "raw_len", "deflate_len", "ratio")
+  }
+
   /** Unigram LM quality proxy (the cheap stand-in for a KenLM perplexity
     * filter): corpus unigram probabilities from one aggregation pass, then
     * each doc scored by its mean token log-probability. Repetitive or

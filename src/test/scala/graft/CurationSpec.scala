@@ -187,6 +187,19 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == ((2L, 3L, 3L, 0.0)))
   }
 
+  test("compression ratio ranks boilerplate far below varied prose, deterministically") {
+    val boiler = Seq.fill(60)("buy now limited offer").mkString(" ")
+    val varied = (1 to 60).map(i => s"sentence $i carries fresh token x$i").mkString(" ")
+    val docs = Seq((1L, boiler), (2L, varied)).toDF("doc_id", "text")
+    def run() = graft.llm.TextAnalysis.compressionRatio(docs)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val got = run()
+    assert(got(0)._4 < 0.2, s"boilerplate ratio ${got(0)._4}")   // compresses hard
+    assert(got(1)._4 > got(0)._4 * 3, s"varied ratio ${got(1)._4}")
+    assert(got.map(_._2).sameElements(Array(boiler.length.toLong, varied.length.toLong)))
+    assert(run().toSeq == got.toSeq) // bit-stable across runs
+  }
+
   test("oversized docs get singleton bins") {
     val docs = Seq((1L, ("tok " * 50).trim), (2L, ("tok " * 3).trim))
       .toDF("doc_id", "text")
