@@ -495,6 +495,30 @@ object QueriesRelational {
         |  FROM (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2))
         |WHERE rk <= 2 ORDER BY lang, rk""".stripMargin)),
 
+    // Per-group winsorization at exact [p05, p95]: bounds from one
+    // percentile aggregate (bounded groups → broadcast), row-local clamp,
+    // robust summary on top. quantile_cont matches Spark's percentile
+    // interpolation bit-for-bit (the c03 convention).
+    Q("a14_winsorize", (s, d) => {
+      val w = graft.ops.Analytic.winsorize(Tables.table(s, d, "lineitem"),
+        "l_returnflag", "l_extendedprice", 0.05, 0.95)
+      w.groupBy("l_returnflag").agg(count(lit(1)).as("n"),
+          round(avg("l_extendedprice_w"), 6).as("avg_w"),
+          round(min("l_extendedprice_w"), 6).as("lo_w"),
+          round(max("l_extendedprice_w"), 6).as("hi_w"))
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH b AS (SELECT l_returnflag,
+        |                  quantile_cont(l_extendedprice, 0.05) AS lo,
+        |                  quantile_cont(l_extendedprice, 0.95) AS hi
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |       round(avg(least(greatest(l.l_extendedprice, b.lo), b.hi)), 6) AS avg_w,
+        |       round(min(least(greatest(l.l_extendedprice, b.lo), b.hi)), 6) AS lo_w,
+        |       round(max(least(greatest(l.l_extendedprice, b.lo), b.hi)), 6) AS hi_w
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ------------------------------------------------------------------
     // W — sorts / top-k / BH (reference top10k.py:11-14, volcano.R:138,
     // plots.R:162)
@@ -644,6 +668,48 @@ object QueriesRelational {
         |SELECT user_id, session_idx, min(ts_us) AS start_us, max(ts_us) AS end_us,
         |       CAST(count(*) AS BIGINT) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Sequential conversion funnel view→click→purchase: chained
+    // first-occurrence-after window minima over ONE keyed shuffle; NULL
+    // propagation breaks the chain exactly where the user drops out.
+    Q("w09_funnel", (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      graft.ops.Timeseries.funnel(ev, "user_id", "ts_us", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    }, Some(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |w0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+        |         OVER (PARTITION BY user_id) AS s0 FROM e),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_us >= s0 THEN ts_us END)
+        |         OVER (PARTITION BY user_id) AS s1 FROM w0),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us >= s1 THEN ts_us END)
+        |         OVER (PARTITION BY user_id) AS s2 FROM w1)
+        |SELECT user_id, min(s0) AS stage_0_us, min(s1) AS stage_1_us, min(s2) AS stage_2_us,
+        |       (CASE WHEN min(s0) IS NOT NULL THEN 1 ELSE 0 END
+        |      + CASE WHEN min(s1) IS NOT NULL THEN 1 ELSE 0 END
+        |      + CASE WHEN min(s2) IS NOT NULL THEN 1 ELSE 0 END) AS funnel_stage
+        |FROM w2 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Weekly retention cohorts: cohort = first signup week per user,
+    // activity = distinct (user, week); the matrix is (cohort, offset) →
+    // distinct active users.
+    Q("w10_retention_cohorts", (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      graft.ops.Timeseries.retentionCohorts(ev, "user_id", "ts_us",
+          "event_type", "signup", bucketUs = 604800000000L)
+        .orderBy("cohort_bucket", "bucket_offset")
+    }, Some(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |c AS (SELECT user_id, min(ts_us) // 604800000000 AS cohort_bucket
+        |      FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, ts_us // 604800000000 AS bucket FROM e)
+        |SELECT c.cohort_bucket, a.bucket - c.cohort_bucket AS bucket_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (user_id) WHERE a.bucket >= c.cohort_bucket
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // SCD type-2 dimension from the event_type change log: collapse
     // consecutive repeats per user, stamp [valid_from, valid_to) via lead.

@@ -73,7 +73,8 @@ object ScaleSmoke {
       "j09_asof_join", "j10_range_join_binned", "w04_rolling_avg", "w07_gap_fill",
       "b02_bloom_prune_join", "n04_embedding_centroid", "t07_pii_redact",
       "t08_unigram_logprob", "c09_chunk_documents", "r07_upsert_merge",
-      "n05_vector_quantize", "w08_sessionize", "r08_scd2_dimension")
+      "n05_vector_quantize", "w08_sessionize", "r08_scd2_dimension",
+      "c10_importance_weights", "t10_quality_classifier", "t11_compression_ratio")
     Seq("1x" -> src, s"${reps}x" -> out).foreach { case (tag, dir) =>
       queries.foreach { qn =>
         val t0 = System.nanoTime()

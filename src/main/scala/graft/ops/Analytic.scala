@@ -174,4 +174,24 @@ object Analytic {
         least(floor(col(valCol) * nBins), lit(nBins - 1)).cast("int"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .orderBy("bucket")
+
+  /** Per-group winsorization: clamp a value to that group's [lo, hi]
+    * exact percentiles (the outlier-taming step before model features or
+    * robust aggregates). One percentile aggregate per group (bounded
+    * groups → the bounds table broadcasts), then a row-local clamp — the
+    * data itself shuffles zero times. Above ~10M rows per group, swap the
+    * exact `percentile` for `approx_percentile` exactly as the quantile
+    * profile does (the bounds stop being bit-reproducible, the plan shape
+    * is unchanged).
+    */
+  def winsorize(df: DataFrame, groupCol: String, valCol: String,
+                lo: Double, hi: Double): DataFrame = {
+    val bounds = df.groupBy(groupCol).agg(
+      expr(s"percentile($valCol, $lo)").as("__lo"),
+      expr(s"percentile($valCol, $hi)").as("__hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn(s"${valCol}_w",
+        least(greatest(col(valCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

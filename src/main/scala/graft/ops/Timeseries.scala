@@ -78,4 +78,63 @@ object Timeseries {
       .withColumn("is_current", col("valid_to_us").isNull)
       .drop("__prev")
   }
+
+  /** Sequential event funnel: for each key, the first timestamp of stage 0,
+    * then the first stage-1 timestamp at or after it, and so on — a user
+    * "reaches" stage i only through the ordered chain (the product-
+    * analytics conversion primitive). Emits one row per key with
+    * `stage_<i>_us` (NULL once the chain breaks) and `funnel_stage` =
+    * stages reached.
+    *
+    * Scale shape: one hash shuffle on the key; every chain step is an
+    * unordered-frame window min over that same partitioning (Catalyst
+    * stacks the Window operators on one exchange, no re-shuffle, no sort),
+    * and the final per-key collapse is an aggregate on keys already
+    * co-located. NULL propagation does the chain logic: `ts >= NULL` is
+    * NULL, so a broken chain never counts later stages.
+    */
+  def funnel(events: DataFrame, keyCol: String, tsUsCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(stages.nonEmpty)
+    val w = Window.partitionBy(keyCol)
+    var cur = events
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val gate = if (i == 0) col(tsUsCol) >= 0L
+                 else col(tsUsCol) >= col(s"stage_${i - 1}_us")
+      cur = cur.withColumn(s"stage_${i}_us",
+        min(when(col(typeCol) === st && gate, col(tsUsCol))).over(w))
+    }
+    val stageCols = stages.indices.map(i => col(s"stage_${i}_us"))
+    cur.groupBy(keyCol)
+      .agg(min(stageCols.head).as("stage_0_us"),
+        stageCols.tail.zipWithIndex.map { case (c, i) =>
+          min(c).as(s"stage_${i + 1}_us")
+        }: _*)
+      .withColumn("funnel_stage",
+        stages.indices.map(i => when(col(s"stage_${i}_us").isNotNull, 1)
+          .otherwise(0)).reduce(_ + _))
+  }
+
+  /** Retention cohort matrix: cohort = each key's first `signupType`
+    * bucket; count distinct keys active in each later bucket, keyed by
+    * (cohort bucket, bucket offset). One aggregate to the cohort table,
+    * one distinct to the activity table, an equi-join on the key (both
+    * sides already hashed by it), and the final (cohort, offset) count.
+    */
+  def retentionCohorts(events: DataFrame, keyCol: String, tsUsCol: String,
+                       typeCol: String, signupType: String,
+                       bucketUs: Long): DataFrame = {
+    val cohorts = events.filter(col(typeCol) === signupType)
+      .groupBy(keyCol).agg(min(col(tsUsCol)).as("__first"))
+      .select(col(keyCol), expr(s"__first div $bucketUs").as("cohort_bucket"))
+    val activity = events
+      .select(col(keyCol), expr(s"$tsUsCol div $bucketUs").as("bucket"))
+      .distinct()
+    activity.join(cohorts, keyCol)
+      .filter(col("bucket") >= col("cohort_bucket"))
+      .groupBy(col("cohort_bucket"),
+        (col("bucket") - col("cohort_bucket")).as("bucket_offset"))
+      .agg(count(lit(1)).as("n_users")) // activity is (key, bucket)-distinct
+  }
 }

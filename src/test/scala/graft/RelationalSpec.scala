@@ -108,6 +108,43 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq(("a", 0L, 20L, false), ("b", 20L, 30L, false), ("a", 30L, -1L, true)))
   }
 
+  test("funnel chains first-occurrence-after stages and breaks on missing links") {
+    import graft.ops.Timeseries
+    val ev = Seq(
+      ("u1", 10L, "view"), ("u1", 5L, "click"),  // click BEFORE view: not counted
+      ("u1", 20L, "click"), ("u1", 15L, "purchase"), // purchase before the counted click
+      ("u2", 1L, "view"), ("u2", 2L, "click"), ("u2", 3L, "purchase"),
+      ("u3", 1L, "click")) // never viewed
+      .toDF("user", "ts_us", "etype")
+    val got = Timeseries.funnel(ev, "user", "ts_us", "etype",
+        Seq("view", "click", "purchase"))
+      .orderBy("user")
+      .collect().map(r => (r.getString(0), r.getInt(4))).toSeq
+    assert(got == Seq(("u1", 2), ("u2", 3), ("u3", 0)))
+  }
+
+  test("retentionCohorts counts distinct users per (cohort, offset) bucket") {
+    import graft.ops.Timeseries
+    val ev = Seq(
+      ("u1", 5L, "signup"), ("u1", 5L, "view"), ("u1", 25L, "view"),
+      ("u2", 12L, "signup"), ("u2", 13L, "view"), ("u2", 21L, "view"))
+      .toDF("user", "ts_us", "etype")
+    val got = Timeseries.retentionCohorts(ev, "user", "ts_us", "etype",
+        "signup", bucketUs = 10L)
+      .orderBy("cohort_bucket", "bucket_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
+  test("winsorize clamps to exact per-group percentiles, passthrough inside") {
+    import graft.ops.Analytic
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val got = Analytic.winsorize(df, "grp", "v", 0.1, 0.9)
+      .orderBy("v").select("v_w").collect().map(_.getDouble(0)).toSeq
+    // percentile interpolation on 1..10: p10 = 1.9, p90 = 9.1
+    assert(got == Seq(1.9, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 9.1))
+  }
+
   test("upsertMerge applies inserts, updates, deletes, and passthrough") {
     val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
       .toDF("id", "tag", "v")
