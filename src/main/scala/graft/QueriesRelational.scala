@@ -214,6 +214,26 @@ object QueriesRelational {
         |FROM si LEFT JOIN er ON er.ts_us >= si.lo AND er.ts_us < si.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Blocked fuzzy join (record linkage): misspelled product-name queries
+    // matched to the part catalog at Levenshtein ≤ 2. Length-band blocking
+    // is lossless for bounded edit distance; the oracle verifies against
+    // the unblocked quadratic form.
+    Q("j11_fuzzy_join", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val queries = Seq("smal ring", "red wdget", "blue boltt", "hot gearr",
+        "tiny gizmo", "no such thing").toDF("q")
+      val names = Tables.table(s, d, "part").select("p_name").distinct()
+      Relational.fuzzyJoin(queries, names, "q", "p_name", maxDist = 2)
+        .orderBy("q", "p_name")
+    }, Some(
+      """WITH q AS (SELECT * FROM (VALUES ('smal ring'), ('red wdget'), ('blue boltt'),
+        |             ('hot gearr'), ('tiny gizmo'), ('no such thing')) t(q)),
+        |n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT q.q, n.p_name, CAST(levenshtein(q.q, n.p_name) AS INT) AS dist
+        |FROM q, n WHERE levenshtein(q.q, n.p_name) <= 2
+        |ORDER BY q, p_name""".stripMargin)),
+
     Q("j08_salted_skew_join", (s, d) => {
       val skewedDim = SS(s, d).select("sample_id", "run")
       Relational.saltedJoin(B(s, d), skewedDim, "sample_id", salts = 4)

@@ -187,4 +187,32 @@ object Relational {
       .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Blocked fuzzy join (record linkage): match left strings to right
+    * strings at Levenshtein distance ≤ `maxDist` without an all-pairs
+    * cross. Blocking key = string length: edit distance ≤ k implies the
+    * lengths differ by ≤ k, so exploding each left string into its 2k+1
+    * candidate length buckets and equi-joining on the right side's exact
+    * length is LOSSLESS (every true match survives blocking). Each
+    * candidate pair lands in exactly one bucket (the right string's
+    * length), so no dedup pass is needed. The exact distance then filters
+    * candidates — Spark's codegen'd `levenshtein` ≡ DuckDB's, integer on
+    * both engines.
+    *
+    * Scale note: length-only blocking is coarse when many strings share a
+    * length — at corpus scale compose the block key with a cheap second
+    * discriminator (first q-gram, soundex-like bucket) the same way the
+    * SimHash band tables compose slices; the join shape is unchanged.
+    */
+  def fuzzyJoin(left: DataFrame, right: DataFrame, lCol: String, rCol: String,
+                maxDist: Int): DataFrame = {
+    val lx = left.withColumn("__lb",
+      explode(sequence(greatest(length(col(lCol)) - maxDist, lit(1)),
+        length(col(lCol)) + maxDist)))
+    val rx = right.withColumn("__lb", length(col(rCol)))
+    lx.join(rx, "__lb")
+      .withColumn("dist", levenshtein(col(lCol), col(rCol)))
+      .filter(col("dist") <= maxDist)
+      .drop("__lb")
+  }
 }

@@ -108,6 +108,19 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq(("a", 0L, 20L, false), ("b", 20L, 30L, false), ("a", 30L, -1L, true)))
   }
 
+  test("fuzzyJoin equals the unblocked quadratic join, including max-length-diff matches") {
+    val left = Seq("abc", "xyzzy", "q").toDF("l")
+    val right = Seq("abcde", "abd", "xyz", "zz", "q").toDF("r") // "abcde" is dist 2 / len diff 2
+    val blocked = Relational.fuzzyJoin(left, right, "l", "r", maxDist = 2)
+      .collect().map(row => (row.getString(0), row.getString(1), row.getInt(2))).toSet
+    val naive = left.crossJoin(right)
+      .withColumn("dist", levenshtein(col("l"), col("r")))
+      .filter(col("dist") <= 2)
+      .collect().map(row => (row.getString(0), row.getString(1), row.getInt(2))).toSet
+    assert(blocked == naive)
+    assert(blocked.contains(("abc", "abcde", 2))) // survives length-band blocking
+  }
+
   test("funnel chains first-occurrence-after stages and breaks on missing links") {
     import graft.ops.Timeseries
     val ev = Seq(
