@@ -106,4 +106,35 @@ object QcMonitor {
       .join(corpusFp, Seq("fp"), "left_anti")
       .dropDuplicates("fp")
   }
+
+  /** Live conversion funnel — the streaming dual of the batch
+    * `ops/Timeseries.funnel`. Per-user state is ONE fixed-size array (the
+    * earliest chained timestamp per stage, -1 = not reached), updated by
+    * `mapGroupsWithState`: events apply in event-time order within each
+    * batch, and a stage-i timestamp is set only when stage i-1 is already
+    * set at an earlier-or-equal time — so `funnel_stage` (the reached
+    * prefix length) is monotone across batches. State is O(stages) per
+    * user regardless of event volume; with a watermark + state timeout the
+    * user population itself is also bounded. Emits the user's current
+    * stage each batch (Update-mode sink).
+    */
+  def funnelStream(events: org.apache.spark.sql.Dataset[(Long, Long, String)],
+                   stages: Seq[String]):
+      org.apache.spark.sql.Dataset[(Long, Int)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (Long, Int)](GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, String)], state: GroupState[Array[Long]]) =>
+          val st = state.getOption.getOrElse(Array.fill(stages.length)(-1L))
+          // ts-sorted apply makes intra-batch shuffle order irrelevant
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, tp) =>
+            val i = stages.indexOf(tp)
+            if (i >= 0 && st(i) < 0 && (i == 0 || (st(i - 1) >= 0 && ts >= st(i - 1))))
+              st(i) = ts
+          }
+          state.update(st)
+          (user, st.segmentLength(_ >= 0, 0))
+      }
+  }
 }

@@ -51,6 +51,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream advances the chained stage across micro-batches, monotonically") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val ms = MemoryStream[(Long, Long, String)] // (user, ts_us, type)
+    val q = QcMonitor.funnelStream(ms.toDS(), Seq("view", "click", "purchase"))
+      .toDF("user_id", "funnel_stage")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    try {
+      // u1: click BEFORE any view must not count; then view+click chain
+      ms.addData((1L, 5L, "click"), (1L, 10L, "view"), (1L, 20L, "click"),
+        (2L, 1L, "purchase"))
+      q.processAllAvailable()
+      val b1 = sp.table("funnel_out").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(b1 == Map(1L -> 2, 2L -> 0))
+      // next batch: u1 completes; u2 still stuck at 0 (purchase-first)
+      ms.addData((1L, 30L, "purchase"), (2L, 2L, "view"))
+      q.processAllAvailable()
+      val b2 = sp.table("funnel_out").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getInt(1)).max }
+      assert(b2 == Map(1L -> 3, 2L -> 1))
+    } finally q.stop()
+  }
+
   test("incrementalDedupStream admits only corpus-novel, stream-unique content") {
     val sp = spark
     import sp.implicits._
