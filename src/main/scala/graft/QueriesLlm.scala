@@ -400,6 +400,32 @@ object QueriesLlm {
         .orderBy("doc_id"),
       None),
 
+    // Bigram-LM quality proxy: add-1-smoothed p(w2|w1) over prefix counts,
+    // mean log-prob per doc. Row-local bigram extraction (index explode),
+    // two model aggregates, 1-row vocab broadcast.
+    Q("t12_bigram_logprob", (s, d) =>
+      TextAnalysis.bigramLogProb(docs(s, d))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("mean_logprob"), 6).as("mean_logprob"))
+        .orderBy("doc_id"),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+          |  FROM documents),
+          |bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+          |       FROM t, unnest(range(1, len(ws))) AS r(i)
+          |       WHERE ws[i] != '' AND ws[i + 1] != ''),
+          |cbg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+          |cug AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+          |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+          |      FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+          |            FROM documents) WHERE w != '')
+          |SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |       round(avg(ln(CAST(cbg.c12 + 1 AS DOUBLE) / (cug.c1 + v.v))), 6) AS mean_logprob
+          |FROM bi JOIN cbg USING (w1, w2) JOIN cug USING (w1), v
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Unigram-LM quality proxy (perplexity-filter stand-in).
     Q("t08_unigram_logprob", (s, d) =>
       TextAnalysis.unigramLogProb(docs(s, d))

@@ -539,6 +539,25 @@ object QueriesRelational {
         |FROM lineitem l JOIN b USING (l_returnflag)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Per-group z-score normalization: exact-integer moments per group
+    // broadcast back, fixed double-op sequence (the w01/a08 bit-stability
+    // convention), row-local z.
+    Q("a15_zscore_normalize", (s, d) =>
+      graft.ops.Analytic.zscoreNormalize(
+          Tables.table(s, d, "lineitem"), "l_returnflag", "l_quantity")
+        .select(col("l_orderkey"), col("l_linenumber"), round(col("z"), 6).as("z"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(
+        s"""WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+          |                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+          |                  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss
+          |           FROM lineitem GROUP BY 1)
+          |SELECT l.l_orderkey, l.l_linenumber,
+          |       round((CAST(CAST(l.l_quantity AS BIGINT) AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          |             / sqrt(${SqlOracles.varFromMoments("n", "s", "ss")}), 6) AS z
+          |FROM lineitem l JOIN m USING (l_returnflag)
+          |ORDER BY 1, 2""".stripMargin)),
+
     // ------------------------------------------------------------------
     // W — sorts / top-k / BH (reference top10k.py:11-14, volcano.R:138,
     // plots.R:162)

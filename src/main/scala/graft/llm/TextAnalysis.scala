@@ -131,6 +131,37 @@ object TextAnalysis {
       }.toDF("doc_id", "raw_len", "deflate_len", "ratio")
   }
 
+  /** Bigram LM quality proxy — one order up from [[unigramLogProb]] (the
+    * KenLM-perplexity stand-in with context): p(w2|w1) = (c(w1,w2)+1) /
+    * (c(w1·)+V), add-1 smoothed, where c(w1·) is w1's bigram-prefix count
+    * and V the corpus vocabulary size; each doc scores its mean bigram
+    * log-probability. Bigrams are extracted ROW-LOCALLY (an index explode
+    * over the token array, no position self-join); the model is two hash
+    * aggregates; V rides a one-row broadcast. Docs with <2 tokens drop out
+    * (no bigrams), mirroring the oracle's empty-range semantics.
+    */
+  def bigramLogProb(docs: org.apache.spark.sql.DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toks = split(normalized(col(textCol)), " ")
+    val bi = docs.select(col(idCol).as("doc_id"), toks.as("__t"))
+      .filter(size(col("__t")) >= 2) // sequence(1, 0) would run DESCENDING
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("__t")) - 1)).as("__i"), col("__t"))
+      .select(col("doc_id"), element_at(col("__t"), col("__i")).as("w1"),
+        element_at(col("__t"), col("__i") + 1).as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val cbg = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cug = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(split(normalized(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "").agg(count_distinct(col("w")).as("v"))
+    bi.join(cbg, Seq("w1", "w2")).join(cug, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log((col("c12") + 1L).cast("double") / (col("c1") + col("v"))))
+          .as("mean_logprob"))
+  }
+
   /** Unigram LM quality proxy (the cheap stand-in for a KenLM perplexity
     * filter): corpus unigram probabilities from one aggregation pass, then
     * each doc scored by its mean token log-probability. Repetitive or

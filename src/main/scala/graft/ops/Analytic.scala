@@ -194,4 +194,22 @@ object Analytic {
         least(greatest(col(valCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
   }
+
+  /** Per-group z-score normalization (the feature-standardization step,
+    * grouped): moments come from ONE exact-integer aggregate per group
+    * (the same bit-stable path as the variance operators — integer n/s/ss,
+    * then a fixed double-op sequence), broadcast back, z computed
+    * row-locally. The value column must be integer-valued; the data
+    * itself never shuffles.
+    */
+  def zscoreNormalize(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val v = col(valCol).cast("bigint")
+    val m = df.groupBy(groupCol).agg(count(lit(1)).as("__n"),
+      sum(v).as("__s"), sum(v * v).as("__ss"))
+    df.join(broadcast(m), groupCol)
+      .withColumn("z",
+        (v.cast("double") - col("__s").cast("double") / col("__n").cast("double")) /
+          sqrt(graft.functions.Fns.varFromMoments(col("__n"), col("__s"), col("__ss"))))
+      .drop("__n", "__s", "__ss")
+  }
 }
