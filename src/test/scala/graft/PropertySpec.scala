@@ -73,6 +73,74 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("property: sessionize gaps respect the threshold on both sides of every boundary") {
+    import graft.ops.Timeseries
+    val gen = Gen.listOfN(60, Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 2000L)))
+    samples(gen, 8).foreach { rows =>
+      val ev = rows.zipWithIndex.map { case ((u, ts), i) => (s"u$u", i.toLong, ts) }
+        .toDF("user", "id", "ts_us")
+      val out = Timeseries.sessionize(ev, "user", "ts_us", "id", gapUs = 100L)
+        .select("user", "ts_us", "id", "session_idx")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      out.groupBy(_._1).foreach { case (_, es) =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        // indices start at 1 and are contiguous
+        assert(sorted.head._4 == 1L)
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            val gap = b._2 - a._2
+            if (b._4 == a._4) assert(gap <= 100L, s"in-session gap $gap")
+            else {
+              assert(b._4 == a._4 + 1, "session indices must be contiguous")
+              assert(gap > 100L, s"boundary gap $gap should exceed threshold")
+            }
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("property: scd2 intervals chain seamlessly and end open per key") {
+    import graft.ops.Timeseries
+    val gen = Gen.listOfN(40, Gen.zip(Gen.choose(0, 2), Gen.oneOf("a", "b", "c")))
+    samples(gen, 8).foreach { rows =>
+      val log = rows.zipWithIndex.map { case ((u, a), i) => (s"u$u", a, i.toLong * 10, i.toLong) }
+        .toDF("user", "attr", "ts_us", "id")
+      val out = Timeseries.scd2(log, "user", "attr", "ts_us", "id")
+        .select("user", "attr", "valid_from_us", "valid_to_us")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))
+      out.groupBy(_._1).foreach { case (_, ivs) =>
+        val sorted = ivs.sortBy(_._3)
+        // exactly one open (current) interval, and it is the last
+        assert(sorted.count(_._4 == -1L) == 1 && sorted.last._4 == -1L)
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._4 == b._3, "intervals must chain: valid_to == next valid_from")
+            assert(a._2 != b._2, "consecutive intervals must change the attribute")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("property: blocked fuzzy join equals the quadratic join on random strings") {
+    import graft.ops.Relational
+    val word = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    samples(Gen.zip(Gen.listOfN(12, word), Gen.listOfN(12, word)), 6).foreach {
+      case (ls, rs) =>
+        val left = ls.distinct.toDF("l")
+        val right = rs.distinct.toDF("r")
+        val blocked = Relational.fuzzyJoin(left, right, "l", "r", maxDist = 1)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+        val naive = left.crossJoin(right)
+          .withColumn("dist", levenshtein(col("l"), col("r")))
+          .filter(col("dist") <= 1)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+        assert(blocked == naive)
+    }
+  }
+
   test("property: top-k by variance is invariant under row permutation") {
     val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 5), Gen.choose(0.0, 100.0)))
     samples(gen, 10).filter(_.map(_._1).distinct.size >= 3).foreach { rows =>
