@@ -682,6 +682,24 @@ object QueriesRelational {
         |FROM grid g LEFT JOIN c USING (user_id, hour)
         |ORDER BY 1, 2""".stripMargin)),
 
+    // Small-file compaction roundtrip: fragment lineitem into 64 files,
+    // compact to 4 without a shuffle, and prove content preservation by
+    // aggregating the compacted layout against the original table's
+    // oracle. RelationalSpec asserts the file-count collapse.
+    Q("r09_compact_files", (s, d) => {
+      val src = s"${Q.scratch}/r09_small"
+      val dst = s"${Q.scratch}/r09_compact"
+      Tables.table(s, d, "lineitem").repartition(64)
+        .write.mode("overwrite").parquet(src)
+      Relational.compactFiles(s, src, dst, targetFiles = 4)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(cents(col("l_extendedprice"))).as("sum_cents"))
+        .orderBy("l_returnflag")
+    }, Some(
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Batch sessionization (12 h inactivity gap): session index via one
     // keyed window pass, then per-session aggregates. Money stays in exact
     // integer cents (w06 convention) so the cross-engine hash is stable.

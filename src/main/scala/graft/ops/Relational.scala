@@ -215,4 +215,22 @@ object Relational {
       .filter(col("dist") <= maxDist)
       .drop("__lb")
   }
+
+  /** Small-file compaction — the table-maintenance primitive every
+    * long-lived 100 TB lake needs (streaming ingest and fine-grained
+    * partitioned writes accumulate files far below the ideal scan size;
+    * scan cost then scales with FILE COUNT, not bytes). Reads the
+    * fragmented layout, coalesces to `targetFiles` without a shuffle
+    * (`coalesce`, not `repartition` — compaction must not pay a full
+    * exchange just to merge files), and rewrites. Content is preserved
+    * bit-for-bit; only the layout changes. At real scale this runs
+    * per-partition-directory with `targetFiles` derived from bytes /
+    * `maxPartitionBytes`.
+    */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+                   dstDir: String, targetFiles: Int): DataFrame = {
+    spark.read.parquet(srcDir).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(dstDir)
+    spark.read.parquet(dstDir)
+  }
 }

@@ -108,6 +108,19 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq(("a", 0L, 20L, false), ("b", 20L, 30L, false), ("a", 30L, -1L, true)))
   }
 
+  test("compactFiles collapses the file count and preserves content exactly") {
+    val base = (1L to 500L).map(k => (k, s"v$k")).toDF("k", "v")
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    base.repartition(16).write.mode("overwrite").parquet(s"$dir/small")
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$dir/small") == 16)
+    val compacted = Relational.compactFiles(spark, s"$dir/small", s"$dir/big", 2)
+    assert(parquetFiles(s"$dir/big") <= 2)
+    assert(compacted.orderBy("k").collect().toSeq ==
+      base.orderBy("k").collect().toSeq)
+  }
+
   test("fuzzyJoin equals the unblocked quadratic join, including max-length-diff matches") {
     val left = Seq("abc", "xyzzy", "q").toDF("l")
     val right = Seq("abcde", "abd", "xyz", "zz", "q").toDF("r") // "abcde" is dist 2 / len diff 2
