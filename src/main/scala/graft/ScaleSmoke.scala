@@ -74,7 +74,9 @@ object ScaleSmoke {
       "b02_bloom_prune_join", "n04_embedding_centroid", "t07_pii_redact",
       "t08_unigram_logprob", "c09_chunk_documents", "r07_upsert_merge",
       "n05_vector_quantize", "w08_sessionize", "r08_scd2_dimension",
-      "c10_importance_weights", "t10_quality_classifier", "t11_compression_ratio")
+      "c10_importance_weights", "t10_quality_classifier", "t11_compression_ratio",
+      "w09_funnel", "w10_retention_cohorts", "a15_zscore_normalize",
+      "t12_bigram_logprob", "j11_fuzzy_join", "r09_compact_files")
     Seq("1x" -> src, s"${reps}x" -> out).foreach { case (tag, dir) =>
       queries.foreach { qn =>
         val t0 = System.nanoTime()
