@@ -199,6 +199,20 @@ object QueriesStats {
         Tables.betaLong(s, d), Tables.detpLong(s, d),
         Tables.sampleSheet(s, d), Tables.probeManifest(s, d),
         qcThr = 0.09, topK = 50, pcs = 3, bmiqMinPerType = 10),
-      None)
+      None),
+
+    // E4 — the LLM-curation lifecycle as one DAG: exact dedup → near-dup
+    // best-of-cluster → quality gate → decontamination → chunk → pack.
+    // Benchmark set = the first 5 docs (every pipeline needs SOME eval
+    // holdout to scrub); output is packed training sequences with
+    // provenance. Rows-only (clustering + packing are iterative kernels;
+    // every stage is individually oracle-checked).
+    Q("e04_curation_pipeline", (s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val bench = docs.filter(col("doc_id") < 5)
+      graft.ops.Pipelines.curationPipeline(
+          docs.filter(col("doc_id") >= 5), bench)
+        .orderBy("src_doc", "chunk_id")
+    }, None)
   )
 }

@@ -50,4 +50,45 @@ object Pipelines {
     try Pca.pcaCoords(adjusted, topK, pcs, scale = true)
     finally adjusted.unpersist(false)
   }
+
+  /** The LLM-data analog of [[fullWorkflow]]: the whole curation tier as
+    * ONE DAG — exact dedup → near-dup clusters → best-of-cluster keep →
+    * heuristic quality gate → benchmark decontamination → context-window
+    * chunking → sequence packing. Returns the packed training sequences
+    * with their provenance (doc, chunk, bin).
+    *
+    * Scale posture is inherited from each stage (see their scaladoc); the
+    * one cross-stage concern is that the survivor set feeds three
+    * consumers (decontaminate's shingles, the chunker, and the final
+    * join), so it is persisted once and released before returning.
+    */
+  def curationPipeline(docs: org.apache.spark.sql.DataFrame,
+                       benchmark: org.apache.spark.sql.DataFrame,
+                       minJaccard: Double = 0.5, minQuality: Double = 0.3,
+                       minOverlap: Int = 5, chunkSize: Int = 50,
+                       stride: Int = 40, capacity: Long = 512): org.apache.spark.sql.DataFrame = {
+    import graft.llm.{Curation, Dedup, TextAnalysis}
+    val exact = Dedup.exactDedup(docs)
+    val kept = Curation.bestOfCluster(exact, minJaccard,
+        TextAnalysis.qualityScore(col("text")))
+      .select(col("kept_doc").as("doc_id"), col("score"))
+      .join(exact, "doc_id")
+      .filter(col("score") >= minQuality)
+    // survivors feed two consumers (chunk text + provenance join); the
+    // cache is registered in Caches and released by the harness.
+    val survivors = Caches.track(
+      kept.join(Curation.decontaminate(kept, benchmark, minOverlap)
+          .filter(!col("contaminated")).select("doc_id"), "doc_id")
+        .persist())
+    val chunks = Curation.chunkDocuments(survivors, chunkSize, stride)
+      .withColumn("chunk_key",
+        col("doc_id") * 10000L + col("chunk_id")) // chunk count/doc is bounded
+    val packed = Curation.packSequences(
+      chunks.select(col("chunk_key").as("doc_id"), col("chunk").as("text")),
+      capacity).toDF()
+    val meta = chunks.select(col("chunk_key"), col("doc_id").as("src_doc"),
+      col("chunk_id"))
+    packed.join(meta, packed.col("doc_id") === meta.col("chunk_key"))
+      .select(col("src_doc"), col("chunk_id"), col("tokens"), col("bin_id"))
+  }
 }

@@ -187,6 +187,34 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == ((2L, 3L, 3L, 0.0)))
   }
 
+  test("curationPipeline removes dup/near-dup/low-quality/contaminated docs end-to-end") {
+    import graft.ops.Pipelines
+    def prose(tag: String, reps: Int): String =
+      (0 until reps).map(j => s"the quick brown $tag fox $j jumps over the lazy dog " +
+        s"and the story of the $tag is told in text $j").mkString(" ")
+    val benchSentence = "the secret benchmark evaluation question about seven distant planets"
+    val docs = Seq(
+      (10L, prose("alpha", 10)),                             // clean, survives
+      (11L, prose("alpha", 10)),                             // exact dup of 10 → dropped
+      (12L, prose("alpha", 8)),                              // near-dup, shorter/lower quality → dropped
+      (13L, Seq.fill(40)("zz").mkString(" ")),               // low quality → dropped
+      (14L, (0 until 8).map(j => s"the silver ship $j sails beyond the cold dark " +
+        s"sea and the crew of the ship sings in verse $j").mkString(" ") +
+        " " + benchSentence),                                // contaminated → dropped
+      (15L, (0 until 10).map(j => s"a wise old turtle $j walks across the wide " +
+        s"green field and carries a tale of rivers in line $j").mkString(" "))
+    ).toDF("doc_id", "text")
+    val bench = Seq((0L, benchSentence)).toDF("doc_id", "text")
+    val out = Pipelines.curationPipeline(docs, bench).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(10L, 15L),
+      s"survivors: ${out.map(_.getLong(0)).toSet}")
+    // every chunk landed in a bin, capacity respected per bin
+    val binTotals = out.groupBy(_.getLong(3)).view.mapValues(_.map(_.getLong(2)).sum)
+    binTotals.foreach { case (bin, total) =>
+      assert(total <= 512 || out.count(_.getLong(3) == bin) == 1, s"bin $bin over capacity")
+    }
+  }
+
   test("compression ratio ranks boilerplate far below varied prose, deterministically") {
     val boiler = Seq.fill(60)("buy now limited offer").mkString(" ")
     val varied = (1 to 60).map(i => s"sentence $i carries fresh token x$i").mkString(" ")
