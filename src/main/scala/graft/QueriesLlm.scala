@@ -612,6 +612,26 @@ object QueriesLlm {
         |) t(file, frame_id, width, height, sum_r, sum_g, sum_b)
         |ORDER BY file, frame_id""".stripMargin)),
 
+    // Exact duplicate-span candidates (span-level dedup, Lee et al.
+    // ACL'22): every position whose 10-token span recurs in another doc.
+    Q("d09_duplicate_spans", (s, d) =>
+      Dedup.duplicateSpans(docs(s, d), n = 10)
+        .orderBy("doc_id", "pos"),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+          |  FROM documents),
+          |sh AS (SELECT doc_id, CAST(i AS INT) AS pos,
+          |              md5(array_to_string(list_slice(ws, i, i + 9), ' ')) AS gh
+          |       FROM t, unnest(range(1, len(ws) - 8)) AS r(i)
+          |       WHERE len(ws) >= 10),
+          |dup AS (SELECT gh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          |        FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+          |SELECT sh.doc_id, sh.pos, sh.gh, dup.n_docs
+          |FROM sh JOIN dup USING (gh)
+          |ORDER BY doc_id, pos""".stripMargin)),
+
     // Perceptual difference hash (dHash) per image: nearest-neighbor 9×8
     // grayscale grid over the full pixel decode, 64 gradient-sign bits.
     // Fixtures: a base pattern, a +10-uniform-brightness copy (dHash is

@@ -161,6 +161,38 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Exact duplicate-span detection — the candidate step of exact-substring
+    * dedup (Lee et al., ACL'22, "Deduplicating Training Data Makes
+    * Language Models Better": repeated long substrings across documents
+    * are removed span-wise, not doc-wise). Emits every (doc, position)
+    * whose length-`n` token span also occurs in at least one OTHER
+    * document, with the span fingerprint and its cross-doc frequency —
+    * the removal mask a span-level deduper consumes.
+    *
+    * Scale shape: span extraction is row-local (index explode + slice
+    * over the token array); the spans table is the only shuffled volume —
+    * once for the cross-doc frequency aggregate, and the dup-filter join
+    * back is co-keyed on the same span hash partitioning (AQE reuses the
+    * exchange). The spans table is persisted across its two consumers. At
+    * 100 TB, hash the span to 16 bytes before the shuffle (md5 here) so
+    * shuffle width is constant per span regardless of n.
+    */
+  def duplicateSpans(docs: DataFrame, n: Int,
+                     textCol: String = "text"): DataFrame = {
+    val t = split(graft.llm.TextAnalysis.normalized(col(textCol)), " ")
+    val sh = graft.ops.Caches.track(docs
+      .select(col("doc_id"), t.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("__t")) - (n - 1))).as("pos"), col("__t"))
+      .select(col("doc_id"), col("pos"),
+        md5(array_join(slice(col("__t"), col("pos"), lit(n)), " ")).as("gh"))
+      .persist())
+    val dup = sh.groupBy("gh").agg(count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    sh.join(dup, "gh").select("doc_id", "pos", "gh", "n_docs")
+  }
+
   /** Exact dedup keeping the first doc per content hash (deterministic). */
   def exactDedup(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val w = Window.partitionBy("h").orderBy(col("doc_id").asc)
