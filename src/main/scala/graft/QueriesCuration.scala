@@ -315,6 +315,21 @@ object QueriesCuration {
           |FROM tk k JOIN tf USING (w), n
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Weighted sampling without replacement (A-Res, exponential keys from
+    // seedless md5 draws): 100 docs drawn proportionally to length — the
+    // resampling step downstream of c10's importance weights.
+    Q("c11_weighted_sample", (s, d) =>
+      Curation.weightedSample(docs(s, d), col("n_chars").cast("double"), k = 100)
+        .select(col("doc_id"), col("n_chars"), round(col("skey"), 6).as("skey"))
+        .orderBy("skey", "doc_id"),
+      Some(
+        """SELECT doc_id, n_chars, round(skey, 6) AS skey FROM (
+          |  SELECT doc_id, n_chars,
+          |         -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+          |             / 4294967297.0) / CAST(n_chars AS DOUBLE) AS skey
+          |  FROM documents)
+          |ORDER BY skey, doc_id LIMIT 100""".stripMargin)),
+
     // BPE merge induction over the corpus word-frequency table: 16 merge
     // rounds, each one shuffle over the vocab (never the corpus). Iterative
     // argmax is not SQL-expressible → rows-only here; BpeSpec pins the

@@ -364,6 +364,27 @@ object Curation {
         array_join(col("__chunk"), " ").as("chunk"))
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006, A-Res in exponential form): each row draws
+    * `key = -ln(u)/w` with `u` derived from the row id's md5 (seedless and
+    * identical across engines/runs, the c02 convention), and the k
+    * SMALLEST keys win — a weight-w row's key is Exp(w), so heavier rows
+    * are proportionally likelier. This is the resampling step that
+    * consumes [[importanceWeights]].
+    *
+    * Scale shape: the key is one row-local projection; selection is
+    * orderBy+limit = `TakeOrderedAndProject` (per-partition top-k, k rows
+    * to the driver, no global sort).
+    */
+  def weightedSample(docs: DataFrame, weightCol: Column, k: Int,
+                     idCol: String = "doc_id"): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("bigint") + 1L).cast("double") / 4294967297.0
+    docs.withColumn("skey", -log(u) / weightCol)
+      .orderBy(col("skey").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** DSIR-style importance weights (Xie et al., NeurIPS'23, "Data Selection
     * for Language Models via Importance Resampling"): score every document
     * by the log-likelihood ratio of its tokens under a target-subset

@@ -187,6 +187,16 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == ((2L, 3L, 3L, 0.0)))
   }
 
+  test("weightedSample is deterministic and favors heavy weights") {
+    val docs = ((1L to 200L).map(i => (i, 1.0)) :+ (999L, 1e9)).toDF("doc_id", "w")
+    def run() = Curation.weightedSample(docs, col("w"), k = 20)
+      .select("doc_id").as[Long].collect().toSeq
+    val got = run()
+    assert(got.size == 20)
+    assert(got == run()) // seedless md5 keys → identical across runs
+    assert(got.contains(999L), "a 1e9x weight must dominate the sample")
+  }
+
   test("curationPipeline removes dup/near-dup/low-quality/contaminated docs end-to-end") {
     import graft.ops.Pipelines
     def prose(tag: String, reps: Int): String =
