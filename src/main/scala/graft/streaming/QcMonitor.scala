@@ -107,6 +107,48 @@ object QcMonitor {
       .dropDuplicates("fp")
   }
 
+  /** Watermark-bounded streaming dedup — the production form of
+    * [[dedupStream]]: per-key state carries an event-time TTL
+    * (`GroupStateTimeout.EventTimeTimeout`), so a key seen once is
+    * suppressed for `ttlMs` of event time and then EXPIRES — total state
+    * is bounded by keys-per-TTL-window, not stream lifetime. A key
+    * reappearing after expiry is admitted again (the semantics of a
+    * sliding dedup window, which is what unbounded streams actually
+    * want; unexpiring state would OOM at stream scale).
+    */
+  def dedupStreamTtl(events: DataFrame, ttlMs: Long,
+                     watermarkDelay: String = "10 seconds"):
+      org.apache.spark.sql.Dataset[(Long, String)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            // suppress the replay — but RE-ARM the timeout: Spark clears a
+            // group's timeout on every data invocation, so returning
+            // without setting it would make the state immortal
+            state.setTimeoutTimestamp(
+              math.max(state.get + ttlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          } else {
+            val rs = rows.toSeq
+            val maxTs = rs.map(_._2.getTime).max
+            state.update(maxTs)
+            // expire after event-time TTL; never at-or-behind the watermark
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            val best = rs.minBy(r => (r._2.getTime, r._3))
+            Iterator.single((key, best._3))
+          }
+      }
+  }
+
   /** Live conversion funnel — the streaming dual of the batch
     * `ops/Timeseries.funnel`. Per-user state is ONE fixed-size array (the
     * earliest chained timestamp per stage, -1 = not reached), updated by

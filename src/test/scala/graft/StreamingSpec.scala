@@ -51,6 +51,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStreamTtl suppresses within the TTL and re-admits after state expiry") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val q = QcMonitor.dedupStreamTtl(
+        ms.toDF().toDF("key", "ts", "payload"), ttlMs = 20000L)
+      .toDF("key", "payload")
+      .writeStream.format("memory").queryName("ttl_dedup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, ts(10), "a"), (2L, ts(10), "x"))
+      q.processAllAvailable()
+      ms.addData((1L, ts(11), "a-dup")) // within TTL: suppressed
+      q.processAllAvailable()
+      // advance the watermark far past key 1's expiry (60-10s delay = 50s
+      // watermark > 10s+20s TTL); no key-1 data, so the timeout fires
+      ms.addData((9L, ts(60), "w"))
+      q.processAllAvailable()
+      ms.addData((9L, ts(70), "w2")) // one more batch to process the timeout
+      q.processAllAvailable()
+      ms.addData((1L, ts(80), "a-again")) // state expired → re-admitted
+      q.processAllAvailable()
+      val out = sp.table("ttl_dedup_out").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(out.count(_._1 == 1L) == 2, s"key 1 rows: ${out.toSeq}")
+      assert(out.toSet == Set((1L, "a"), (2L, "x"), (9L, "w"), (1L, "a-again")))
+    } finally q.stop()
+  }
+
   test("funnelStream advances the chained stage across micro-batches, monotonically") {
     val sp = spark
     import sp.implicits._
