@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   *   - [[QueriesStats]]      — K1/K2/K3/K5/K6 statistical kernels
   *   - [[QueriesLlm]]        — dedup / similarity / text / multimodal
   *   - [[QueriesCuration]]   — clustering / sampling / decontam / packing
+  *   - [[QueriesGraph]]      — link analysis over the order graph
   *   - [[QueriesSources]]    — S3/S4/S6 parsers, S1/S7 scan+sink, streaming
   */
 object SparkEntry {
 
   private def packs: Seq[Q] =
     QueriesRelational.all ++ QueriesStats.all ++ QueriesLlm.all ++
-      QueriesCuration.all ++ QueriesSources.all
+      QueriesCuration.all ++ QueriesGraph.all ++ QueriesSources.all
 
   /** Flagship query (SURVEY.md §7.2 M0): per-group variance of
     * l_extendedprice by l_partkey via exact integer moments, top-k desc —

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists — the link-analysis tier a web-scale
+  * curation pipeline runs to score crawl domains by connectivity (the
+  * quality prior used alongside text-level scores; cf. Common Crawl
+  * harmonic-centrality ranking). The reference pipeline has no graph
+  * operators; this extends the engine the same way the dedup/ANN tier
+  * does, re-using the iterate-with-lineage-cuts shape of
+  * [[graft.llm.Curation.connectedComponents]].
+  *
+  * PageRank here is FIXED-POINT INTEGER arithmetic: ranks are scaled by
+  * 1e12 and every step is int64 add / multiply / floor-divide. Floating
+  * point would make the result depend on per-partition summation order;
+  * integer sums are associative, so the result is bit-identical across
+  * partitionings, runs, and engines — which is what makes a DuckDB oracle
+  * (chained CTEs, `//` floor division) able to hash-match it exactly.
+  */
+object Graph {
+
+  /** Rank scale: 1.0 of probability mass = 1e12. Headroom: intermediate
+    * products reach 85 * 1e12 < 2^63.
+    */
+  val Scale = 1000000000000L
+
+  /** Undirected customer↔supplier graph from co-occurrence in orders:
+    * edge (c, s) iff customer c placed an order containing a lineitem
+    * supplied by s. Node ids are namespaced into one key space
+    * (customer = 2k, supplier = 2k+1) so the bipartite graph lives in a
+    * single column pair — the join is orders⋈lineitem on the order key
+    * (both sides shuffle on it; at scale both tables would be bucketed by
+    * order key making this co-located), then DISTINCT to collapse repeat
+    * business to one edge.
+    */
+  def custSuppEdges(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey").cast("bigint") * 2L).as("src"),
+        (col("l_suppkey").cast("bigint") * 2L + 1L).as("dst"))
+      .distinct()
+
+  /** Fixed-iteration PageRank (damping 0.85) over an undirected edge list.
+    *
+    * Per iteration, each node's next rank is
+    * `(15·Scale) div (100·N)  +  (85 · Σ_{u→v} (rank_u div outdeg_u)) div 100`
+    * — the classic update with every division a floor-divide. Mass lost to
+    * flooring is O(E) rank units per round (≤ micro-units at Scale=1e12),
+    * a deterministic bias identical in both engines.
+    *
+    * Scale shape: the edge list is joined once per iteration against the
+    * rank table (shuffle on src), re-aggregated on dst — the same two
+    * shuffles a SQL engine pays per CTE stage. The edge list is persisted
+    * (read `iterations` times); each round's rank table is one row per
+    * node and localCheckpoint'ed so the plan does not grow with the
+    * iteration count (reliable checkpoints on a real cluster). Undirected
+    * means no dangling nodes: every node has in- and out-edges, so no
+    * dangling-mass redistribution pass is needed.
+    *
+    * @param edges (src, dst) pairs, interpreted undirected; must not
+    *              contain both orientations of the same pair (bipartite
+    *              namespaced inputs like [[custSuppEdges]] guarantee this)
+    * @return (id, rank) — rank in Scale units, int64
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // One bounded scalar to the driver: the node count feeds the literal
+    // teleport term (matches the oracle's count(*) over the degree CTE).
+    val n = deg.count()
+    require(n > 0, "pageRank: empty graph")
+    val base = 15L * Scale / (100L * n) // Scala Long division = floor (>0)
+    // src, dst, outdeg(src) — materialized once, read every iteration.
+    val undDeg = Caches.track(und.join(deg, "src").persist())
+    var ranks = deg.select(col("src").as("id"))
+      .withColumn("rank", lit(Scale / n)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      ranks = undDeg.join(ranks, undDeg("src") === ranks("id"))
+        .groupBy(undDeg("dst").as("id"))
+        .agg((lit(base) +
+          expr("85 * sum(rank div outdeg) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** DuckDB oracle for [[pageRank]] over [[custSuppEdges]]: the identical
+    * integer recurrence as chained CTEs (`//` = floor division in DuckDB;
+    * all values positive, so it agrees with Spark's `div`).
+    */
+  def pageRankOracleCtes(iterations: Int): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT u.dst AS id,
+         |         CAST((15 * ${Scale}) // (100 * n.n)
+         |              + 85 * sum(r.rank // u.outdeg) // 100 AS BIGINT) AS rank
+         |  FROM und u JOIN r${i - 1} r ON u.src = r.id CROSS JOIN n
+         |  GROUP BY u.dst, n.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+       |                  CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |ud AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |        FROM ud GROUP BY 1),
+       |und AS (SELECT ud.src, ud.dst, deg.outdeg FROM ud JOIN deg USING (src)),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |r0 AS (SELECT src AS id, CAST(${Scale} // n.n AS BIGINT) AS rank
+       |       FROM deg CROSS JOIN n),
+       |$rounds""".stripMargin
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.Graph
+import org.apache.spark.sql.functions._
+
+/** ops/Graph: fixed-point-integer PageRank invariants plus bit-equality
+  * against a driver-side reference implementation of the same recurrence.
+  */
+class GraphSpec extends SparkSpec {
+
+  private def ranksOf(edges: Seq[(Long, Long)], iters: Int = 5): Map[Long, Long] = {
+    val sp = spark
+    import sp.implicits._
+    try Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally graft.ops.Caches.releaseAll()
+  }
+
+  /** The identical integer recurrence, sequentially on the driver. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = (edges ++ edges.map(e => (e._2, e._1)))
+    val deg = und.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = deg.size.toLong
+    val base = 15L * Graph.Scale / (100L * n)
+    var rank = deg.keys.map(_ -> Graph.Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = und.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => rank(e._1) / deg(e._1)).sum
+      }
+      rank = contrib.map { case (v, c) => v -> (base + 85L * c / 100L) }
+    }
+    rank
+  }
+
+  test("cycle graph: all ranks equal (symmetry)") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val r = ranksOf(cycle)
+    assert(r.size == 4)
+    assert(r.values.toSet.size == 1, s"ranks differ on a vertex-transitive graph: $r")
+  }
+
+  test("star graph: hub outranks leaves; total mass stays within Scale") {
+    val star = (2L to 6L).map(l => (1L, l))
+    val r = ranksOf(star)
+    assert((2L to 6L).forall(l => r(1L) > r(l)), s"hub not top: $r")
+    assert(r(2L) == r(6L), "leaves are symmetric")
+    val total = r.values.sum
+    // floor-division loses mass, never creates it
+    assert(total <= Graph.Scale && total > Graph.Scale * 9 / 10, s"mass $total")
+  }
+
+  test("matches the driver-side reference recurrence bit-for-bit") {
+    // Irregular multi-component graph: a triangle, a path, an isolated pair
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (8L, 9L), (1L, 4L))
+    assert(ranksOf(g, 4) == reference(g, 4))
+    assert(ranksOf(g, 7) == reference(g, 7))
+  }
+
+  test("custSuppEdges namespaces customers even / suppliers odd, distinct") {
+    val sp = spark
+    import sp.implicits._
+    val orders = Seq((100L, 7L), (101L, 7L), (102L, 8L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((100L, 1L), (100L, 1L), (101L, 1L), (102L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+    val e = Graph.custSuppEdges(orders, lineitem)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // repeat business (cust 7 → supp 1 via two orders + a dup lineitem)
+    // collapses to one edge
+    assert(e == Set((14L, 3L), (16L, 5L)))
+  }
+}
