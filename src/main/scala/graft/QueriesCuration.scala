@@ -330,6 +330,21 @@ object QueriesCuration {
           |  FROM documents)
           |ORDER BY skey, doc_id LIMIT 100""".stripMargin)),
 
+    // Deterministic global training shuffle: seedless md5 permutation key,
+    // md5-mod shard, per-shard position — one window shuffle, no global
+    // sort (the write.partitionBy training-order step at scale).
+    Q("c12_shuffle_shards", (s, d) =>
+      Curation.shuffleShards(docs(s, d), nShards = 8)
+        .orderBy("shard", "pos"),
+      Some(
+        """WITH k AS (
+          |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key,
+          |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard
+          |  FROM documents)
+          |SELECT doc_id, shard,
+          |       CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos
+          |FROM k ORDER BY shard, pos""".stripMargin)),
+
     // BPE merge induction over the corpus word-frequency table: 16 merge
     // rounds, each one shuffle over the vocab (never the corpus). Iterative
     // argmax is not SQL-expressible → rows-only here; BpeSpec pins the

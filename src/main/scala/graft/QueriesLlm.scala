@@ -158,6 +158,13 @@ object QueriesLlm {
       Similarity.ivfTopK(emb(s, d), queryId = 0L, k = 10, nlist = 16, nprobe = 4),
       None),
 
+    // Product-quantization ANN: 4 subspace codebooks × 16 centroids → 4-byte
+    // codes, ADC table-lookup scoring (rows-only — k-means codebooks are
+    // Spark-ML-specific; SimilaritySpec checks recall vs brute force).
+    Q("n06_ann_pq", (s, d) =>
+      Similarity.pqTopK(emb(s, d), queryId = 0L, k = 10),
+      None),
+
     Q("n02_ann_lsh_bucketed", (s, d) =>
       Similarity.lshTopK(emb(s, d), queryId = 0L, k = 5, bits = 4),
       Some(

@@ -385,6 +385,31 @@ object Curation {
       .limit(k)
   }
 
+  /** Deterministic global training shuffle into fixed shards: every doc
+    * gets a seedless permutation key (md5 of its id), a shard (key mod
+    * `nShards`), and its position within the shard — the
+    * shuffle-then-shard step that fixes a training run's data order.
+    * Seedless md5 keys make the permutation reproducible across runs and
+    * engines and independent of input partitioning.
+    *
+    * Scale shape: ONE shuffle (the window partitions by shard), and each
+    * shard sorts independently — there is never a global sort. Shards are
+    * hash-uniform (≈ corpus/nShards each); at 100 TB this materializes as
+    * `write.partitionBy("shard")` with `sortWithinPartitions(key)` so the
+    * on-disk file order IS the training order, and a trainer streams shard
+    * files with no further shuffle.
+    */
+  def shuffleShards(docs: DataFrame, nShards: Int,
+                    idCol: String = "doc_id"): DataFrame = {
+    val key = md5(col(idCol).cast("string"))
+    val shard = pmod(conv(substring(key, 1, 8), 16, 10).cast("bigint"),
+      lit(nShards.toLong))
+    val w = Window.partitionBy("shard").orderBy(col("__key").asc, col(idCol).asc)
+    docs.select(col(idCol), key.as("__key"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** DSIR-style importance weights (Xie et al., NeurIPS'23, "Data Selection
     * for Language Models via Importance Resampling"): score every document
     * by the log-likelihood ratio of its tokens under a target-subset

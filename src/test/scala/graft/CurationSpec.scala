@@ -246,6 +246,24 @@ class CurationSpec extends SparkSpec {
     assert(packed.count(_.bin_id == oversizedBin) == 1)
   }
 
+  test("shuffleShards: a reproducible permutation with contiguous per-shard positions") {
+    val docs = (1L to 200L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val a = Curation.shuffleShards(docs, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // same result on a different input partitioning (partition-order blind)
+    val b = Curation.shuffleShards(docs.repartition(7), nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sorted.toSeq == b.sorted.toSeq)
+    assert(a.map(_._1).toSet == (1L to 200L).toSet, "every doc placed exactly once")
+    // positions are 1..size within every shard
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.size).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // hash-uniform-ish: no shard hoards the corpus
+    assert(a.groupBy(_._2).values.map(_.size).max < 80)
+  }
+
   test("chunkDocuments covers every token with the declared overlap") {
     // 12 tokens, chunk 5, stride 3 → ceil((12-5)/3)+1 = 4 chunks
     val words = (1 to 12).map(i => s"w$i").mkString(" ")

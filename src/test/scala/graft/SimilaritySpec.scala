@@ -36,6 +36,45 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.contains(brute), s"IVF candidates $ivf miss brute-force top $brute")
   }
 
+  test("pqTopK: near-perfect recall on planted clusters") {
+    // 16 tight blobs on the unit sphere — the regime PQ is built for.
+    // Deterministic: fixed-seed generation, fixed-seed codebooks.
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(16)(unit())
+    val rows = (0 until 480).map { i =>
+      val c = centers(i % 16)
+      val p = c.zip(unit()).map { case (a, e) => (a + 0.05 * e).toFloat }
+      (i.toLong, p.toSeq, i % 16)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val brute = Similarity.cosineTopK(df, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val pq = Similarity.pqTopK(df, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    graft.ops.Caches.releaseAll()
+    val recall = brute.intersect(pq).size / 10.0
+    assert(recall >= 0.9, s"planted recall@10 $recall < 0.9 (pq=$pq brute=$brute)")
+  }
+
+  test("pqTopK: beats random-chance recall on the near-random real embeddings") {
+    // sf0.001 embeddings are ~isotropic (top-10 cosine ≈ 0.33 vs median
+    // 0.01) — the worst case for vector quantization, so the bar here is
+    // "far above chance" (chance recall@10 = 10/500 = 2%), not "high".
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.cosineTopK(real, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val pq = Similarity.pqTopK(real, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    graft.ops.Caches.releaseAll()
+    val recall = brute.intersect(pq).size / 10.0
+    assert(recall >= 0.3, s"PQ recall@10 $recall < 0.3 (pq=$pq brute=$brute)")
+  }
+
   test("cosineNearDups blocks by the given column") {
     val pairs = Similarity.cosineNearDups(emb, "label", -2.0)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
