@@ -132,14 +132,12 @@ object Dmp {
   }
 
   /** Register the engine's native scalar functions in the session's
-    * function registry (the lightweight flavor of a SparkSessionExtensions
-    * injection — same builder, no restart needed).
+    * function registry. Sessions built with
+    * `spark.sql.extensions=graft.GraftExtensions` already have them; this
+    * is the no-restart flavor for pre-existing sessions. Idempotent.
     */
   def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_t_pvalue",
-      exprs => graft.functions.StudentTPValue(exprs.head, exprs(1)),
-      "built-in")
+    graft.GraftExtensions.registerAll(spark)
 
   /** Pass 3: moderated statistics + BH FDR + the reference's significance
     * call (FDR < 0.05 AND |logFC| > log2(1.5), /root/reference/plots.R:165).

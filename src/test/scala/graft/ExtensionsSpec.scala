@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import graft.functions.Fns
+import org.apache.spark.sql.functions._
+
+/** GraftExtensions: SQL-function injection parity with the Column API. */
+class ExtensionsSpec extends SparkSpec {
+
+  private def builder(name: String) =
+    GraftExtensions.descriptors.find(_._1.funcName == name).get._3
+
+  test("descriptor builders evaluate correctly on literals") {
+    def eval1(name: String, x: Double): Any =
+      builder(name)(Seq(Literal(x))).eval(null)
+    assert(math.abs(eval1("graft_mvalue", 0.75).asInstanceOf[Double] -
+      math.log(3.0) / math.log(2.0)) < 1e-14)
+    // pre-clamp: beta=1.0 clamps to 0.999 and stays finite
+    assert(eval1("graft_mvalue", 1.0).asInstanceOf[Double].isNaN == false)
+    assert(math.abs(eval1("graft_inverse_mvalue", 0.0).asInstanceOf[Double] - 0.5) < 1e-15)
+    assert(eval1("graft_neglog10", 0.001).asInstanceOf[Double] - 3.0 < 1e-12)
+    assert(eval1("graft_neglog10", 0.0) == null) // guard: p <= 0 -> NULL
+    val p = builder("graft_t_pvalue")(Seq(Literal(0.0), Literal(10.0))).eval(null)
+    assert(p == 1.0) // t=0 -> two-sided p = 1
+  }
+
+  test("builders reject wrong arity") {
+    intercept[IllegalArgumentException] {
+      builder("graft_mvalue")(Seq(Literal(1.0), Literal(2.0)))
+    }
+  }
+
+  test("registerAll exposes the functions to spark.sql, matching Fns columns") {
+    val sp = spark
+    GraftExtensions.registerAll(sp)
+    import sp.implicits._
+    val df = Seq(0.25, 0.5, 0.999, 0.0001).toDF("beta")
+    df.createOrReplaceTempView("ext_betas")
+    val viaSql = sp.sql(
+      """SELECT beta, graft_mvalue(beta) AS m,
+        |       graft_inverse_mvalue(graft_mvalue(beta)) AS roundtrip,
+        |       graft_neglog10(beta) AS nl
+        |FROM ext_betas""".stripMargin)
+    val viaCols = df.select(
+      col("beta"), Fns.mValueClamped(col("beta")).as("m"),
+      Fns.inverseMValue(Fns.mValueClamped(col("beta"))).as("roundtrip"),
+      Fns.negLog10(col("beta")).as("nl"))
+    assert(viaSql.collect().toSeq == viaCols.collect().toSeq)
+  }
+
+  test("injected expressions fold and stay codegen-compatible") {
+    val sp = spark
+    GraftExtensions.registerAll(sp)
+    // literal input folds at optimization time -> plan carries no function call
+    val plan = sp.sql("SELECT graft_inverse_mvalue(0.0) AS x")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("0.5"), s"expected constant-folded literal in: $plan")
+  }
+}
