@@ -73,6 +73,11 @@ object GraftExtensions {
     Seq[(String, Int, Seq[Expression] => Expression)](
       ("graft_t_pvalue", 2,
         es => functions.StudentTPValue(dbl(es.head), dbl(es(1)))),
+      ("graft_shingles", 2, es => {
+        require(es(1).foldable, "graft_shingles: n must be a literal")
+        functions.DistinctShingles(es.head,
+          es(1).eval().asInstanceOf[Number].intValue())
+      }),
       ("graft_mvalue", 1, mValue),
       ("graft_inverse_mvalue", 1, inverseMValue),
       ("graft_neglog10", 1, negLog10)

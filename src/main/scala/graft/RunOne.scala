@@ -20,8 +20,10 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     (1 to reps).foreach { i =>
       try {
+        val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, sfDir).count()
-        println(s"[runone] $name rep $i OK rows=$n")
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[runone] $name rep $i OK rows=$n ($secs%.2f s)")
       } catch {
         case e: Throwable =>
           println(s"[runone] $name rep $i FAILED")

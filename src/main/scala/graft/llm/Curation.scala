@@ -37,7 +37,8 @@ object Curation {
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
                           srcCol: String = "doc_a", dstCol: String = "doc_b",
-                          idCol: String = "doc_id", maxIter: Int = 50): DataFrame = {
+                          idCol: String = "doc_id", maxIter: Int = 50,
+                          localThreshold: Long = 1000000L): DataFrame = {
     // The edge list is read once per round — persist it (released by the
     // harness via ops.Caches) so an expensive upstream (e.g. the Jaccard
     // pair join) doesn't recompute every iteration.
@@ -45,6 +46,15 @@ object Curation {
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
         .persist())
+    // Size dispatch (the bhAdjust pattern): near-dup edge lists are a tiny
+    // fraction of the corpus — when they fit on the driver, union-find in
+    // O(E·α) beats paying the iterative loop's per-round shuffle cost
+    // (measured 5.2 s for 590 edges at sf0.1 — all fixed overhead). Above
+    // the threshold the label-propagation loop below takes over; a
+    // CurationSpec property test asserts the two paths are bit-equal.
+    val undCount = und.count()
+    if (undCount / 2 <= localThreshold)
+      return localComponents(und, vertices, idCol)
     // Only edge-touched vertices can ever change label — iterate over that
     // subgraph and re-attach everything else as singleton clusters at the
     // end. In a dedup corpus the near-dup fraction is small, so each
@@ -89,6 +99,43 @@ object Curation {
           "component diameter exceeds maxIter")
     val singletons = vertices.select(col(idCol).as("id"))
       .join(touched, Seq("id"), "left_anti")
+      .withColumn("cluster", col("id"))
+    labels.union(singletons).select(col("id").as(idCol), col("cluster"))
+  }
+
+  /** Small-graph path of [[connectedComponents]]: union-find on the
+    * driver. Union-by-min (the larger root always attaches under the
+    * smaller) makes every root the minimum id of its component — the same
+    * label the propagation loop converges to; path compression keeps find
+    * amortized near-constant. The label map returns as an RDD-backed frame
+    * (not a plan-embedded local relation — it can be millions of rows).
+    */
+  private def localComponents(und: DataFrame, vertices: DataFrame,
+                              idCol: String): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val pairs = und.filter(col("src") < col("dst"))
+      .select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labelRows = parent.keysIterator.map(v => (v, find(v))).toSeq
+    val labels = spark.sparkContext
+      .parallelize(labelRows, math.max(1, labelRows.size / 500000 + 1))
+      .toDF("id", "cluster")
+    val singletons = vertices.select(col(idCol).as("id"))
+      .join(labels.select("id"), Seq("id"), "left_anti")
       .withColumn("cluster", col("id"))
     labels.union(singletons).select(col("id").as(idCol), col("cluster"))
   }

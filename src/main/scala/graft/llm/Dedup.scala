@@ -17,17 +17,19 @@ object Dedup {
         posexplode(split(TextAnalysis.normalized(col(textCol)), " ")).as(Seq("pos", "w")))
       .filter(col("w") =!= "")
 
-  /** Distinct word n-gram shingles per document (lead-window composition). */
+  /** Distinct word n-gram shingles per document via the native
+    * [[graft.functions.DistinctShingles]] codegen Expression — row-local
+    * (no token-stream shuffle, no per-doc window sort; a document's
+    * shingle set never leaves its input partition until a caller joins on
+    * it), and the per-doc dedup happens before the explode, so the explode
+    * fan-out is the distinct-shingle count, not the token count.
+    */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val base = words(docs)
-    val withNext = (1 until n).foldLeft(base) { (df, i) =>
-      df.withColumn(s"w$i", lead(col("w"), i).over(w))
-    }
-    val parts = col("w") +: (1 until n).map(i => col(s"w$i"))
-    withNext.filter(col(s"w${n - 1}").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"))
-      .distinct()
+    graft.GraftExtensions.registerAll(docs.sparkSession)
+    docs
+      .withColumn("__norm", TextAnalysis.normalized(col("text")))
+      .select(col("doc_id"),
+        explode(expr(s"graft_shingles(__norm, $n)")).as("shingle"))
   }
 
   /** Exact n-gram Jaccard similarity for documents sharing >=1 shingle

@@ -19,7 +19,9 @@ class CurationSpec extends SparkSpec {
     val n = 40L
     val edges = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val verts = (1L to n).toDF("doc_id")
-    val got = Curation.connectedComponents(edges, verts).as[(Long, Long)].collect()
+    // localThreshold = 0 pins the distributed label-propagation path
+    val got = Curation.connectedComponents(edges, verts, localThreshold = 0L)
+      .as[(Long, Long)].collect()
     assert(got.length == n && got.forall(_._2 == 1L))
   }
 
@@ -127,7 +129,7 @@ class CurationSpec extends SparkSpec {
     val edges = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val verts = (1L to 10L).toDF("doc_id")
     val e = intercept[IllegalStateException] {
-      Curation.connectedComponents(edges, verts, maxIter = 3)
+      Curation.connectedComponents(edges, verts, maxIter = 3, localThreshold = 0L)
     }
     assert(e.getMessage.contains("did not converge"))
   }
@@ -157,10 +159,16 @@ class CurationSpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expected = (1 to n).map(i => i.toLong -> find(i).toLong).toMap
-      val got = Curation.connectedComponents(
+      // both size-dispatch paths must match the ground truth bit-for-bit
+      val local = Curation.connectedComponents(
           edges.toDF("doc_a", "doc_b"), (1L to n.toLong).toDF("doc_id"))
         .as[(Long, Long)].collect().toMap
-      assert(got == expected)
+      val dist = Curation.connectedComponents(
+          edges.toDF("doc_a", "doc_b"), (1L to n.toLong).toDF("doc_id"),
+          localThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(local == expected)
+      assert(dist == expected)
     }
   }
 
