@@ -64,9 +64,18 @@ object Graph {
     *              namespaced inputs like [[custSuppEdges]] guarantee this)
     * @return (id, rank) — rank in Scale units, int64
     */
-  def pageRank(edges: DataFrame, iterations: Int = 5): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+  def pageRank(edges: DataFrame, iterations: Int = 5,
+               localThreshold: Long = 2000000L): DataFrame = {
+    val und = Caches.track(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .persist())
+    // Size dispatch (the connectedComponents pattern): integer arithmetic
+    // is order-independent, so the driver-local recurrence is bit-identical
+    // to the distributed one — below the threshold, skip the per-iteration
+    // join/aggregate/checkpoint fixed cost entirely. GraphSpec pins both
+    // paths to the same output.
+    if (und.count() <= localThreshold) return pageRankLocal(und, iterations)
     val deg = und.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // One bounded scalar to the driver: the node count feeds the literal
     // teleport term (matches the oracle's count(*) over the degree CTE).
@@ -85,6 +94,50 @@ object Graph {
         .localCheckpoint()
     }
     ranks
+  }
+
+  /** Small-graph path of [[pageRank]]: the identical integer recurrence on
+    * the driver (every step int64 floor-divide/add, so summation order is
+    * irrelevant and the result matches the distributed path bit-for-bit).
+    */
+  private def pageRankLocal(und: DataFrame, iterations: Int): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val rows = und.select(col("src"), col("dst")).collect()
+    // dense re-index so the iteration runs over primitive arrays (boxed
+    // Long->Long maps measured ~5x slower on a 1M-edge graph)
+    val index = scala.collection.mutable.LongMap.empty[Int]
+    val srcIdx = new Array[Int](rows.length)
+    val dstIdx = new Array[Int](rows.length)
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def idx(v: Long): Int =
+      index.getOrElseUpdate(v, { val i = ids.length; ids += v; i })
+    var e = 0
+    while (e < rows.length) {
+      srcIdx(e) = idx(rows(e).getLong(0))
+      dstIdx(e) = idx(rows(e).getLong(1))
+      e += 1
+    }
+    val n = ids.length.toLong
+    require(n > 0, "pageRank: empty graph")
+    val deg = new Array[Long](ids.length)
+    e = 0
+    while (e < rows.length) { deg(srcIdx(e)) += 1L; e += 1 }
+    val base = 15L * Scale / (100L * n)
+    var ranks = Array.fill(ids.length)(Scale / n)
+    for (_ <- 1 to iterations) {
+      val sums = new Array[Long](ids.length)
+      e = 0
+      while (e < rows.length) {
+        sums(dstIdx(e)) += ranks(srcIdx(e)) / deg(srcIdx(e))
+        e += 1
+      }
+      ranks = sums.map(s => base + 85L * s / 100L)
+    }
+    val out = ids.indices.map(i => (ids(i), ranks(i)))
+    spark.sparkContext
+      .parallelize(out, math.max(1, out.size / 500000 + 1))
+      .toDF("id", "rank")
   }
 
   /** DuckDB oracle for [[pageRank]] over [[custSuppEdges]]: the identical

@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   */
 class GraphSpec extends SparkSpec {
 
-  private def ranksOf(edges: Seq[(Long, Long)], iters: Int = 5): Map[Long, Long] = {
+  private def ranksOf(edges: Seq[(Long, Long)], iters: Int = 5,
+                      localThreshold: Long = 2000000L): Map[Long, Long] = {
     val sp = spark
     import sp.implicits._
-    try Graph.pageRank(edges.toDF("src", "dst"), iters)
+    try Graph.pageRank(edges.toDF("src", "dst"), iters, localThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     finally graft.ops.Caches.releaseAll()
   }
@@ -53,8 +54,11 @@ class GraphSpec extends SparkSpec {
     // Irregular multi-component graph: a triangle, a path, an isolated pair
     val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
       (6L, 7L), (8L, 9L), (1L, 4L))
+    // both size-dispatch paths: local (default threshold) and distributed
     assert(ranksOf(g, 4) == reference(g, 4))
     assert(ranksOf(g, 7) == reference(g, 7))
+    assert(ranksOf(g, 4, localThreshold = 0L) == reference(g, 4))
+    assert(ranksOf(g, 7, localThreshold = 0L) == reference(g, 7))
   }
 
   test("custSuppEdges namespaces customers even / suppliers odd, distinct") {
