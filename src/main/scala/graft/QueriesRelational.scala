@@ -905,6 +905,24 @@ object QueriesRelational {
           |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // VARIANT tier (Spark 4 native semi-structured type): parse the JSON
+    // props ONCE into the binary-encoded VARIANT, then typed path
+    // extraction is an offset lookup — repeated extractions don't re-parse
+    // the string the way chained get_json_object calls (f14) do, and at
+    // storage scale the column shreds to columnar parquet (variant
+    // shredding), restoring pushdown/pruning over semi-structured data.
+    Q("f15_variant_typed", (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", variant_get(parse_json(col("props")), "$.k", "bigint"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("k_mod"),
+      Some(
+        """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ------------------------------------------------------------------
     // R — reshape / partitioned write (reference main.py:162-167,
     // dataset.py:66-101, S7 sinks)

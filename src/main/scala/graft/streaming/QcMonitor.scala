@@ -179,4 +179,55 @@ object QcMonitor {
           (user, st.segmentLength(_ >= 0, 0))
       }
   }
+
+  /** Streaming MERGE sink: each micro-batch of keyed I/U/D changes is
+    * applied to a parquet table directory through
+    * [[graft.ops.Relational.upsertMerge]] inside `foreachBatch` — the
+    * streaming CDC-apply pattern. Exactly-once comes from batch-id
+    * idempotence: a replayed batch (restart between merge and checkpoint
+    * commit) finds its `_applied/<id>` marker and is skipped, so the merge
+    * is applied at most once per id and the checkpoint guarantees at least
+    * once. The merge itself is the one-full-outer-join shape (shuffle ∝
+    * base+changes on the key); the directory swap stands in for a table
+    * format's atomic metadata commit (Delta/Iceberg), which is what the
+    * full-file rewrite would be replaced by at scale.
+    */
+  def upsertSink(changes: DataFrame, tableDir: String, checkpointDir: String,
+                 key: String, opCol: String, valueCols: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyChangeBatch(batch, batchId, tableDir, key, opCol, valueCols)
+      }
+      .start()
+
+  /** One micro-batch of [[upsertSink]]: merge + publish + mark applied.
+    * Exposed for the replay-idempotence assertion in StreamingSpec.
+    */
+  private[graft] def applyChangeBatch(batch: DataFrame, batchId: Long,
+                                      tableDir: String, key: String, opCol: String,
+                                      valueCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val table = new org.apache.hadoop.fs.Path(s"$tableDir/data")
+    val fs = table.getFileSystem(hconf)
+    val marker = new org.apache.hadoop.fs.Path(s"$tableDir/_applied/$batchId")
+    if (fs.exists(marker)) return // replayed batch: merge already published
+    val next = new org.apache.hadoop.fs.Path(s"$tableDir/data_next_$batchId")
+    // Crash recovery: a COMPLETE staged merge (_SUCCESS present) means the
+    // old table may already be deleted — publish it instead of re-merging;
+    // a partial one implies the table is untouched, so rewrite the stage.
+    if (!fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))) {
+      val cols = key +: valueCols
+      val current =
+        if (fs.exists(table)) spark.read.parquet(table.toString)
+        else batch.select(cols.map(col): _*).filter(lit(false))
+      graft.ops.Relational.upsertMerge(current, batch, key, opCol, valueCols)
+        .write.mode("overwrite").parquet(next.toString)
+    }
+    fs.delete(table, true)
+    fs.rename(next, table)
+    fs.mkdirs(marker)
+  }
 }

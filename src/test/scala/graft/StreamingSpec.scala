@@ -158,4 +158,31 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set((21L, 11L)))
     } finally q.stop()
   }
+
+  test("upsertSink applies I/U/D micro-batches to the parquet table, idempotent per batch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val dir = s"${Q.scratch}/upsert_sink_${System.nanoTime()}"
+    val ms = MemoryStream[(Long, String, String)]
+    val q = QcMonitor.upsertSink(ms.toDF().toDF("id", "op", "v"),
+      dir, s"$dir/ckpt", "id", "op", Seq("v"))
+    def tableNow(): Map[Long, String] =
+      sp.read.parquet(s"$dir/data").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    try {
+      ms.addData((1L, "I", "a"), (2L, "I", "b"))
+      q.processAllAvailable()
+      assert(tableNow() == Map(1L -> "a", 2L -> "b"))
+      ms.addData((2L, "U", "b2"), (3L, "I", "c"), (1L, "D", null))
+      q.processAllAvailable()
+      assert(tableNow() == Map(2L -> "b2", 3L -> "c"))
+      // replay of an applied batch (restart between merge and checkpoint
+      // commit) must be a no-op: the _applied marker short-circuits it
+      QcMonitor.applyChangeBatch(
+        Seq((2L, "U", "CLOBBER"), (3L, "D", null)).toDF("id", "op", "v"),
+        batchId = 1L, tableDir = dir, key = "id", opCol = "op", valueCols = Seq("v"))
+      assert(tableNow() == Map(2L -> "b2", 3L -> "c"))
+    } finally q.stop()
+  }
 }
