@@ -66,19 +66,26 @@ object Pipelines {
                        benchmark: org.apache.spark.sql.DataFrame,
                        minJaccard: Double = 0.5, minQuality: Double = 0.3,
                        minOverlap: Int = 5, chunkSize: Int = 50,
-                       stride: Int = 40, capacity: Long = 512): org.apache.spark.sql.DataFrame = {
+                       stride: Int = 40, capacity: Long = 512,
+                       funnel: Option[CurationFunnel] = None): org.apache.spark.sql.DataFrame = {
     import graft.llm.{Curation, Dedup, TextAnalysis}
-    val exact = Dedup.exactDedup(docs)
-    val kept = Curation.bestOfCluster(exact, minJaccard,
-        TextAnalysis.qualityScore(col("text")))
-      .select(col("kept_doc").as("doc_id"), col("score"))
-      .join(exact, "doc_id")
-      .filter(col("score") >= minQuality)
+    funnel.foreach(_.register(docs.sparkSession))
+    def observed(df: org.apache.spark.sql.DataFrame, stage: String) =
+      funnel.fold(df)(_ => df.observe(s"curation_$stage", count(lit(1)).as("rows")))
+    val exact = observed(Dedup.exactDedup(docs), "after_exact_dedup")
+    val kept = observed(
+      Curation.bestOfCluster(exact, minJaccard,
+          TextAnalysis.qualityScore(col("text")))
+        .select(col("kept_doc").as("doc_id"), col("score"))
+        .join(exact, "doc_id")
+        .filter(col("score") >= minQuality), "after_quality_gate")
     // survivors feed two consumers (chunk text + provenance join); the
     // cache is registered in Caches and released by the harness.
     val survivors = Caches.track(
-      kept.join(Curation.decontaminate(kept, benchmark, minOverlap)
-          .filter(!col("contaminated")).select("doc_id"), "doc_id")
+      observed(
+        kept.join(Curation.decontaminate(kept, benchmark, minOverlap)
+            .filter(!col("contaminated")).select("doc_id"), "doc_id"),
+        "after_decontamination")
         .persist())
     val chunks = Curation.chunkDocuments(survivors, chunkSize, stride)
       .withColumn("chunk_key",
@@ -90,5 +97,42 @@ object Pipelines {
       col("chunk_id"))
     packed.join(meta, packed.col("doc_id") === meta.col("chunk_key"))
       .select(col("src_doc"), col("chunk_id"), col("tokens"), col("bin_id"))
+  }
+
+  /** Per-stage row counts of [[curationPipeline]] via named
+    * `Dataset.observe` — the funnel a production curation job reports
+    * (after exact dedup → after cluster-keep + quality gate → after
+    * decontamination). Observed metrics piggyback on the pipeline's own
+    * actions (no extra job, no extra scan, exact counts at task commit);
+    * this collector is a QueryExecutionListener because the pipeline's
+    * internal persists/size-dispatch collects mean a stage can complete
+    * under any of several actions — the listener keeps the max per stage
+    * (every full pass reports the same value; CollectMetrics is a pushdown
+    * barrier, so no partial-flow count can exceed it). Delivery is on the
+    * listener thread: read [[summary]] after the pipeline action returns
+    * (StreamingSpec-style polling in tests).
+    */
+  final class CurationFunnel
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    private val seen = scala.collection.concurrent.TrieMap.empty[String, Long]
+    private[Pipelines] def register(spark: org.apache.spark.sql.SparkSession): Unit =
+      spark.listenerManager.register(this)
+    override def onSuccess(funcName: String,
+                           qe: org.apache.spark.sql.execution.QueryExecution,
+                           durationNs: Long): Unit =
+      qe.observedMetrics.foreach {
+        case (name, row) if name.startsWith("curation_") &&
+            row.schema.fieldNames.contains("rows") =>
+          val n = row.getAs[Long]("rows")
+          seen.updateWith(name.stripPrefix("curation_")) {
+            case Some(prev) => Some(math.max(prev, n))
+            case None => Some(n)
+          }
+        case _ =>
+      }
+    override def onFailure(funcName: String,
+                           qe: org.apache.spark.sql.execution.QueryExecution,
+                           exception: Exception): Unit = ()
+    def summary: Map[String, Long] = seen.toMap
   }
 }

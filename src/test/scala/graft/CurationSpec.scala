@@ -233,6 +233,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curationPipeline funnel observes per-stage counts without extra actions") {
+    import graft.ops.Pipelines
+    def prose(tag: String, reps: Int): String =
+      (0 until reps).map(j => s"the quick brown $tag fox $j jumps over the lazy dog " +
+        s"and the story of the $tag is told in text $j").mkString(" ")
+    val benchSentence = "the secret benchmark evaluation question about seven distant planets"
+    val docs = Seq(
+      (10L, prose("alpha", 10)),
+      (11L, prose("alpha", 10)),               // exact dup → dropped at stage 1
+      (13L, Seq.fill(40)("zz").mkString(" ")), // low quality → dropped at stage 2
+      (14L, (0 until 8).map(j => s"the silver ship $j sails beyond the cold dark " +
+        s"sea and the crew of the ship sings in verse $j").mkString(" ") +
+        " " + benchSentence)                   // contaminated → dropped at stage 3
+    ).toDF("doc_id", "text")
+    val bench = Seq((0L, benchSentence)).toDF("doc_id", "text")
+    val funnel = new Pipelines.CurationFunnel
+    Pipelines.curationPipeline(docs, bench, funnel = Some(funnel)).collect()
+    // listener delivery is async — poll briefly
+    val expected = Map(
+      "after_exact_dedup" -> 3L,        // 11 dropped
+      "after_quality_gate" -> 2L,       // 13 dropped
+      "after_decontamination" -> 1L)    // 14 dropped; 10 survives
+    val deadline = System.nanoTime() + 10000000000L
+    while (funnel.summary != expected && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(funnel.summary == expected)
+  }
+
   test("compression ratio ranks boilerplate far below varied prose, deterministically") {
     val boiler = Seq.fill(60)("buy now limited offer").mkString(" ")
     val varied = (1 to 60).map(i => s"sentence $i carries fresh token x$i").mkString(" ")
