@@ -72,14 +72,20 @@ object Tables {
     */
   def betaLong(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "beta") {
+      // group on the integer keys, format the string ids after — the id
+      // mapping is injective, so the groups (and the min) are identical,
+      // but the shuffle carries 16 bytes/row instead of two strings.
       table(spark, dir, "lineitem")
+        .select(
+          col("l_partkey"), col("l_suppkey"),
+          (((cents("l_extendedprice") + col("l_linenumber")) % 997)
+            .cast("double") / 997.0).as("beta_raw"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min("beta_raw").as("beta"))
         .select(
           format_string("cg%07d", col("l_partkey")).as("probe_id"),
           format_string("S%03d", col("l_suppkey")).as("sample_id"),
-          (((cents("l_extendedprice") + col("l_linenumber")) % 997)
-            .cast("double") / 997.0).as("beta_raw"))
-        .groupBy("probe_id", "sample_id")
-        .agg(min("beta_raw").as("beta"))
+          col("beta"))
     }
 
   /** Long-form detection p-value matrix (reference `detP`,
@@ -89,12 +95,15 @@ object Tables {
     cached(spark, dir, "detp") {
       table(spark, dir, "lineitem")
         .select(
-          format_string("cg%07d", col("l_partkey")).as("probe_id"),
-          format_string("S%03d", col("l_suppkey")).as("sample_id"),
+          col("l_partkey"), col("l_suppkey"),
           (((col("l_orderkey") * 7 + col("l_linenumber")) % 101)
             .cast("double") / 1010.0).as("pval_raw"))
-        .groupBy("probe_id", "sample_id")
+        .groupBy("l_partkey", "l_suppkey")
         .agg(min("pval_raw").as("pval"))
+        .select(
+          format_string("cg%07d", col("l_partkey")).as("probe_id"),
+          format_string("S%03d", col("l_suppkey")).as("sample_id"),
+          col("pval"))
     }
 
   /** Sample sheet (reference samplesheet flavors, SURVEY.md §1.2):

@@ -33,9 +33,14 @@ object Pipelines {
     val normalized = Bmiq.bmiq(qcd, manifest, minPerType = bmiqMinPerType)
       .select(col("probe_id"), col("sample_id"), col("beta_norm").as("beta"))
 
-    // 3. ComBat across runs on M-values (workflow.R:112-150), back to betas
+    // 3. ComBat across runs on M-values (workflow.R:112-150), back to betas.
+    // ComBat consumes its input twice (cell-moment pass + adjustment join);
+    // persist the normalized chain so the BMIQ flatMapGroups runs once, not
+    // twice — the same in-memory-intermediate posture as the adjusted
+    // persist below.
     val m = normalized.withColumn("m", Fns.mValueClamped(col("beta")))
       .select("probe_id", "sample_id", "m")
+      .persist()
     val adjusted = Combat.combat(m, sheet)
       .withColumn("beta", Fns.inverseMValue(col("m_adj")))
       .select("probe_id", "sample_id", "beta")
@@ -48,7 +53,7 @@ object Pipelines {
     // materializes its bounded result eagerly, so the chain cache can be
     // dropped before returning — nothing leaks past the call.
     try Pca.pcaCoords(adjusted, topK, pcs, scale = true)
-    finally adjusted.unpersist(false)
+    finally { adjusted.unpersist(false); m.unpersist(false) }
   }
 
   /** The LLM-data analog of [[fullWorkflow]]: the whole curation tier as
@@ -72,7 +77,10 @@ object Pipelines {
     funnel.foreach(_.register(docs.sparkSession))
     def observed(df: org.apache.spark.sql.DataFrame, stage: String) =
       funnel.fold(df)(_ => df.observe(s"curation_$stage", count(lit(1)).as("rows")))
-    val exact = observed(Dedup.exactDedup(docs), "after_exact_dedup")
+    // exact-dedup survivors feed three consumers (the cluster-map build,
+    // the scored side, and the provenance join) — persist like `survivors`.
+    val exact = Caches.track(
+      observed(Dedup.exactDedup(docs), "after_exact_dedup").persist())
     val kept = observed(
       Curation.bestOfCluster(exact, minJaccard,
           TextAnalysis.qualityScore(col("text")))
