@@ -433,6 +433,37 @@ object QueriesLlm {
           |FROM bi JOIN cbg USING (w1, w2) JOIN cug USING (w1), v
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Watchlist term frequencies via the count-min sketch Aggregator
+    // (functions/CountMinAgg): ONE corpus pass folds every token into a
+    // fixed 4×1024 long grid with map-side partial merges — the shuffle
+    // carries depth×width longs per partition, never per-token rows. At
+    // 100 TB the watchlist is a provided dim table and this sketch pass is
+    // the only corpus scan; here the watchlist is the corpus vocabulary
+    // (31 words ≪ width), which makes the min collision-free and the
+    // estimates provably exact — hence the exact-count DuckDB oracle. The
+    // general ≥count / ≤count+εN / merge guarantees are CountMinSpec's.
+    Q("t13_sketch_watchlist", (s, d) => {
+      val cms = udaf(new graft.functions.CountMinAgg(4, 1024))
+      val toks = docs(s, d).select(
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val sk = toks.agg(cms(col("w")).as("sk"))
+      // Estimate lookup is a driver-bounded tail (watchlist × one sketch
+      // row, broadcast) — the UDF never touches the corpus-sized side.
+      val est = udf((counts: Seq[Long], word: String) =>
+        graft.functions.CountMinSketch(4, 1024, counts.toArray).estimate(word))
+      toks.distinct().crossJoin(broadcast(sk))
+        .select(col("w").as("word"),
+          est(col("sk.counts"), col("w")).as("est_count"))
+        .orderBy("word")
+    }, Some(
+      """WITH toks AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |tk AS (SELECT w FROM toks WHERE w != '')
+        |SELECT w AS word, CAST(count(*) AS BIGINT) AS est_count
+        |FROM tk GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Unigram-LM quality proxy (perplexity-filter stand-in).
     Q("t08_unigram_logprob", (s, d) =>
       TextAnalysis.unigramLogProb(docs(s, d))

@@ -497,6 +497,22 @@ object QueriesRelational {
         .orderBy("l_returnflag"),
       None),
 
+    // Sketch quantiles: GK approx_percentile next to the exact
+    // percentile_approx(1.0-accuracy) story — at 100 TB the exact
+    // percentile is a full sort per group; the GK summary is bounded
+    // mergeable state with rank error <= n/accuracy. Rows-only (sketch
+    // internals are engine-specific); AnalyticSpec pins the rank-error
+    // bound against the exact per-group quantiles.
+    Q("a16_approx_quantile", (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"),
+          percentile_approx(col("l_quantity"), lit(0.95), lit(10000)).as("p95_approx"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      None),
+
     // Top-k per group: rank window AFTER the aggregation, so the window
     // input is one row per (group, item), never raw observations.
     Q("a13_topk_per_group", (s, d) => {

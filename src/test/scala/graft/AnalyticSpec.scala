@@ -48,6 +48,26 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx stays within the GK rank-error bound per group") {
+    val df = (1L to 30000L).map(k => (k % 3, (k * 2654435761L) % 1000))
+      .toDF("g", "v")
+    val acc = 100 // deliberately coarse so the bound is actually exercised
+    val rows = df.groupBy("g")
+      .agg(percentile_approx(col("v"), lit(0.5), lit(acc)).as("est"),
+        sort_array(collect_list("v")).as("all"))
+      .collect()
+    rows.foreach { r =>
+      val est = r.getLong(1)
+      val all = r.getSeq[Long](2)
+      val rank = all.count(_ <= est)
+      val target = 0.5 * all.size
+      // GK guarantee: the returned value's rank is within n/accuracy of
+      // the requested one.
+      assert(math.abs(rank - target) <= all.size.toDouble / acc + 1,
+        s"g=${r.get(0)}: rank $rank vs target $target (n=${all.size})")
+    }
+  }
+
   test("VecMeanAgg matches the posexplode restatement of the centroid") {
     val vecs = Seq(
       (0, Seq(1.0f, 2.0f, 3.0f)), (0, Seq(3.0f, 2.0f, 1.0f)),
