@@ -95,6 +95,43 @@ object QueriesLlm {
           |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.01
           |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // DF-pruned exact Jaccard: shingles in more than maxDf docs are
+    // dropped before the inverted-index self-join — the production guard
+    // that keeps the join sub-quadratic on boilerplate-heavy corpora (one
+    // shingle in df docs emits df² pairs). Deterministic semantics (the
+    // pruned sets ARE the operator's universe), so it carries a full
+    // DuckDB oracle with the same pruning.
+    Q("d10_jaccard_df_pruned", (s, d) => {
+      val sh = graft.ops.Caches.track(Dedup.shingles(docs(s, d)).persist())
+      Dedup.jaccardPairsDfPruned(sh, 0.01, 4)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w,
+        |         generate_subscripts(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), 1) AS i
+        |  FROM documents),
+        |sh0 AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+        |        FROM words a
+        |        JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |        JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |dfq AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1),
+        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfq USING (shingle)
+        |       WHERE dfq.df <= 4),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+        |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter,
+        |       round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON inter.doc_a = sa.doc_id
+        |JOIN sz sb ON inter.doc_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.01
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // MinHash+LSH near-dups: banded signature join → exact-Jaccard verify.
     // Hash-function-specific (xxhash64) → rows-only; DedupSpec covers
     // recall against planted duplicates.

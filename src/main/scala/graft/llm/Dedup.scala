@@ -50,6 +50,29 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "jaccard")
   }
 
+  /** [[jaccardPairs]] with document-frequency pruning: shingles appearing
+    * in more than `maxDf` documents are dropped before the inverted-index
+    * self-join. High-DF "stopword shingles" (boilerplate, templates) are
+    * what makes the self-join quadratic on a real corpus — one shingle in
+    * df docs emits df² pair rows — while contributing almost nothing to a
+    * near-dup decision (they are shared by everything). Pruning bounds
+    * the per-shingle fan-out at maxDf² by construction, which is the
+    * standard production guard in front of exact-Jaccard verification.
+    * The pruning is deterministic and part of the operator's semantics:
+    * Jaccard is computed over the pruned shingle sets (sizes included),
+    * so the result is bit-reproducible and SQL-expressible.
+    */
+  def jaccardPairsDfPruned(sh: DataFrame, minJaccard: Double,
+                           maxDf: Long): DataFrame = {
+    // shingles() emits per-doc-distinct shingles, so count = document
+    // frequency. The df table is shingle-keyed (bounded by vocabulary),
+    // and the prune is a co-keyed join on the same key the self-join
+    // shuffles on — no extra shuffle of the shingle table.
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val pruned = sh.join(df.filter(col("df") <= maxDf).select("shingle"), "shingle")
+    jaccardPairs(pruned, minJaccard)
+  }
+
   /** MinHash signatures: numPerm independent permutations simulated by
     * seeded xxhash64 of the shingle; per-doc minimum per permutation.
     * Deterministic (fixed seeds), unlike sampling-based approaches.

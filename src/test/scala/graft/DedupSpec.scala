@@ -57,4 +57,27 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 3L))
   }
+
+  test("DF pruning drops boilerplate-only pairs but keeps true near-dups") {
+    val boiler = "click here to subscribe to our newsletter today friends"
+    // 6 docs share only the boilerplate 3-grams (df=6); docs 20/21 also
+    // share rare content and are true near-dups.
+    val corpus = ((10L to 15L).map(i => (i, s"$boiler unique token$i tail$i end$i")) ++
+      Seq((20L, s"$boiler the rare silver fox runs through the misty valley"),
+          (21L, s"$boiler the rare silver fox runs through the misty valley again")))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(corpus)
+    val pruned = Dedup.jaccardPairsDfPruned(sh, 0.01, maxDf = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // boilerplate-only pairs (any pair among 10..15) are gone entirely
+    assert(pruned.forall { case (a, b) => !(a <= 15 && b <= 15) })
+    // the true near-dup pair survives on its rare shingles
+    assert(pruned.contains((20L, 21L)))
+    // with the cap above every df, pruning is the identity
+    val all = Dedup.jaccardPairs(sh, 0.01)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val noCap = Dedup.jaccardPairsDfPruned(sh, 0.01, maxDf = 1000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(noCap == all)
+  }
 }
