@@ -76,7 +76,8 @@ object ScaleSmoke {
       "n05_vector_quantize", "w08_sessionize", "r08_scd2_dimension",
       "c10_importance_weights", "t10_quality_classifier", "t11_compression_ratio",
       "w09_funnel", "w10_retention_cohorts", "a15_zscore_normalize",
-      "t12_bigram_logprob", "j11_fuzzy_join", "r09_compact_files")
+      "t12_bigram_logprob", "j11_fuzzy_join", "r09_compact_files",
+      "t13_sketch_watchlist", "d10_jaccard_df_pruned", "a16_approx_quantile")
     Seq("1x" -> src, s"${reps}x" -> out).foreach { case (tag, dir) =>
       queries.foreach { qn =>
         val t0 = System.nanoTime()
