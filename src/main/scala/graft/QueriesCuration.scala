@@ -353,6 +353,18 @@ object QueriesCuration {
     Q("t09_bpe_merges", (s, d) =>
       graft.llm.Bpe.mergesDF(s, docs(s, d), numMerges = 16)
         .orderBy("merge_rank"),
-      None)
+      None),
+
+    // Tokenizer application: encode the corpus under the 16 learned
+    // merges. The merge loop runs once per DISTINCT word (vocab-bounded
+    // UDF on the broadcast side); the corpus token stream only joins the
+    // per-word subword count back and aggregates. Iterative merge
+    // learning is not SQL-expressible → rows-only; BpeSpec pins encode
+    // against hand-computed segmentations, the training-rewrite
+    // consistency invariant, and reconstruction.
+    Q("t14_bpe_encode", (s, d) => {
+      val ms = graft.llm.Bpe.learnMerges(docs(s, d), numMerges = 16)
+      graft.llm.Bpe.encode(docs(s, d), ms).orderBy("doc_id")
+    }, None)
   )
 }

@@ -86,4 +86,55 @@ object Bpe {
     import spark.implicits._
     learnMerges(docs, numMerges).toDF()
   }
+
+  /** Segment one word with a learned merge list. Mirrors the training
+    * rewrite exactly — merges applied in rank order, each as one
+    * left-to-right non-overlapping pass — so encoding a training word
+    * reproduces the segmentation the vocab held when training stopped.
+    */
+  def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var s: Seq[String] = word.map(_.toString)
+    merges.foreach { case (a, b) =>
+      if (s.length > 1) {
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        s = out.result()
+      }
+    }
+    s
+  }
+
+  /** BPE-encode the corpus: per-document word/subword/char counts under a
+    * learned merge list — the tokenizer-application half of [[learnMerges]]
+    * (the "token counting" a training pipeline runs before packing).
+    *
+    * Scale shape: the merge loop runs once per DISTINCT word (the encode
+    * UDF touches only the vocabulary table, sub-linear in corpus size);
+    * the corpus-sized token stream just joins the per-word subword count
+    * back on the word and aggregates. The vocabulary side is broadcast —
+    * if a corpus's vocab ever outgrew broadcast range, the same plan works
+    * as a co-keyed join on `w`.
+    */
+  def encode(docs: DataFrame, merges: Seq[Merge],
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val ordered = merges.sortBy(_.merge_rank).map(m => (m.left, m.right))
+    val bc = spark.sparkContext.broadcast(ordered)
+    val encUdf = udf((w: String) => encodeWord(w, bc.value).length)
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val vocabEnc = toks.select("w").distinct()
+      .withColumn("n_sub", encUdf(col("w")))
+    toks.join(broadcast(vocabEnc), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_subtokens"),
+        sum(length(col("w"))).as("n_chars"))
+  }
 }

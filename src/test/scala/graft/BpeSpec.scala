@@ -21,4 +21,38 @@ class BpeSpec extends SparkSpec {
     val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
     assert(Bpe.learnMerges(docs, 10).isEmpty) // all words single-char: no pairs
   }
+
+  test("encodeWord reconstructs the word and follows the merge ranks") {
+    // with no merges, encoding is the character sequence
+    assert(Bpe.encodeWord("lowest", Nil) == Seq("l", "o", "w", "e", "s", "t"))
+    // canonical merges from the Sennrich corpus (test above)
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"),
+      ("e", "w"), ("ew", "est"), ("n", "ewest"), ("d", "est"))
+    assert(Bpe.encodeWord("lowest", merges) == Seq("low", "est"))
+    assert(Bpe.encodeWord("newest", merges) == Seq("newest"))
+    assert(Bpe.encodeWord("widest", merges) == Seq("w", "i", "dest"))
+    // unseen word: only applicable merges fire, concatenation reconstructs
+    val enc = Bpe.encodeWord("lowering", merges)
+    assert(enc.mkString == "lowering")
+    assert(enc.head == "low")
+  }
+
+  test("encode counts are vocab-consistent and shrink as merges apply") {
+    val docs = Seq(
+      (1L, "low lower newest"),
+      (2L, "widest widest low")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, 8)
+    val rows = Bpe.encode(docs, merges).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // chars: doc1 = 3+5+6 = 14, doc2 = 6+6+3 = 15
+    assert(rows.map(t => (t._1, t._2, t._4)).toSeq ==
+      Seq((1L, 3L, 14L), (2L, 3L, 15L)))
+    rows.foreach { case (_, nWords, nSub, nChars) =>
+      assert(nSub >= nWords && nSub <= nChars)
+    }
+    // zero merges degenerate to character counts
+    val noMerge = Bpe.encode(docs, Nil).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(noMerge.toSeq == Seq((1L, 14L), (2L, 15L)))
+  }
 }
