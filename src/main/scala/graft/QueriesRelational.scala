@@ -716,6 +716,38 @@ object QueriesRelational {
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Curriculum binning export: per-source difficulty deciles via ntile
+    // (the window partitions by source, so the sort is per-source — never
+    // global) written out partitioned by bin, the layout a curriculum
+    // schedule reads shard-by-shard. Deterministic: the window order
+    // carries a doc_id tiebreak, and SQL ntile semantics (first buckets
+    // take the remainder) are engine-portable.
+    Q("r10_curriculum_export", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val out = s"${Q.scratch}/r10_curriculum"
+      Tables.table(s, d, "documents")
+        .withColumn("bin", ntile(10).over(
+          Window.partitionBy("source")
+            .orderBy(col("n_chars").asc, col("doc_id").asc)).cast("bigint"))
+        .select("doc_id", "source", "n_chars", "bin")
+        .write.mode("overwrite").partitionBy("bin").parquet(out)
+      s.read.parquet(out)
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n"), min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .select(col("source"), col("bin").cast("bigint").as("bin"),
+          col("n"), col("min_chars"), col("max_chars"))
+        .orderBy("source", "bin")
+    }, Some(
+      """WITH b AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(ntile(10) OVER (PARTITION BY source
+        |                              ORDER BY n_chars, doc_id) AS BIGINT) AS bin
+        |  FROM documents)
+        |SELECT source, bin, count(*) AS n,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Batch sessionization (12 h inactivity gap): session index via one
     // keyed window pass, then per-session aggregates. Money stays in exact
     // integer cents (w06 convention) so the cross-engine hash is stable.
