@@ -230,4 +230,43 @@ object QcMonitor {
     fs.rename(next, table)
     fs.mkdirs(marker)
   }
+
+  /** Rolled-up live metrics of one streaming query. */
+  final case class Progress(batches: Long, inputRows: Long,
+                            maxStateRows: Long, lastWatermark: String)
+
+  /** Production monitoring for the streaming tier — the streaming analog
+    * of the batch curation funnel (`Pipelines.CurationFunnel`): a
+    * `StreamingQueryListener` folding every `QueryProgressEvent` into
+    * per-query totals (micro-batches, input rows, peak state size, last
+    * watermark). These are the numbers an operator alerts on — state
+    * growth says a watermark is wrong, input-rate says a source stalled —
+    * and they come from the engine's own progress events: no extra query,
+    * no extra action. Delivery is on the listener bus thread; read
+    * [[summary]] after `processAllAvailable()` (poll briefly, as the
+    * funnel's consumers do).
+    */
+  final class ProgressMonitor
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val seen = scala.collection.concurrent.TrieMap.empty[String, Progress]
+    def register(spark: SparkSession): Unit = spark.streams.addListener(this)
+    def unregister(spark: SparkSession): Unit = spark.streams.removeListener(this)
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit = {
+      val p = event.progress
+      val name = Option(p.name).getOrElse(p.id.toString)
+      val state = p.stateOperators.map(_.numRowsTotal).sum
+      val wm = Option(p.eventTime.get("watermark")).getOrElse("")
+      seen.updateWith(name) {
+        case Some(prev) => Some(Progress(prev.batches + 1,
+          prev.inputRows + p.numInputRows,
+          math.max(prev.maxStateRows, state),
+          if (wm.nonEmpty) wm else prev.lastWatermark))
+        case None => Some(Progress(1, p.numInputRows, state, wm))
+      }
+    }
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+    def summary: Map[String, Progress] = seen.toMap
+  }
 }

@@ -31,6 +31,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ProgressMonitor rolls up batches, input rows, state and watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val monitor = new QcMonitor.ProgressMonitor
+    monitor.register(sp)
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val q = ms.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "2 hours") // the production stream()'s watermark
+      .transform(QcMonitor.windowedQc)
+      .writeStream.format("memory").queryName("qc_monitored")
+      .outputMode("complete").start()
+    try {
+      ms.addData((Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:45:00"), "click", 3.0))
+      q.processAllAvailable()
+      ms.addData((Timestamp.valueOf("2024-01-01 11:05:00"), "click", 5.0))
+      q.processAllAvailable()
+      // listener delivery is async — poll until both batches are folded in
+      val deadline = System.nanoTime() + 10000000000L
+      def prog = monitor.summary.get("qc_monitored")
+      while (prog.forall(p => p.inputRows < 3 || p.batches < 2) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      val p = prog.get
+      assert(p.batches >= 2 && p.inputRows == 3)
+      assert(p.maxStateRows > 0)          // the window aggregate keeps state
+      assert(p.lastWatermark.nonEmpty)    // watermark advanced past batch 1
+    } finally { q.stop(); monitor.unregister(sp) }
+  }
+
   test("dedupStream emits each key once across micro-batches (custom state)") {
     val sp = spark
     import sp.implicits._
