@@ -497,6 +497,39 @@ object QueriesRelational {
         .orderBy("l_returnflag"),
       None),
 
+    // Data-quality expectations (the Deequ shape): N declared rules → ONE
+    // aggregate pass (each rule a sum(when) column in the same hash agg,
+    // map-side combined), unpivoted to a bounded per-rule report. NULL
+    // predicate = violation.
+    Q("a17_expectations", (s, d) => {
+      import graft.ops.Validation, graft.ops.Validation.Rule
+      Validation.validate(Tables.table(s, d, "lineitem"), Seq(
+          Rule("qty_in_range", col("l_quantity").between(1, 50)),
+          Rule("qty_small", col("l_quantity") <= 30),
+          Rule("discount_max", col("l_discount") <= 0.1),
+          Rule("tax_nonneg", col("l_tax") >= 0),
+          Rule("flag_known", col("l_returnflag").isin("A", "N", "R"))))
+        .orderBy("rule")
+    }, Some(
+      """WITH t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS qty_in_range,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_quantity <= 30, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS qty_small,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_discount <= 0.1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS discount_max,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_tax >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS tax_nonneg,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS flag_known
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT 'qty_in_range' AS rule, qty_in_range AS violations, total FROM t
+        |  UNION ALL SELECT 'qty_small', qty_small, total FROM t
+        |  UNION ALL SELECT 'discount_max', discount_max, total FROM t
+        |  UNION ALL SELECT 'tax_nonneg', tax_nonneg, total FROM t
+        |  UNION ALL SELECT 'flag_known', flag_known, total FROM t)
+        |SELECT rule, violations, total,
+        |       round(1.0 - CAST(violations AS DOUBLE) /
+        |             greatest(CAST(total AS DOUBLE), 1.0), 6) AS pass_fraction
+        |FROM r ORDER BY rule""".stripMargin)),
+
     // Sketch quantiles: GK approx_percentile next to the exact
     // percentile_approx(1.0-accuracy) story — at 100 TB the exact
     // percentile is a full sort per group; the GK summary is bounded

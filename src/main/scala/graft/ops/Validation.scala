@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectation checks (the Deequ/Great-Expectations shape):
+  * declare per-row boolean expectations, get back one violations row per
+  * rule. The entire report is ONE aggregate pass — every rule becomes a
+  * `sum(when(!rule, 1))` column in the same hash aggregate, so N rules
+  * cost one scan with map-side partial aggregation, never N scans. At
+  * 100 TB that is the difference between a nightly gate and an
+  * unrunnable one.
+  *
+  * Rules are plain `Column` predicates, so pushdown-friendly column
+  * pruning applies: the scan reads only the columns the rules mention.
+  */
+object Validation {
+
+  final case class Rule(name: String, predicate: Column)
+
+  /** One row per rule: (rule, violations, total, pass_fraction). A NULL
+    * predicate result counts as a violation — an expectation that cannot
+    * be evaluated is not met (the Deequ convention).
+    */
+  def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "validate needs at least one rule")
+    val aggs = count(lit(1)).as("total") +:
+      rules.map(r => sum(when(coalesce(r.predicate, lit(false)), 0L)
+        .otherwise(1L)).as(s"__v_${r.name}"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single report row into (rule, violations, total) —
+    // bounded by the rule count, not the data.
+    val pairs = rules.flatMap(r => Seq(lit(r.name), col(s"__v_${r.name}")))
+    one.select(col("total"), explode(map(pairs: _*)).as(Seq("rule", "violations")))
+      .select(col("rule"), col("violations"),
+        col("total"),
+        round(lit(1.0) - col("violations").cast("double") /
+          greatest(col("total").cast("double"), lit(1.0)), 6).as("pass_fraction"))
+  }
+}

@@ -48,6 +48,23 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("Validation.validate counts planted violations, NULLs as violations") {
+    import graft.ops.Validation, graft.ops.Validation.Rule
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "ok"), (60L, "ok"), (null, "ok"), (5L, null))
+      .toDF("qty", "tag")
+    val got = Validation.validate(df, Seq(
+        Rule("qty_in_range", col("qty").between(1, 50)),
+        Rule("tag_present", col("tag").isNotNull)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("qty_in_range") == ((2L, 4L))) // 60 out of range, null qty
+    assert(got("tag_present") == ((1L, 4L)))
+    // one scan for the whole report: a single aggregate in the plan
+    val plan = Validation.validate(df, Seq(Rule("r", col("qty") > 0)))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan")) <= 1, plan)
+  }
+
   test("percentile_approx stays within the GK rank-error bound per group") {
     val df = (1L to 30000L).map(k => (k % 3, (k * 2654435761L) % 1000))
       .toDF("g", "v")
