@@ -781,6 +781,41 @@ object QueriesRelational {
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Z-order layout: bit-interleave two 10-bit keys into one sort key,
+    // bucket by its top 4 bits (= 16 Z-curve tiles), and report each
+    // bucket's min/max span in BOTH dimensions — the per-file statistics
+    // a lake engine prunes on. Both dimensions stay bounded per bucket
+    // (each tile is a rectangle on the curve), which is exactly what
+    // makes filters on either column skip files. Pure integer
+    // arithmetic → identical in DuckDB.
+    Q("r11_zorder_layout", (s, d) => {
+      val bits = 10
+      val li = Tables.table(s, d, "lineitem")
+        .select(pmod(col("l_partkey"), lit(1024L)).as("ka"),
+          pmod(col("l_suppkey"), lit(1024L)).as("kb"))
+      li.withColumn("bucket",
+          shiftright(graft.ops.Relational.zValue(col("ka"), col("kb"), bits),
+            2 * bits - 4))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("ka").as("min_a"), max("ka").as("max_a"),
+          min("kb").as("min_b"), max("kb").as("max_b"))
+        .orderBy("bucket")
+    }, Some {
+      val terms = (0 until 10).map(i =>
+        s"((ka // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+          s"((kb // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+        .mkString(" + ")
+      s"""WITH k AS (
+         |  SELECT l_partkey % 1024 AS ka, l_suppkey % 1024 AS kb
+         |  FROM lineitem),
+         |z AS (SELECT ka, kb, ($terms) // ${1L << 16} AS bucket FROM k)
+         |SELECT bucket, count(*) AS n,
+         |       min(ka) AS min_a, max(ka) AS max_a,
+         |       min(kb) AS min_b, max(kb) AS max_b
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
+
     // Batch sessionization (12 h inactivity gap): session index via one
     // keyed window pass, then per-session aggregates. Money stays in exact
     // integer cents (w06 convention) so the cross-engine hash is stable.

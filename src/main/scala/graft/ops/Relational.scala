@@ -233,4 +233,20 @@ object Relational {
       .write.mode("overwrite").parquet(dstDir)
     spark.read.parquet(dstDir)
   }
+
+  /** Z-order curve value of two `bits`-bit keys: a's bits on even
+    * positions, b's on odd. Clustering a table by this key makes BOTH
+    * dimensions simultaneously locality-preserving, so per-file min/max
+    * statistics prune scans filtered on either column — the multi-column
+    * layout trick behind Delta/Iceberg `OPTIMIZE ZORDER BY`. Built from
+    * disjoint bit contributions summed together (each bit lands on its
+    * own position, so `+` == bitwise-or), which keeps the expression pure
+    * integer arithmetic — codegen-friendly here, and restatable verbatim
+    * in any engine's SQL for the oracle.
+    */
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      (shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
 }

@@ -185,6 +185,29 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq((1L, "a", 10L), (2L, "b2", 21L), (9L, "new", 99L)))
   }
 
+  test("zValue interleaves bijectively and its tiles bound both dimensions") {
+    // bijective on the full 5-bit × 5-bit grid
+    val grid = (for { a <- 0L until 32L; b <- 0L until 32L } yield (a, b))
+      .toDF("a", "b")
+    val zs = grid.select(Relational.zValue(col("a"), col("b"), 5).as("z"))
+      .as[Long].collect()
+    assert(zs.distinct.length == 1024 && zs.min == 0L && zs.max == 1023L)
+    // top-4-bit tiles of a 20-bit curve are 256×256 rectangles: within a
+    // tile, both keys span at most 256 values — the file-skipping bound
+    val keys = (0L until 4000L).map(i => (i * 2654435761L % 1024, i * 40503L % 1024))
+      .toDF("ka", "kb")
+    val spans = keys
+      .withColumn("bucket",
+        shiftright(Relational.zValue(col("ka"), col("kb"), 10), 16))
+      .groupBy("bucket")
+      .agg((max("ka") - min("ka")).as("sa"), (max("kb") - min("kb")).as("sb"))
+      .collect()
+    assert(spans.length == 16)
+    spans.foreach { r =>
+      assert(r.getLong(1) <= 255 && r.getLong(2) <= 255, r.toString)
+    }
+  }
+
   test("rangeJoinBinned equals the naive theta-join across bin boundaries") {
     // intervals chosen to straddle, align with, and dodge the 10-wide bins
     val intervals = Seq((1, 5L, 15L), (2, 10L, 20L), (3, 0L, 35L), (4, 38L, 39L))
