@@ -530,6 +530,32 @@ object QueriesRelational {
         |             greatest(CAST(total AS DOUBLE), 1.0), 6) AS pass_fraction
         |FROM r ORDER BY rule""".stripMargin)),
 
+    // Per-source expectation gate: the same one-pass report sliced by the
+    // admission unit (per supplier/source) — the check a pipeline runs
+    // before letting one source's batch into the corpus.
+    Q("a18_expectations_by_source", (s, d) => {
+      import graft.ops.Validation, graft.ops.Validation.Rule
+      Validation.validateBy(Tables.table(s, d, "documents"), "source", Seq(
+          Rule("text_present", col("text").isNotNull && length(col("text")) > 0),
+          Rule("chars_match", col("n_chars") === length(col("text"))),
+          Rule("lang_known", col("lang").isin("en", "de", "fr", "es", "zh"))))
+        .orderBy("source", "rule")
+    }, Some(
+      """WITH t AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN NOT coalesce(text IS NOT NULL AND length(text) > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS text_present,
+        |    CAST(sum(CASE WHEN NOT coalesce(n_chars = length(text), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS chars_match,
+        |    CAST(sum(CASE WHEN NOT coalesce(lang IN ('en','de','fr','es','zh'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS lang_known
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT source, 'text_present' AS rule, text_present AS violations, total FROM t
+        |  UNION ALL SELECT source, 'chars_match', chars_match, total FROM t
+        |  UNION ALL SELECT source, 'lang_known', lang_known, total FROM t)
+        |SELECT source, rule, violations, total,
+        |       round(1.0 - CAST(violations AS DOUBLE) /
+        |             greatest(CAST(total AS DOUBLE), 1.0), 6) AS pass_fraction
+        |FROM r ORDER BY source, rule""".stripMargin)),
+
     // Sketch quantiles: GK approx_percentile next to the exact
     // percentile_approx(1.0-accuracy) story — at 100 TB the exact
     // percentile is a full sort per group; the GK summary is bounded

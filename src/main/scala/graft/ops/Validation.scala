@@ -22,19 +22,35 @@ object Validation {
     * predicate result counts as a violation — an expectation that cannot
     * be evaluated is not met (the Deequ convention).
     */
-  def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+  def validate(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    report(df, rules, Nil)
+
+  /** [[validate]] sliced per group (per source, per shard, per ingest
+    * batch — the gate a pipeline applies before admitting one supplier's
+    * data). Still one aggregate pass; the shuffle carries one partial
+    * report row per (group, partition).
+    */
+  def validateBy(df: DataFrame, groupCol: String, rules: Seq[Rule]): DataFrame =
+    report(df, rules, Seq(groupCol))
+
+  private def report(df: DataFrame, rules: Seq[Rule],
+                     by: Seq[String]): DataFrame = {
     require(rules.nonEmpty, "validate needs at least one rule")
     val aggs = count(lit(1)).as("total") +:
       rules.map(r => sum(when(coalesce(r.predicate, lit(false)), 0L)
         .otherwise(1L)).as(s"__v_${r.name}"))
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot the single report row into (rule, violations, total) —
-    // bounded by the rule count, not the data.
+    val one =
+      if (by.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // unpivot each report row into (rule, violations, total) — bounded by
+    // groups × rules, not the data.
     val pairs = rules.flatMap(r => Seq(lit(r.name), col(s"__v_${r.name}")))
-    one.select(col("total"), explode(map(pairs: _*)).as(Seq("rule", "violations")))
-      .select(col("rule"), col("violations"),
+    one.select(by.map(col) ++ Seq(col("total"),
+        explode(map(pairs: _*)).as(Seq("rule", "violations"))): _*)
+      .select(by.map(col) ++ Seq(col("rule"), col("violations"),
         col("total"),
         round(lit(1.0) - col("violations").cast("double") /
-          greatest(col("total").cast("double"), lit(1.0)), 6).as("pass_fraction"))
+          greatest(col("total").cast("double"), lit(1.0)), 6)
+          .as("pass_fraction")): _*)
   }
 }

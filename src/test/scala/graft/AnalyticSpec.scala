@@ -63,6 +63,12 @@ class AnalyticSpec extends SparkSpec {
     val plan = Validation.validate(df, Seq(Rule("r", col("qty") > 0)))
       .queryExecution.executedPlan.toString
     assert(plan.linesIterator.count(_.contains("Scan")) <= 1, plan)
+    // per-group slicing: same rules, per-tag rows
+    val byTag = Validation.validateBy(df.filter(col("tag").isNotNull), "tag",
+        Seq(Rule("qty_in_range", col("qty").between(1, 50))))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(byTag(("ok", "qty_in_range")) == ((2L, 3L))) // 60 + null qty
   }
 
   test("percentile_approx stays within the GK rank-error bound per group") {
