@@ -501,6 +501,36 @@ object QueriesLlm {
         |SELECT w AS word, CAST(count(*) AS BIGINT) AS est_count
         |FROM tk GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Sketch re-aggregation: one CMS per SOURCE (the stored partial), then
+    // an elementwise array merge via higher-order functions — the
+    // store-partials / merge-on-read shape: a new source's sketch folds
+    // into the corpus rollup without rescanning any other source. CMS
+    // merge = elementwise sum, so the merged grid is bit-identical to the
+    // one-pass corpus sketch, and in the collision-free regime the
+    // estimates are the exact counts (same oracle as t13).
+    Q("t15_sketch_merge", (s, d) => {
+      val cms = udaf(new graft.functions.CountMinAgg(4, 1024))
+      val toks = docs(s, d).select(col("source"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val perSource = toks.groupBy("source").agg(cms(col("w")).as("sk"))
+      val merged = perSource.agg(
+        aggregate(collect_list(col("sk.counts")),
+          array_repeat(lit(0L), 4 * 1024),
+          (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("counts"))
+      val est = udf((counts: Seq[Long], word: String) =>
+        graft.functions.CountMinSketch(4, 1024, counts.toArray).estimate(word))
+      toks.select("w").distinct().crossJoin(broadcast(merged))
+        .select(col("w").as("word"), est(col("counts"), col("w")).as("est_count"))
+        .orderBy("word")
+    }, Some(
+      """WITH toks AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |tk AS (SELECT w FROM toks WHERE w != '')
+        |SELECT w AS word, CAST(count(*) AS BIGINT) AS est_count
+        |FROM tk GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Unigram-LM quality proxy (perplexity-filter stand-in).
     Q("t08_unigram_logprob", (s, d) =>
       TextAnalysis.unigramLogProb(docs(s, d))

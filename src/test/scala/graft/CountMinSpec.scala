@@ -47,6 +47,21 @@ class CountMinSpec extends SparkSpec {
     assert(row.sameElements(local.counts))
   }
 
+  test("zip_with merge of per-group sketches equals the one-pass sketch") {
+    val cms = udaf(new CountMinAgg(4, 256))
+    val df = stream.zipWithIndex
+      .map { case (w, i) => (s"g${i % 5}", w) }.toDF("g", "w")
+      .repartition(4)
+    val whole = df.agg(cms(col("w")).as("sk"))
+      .select(col("sk.counts")).as[Array[Long]].head()
+    val merged = df.groupBy("g").agg(cms(col("w")).as("sk"))
+      .agg(aggregate(collect_list(col("sk.counts")),
+        array_repeat(lit(0L), 4 * 256),
+        (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("counts"))
+      .as[Array[Long]].head()
+    assert(merged.sameElements(whole))
+  }
+
   test("estimate is exact when the key set is far smaller than the width") {
     val keys = (0 until 30).flatMap(i => Seq.fill(i + 1)(s"word$i"))
     val agg = new CountMinAgg(4, 1024)
