@@ -231,6 +231,48 @@ object QcMonitor {
     fs.mkdirs(marker)
   }
 
+  /** Streaming EWMA control chart (anomaly monitor): per key, keep an
+    * exponentially-weighted mean/variance as O(1) state and flag each
+    * observation whose deviation from the running mean exceeds `k`
+    * weighted standard deviations — the online analog of the batch QC
+    * thresholds, with state that never grows with stream length. The
+    * first `warmup` observations per key only train the state (a control
+    * chart needs a baseline before it can alarm). Intra-batch arrival
+    * order is undefined after the groupByKey shuffle, so rows carry a
+    * sequence number and each micro-batch is processed in sequence order
+    * — deterministic run-to-run.
+    *
+    * @return (seq, key, value, ewma_before, anomalous)
+    */
+  def ewmaAnomalyStream(events: org.apache.spark.sql.Dataset[(Long, String, Double)],
+                        alpha: Double = 0.2, k: Double = 4.0, warmup: Long = 5)
+      : org.apache.spark.sql.Dataset[(Long, String, Double, Double, Boolean)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_._2)
+      .flatMapGroupsWithState[(Double, Double, Long), (Long, String, Double, Double, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(Long, String, Double)],
+         state: GroupState[(Double, Double, Long)]) =>
+          var (m, v, n) = state.getOption.getOrElse((0.0, 0.0, 0L))
+          val out = rows.toSeq.sortBy(_._1).map { case (seq, _, x) =>
+            val anomalous =
+              n >= warmup && math.abs(x - m) > k * math.sqrt(math.max(v, 1e-12))
+            val mBefore = m
+            if (n == 0L) { m = x; v = 0.0 }
+            else {
+              val d = x - m
+              m += alpha * d
+              v = (1 - alpha) * (v + alpha * d * d)
+            }
+            n += 1
+            (seq, key, x, mBefore, anomalous)
+          }
+          state.update((m, v, n))
+          out.iterator
+      }
+  }
+
   /** Rolled-up live metrics of one streaming query. */
   final case class Progress(batches: Long, inputRows: Long,
                             maxStateRows: Long, lastWatermark: String)

@@ -61,6 +61,33 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); monitor.unregister(sp) }
   }
 
+  test("ewmaAnomalyStream flags spikes against state learned in earlier batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val ms = MemoryStream[(Long, String, Double)]
+    val q = QcMonitor.ewmaAnomalyStream(ms.toDS(), alpha = 0.2, k = 4.0, warmup = 5)
+      .toDF("seq", "key", "value", "ewma_before", "anomalous")
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a stable baseline (warmup) on one key, noise on another
+      ms.addData((1L to 6L).map(i => (i, "lat", 10.0 + 0.1 * (i % 3))): _*)
+      q.processAllAvailable()
+      // batch 2: one spike on the trained key, normal value after it;
+      // the other key is still warming up, so its spike must NOT alarm
+      ms.addData((7L, "lat", 100.0), (8L, "lat", 10.1),
+        (9L, "errs", 500.0))
+      q.processAllAvailable()
+      val out = sp.table("ewma_out").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      assert(out(7L), "spike after warmup must alarm")
+      assert(!out(8L), "normal value after the spike must not alarm")
+      assert(!out(9L), "key still in warmup must not alarm")
+      assert((1L to 6L).forall(i => !out(i)), "baseline must not alarm")
+    } finally q.stop()
+  }
+
   test("dedupStream emits each key once across micro-batches (custom state)") {
     val sp = spark
     import sp.implicits._
