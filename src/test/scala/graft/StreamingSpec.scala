@@ -88,6 +88,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful dedup behaves identically on the RocksDB state-store backend") {
+    // The disk-backed provider is what a production job runs when keyed
+    // state outgrows executor heap; results must not depend on the backend.
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, String)]
+    val q = QcMonitor.dedupStream(ms.toDS()).toDF("event_id", "payload")
+      .writeStream.format("memory").queryName("dedup_rocks")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "a"), (2L, "b"), (1L, "a-dup"))
+      q.processAllAvailable()
+      ms.addData((1L, "a-replay"), (3L, "c"))
+      q.processAllAvailable()
+      val out = sp.table("dedup_rocks").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    } finally {
+      q.stop()
+      prev.fold(sp.conf.unset(key))(sp.conf.set(key, _))
+    }
+  }
+
   test("dedupStream emits each key once across micro-batches (custom state)") {
     val sp = spark
     import sp.implicits._
