@@ -590,6 +590,27 @@ object QueriesRelational {
         |  FROM (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2))
         |WHERE rk <= 2 ORDER BY lang, rk""".stripMargin)),
 
+    // Per-group top-k via the bounded-heap Aggregator: identical result
+    // to a13's rank window, but the aggregate buffer holds at most k
+    // entries and merges map-side — the shuffle carries k rows per
+    // (group, partition), and no whole-group sort happens anywhere. Same
+    // oracle as a13 (the two paths must agree bit-for-bit).
+    Q("a19_topk_per_group_agg", (s, d) => {
+      val topk = udaf(new graft.functions.TopKAgg(2))
+      Tables.table(s, d, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .groupBy("lang").agg(topk(col("n"), col("source")).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("i", "r")))
+        .select(col("lang"), (col("i") + 1).cast("bigint").as("rk"),
+          col("r.tag").as("source"), col("r.ord").as("n"))
+        .orderBy("lang", "rk")
+    }, Some(
+      """SELECT lang, rk, source, n FROM (
+        |  SELECT lang, source, n,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, source) AS BIGINT) AS rk
+        |  FROM (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2))
+        |WHERE rk <= 2 ORDER BY lang, rk""".stripMargin)),
+
     // Per-group winsorization at exact [p05, p95]: bounds from one
     // percentile aggregate (bounded groups → broadcast), row-local clamp,
     // robust summary on top. quantile_cont matches Spark's percentile

@@ -71,6 +71,36 @@ class AnalyticSpec extends SparkSpec {
     assert(byTag(("ok", "qty_in_range")) == ((2L, 3L))) // 60 + null qty
   }
 
+  test("TopKAgg equals the rank-window top-k on random data, through shuffles") {
+    import graft.functions.TopKAgg
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0 until 2000).map { i =>
+      (s"g${i % 7}", s"t${(i * 2654435761L) % 40}", (i * 40503L) % 100)
+    }
+    // pre-aggregate (the a13/a19 shape), then compare both formulations
+    val counts = rows.toDF("g", "tag", "v")
+      .groupBy("g", "tag").agg(sum("v").as("n"))
+      .repartition(4)
+    val w = Window.partitionBy("g").orderBy(col("n").desc, col("tag").asc)
+    val windowed = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("g", "rk", "tag", "n")
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getString(2), r.getLong(3))).toSet
+    val topk = udaf(new TopKAgg(3))
+    val agged = counts
+      .groupBy("g").agg(topk(col("n"), col("tag")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "r")))
+      .select(col("g"), (col("i") + 1).cast("bigint"), col("r.tag"), col("r.ord"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(agged == windowed)
+    // k beyond the group size returns the whole group, ordered
+    val topkWide = udaf(new TopKAgg(10))
+    val small = Seq(("a", 5L, "x"), ("a", 9L, "y")).toDF("g", "n", "tag")
+      .groupBy("g").agg(topkWide(col("n"), col("tag")).as("top"))
+      .select(explode(col("top")).as("r")).select("r.ord").as[Long].collect()
+    assert(small.toSeq == Seq(9L, 5L))
+  }
+
   test("percentile_approx stays within the GK rank-error bound per group") {
     val df = (1L to 30000L).map(k => (k % 3, (k * 2654435761L) % 1000))
       .toDF("g", "v")
