@@ -590,6 +590,24 @@ object QueriesRelational {
         |  FROM (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2))
         |WHERE rk <= 2 ORDER BY lang, rk""".stripMargin)),
 
+    // Mergeable cardinality rollup via the native DataSketches HLL
+    // functions: one sketch per source (the stored partial), unioned into
+    // lang-level and corpus-level estimates WITHOUT rescanning — the
+    // cardinality analog of the CMS merge (t15). Sketch binaries are
+    // engine-specific → rows-only; the spec-level guarantee is a12's
+    // error bound, and the exact distinct count rides alongside for
+    // direct comparison in the output.
+    Q("a20_hll_union", (s, d) => {
+      val perSource = Tables.table(s, d, "documents")
+        .groupBy("lang", "source")
+        .agg(hll_sketch_agg(col("doc_id").cast("string")).as("sk"),
+          countDistinct("doc_id").as("exact_src"))
+      perSource.groupBy("lang")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_docs"),
+          sum("exact_src").as("exact_docs"))
+        .orderBy("lang")
+    }, None),
+
     // Per-group top-k via the bounded-heap Aggregator: identical result
     // to a13's rank window, but the aggregate buffer holds at most k
     // entries and merges map-side — the shuffle carries k rows per
