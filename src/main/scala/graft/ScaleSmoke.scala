@@ -77,7 +77,9 @@ object ScaleSmoke {
       "c10_importance_weights", "t10_quality_classifier", "t11_compression_ratio",
       "w09_funnel", "w10_retention_cohorts", "a15_zscore_normalize",
       "t12_bigram_logprob", "j11_fuzzy_join", "r09_compact_files",
-      "t13_sketch_watchlist", "d10_jaccard_df_pruned", "a16_approx_quantile")
+      "t13_sketch_watchlist", "d10_jaccard_df_pruned", "a16_approx_quantile",
+      "a17_expectations", "a19_topk_per_group_agg", "a20_hll_union",
+      "r11_zorder_layout", "t15_sketch_merge", "t14_bpe_encode")
     Seq("1x" -> src, s"${reps}x" -> out).foreach { case (tag, dir) =>
       queries.foreach { qn =>
         val t0 = System.nanoTime()

@@ -71,6 +71,16 @@ class AnalyticSpec extends SparkSpec {
     assert(byTag(("ok", "qty_in_range")) == ((2L, 3L))) // 60 + null qty
   }
 
+  test("hll_union_agg of per-part sketches estimates the union within bound") {
+    val df = (1L to 30000L).map(k => (s"part${k % 6}", s"id${k % 9000}"))
+      .toDF("part", "id")
+    val est = df.groupBy("part").agg(hll_sketch_agg(col("id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .as[Long].head()
+    // default lgConfigK=12 → rsd ≈ 1.6%; allow 4 sigma around 9000
+    assert(math.abs(est - 9000.0) / 9000.0 < 0.065, s"union estimate $est")
+  }
+
   test("TopKAgg equals the rank-window top-k on random data, through shuffles") {
     import graft.functions.TopKAgg
     import org.apache.spark.sql.expressions.Window
