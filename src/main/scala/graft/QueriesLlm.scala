@@ -14,6 +14,24 @@ object QueriesLlm {
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.table(s, d, "embeddings")
 
+  /** CMS sketch dimensions shared by t13/t15 — the aggregator, the
+    * zip_with zero-array, and the estimate lookup must agree on them.
+    */
+  private val cmsDepth = 4
+  private val cmsWidth = 1024
+  private val cmsEstimate = udf((counts: Seq[Long], word: String) =>
+    graft.functions.CountMinSketch(cmsDepth, cmsWidth, counts.toArray)
+      .estimate(word))
+  /** Non-empty normalized word tokens of the corpus, with optional
+    * pass-through columns (t13/t15's shared tokenization — must stay in
+    * lockstep with their DuckDB oracle's string_split restatement).
+    */
+  private def corpusTokens(s: org.apache.spark.sql.SparkSession, d: String,
+                           extra: String*): org.apache.spark.sql.DataFrame =
+    docs(s, d).select(extra.map(col) :+
+        explode(split(TextAnalysis.normalized(col("text")), " ")).as("w"): _*)
+      .filter(col("w") =!= "")
+
   /** Documents plus planted near-duplicates (slightly-extended copies of
     * doc_id < 5) so near-dup operators have true positives to find on the
     * otherwise-all-distinct synthetic corpus. Deterministic.
@@ -480,18 +498,14 @@ object QueriesLlm {
     // estimates provably exact — hence the exact-count DuckDB oracle. The
     // general ≥count / ≤count+εN / merge guarantees are CountMinSpec's.
     Q("t13_sketch_watchlist", (s, d) => {
-      val cms = udaf(new graft.functions.CountMinAgg(4, 1024))
-      val toks = docs(s, d).select(
-          explode(split(TextAnalysis.normalized(col("text")), " ")).as("w"))
-        .filter(col("w") =!= "")
+      val cms = udaf(new graft.functions.CountMinAgg(cmsDepth, cmsWidth))
+      val toks = corpusTokens(s, d)
       val sk = toks.agg(cms(col("w")).as("sk"))
       // Estimate lookup is a driver-bounded tail (watchlist × one sketch
       // row, broadcast) — the UDF never touches the corpus-sized side.
-      val est = udf((counts: Seq[Long], word: String) =>
-        graft.functions.CountMinSketch(4, 1024, counts.toArray).estimate(word))
       toks.distinct().crossJoin(broadcast(sk))
         .select(col("w").as("word"),
-          est(col("sk.counts"), col("w")).as("est_count"))
+          cmsEstimate(col("sk.counts"), col("w")).as("est_count"))
         .orderBy("word")
     }, Some(
       """WITH toks AS (
@@ -509,19 +523,16 @@ object QueriesLlm {
     // one-pass corpus sketch, and in the collision-free regime the
     // estimates are the exact counts (same oracle as t13).
     Q("t15_sketch_merge", (s, d) => {
-      val cms = udaf(new graft.functions.CountMinAgg(4, 1024))
-      val toks = docs(s, d).select(col("source"),
-          explode(split(TextAnalysis.normalized(col("text")), " ")).as("w"))
-        .filter(col("w") =!= "")
+      val cms = udaf(new graft.functions.CountMinAgg(cmsDepth, cmsWidth))
+      val toks = corpusTokens(s, d, "source")
       val perSource = toks.groupBy("source").agg(cms(col("w")).as("sk"))
       val merged = perSource.agg(
         aggregate(collect_list(col("sk.counts")),
-          array_repeat(lit(0L), 4 * 1024),
+          array_repeat(lit(0L), cmsDepth * cmsWidth),
           (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("counts"))
-      val est = udf((counts: Seq[Long], word: String) =>
-        graft.functions.CountMinSketch(4, 1024, counts.toArray).estimate(word))
       toks.select("w").distinct().crossJoin(broadcast(merged))
-        .select(col("w").as("word"), est(col("counts"), col("w")).as("est_count"))
+        .select(col("w").as("word"),
+          cmsEstimate(col("counts"), col("w")).as("est_count"))
         .orderBy("word")
     }, Some(
       """WITH toks AS (

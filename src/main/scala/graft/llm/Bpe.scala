@@ -131,10 +131,17 @@ object Bpe {
       .filter(col("w") =!= "")
     val vocabEnc = toks.select("w").distinct()
       .withColumn("n_sub", encUdf(col("w")))
-    toks.join(broadcast(vocabEnc), "w")
+    val counts = toks.join(broadcast(vocabEnc), "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum("n_sub").as("n_subtokens"),
         sum(length(col("w"))).as("n_chars"))
+    // left join back to the corpus so a doc whose text normalizes to zero
+    // tokens reports (0, 0, 0) instead of vanishing from the output.
+    docs.select(col(idCol).as("doc_id")).join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subtokens"), lit(0L)).as("n_subtokens"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"))
   }
 }

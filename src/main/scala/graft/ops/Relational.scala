@@ -243,10 +243,17 @@ object Relational {
     * own position, so `+` == bitwise-or), which keeps the expression pure
     * integer arithmetic — codegen-friendly here, and restatable verbatim
     * in any engine's SQL for the oracle.
+    *
+    * Keys are taken modulo 2^bits (only bits 0..bits-1 are interleaved);
+    * the mask is applied here so a caller passing a wider key gets the
+    * documented truncation instead of silent aliasing of high bits.
     */
-  def zValue(a: Column, b: Column, bits: Int): Column =
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    val mask = lit((1L << bits) - 1L)
+    val (am, bm) = (a.bitwiseAND(mask), b.bitwiseAND(mask))
     (0 until bits).map { i =>
-      (shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
-        (shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+      (shiftright(am, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(bm, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
     }.reduce(_ + _)
+  }
 }

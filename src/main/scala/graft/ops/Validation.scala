@@ -36,9 +36,13 @@ object Validation {
   private def report(df: DataFrame, rules: Seq[Rule],
                      by: Seq[String]): DataFrame = {
     require(rules.nonEmpty, "validate needs at least one rule")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "rule names must be unique")
+    // coalesce: sum() over zero rows is NULL — an empty input must report
+    // 0 violations explicitly, not a NULL a downstream gate silently drops.
     val aggs = count(lit(1)).as("total") +:
-      rules.map(r => sum(when(coalesce(r.predicate, lit(false)), 0L)
-        .otherwise(1L)).as(s"__v_${r.name}"))
+      rules.map(r => coalesce(sum(when(coalesce(r.predicate, lit(false)), 0L)
+        .otherwise(1L)), lit(0L)).as(s"__v_${r.name}"))
     val one =
       if (by.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)

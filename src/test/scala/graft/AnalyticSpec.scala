@@ -69,6 +69,15 @@ class AnalyticSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3))).toMap
     assert(byTag(("ok", "qty_in_range")) == ((2L, 3L))) // 60 + null qty
+    // empty input reports explicit zeros, not NULLs a gate would drop
+    val empty = Validation.validate(df.filter(lit(false)),
+        Seq(Rule("r", col("qty") > 0))).collect()
+    assert(empty.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 0L)))
+    // duplicate rule names fail fast instead of an AnalysisException later
+    intercept[IllegalArgumentException] {
+      Validation.validate(df, Seq(Rule("r", col("qty") > 0),
+        Rule("r", col("qty") < 0)))
+    }
   }
 
   test("hll_union_agg of per-part sketches estimates the union within bound") {

@@ -54,5 +54,10 @@ class BpeSpec extends SparkSpec {
     val noMerge = Bpe.encode(docs, Nil).orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(noMerge.toSeq == Seq((1L, 14L), (2L, 15L)))
+    // a doc whose text normalizes to nothing still reports a (0,0,0) row
+    val withEmpty = docs.union(Seq((3L, "!!! ???")).toDF("doc_id", "text"))
+    val e = Bpe.encode(withEmpty, merges).orderBy("doc_id").collect()
+    assert(e.length == 3 &&
+      (e(2).getLong(1), e(2).getLong(2), e(2).getLong(3)) == ((0L, 0L, 0L)))
   }
 }
