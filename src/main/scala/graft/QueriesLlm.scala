@@ -150,6 +150,25 @@ object QueriesLlm {
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.01
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Incremental near-dup admission: a batch of new docs (slightly-
+    // extended copies of corpus docs + genuinely new docs) against the
+    // corpus's banded MinHash index — copies are rejected, novel docs
+    // admitted. Hash-function-specific (xxhash64) → rows-only; DedupSpec
+    // pins admit/reject behavior on planted inputs.
+    Q("d11_incremental_neardup", (s, d) => {
+      val corpus = docs(s, d).select("doc_id", "text")
+      val nearCopies = corpus.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(col("text"), lit(" extra trailing token")).as("text"))
+      val novel = corpus.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 4000000).as("doc_id"),
+          concat(lit("entirely different preamble about quiet rivers "),
+            reverse(col("text"))).as("text"))
+      Dedup.incrementalNearDupAdmit(nearCopies.union(novel), corpus)
+        .agg(count(lit(1)).as("n_admitted"), min("doc_id").as("min_id"),
+          sum("doc_id").as("sum_id"))
+    }, None),
+
     // MinHash+LSH near-dups: banded signature join → exact-Jaccard verify.
     // Hash-function-specific (xxhash64) → rows-only; DedupSpec covers
     // recall against planted duplicates.

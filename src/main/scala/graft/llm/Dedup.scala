@@ -84,23 +84,58 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Banded bucket table of a signature table: one row per (doc, band)
+    * with the band's hash — the STORED near-dup index shape at scale (a
+    * corpus keeps this table materialized, keyed/bucketed by (band, sig),
+    * and appends each admitted batch's rows).
+    */
+  def bandTable(sig: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*).as("sig"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+  }
+
   /** LSH banding: split the signature into `bands`, hash each band, and
     * self-join on (band, bandHash) — candidate pairs are docs agreeing on
     * at least one full band. This is the 100 TB path: the join fan-out is
     * bounded by bucket collisions, never all-pairs.
     */
   def minhashCandidates(sig: DataFrame, numPerm: Int, bands: Int): DataFrame = {
-    val rowsPerBand = numPerm / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*).as("sig"))
-    }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+    val banded = bandTable(sig, numPerm, bands)
     banded.as("x").join(banded.as("y"), Seq("band", "sig"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Incremental NEAR-dup admission — the continuous-ingest analog of
+    * [[graft.llm.Curation.incrementalDedup]]'s exact path: a new batch is
+    * admitted only where it is not a near-duplicate of the existing
+    * corpus. Candidates come from joining the batch's band table against
+    * the corpus's (at scale the corpus side is the materialized
+    * [[bandTable]] index bucketed by (band, sig) — no corpus rescan,
+    * work ∝ batch × collisions), then exact Jaccard verifies only those
+    * candidate cross pairs. Batch and corpus doc_ids must be disjoint
+    * (they key one shared shingle table for the verify step).
+    */
+  def incrementalNearDupAdmit(batch: DataFrame, corpus: DataFrame,
+                              numPerm: Int = 16, bands: Int = 4,
+                              minJaccard: Double = 0.5): DataFrame = {
+    val shB = graft.ops.Caches.track(shingles(batch).persist())
+    val shC = graft.ops.Caches.track(shingles(corpus).persist())
+    val cand = bandTable(minhashSignatures(shB, numPerm), numPerm, bands).as("x")
+      .join(bandTable(minhashSignatures(shC, numPerm), numPerm, bands).as("y"),
+        Seq("band", "sig"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val near = jaccardForPairs(shB.unionByName(shC), cand)
+      .filter(col("jaccard") >= minJaccard)
+    batch.join(near.select(col("doc_a").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
   }
 
   /** Exact Jaccard restricted to an explicit candidate-pair set: shingle

@@ -58,6 +58,25 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L))
   }
 
+  test("incrementalNearDupAdmit rejects corpus near-copies, admits novel docs") {
+    def prose(tag: String): String =
+      (0 until 12).map(j => s"the $tag ship $j sails beyond the cold dark sea " +
+        s"and the crew of the $tag sings in verse $j").mkString(" ")
+    val corpus = Seq((1L, prose("silver")), (2L, prose("golden")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, prose("silver") + " one extra trailing clause"), // near-copy of 1
+      (102L, prose("crimson"))) // novel
+      .toDF("doc_id", "text")
+    val admitted = Dedup.incrementalNearDupAdmit(batch, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(102L))
+    // empty corpus admits everything
+    val all = Dedup.incrementalNearDupAdmit(batch, corpus.filter(lit(false)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(101L, 102L))
+  }
+
   test("DF pruning drops boilerplate-only pairs but keeps true near-dups") {
     val boiler = "click here to subscribe to our newsletter today friends"
     // 6 docs share only the boilerplate 3-grams (df=6); docs 20/21 also
