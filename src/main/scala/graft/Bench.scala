@@ -28,7 +28,12 @@ object Bench {
     "t01_langid", "t05_tfidf", "t10_quality_classifier",
     "c01_dedup_clusters", "c05_sequence_packing", "c12_shuffle_shards",
     "g01_pagerank", "r02_partitioned_write", "r07_upsert_merge",
-    "s03_final_report", "m03_image_pixels", "a01_group_collect")
+    "s03_final_report", "m03_image_pixels", "a01_group_collect",
+    // round-4 closing tier (line stays well under the 2000-char buffer)
+    "a17_expectations", "a19_topk_per_group_agg", "a20_hll_union",
+    "t13_sketch_watchlist", "t15_sketch_merge", "t14_bpe_encode",
+    "d10_jaccard_df_pruned", "d11_incremental_neardup",
+    "r10_curriculum_export", "r11_zorder_layout", "a16_approx_quantile")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
