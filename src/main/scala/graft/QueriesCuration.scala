@@ -208,7 +208,10 @@ object QueriesCuration {
       Curation.incrementalDedup(
           all.filter(col("source") =!= "src0").select("doc_id", "text"),
           all.filter(col("source") === "src0"))
-        .select("doc_id", "fp")
+        // the operator returns the batch schema unchanged; recompute the
+        // fingerprint here for the oracle comparison
+        .select(col("doc_id"),
+          graft.llm.TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     },
       Some(

@@ -65,12 +65,15 @@ object Curation {
     // Convergence via a monotone invariant: Σ labels strictly decreases
     // every round until the fixpoint, so one tiny aggregate per round
     // detects it — no join against the previous frontier, no extra count
-    // job. (Labels only ever move down to the component minimum.)
-    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0) // empty graph → 0
+    // job. (Labels only ever move down to the component minimum.) The sum
+    // runs in DECIMAL(38,0): hashed 64-bit ids (magnitudes ~1e18, signed)
+    // overflow a Long sum, which throws under Spark's ANSI default.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("cluster").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0
-    var converged = prevSum == 0L // no edges: nothing to propagate
+    var converged = false // touched is nonempty here (undCount > threshold)
     while (!converged && iter < maxIter) {
       val prop = und.join(labels, und("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster"))
@@ -85,7 +88,7 @@ object Curation {
         .groupBy("id").agg(min("cluster").as("cluster"))
         .localCheckpoint() // one row per vertex; cuts the iterative lineage
       val s = labelSum(labels)
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }
@@ -193,9 +196,12 @@ object Curation {
     // one extra scan pass; callers with an expensive upstream should
     // persist it themselves.
     val exact = df.count() <= exactMaxRows
+    // the column name is quoted into the SQL string — backticks keep
+    // non-identifier names (e.g. "quality-score") as one column reference
+    // instead of parsing as arbitrary SQL
     def pct(q: Double): Column =
-      if (exact) expr(s"percentile($scoreCol, $q)")
-      else expr(s"approx_percentile($scoreCol, $q, 10000)")
+      if (exact) expr(s"percentile(`$scoreCol`, $q)")
+      else expr(s"approx_percentile(`$scoreCol`, $q, 10000)")
     df.groupBy(strataCol).agg(
       count(lit(1)).as("n"),
       pct(0.25).as("p25"), pct(0.50).as("p50"), pct(0.75).as("p75"))
@@ -263,7 +269,7 @@ object Curation {
       .join(corpusFp, Seq("fp"), "left_anti")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .drop("__rn", "fp") // both working columns — admitted rows keep the batch schema
   }
 
   /** Mixture sampling: downsample each source to hit a target token

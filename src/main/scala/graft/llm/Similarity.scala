@@ -18,7 +18,10 @@ object Similarity {
     emb.withColumn("v", col("embedding").cast("array<double>"))
 
   /** dot(v, q) and |v|² as codegen array expressions (zip_with/aggregate —
-    * sequential fold, no UDF).
+    * sequential fold, no UDF). A zero-norm vector (or query) gets cos =
+    * −1, not the NaN that 0/0 would produce — Spark orders NaN ABOVE every
+    * real value, so an unguarded zero vector would outrank all true
+    * matches and pass every `cos >= threshold` filter.
     */
   private def scored(e: DataFrame, qArr: Seq[Double]): DataFrame = {
     val qLit = typedLit(qArr)
@@ -27,7 +30,10 @@ object Similarity {
         aggregate(zip_with(col("v"), qLit, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
       .withColumn("nrm",
         aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x))
-      .withColumn("cos", round(col("dot") / sqrt(col("nrm")) / lit(qNorm), 6))
+      .withColumn("cos",
+        when(col("nrm") > 0 && lit(qNorm) > 0,
+          round(col("dot") / sqrt(col("nrm")) / lit(qNorm), 6))
+          .otherwise(lit(-1.0)))
   }
 
   private def queryVec(e: DataFrame, queryId: Long): Seq[Double] =
@@ -52,6 +58,8 @@ object Similarity {
   def lshTopK(emb: DataFrame, queryId: Long, k: Int, bits: Int = 4): DataFrame = {
     val e = withVec(emb).withColumn("bucket", signBucket("v", bits))
     val q = queryVec(e, queryId)
+    require(bits <= q.length,
+      s"signBucket needs $bits leading dims, embedding has ${q.length}")
     val qBucket = (1 to bits).map(i => if (q(i - 1) >= 0) 1 << (bits - i) else 0).sum
     scored(e.filter(col("vec_id") =!= queryId && col("bucket") === qBucket), q)
       .select("vec_id", "bucket", "cos")
@@ -134,8 +142,15 @@ object Similarity {
     val sampled =
       if (total <= maxTrain) unit
       else unit.filter(pmod(col("vec_id"), lit((total + maxTrain - 1) / maxTrain)) === 0)
-    sampled.select(col("vec_id"), col(vecCol)).collect()
-      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val rows = sampled.select(col("vec_id"), col(vecCol)).collect()
+    // id schemes correlated with the stride (all-odd ids, sharded ranges)
+    // can make the modular filter select nothing — fall back to the first
+    // maxTrain rows by id rather than crash the quantizer fit.
+    val picked =
+      if (rows.nonEmpty) rows
+      else unit.select(col("vec_id"), col(vecCol))
+        .orderBy("vec_id").limit(maxTrain.toInt).collect()
+    picked.sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
   }
 
   /** Per-row squared-L2 distances to each center of a literal codebook,
@@ -206,14 +221,15 @@ object Similarity {
     */
   def pqTopK(emb: DataFrame, queryId: Long, k: Int, m: Int = 8,
              codebookSize: Int = 16, rerank: Int = 5): DataFrame = {
-    val dim = withVec(emb).select(size(col("v"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val sub = dim / m
     val unit = graft.ops.Caches.track(
       withVec(emb).withColumn("nrm",
           sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
         .withColumn("vn", transform(col("v"), x => x / col("nrm")))
         .persist())
+    // dim read off the persisted frame — no separate scan of the raw input
+    val dim = unit.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
     // Codebooks train driver-locally ([[localKMeans]]) on a bounded
     // deterministic sample (id-stride — no seed, no shuffle): k-means
     // needs ~O(100·k) points per subspace, and at corpus scale a

@@ -75,7 +75,9 @@ object Graph {
     // to the distributed one — below the threshold, skip the per-iteration
     // join/aggregate/checkpoint fixed cost entirely. GraphSpec pins both
     // paths to the same output.
-    if (und.count() <= localThreshold) return pageRankLocal(und, iterations)
+    // threshold compares INPUT edges (und holds both orientations), the
+    // same unit Curation.connectedComponents uses for its localThreshold
+    if (und.count() / 2 <= localThreshold) return pageRankLocal(und, iterations)
     val deg = und.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // One bounded scalar to the driver: the node count feeds the literal
     // teleport term (matches the oracle's count(*) over the degree CTE).

@@ -100,7 +100,10 @@ object Timeseries {
     val w = Window.partitionBy(keyCol)
     var cur = events
     stages.zipWithIndex.foreach { case (st, i) =>
-      val gate = if (i == 0) col(tsUsCol) >= 0L
+      // stage 0 is ungated (lit(true), NOT ts >= 0 — timestamps may be
+      // pre-epoch/offset-relative); later stages require at-or-after the
+      // previous stage's first occurrence
+      val gate = if (i == 0) lit(true)
                  else col(tsUsCol) >= col(s"stage_${i - 1}_us")
       cur = cur.withColumn(s"stage_${i}_us",
         min(when(col(typeCol) === st && gate, col(tsUsCol))).over(w))
@@ -122,14 +125,21 @@ object Timeseries {
     * one distinct to the activity table, an equi-join on the key (both
     * sides already hashed by it), and the final (cohort, offset) count.
     */
+  /** Floor division for signed longs: `div` truncates toward zero, which
+    * would merge the (-bucket, bucket) range into one double-width bucket
+    * at 0 and shift every negative timestamp's bucket by one.
+    */
+  private def floorDiv(x: org.apache.spark.sql.Column, d: Long): org.apache.spark.sql.Column =
+    (x - pmod(x, lit(d))) / d cast "bigint"
+
   def retentionCohorts(events: DataFrame, keyCol: String, tsUsCol: String,
                        typeCol: String, signupType: String,
                        bucketUs: Long): DataFrame = {
     val cohorts = events.filter(col(typeCol) === signupType)
       .groupBy(keyCol).agg(min(col(tsUsCol)).as("__first"))
-      .select(col(keyCol), expr(s"__first div $bucketUs").as("cohort_bucket"))
+      .select(col(keyCol), floorDiv(col("__first"), bucketUs).as("cohort_bucket"))
     val activity = events
-      .select(col(keyCol), expr(s"$tsUsCol div $bucketUs").as("bucket"))
+      .select(col(keyCol), floorDiv(col(tsUsCol), bucketUs).as("bucket"))
       .distinct()
     activity.join(cohorts, keyCol)
       .filter(col("bucket") >= col("cohort_bucket"))

@@ -25,6 +25,20 @@ class CurationSpec extends SparkSpec {
     assert(got.length == n && got.forall(_._2 == 1L))
   }
 
+  test("connected components survives hashed 64-bit ids (no Long-sum overflow)") {
+    // magnitudes ~1e18, mixed sign — a Long sum of these overflows (and
+    // throws under ANSI); the decimal-sum convergence check must not.
+    val base = 4000000000000000000L
+    val ids = Seq(base, base - 7, -base, -base + 11, base - 1000)
+    val edges = Seq((ids(0), ids(1)), (ids(2), ids(3))).toDF("doc_a", "doc_b")
+    val verts = ids.toDF("doc_id")
+    val got = Curation.connectedComponents(edges, verts, localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got(ids(0)) == ids(1) && got(ids(1)) == ids(1)) // min of the pair
+    assert(got(ids(2)) == ids(2) && got(ids(3)) == ids(2))
+    assert(got(ids(4)) == ids(4)) // untouched singleton
+  }
+
   test("stratified sample takes min(quota, stratum size) deterministically") {
     val df = (1L to 25L).map(i => (i, if (i <= 20) "big" else "small"))
       .toDF("doc_id", "source")

@@ -149,6 +149,24 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq(("u1", 2), ("u2", 3), ("u3", 0)))
   }
 
+  test("funnel and retention handle negative timestamps (pre-epoch/offset time)") {
+    import graft.ops.Timeseries
+    // a full conversion entirely at negative ts must still count
+    val ev = Seq(("u1", -100L, "view"), ("u1", -50L, "click"))
+      .toDF("user", "ts_us", "etype")
+    val f = Timeseries.funnel(ev, "user", "ts_us", "etype", Seq("view", "click"))
+      .collect().map(r => (r.getString(0), r.getInt(3))).toSeq
+    assert(f == Seq(("u1", 2)))
+    // floor bucketing: ts = -1 and +1 land in DIFFERENT buckets
+    val ev2 = Seq(("u1", -1L, "signup"), ("u1", 1L, "view"))
+      .toDF("user", "ts_us", "etype")
+    val r = Timeseries.retentionCohorts(ev2, "user", "ts_us", "etype",
+        "signup", bucketUs = 10L)
+      .orderBy("bucket_offset")
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+    assert(r == Seq((-1L, 0L), (-1L, 1L))) // cohort floor(-1/10) = -1
+  }
+
   test("retentionCohorts counts distinct users per (cohort, offset) bucket") {
     import graft.ops.Timeseries
     val ev = Seq(

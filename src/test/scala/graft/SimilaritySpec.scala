@@ -21,6 +21,18 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(2)._2 + 1.0) < 1e-9)
   }
 
+  test("a zero-norm embedding ranks last, never NaN-first") {
+    val withZero = emb.union(
+      Seq((9L, Seq(0.0f, 0.0f, 0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label"))
+    val got = Similarity.cosineTopK(withZero, 0L, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // Spark sorts NaN above every value — the guard must pin cos(0-vec) to
+    // -1 so the zero vector sorts last (ties with vec 3 broken by id)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 9L))
+    assert(got.forall(!_._2.isNaN))
+    assert(got.last._2 == -1.0)
+  }
+
   test("lshTopK only scores the query's sign bucket") {
     val got = Similarity.lshTopK(emb, 0L, 5, bits = 4)
       .select("vec_id").as[Long].collect().toSet
