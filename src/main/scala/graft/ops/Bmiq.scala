@@ -229,10 +229,13 @@ object Bmiq {
     // H interval preserves the RAW gaps to the neighboring classes around
     // the MAPPED class endpoints — nminH = max(U′) + (minH − max(U)),
     // nmaxH = min(MR′) − (min(MR) − maxH).
+    // Empty-class fallback pairs MUST satisfy uMapMax == uRawMax (and
+    // mrMapMin == mrRawMin) so the shift term vanishes — mismatched
+    // constants would silently bias every H-class probe by the gap.
     val uRawMax = if (uRaw.nonEmpty) uRaw.max else 0.0
     val mrRawMin = if (mrRaw.nonEmpty) mrRaw.min else 1.0
-    val uMapMax = if (uMapped.nonEmpty) uMapped.max else 0.2
-    val mrMapMin = if (mrMapped.nonEmpty) mrMapped.min else 0.8
+    val uMapMax = if (uMapped.nonEmpty) uMapped.max else uRawMax
+    val mrMapMin = if (mrMapped.nonEmpty) mrMapped.min else mrRawMin
     val (minH, maxH) = if (hRaw.nonEmpty) (hRaw.min, hRaw.max) else (uRawMax, mrRawMin)
     val nminH = uMapMax + (minH - uRawMax)
     val nmaxH = mrMapMin - (mrRawMin - maxH)

@@ -46,16 +46,14 @@ object Combat {
 
     val batches = dims.select("run").distinct().as[String].collect().sorted
     val groups = dims.select("group").distinct().as[String].collect().sorted
-    val batchCounts = dims.groupBy("run").agg(count(lit(1)).as("n"))
-      .as[(String, Long)].collect().toMap
-    val bc = spark.sparkContext.broadcast((batches, groups, batchCounts))
+    val bc = spark.sparkContext.broadcast((batches, groups))
 
     val cells = joined.groupBy("probe_id", "run", "group")
       .agg(count(lit(1)).as("n"), sum("m").as("s"), sum(col("m") * col("m")).as("ss"))
       .as[(String, String, String, Long, Double, Double)]
 
     val cellStats = cells.groupByKey(_._1).flatMapGroups { (probe, it) =>
-      val (bs, gs, _) = bc.value
+      val (bs, gs) = bc.value
       val bIdx = bs.zipWithIndex.toMap
       val gIdx = gs.zipWithIndex.toMap
       val bN = bs.length
@@ -141,11 +139,18 @@ object Combat {
 
     // Parametric hyperpriors: γ̂_bg ~ N(γ̄_b, τ̄²_b); δ̂²_bg ~ InvGamma(a_b, b_b)
     // fitted by moments across probes.
+    // var_samp over ONE surviving probe is null — decode via Row (nullable)
+    // and fall back to a no-spread prior instead of crashing the decode.
     val hyper = batchStats.groupBy("batch")
       .agg(avg("gamma_hat").as("gbar"), var_samp("gamma_hat").as("tau2"),
         avg("delta2_hat").as("dmean"), var_samp("delta2_hat").as("dvar"))
-      .as[(String, Double, Double, Double, Double)].collect()
-      .map { case (b, gbar, tau2, dm, ds2) =>
+      .collect()
+      .map { r =>
+        val b = r.getString(0)
+        val gbar = r.getDouble(1)
+        val tau2 = if (r.isNullAt(2)) 0.0 else r.getDouble(2)
+        val dm = r.getDouble(3)
+        val ds2 = if (r.isNullAt(4)) 0.0 else r.getDouble(4)
         val a = if (ds2 > 1e-12) (2 * ds2 + dm * dm) / ds2 else 1e6
         val bp = if (ds2 > 1e-12) (dm * ds2 + dm * dm * dm) / ds2 else (1e6 - 1) * dm
         b -> (gbar, math.max(tau2, 1e-12), a, bp)

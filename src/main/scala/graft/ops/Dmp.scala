@@ -102,7 +102,13 @@ object Dmp {
       .select(avg(z).as("emean"), var_samp(z).as("evar"),
         avg(triCol(col("df"))).as("etri"))
       .head()
-    priorFromMoments(row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    // 0 or 1 valid probes leave avg/var_samp null — same degenerate-input
+    // guards as fitPriorsBy: no probes → flat unit prior; one probe → no
+    // spread evidence, shrink fully to its value (df.prior = Inf).
+    if (row.isNullAt(0)) Prior(Double.PositiveInfinity, 1.0)
+    else if (row.isNullAt(1))
+      Prior(Double.PositiveInfinity, math.exp(row.getDouble(0)))
+    else priorFromMoments(row.getDouble(0), row.getDouble(1), row.getDouble(2))
   }
 
   /** Per-group prior fit: one aggregate shuffled on `byCol`, C rows to the

@@ -56,10 +56,15 @@ object Qc {
                   valCol: String): DataFrame = {
     val rows = long.select(rowKey).distinct()
     val cols = long.select(colKey).distinct()
+    // collapse to one row per cell BEFORE the grid join: a replayed ingest
+    // (duplicate (row, col) entries) would otherwise multiply grid rows
+    // and make total_cells exceed |rows| x |cols|, understating missingness
+    val cells = long.groupBy(rowKey, colKey)
+      .agg(max(col(valCol)).as("__v"))
     rows.crossJoin(cols)
-      .join(long, Seq(rowKey, colKey), "left")
+      .join(cells, Seq(rowKey, colKey), "left")
       .agg(count(lit(1)).as("total_cells"),
-           count(col(valCol)).as("present"),
-           (count(lit(1)) - count(col(valCol))).as("missing"))
+           count(col("__v")).as("present"),
+           (count(lit(1)) - count(col("__v"))).as("missing"))
   }
 }

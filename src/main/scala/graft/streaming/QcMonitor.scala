@@ -95,8 +95,12 @@ object QcMonitor {
     * (stream-static joins are stateless: each micro-batch probes the
     * static side, which at scale is a bucketed-by-fingerprint table), then
     * within-stream replays are suppressed by dropDuplicates on the
-    * fingerprint (state bounded by the watermark). This is how continuous
-    * ingest admits only novel content without re-reading the corpus.
+    * fingerprint. NOTE the dedup state here grows with distinct
+    * fingerprints seen (cross-history dedup is inherently stateful; the
+    * corpus table IS that state at rest) — a production deployment
+    * periodically folds admitted fingerprints into the corpus table and
+    * restarts the window, or bounds in-stream state with
+    * [[dedupStreamTtl]]'s event-time TTL when a sliding window suffices.
     */
   def incrementalDedupStream(stream: DataFrame, corpus: DataFrame,
                              textCol: String = "text"): DataFrame = {
@@ -198,22 +202,41 @@ object QcMonitor {
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyChangeBatch(batch, batchId, tableDir, key, opCol, valueCols)
+        // markers live under the CHECKPOINT dir: batch ids are meaningful
+        // only within one checkpoint lineage — tableDir-scoped markers
+        // would silently skip a fresh query's first batches (its ids
+        // restart at 0) against an existing table
+        applyChangeBatch(batch, batchId, tableDir,
+          s"$checkpointDir/_applied", key, opCol, valueCols)
       }
       .start()
 
   /** One micro-batch of [[upsertSink]]: merge + publish + mark applied.
     * Exposed for the replay-idempotence assertion in StreamingSpec.
+    *
+    * A micro-batch carrying TWO changes for one key would emit two table
+    * rows from the full-outer merge (permanent duplicate-key corruption
+    * compounding on every later merge), so the batch is checked and the
+    * sink fails loudly instead — a CDC source that can emit several
+    * changes per key per batch must pre-collapse them on its sequence
+    * column before this sink (ordering is the source's knowledge, not
+    * ours to invent).
     */
   private[graft] def applyChangeBatch(batch: DataFrame, batchId: Long,
-                                      tableDir: String, key: String, opCol: String,
+                                      tableDir: String, markerDir: String,
+                                      key: String, opCol: String,
                                       valueCols: Seq[String]): Unit = {
     val spark = batch.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val table = new org.apache.hadoop.fs.Path(s"$tableDir/data")
     val fs = table.getFileSystem(hconf)
-    val marker = new org.apache.hadoop.fs.Path(s"$tableDir/_applied/$batchId")
+    val marker = new org.apache.hadoop.fs.Path(s"$markerDir/$batchId")
     if (fs.exists(marker)) return // replayed batch: merge already published
+    val dupKeys = batch.groupBy(key).count().filter(col("count") > 1).count()
+    if (dupKeys > 0)
+      throw new IllegalStateException(
+        s"micro-batch $batchId carries $dupKeys keys with multiple change " +
+          "rows; collapse to latest-per-key upstream before upsertSink")
     val next = new org.apache.hadoop.fs.Path(s"$tableDir/data_next_$batchId")
     // Crash recovery: a COMPLETE staged merge (_SUCCESS present) means the
     // old table may already be deleted — publish it instead of re-merging;

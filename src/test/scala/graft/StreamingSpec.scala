@@ -266,7 +266,8 @@ class StreamingSpec extends SparkSpec {
       // commit) must be a no-op: the _applied marker short-circuits it
       QcMonitor.applyChangeBatch(
         Seq((2L, "U", "CLOBBER"), (3L, "D", null)).toDF("id", "op", "v"),
-        batchId = 1L, tableDir = dir, key = "id", opCol = "op", valueCols = Seq("v"))
+        batchId = 1L, tableDir = dir, markerDir = s"$dir/ckpt/_applied",
+        key = "id", opCol = "op", valueCols = Seq("v"))
       assert(tableNow() == Map(2L -> "b2", 3L -> "c"))
     } finally q.stop()
   }
