@@ -91,6 +91,8 @@ object Multimodal {
       var i = 2
       while (i + 9 < payload.length) {
         if ((payload(i) & 0xff) != 0xff) return None
+        // ITU T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        while (i + 9 < payload.length && (payload(i + 1) & 0xff) == 0xff) i += 1
         val marker = payload(i + 1) & 0xff
         if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2 // standalone
         else {
@@ -320,7 +322,12 @@ object Multimodal {
     while (i + 8 <= b.length) {
       val id = tag(i)
       val size = le32(i + 4)
+      // a negative declared size (malformed/adversarial) would stall or
+      // walk the cursor backwards; a fmt chunk whose declared body extends
+      // past the file would read out of bounds — both are "drop payload"
+      if (size < 0) return None
       if (id == "fmt " && size >= 16) {
+        if (i + 24 > b.length) return None
         fmt = Some((le16(b, i + 8), le16(b, i + 10), le32(i + 12)))
         bits = le16(b, i + 22)
       } else if (id == "data") {
@@ -396,9 +403,12 @@ object Multimodal {
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("gif").next() // per-partition init
         val out = it.flatMap { case (file, bytes) =>
+          // memory-backed input stream: the default createImageInputStream
+          // wraps a ByteArrayInputStream in a FILE-cache stream whose temp
+          // file + fd live until JVM exit — one leak per payload
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
           try {
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(bytes))
             reader.setInput(iis, false, true)
             val n = reader.getNumImages(true)
             (0 until n by stride).map { f =>
@@ -417,6 +427,7 @@ object Multimodal {
               FrameFeat(file, f, im.getWidth, im.getHeight, sr, sg, sb)
             }
           } catch { case _: java.io.IOException => Seq.empty }
+          finally iis.close()
         }
         out
       }.toDF()

@@ -118,8 +118,11 @@ object TextAnalysis {
       .mapPartitions { it =>
         val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
         val buf = new Array[Byte](1 << 16)
-        it.map { case (id, t) =>
-          val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val out = it.map { case (id, t) =>
+          // null-safe like the Column-expression operators: null → empty
+          val raw =
+            if (t == null) Array.emptyByteArray
+            else t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           defl.reset()
           defl.setInput(raw)
           defl.finish()
@@ -127,6 +130,16 @@ object TextAnalysis {
           while (!defl.finished()) n += defl.deflate(buf)
           (id, raw.length.toLong, n,
             if (raw.length > 0) n.toDouble / raw.length else 1.0)
+        }
+        // release the native zlib state when the partition completes
+        // instead of waiting on GC finalization
+        new Iterator[(Long, Long, Long, Double)] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) defl.end()
+            h
+          }
+          def next(): (Long, Long, Long, Double) = out.next()
         }
       }.toDF("doc_id", "raw_len", "deflate_len", "ratio")
   }

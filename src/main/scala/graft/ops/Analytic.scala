@@ -99,7 +99,12 @@ object Analytic {
     // still reads `sorted` — an eager unpersist here would force the caller's
     // action to redo the range shuffle + sort. The harness releases it after
     // the query's final action (ops.Caches contract).
+    // normalize p to a non-null DoubleType up front: pass 2/3 decode rows
+    // with getDouble, and the windowed sibling accepts any numeric — the
+    // dispatch must not change accepted inputs at the size threshold
     val sorted = Caches.track(df
+      .withColumn(pCol, col(pCol).cast("double"))
+      .filter(col(pCol).isNotNull)
       .repartitionByRange(parts, col(pCol).asc, col(tieBreak).asc)
       .sortWithinPartitions(col(pCol).desc, col(tieBreak).desc)
       .persist())

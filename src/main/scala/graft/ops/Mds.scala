@@ -46,10 +46,18 @@ object Mds {
     val (e1, e2) = (n - 1, n - 2)
     val s1 = math.sqrt(math.max(es.eigenvalues(e1), 0))
     val s2 = math.sqrt(math.max(es.eigenvalues(e2), 0))
+    // deterministic orientation (the Pca convention): the largest-|entry|
+    // coordinate of each axis is positive — eigSym's signs are a BLAS
+    // backend artifact, which would mirror coordinates across platforms
+    def sign(e: Int): Double = {
+      val v = (0 until n).map(es.eigenvectors(_, e))
+      if (v.maxBy(math.abs) < 0) -1.0 else 1.0
+    }
+    val (g1, g2) = (sign(e1), sign(e2))
     val rows = ids.zipWithIndex.map { case (id, i) =>
       (id,
-        BigDecimal(es.eigenvectors(i, e1) * s1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        BigDecimal(es.eigenvectors(i, e2) * s2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        BigDecimal(es.eigenvectors(i, e1) * s1 * g1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(es.eigenvectors(i, e2) * s2 * g2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.toSeq
     import spark.implicits._
     rows.toDF("sample_id", "dim1", "dim2").orderBy("sample_id")

@@ -35,7 +35,9 @@ object Pca {
     while (i < attempts) {
       try return f
       catch {
-        case e: Throwable =>
+        // NonFatal only: retrying an OOM against a degraded heap or a
+        // swallowed InterruptedException (cancellation) makes things worse
+        case scala.util.control.NonFatal(e) =>
           last = e
           System.err.println(s"[pca] $what attempt ${i + 1}/$attempts failed: $e")
       }
