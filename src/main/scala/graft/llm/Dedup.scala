@@ -90,6 +90,9 @@ object Dedup {
     * and appends each admitted batch's rows).
     */
   def bandTable(sig: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm) — a remainder would " +
+        "silently drop trailing permutations from every band")
     val rowsPerBand = numPerm / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),

@@ -56,6 +56,9 @@ object QualityModel {
       .withColumn("label", weakLabel(col(textCol)))
     val assembled = new VectorAssembler()
       .setInputCols(featureCols).setOutputCol("features")
+      // null text propagates null features; skip such rows instead of
+      // aborting the whole training job (the assembler's default "error")
+      .setHandleInvalid("skip")
       .transform(labeled)
     val model = new LogisticRegression()
       .setMaxIter(100).setRegParam(1e-3).setStandardization(true)

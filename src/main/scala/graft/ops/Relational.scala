@@ -89,23 +89,29 @@ object Relational {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns
-    val payCols = payload.map(c => col(c).as(s"asof_$c"))
+    // the payload rides in ONE struct: right rows carry a non-null struct
+    // (even when individual payload FIELDS are null), left placeholder
+    // rows carry a null struct — so last(ignoreNulls) skips exactly the
+    // placeholders, never a matched right row whose value is a genuine
+    // NULL (per-column ignoreNulls would resurrect a stale older value).
+    val structT = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c)))
     val l = left.select(
-      (leftCols.map(col) :+ lit(1).as("__side")) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+      (leftCols.map(col) :+ lit(1).as("__side")) :+
+        lit(null).cast(structT).as("__asof"): _*)
     val r = right.select(
       (Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ payCols): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))) :+
+        struct(payload.map(col): _*).as("__asof"): _*)
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = l.unionByName(r)
-      .select(col("*") +: payload.map(c =>
-        last(col(s"asof_$c"), ignoreNulls = true).over(w).as(s"__f_$c")): _*)
+      .withColumn("__f", last(col("__asof"), ignoreNulls = true).over(w))
     joined.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        payload.map(c => col(s"__f_$c").as(s"asof_$c")): _*)
+        payload.map(c => col("__f").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Binned range join: match probe points `p.tsCol ∈ [i.loCol, i.hiCol)`
@@ -122,6 +128,16 @@ object Relational {
   def rangeJoinBinned(intervals: DataFrame, probes: DataFrame,
                       loCol: String, hiCol: String, tsCol: String,
                       binWidth: Long): DataFrame = {
+    // the (hi - 1) closed-bin arithmetic assumes integer-granularity
+    // bounds; fractional bounds would under-cover the interval's last bin
+    {
+      import org.apache.spark.sql.types._
+      Seq(intervals.schema(loCol), intervals.schema(hiCol),
+          probes.schema(tsCol)).foreach { f =>
+        require(Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType),
+          s"rangeJoinBinned needs integral bounds; ${f.name} is ${f.dataType}")
+      }
+    }
     val i = intervals.withColumn("__bin",
       explode(sequence(floor(col(loCol) / binWidth).cast("long"),
         floor((col(hiCol) - 1) / binWidth).cast("long"))))
@@ -147,9 +163,17 @@ object Relational {
     val expected = math.max(dim.count(), 64L)
     val bf = dim.stat.bloomFilter(dimKey, expected, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
-    val mightContain =
-      udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    big.filter(mightContain(col(bigKey))).join(dim, col(bigKey) === col(dimKey))
+    // probe with the SAME hash domain the sketch was built with: string
+    // keys insert string bytes, so probing them as longs silently prunes
+    // every match. (bloomFilter() itself accepts only string/integral.)
+    val mightContain = big.schema(bigKey).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        udf((k: String) => k != null && bc.value.mightContainString(k))
+      case _ =>
+        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    }
+    // frame-qualified references keep same-named keys unambiguous
+    big.filter(mightContain(col(bigKey))).join(dim, big(bigKey) === dim(dimKey))
   }
 
   /** Data-lake MERGE/upsert: apply a change batch (op = I/U/D per row) to
@@ -207,7 +231,7 @@ object Relational {
   def fuzzyJoin(left: DataFrame, right: DataFrame, lCol: String, rCol: String,
                 maxDist: Int): DataFrame = {
     val lx = left.withColumn("__lb",
-      explode(sequence(greatest(length(col(lCol)) - maxDist, lit(1)),
+      explode(sequence(greatest(length(col(lCol)) - maxDist, lit(0)),
         length(col(lCol)) + maxDist)))
     val rx = right.withColumn("__lb", length(col(rCol)))
     lx.join(rx, "__lb")

@@ -61,7 +61,9 @@ object SectionedReport {
     import spark.implicits._
     val files = spark.sparkContext.wholeTextFiles(dirGlob)
     files.flatMap { case (file, content) =>
-      val run = "(\\d+)".r.findFirstIn(file.split("/").last).getOrElse("0")
+      // bounded digit run: a timestamp-style 14-digit filename must not
+      // overflow the Int run id
+      val run = "(\\d{1,9})".r.findFirstIn(file.split("/").last).getOrElse("0")
       val lines = content.split("\r?\n").filter(_.nonEmpty)
       val headerIdx = lines.indexWhere(l => requiredKeywords.subsetOf(l.split("\t").toSet))
       if (headerIdx < 0) Iterator.empty
@@ -69,10 +71,13 @@ object SectionedReport {
         val header = lines(headerIdx).split("\t")
         val iIndex = header.indexOf("Index")
         val iSample = header.indexOf("Sample ID")
-        lines.drop(headerIdx + 1).iterator.map { l =>
-          val f = l.split("\t")
-          (run.toInt, s"${run}_${f(iIndex)}", f(iSample))
-        }
+        val need = math.max(iIndex, iSample) + 1
+        lines.drop(headerIdx + 1).iterator
+          // footers/summary lines with fewer tab fields end the table
+          // data for this parser — skip them instead of crashing the job
+          .map(_.split("\t"))
+          .filter(_.length >= need)
+          .map(f => (run.toInt, s"${run}_${f(iIndex)}", f(iSample)))
       }
     }.toDF("run", "prefixed_index", "sample_id")
   }
