@@ -169,6 +169,24 @@ object QueriesLlm {
           sum("doc_id").as("sum_id"))
     }, None),
 
+    // SemDeDup semantic dedup: k-means cells bound the pair search, drop
+    // any vector with a lower-id ≥τ-cosine neighbor in its cell. Cell ids
+    // come from the engine's own quantizer → rows-only; SimilaritySpec
+    // pins planted-duplicate behavior.
+    Q("d12_semantic_dedup", (s, d) => {
+      val e = emb(s, d)
+      // plant exact copies (cos = 1, same cell by construction) so the
+      // query demonstrably drops — the d03/d04 planted-dup convention
+      val planted = e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          col("embedding"), col("label"))
+      Similarity.semanticDedup(e.union(planted), ncells = 16, minCos = 0.98)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy("cell")
+    }, None),
+
     // MinHash+LSH near-dups: banded signature join → exact-Jaccard verify.
     // Hash-function-specific (xxhash64) → rows-only; DedupSpec covers
     // recall against planted duplicates.
@@ -560,6 +578,33 @@ object QueriesLlm {
         |tk AS (SELECT w FROM toks WHERE w != '')
         |SELECT w AS word, CAST(count(*) AS BIGINT) AS est_count
         |FROM tk GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Corpus-mix diagnostics: Shannon entropy (bits) of each source's
+    // language distribution — the balance metric a training-data mix
+    // report leads with. One hash aggregate to (source, lang) counts
+    // (bounded by the category product), margins via a window over those
+    // counts, entropy as a per-row fixed double sequence summed over ≤
+    // |langs| terms.
+    Q("t16_lang_entropy", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnt = docs(s, d).groupBy("source", "lang").agg(count(lit(1)).as("nl"))
+      cnt.withColumn("nsrc", sum("nl").over(Window.partitionBy("source")))
+        .withColumn("p", col("nl").cast("double") / col("nsrc").cast("double"))
+        .groupBy("source")
+        .agg(first("nsrc").as("n_docs"), count(lit(1)).as("n_langs"),
+          round(-sum(col("p") * log2(col("p"))), 6).as("entropy_bits"))
+        .orderBy("source")
+    }, Some(
+      """WITH cnt AS (
+        |  SELECT source, lang, count(*) AS nl FROM documents GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *, sum(nl) OVER (PARTITION BY source) AS nsrc,
+        |         CAST(nl AS DOUBLE) / CAST(sum(nl) OVER (PARTITION BY source) AS DOUBLE) AS p
+        |  FROM cnt)
+        |SELECT source, CAST(any_value(nsrc) AS BIGINT) AS n_docs,
+        |       count(*) AS n_langs,
+        |       round(-sum(p * log2(p)), 6) AS entropy_bits
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Unigram-LM quality proxy (perplexity-filter stand-in).
     Q("t08_unigram_logprob", (s, d) =>

@@ -672,6 +672,113 @@ object QueriesRelational {
           |FROM lineitem l JOIN m USING (l_returnflag)
           |ORDER BY 1, 2""".stripMargin)),
 
+    // Multi-level aggregation lattice: cube over two dims in ONE pass
+    // (Catalyst expands grouping sets inside a single hash aggregate — at
+    // 100 TB this replaces 4 separate scans with 1). Exact-integer
+    // measures; cube-null group labels order NULLS FIRST like a11.
+    Q("a21_cube", (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .withColumn("c", cents(col("l_extendedprice")))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("c").as("sum_cents"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // Per-group OLS (price-on-quantity): slope/intercept/R² from the five
+    // sufficient moments in ONE hash aggregate — the 100 TB shape for any
+    // per-segment regression (no per-group iteration, no second pass).
+    // All moments are exact integers summed in decimal(38,0) (cents² ~1e14
+    // per row would overflow BIGINT at sf≥0.1 — DuckDB's HUGEINT mirror is
+    // exact the same way), so the doubles only appear in the final
+    // fixed-sequence division and the hash gate holds bit-for-bit.
+    Q("a22_group_regression", (s, d) => {
+      val dec = "decimal(38,0)"
+      val li = Tables.table(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("bigint").cast(dec).as("x"),
+          cents(col("l_extendedprice")).cast(dec).as("y"))
+      val m = li.groupBy("l_returnflag").agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val syyc = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      m.select(col("l_returnflag"), col("n").cast("bigint").as("n"),
+          round((num / den), 6).as("slope"),
+          round((col("sy").cast("double") - num / den * col("sx").cast("double"))
+            / col("n").cast("double"), 6).as("intercept"),
+          round(num * num / (den * syyc), 6).as("r2"))
+        .orderBy("l_returnflag")
+    }, Some(
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+        |         sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+        |         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |         sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+        |         sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+        |             * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |       round((CAST(sy AS DOUBLE)
+        |              - CAST(n * sxy - sx * sy AS DOUBLE)
+        |                / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |             / CAST(n AS DOUBLE), 6) AS intercept,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+        |FROM m ORDER BY 1""".stripMargin)),
+
+    // Chi-square test of independence over a two-way contingency table:
+    // one hash aggregate to cell counts (bounded by category cardinality),
+    // margins by window sums over those cells (no second data pass), the
+    // statistic as a fixed double sequence per cell. The inferential
+    // p-value needs a chi² CDF (no SQL analog) — statistic + df are the
+    // oracle-checked surface, matching the k03 convention where the
+    // moments carry the oracle and the CDF is spec-verified.
+    Q("a23_chisq_independence", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = Tables.table(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("nij"))
+      val withMargins = cells
+        .withColumn("ri", sum("nij").over(Window.partitionBy("l_returnflag")))
+        .withColumn("cj", sum("nij").over(Window.partitionBy("l_linestatus")))
+        .withColumn("tot", sum("nij").over(Window.partitionBy()))
+      val e = col("ri").cast("double") * col("cj").cast("double") / col("tot").cast("double")
+      withMargins
+        .withColumn("term",
+          (col("nij").cast("double") - e) * (col("nij").cast("double") - e) / e)
+        .agg(countDistinct("l_returnflag").as("r"),
+          countDistinct("l_linestatus").as("c"),
+          round(sum("term"), 6).as("chi2"))
+        .select(((col("r") - 1) * (col("c") - 1)).as("df"), col("chi2"))
+    }, Some(
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS nij
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *, sum(nij) OVER (PARTITION BY l_returnflag) AS ri,
+        |         sum(nij) OVER (PARTITION BY l_linestatus) AS cj,
+        |         sum(nij) OVER () AS tot
+        |  FROM cells)
+        |SELECT (count(DISTINCT l_returnflag) - 1)
+        |       * (count(DISTINCT l_linestatus) - 1) AS df,
+        |       round(sum((CAST(nij AS DOUBLE) - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(tot AS DOUBLE))
+        |                 * (CAST(nij AS DOUBLE) - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(tot AS DOUBLE))
+        |                 / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(tot AS DOUBLE))), 6) AS chi2
+        |FROM m""".stripMargin)),
+
     // ------------------------------------------------------------------
     // W — sorts / top-k / BH (reference top10k.py:11-14, volcano.R:138,
     // plots.R:162)
@@ -948,6 +1055,42 @@ object QueriesRelational {
         |       CAST(count(*) AS BIGINT) AS n_users
         |FROM a JOIN c USING (user_id) WHERE a.bucket >= c.cohort_bucket
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Robust outlier gate per group: exact median + MAD (median absolute
+    // deviation), count rows beyond 3×MAD. Two bounded aggregate passes
+    // (group medians are R rows each; the deviation pass re-joins by
+    // broadcast) — the robust-statistics analog of the a15 z-score, immune
+    // to the outliers it is hunting. Spark `percentile` and DuckDB
+    // `quantile_cont` share the percentile_cont interpolation definition.
+    Q("w11_mad_outliers", (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(adev, 0.5)").as("mad"), first("med").as("med"))
+      dev.drop("med").join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+          round(first("med"), 6).as("med"), round(first("mad"), 6).as("mad"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad, any_value(med) AS med
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       round(any_value(m.med), 6) AS med, round(any_value(m.mad), 6) AS mad
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // SCD type-2 dimension from the event_type change log: collapse
     // consecutive repeats per user, stamp [valid_from, valid_to) via lead.

@@ -187,6 +187,39 @@ object QueriesStats {
         .orderBy("probe_id", "sample_id"),
       None),
 
+    // K — between-sample quantile normalization (preprocessCore
+    // normalize.quantiles analog; binned-reference restatement for the
+    // ragged long model, ops/QuantileNorm.scala). Exact-rational bin means
+    // (beta = k/997) make the whole map oracle-checkable bit-for-bit.
+    Q("k07_quantile_normalize", (s, d) =>
+      graft.ops.QuantileNorm
+        .normalizeBinned(Tables.betaLong(s, d), "probe_id", "sample_id",
+          "beta", bins = 100, denom = 997)
+        .select(col("probe_id"), col("sample_id"), col("beta"),
+          round(col("p"), 6).as("p"), col("qn_value"))
+        .orderBy("probe_id", "sample_id"),
+      Some(ctes +
+        s""", ranked AS (
+           |  SELECT probe_id, sample_id, beta,
+           |         row_number() OVER (PARTITION BY sample_id
+           |                            ORDER BY beta, probe_id) AS rank,
+           |         count(*) OVER (PARTITION BY sample_id) AS n
+           |  FROM beta),
+           |binned AS (
+           |  SELECT *, CAST(least(floor(p * 100), 99) AS INT) AS bin FROM (
+           |    SELECT *, CASE WHEN n > 1
+           |             THEN CAST(rank - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+           |             ELSE 0.0 END AS p
+           |    FROM ranked)),
+           |ref AS (
+           |  SELECT bin, CAST(sum(CAST(round(beta * 997) AS BIGINT)) AS DOUBLE)
+           |              / (CAST(997 AS DOUBLE) * count(*)) AS qn_value
+           |  FROM binned GROUP BY 1)
+           |SELECT b.probe_id, b.sample_id, b.beta, round(b.p, 6) AS p,
+           |       r.qn_value
+           |FROM binned b JOIN ref r USING (bin)
+           |ORDER BY b.probe_id, b.sample_id""".stripMargin)),
+
     // E2 — the full reference lifecycle (QC → BMIQ → ComBat → top-k → PCA)
     // chained as one DAG; output is the workflow's final plot-ready PCA
     // coordinate table. Rows-only.

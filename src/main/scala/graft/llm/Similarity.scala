@@ -273,6 +273,56 @@ object Similarity {
       .limit(k)
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the embedding space into `ncells` cells,
+    * then inside each cell drop every vector that has a lower-id near-
+    * duplicate at cosine ≥ `minCos`. Clustering is what makes the pair
+    * search tractable — pairs are only formed within a cell, so the join
+    * is per-cell, never global n², and at corpus scale `ncells` grows
+    * with the data to keep cell population bounded (the paper runs 50k
+    * clusters over LAION; the cell id doubles as a partition column so
+    * each cell's pair join is partition-local).
+    *
+    * Keep rule: lowest vec_id in the cell wins (the repo-wide keep-first
+    * convention — deterministic, join-free). This drops y whenever ANY
+    * lower-id x in the cell has cos(x,y) ≥ minCos; versus a sequential
+    * greedy scan it can over-drop only when a dropped vector is the sole
+    * witness for another — rare inside an ε-ball, and over-dropping is
+    * the conservative direction for training-data curation.
+    *
+    * Quantizer training follows the repo's ANN pattern: driver-local
+    * deterministic Lloyd's ([[localKMeans]]) on a bounded id-stride
+    * sample, centers shipped as expression literals, assignment as one
+    * codegen'd map pass.
+    *
+    * Returns every vector with its cell, a `dropped` flag, and for
+    * dropped rows the keeper id and the qualifying cosine.
+    */
+  def semanticDedup(emb: DataFrame, ncells: Int, minCos: Double): DataFrame = {
+    val e = graft.ops.Caches.track(
+      withVec(emb)
+        .withColumn("nrm",
+          sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+        .persist())
+    val centers = localKMeans(trainSample(e, "v", 200L * ncells), ncells)
+    val assigned = e
+      .withColumn("cell", nearestCenter(distArray(centers, col("v"))) - 1)
+      .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+    val pairs = assigned.as("x").join(assigned.as("y"), "cell")
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .withColumn("dot",
+        aggregate(zip_with(col("x.v"), col("y.v"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("cos", round(col("dot") / col("x.nrm") / col("y.nrm"), 6))
+      .filter(col("cos") >= minCos)
+    val droppedRows = pairs
+      .groupBy(col("y.vec_id").as("vec_id"))
+      .agg(min(col("x.vec_id")).as("kept_as"), max(col("cos")).as("max_cos"))
+    assigned.select("vec_id", "cell")
+      .join(droppedRows, Seq("vec_id"), "left")
+      .withColumn("dropped", col("kept_as").isNotNull)
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by label (or any coarse
     * bucket column) so the pair join is per-block, never global n².
     */

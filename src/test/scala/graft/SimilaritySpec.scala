@@ -94,4 +94,27 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => Set(a, b).subsetOf(Set(0L, 1L, 2L)) })
     assert(pairs.contains((0L, 1L)))
   }
+
+  test("semanticDedup drops planted copies, keeps the lowest id, keeps originals") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // exact copies of vecs 0-4 — same vector ⇒ same k-means cell, cos = 1
+    val planted = real.filter($"vec_id" < 5)
+      .select(($"vec_id" + 1000000).as("vec_id"), $"embedding", $"label")
+    val out = Similarity.semanticDedup(real.union(planted), ncells = 8, minCos = 0.995)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(r.fieldIndex("dropped")),
+          if (r.isNullAt(r.fieldIndex("kept_as"))) -1L
+          else r.getLong(r.fieldIndex("kept_as"))))
+      .toMap
+    graft.ops.Caches.releaseAll()
+    assert(out.size == real.count() + 5)
+    (0L to 4L).foreach { i =>
+      assert(out(i + 1000000) == ((true, i)),
+        s"copy of $i should drop with keeper $i, got ${out(i + 1000000)}")
+      assert(!out(i)._1, s"original $i must survive")
+    }
+    // the near-random real embeddings have no 0.995-cosine pairs of their
+    // own — nothing else drops
+    assert(out.count(_._2._1) == 5)
+  }
 }
