@@ -33,7 +33,10 @@ object Bench {
     "a17_expectations", "a19_topk_per_group_agg", "a20_hll_union",
     "t13_sketch_watchlist", "t15_sketch_merge", "t14_bpe_encode",
     "d10_jaccard_df_pruned", "d11_incremental_neardup",
-    "r10_curriculum_export", "r11_zorder_layout", "a16_approx_quantile")
+    "r10_curriculum_export", "r11_zorder_layout", "a16_approx_quantile",
+    // round-5 statistics/semantic tier
+    "k07_quantile_normalize", "d12_semantic_dedup", "a24_corr_matrix",
+    "e05_attribution_join")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -739,6 +739,58 @@ object QueriesRelational {
         |                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
         |FROM m ORDER BY 1""".stripMargin)),
 
+    // Pairwise Pearson correlation matrix of four measures in ONE hash
+    // aggregate: 15 exact-integer moments in a single pass (decimal(38,0)
+    // sums — cents² would overflow BIGINT; DuckDB HUGEINT mirrors), all 6
+    // correlations derived row-locally from the one moments row. The
+    // 100 TB shape for a feature-correlation report: one scan, one
+    // 1-row-per-partition shuffle, never one pass per pair.
+    Q("a24_corr_matrix", (s, d) => {
+      val dec = "decimal(38,0)"
+      val base = Tables.table(s, d, "lineitem").select(
+        col("l_quantity").cast("bigint").cast(dec).as("qty"),
+        cents(col("l_extendedprice")).cast(dec).as("cents"),
+        round(col("l_discount") * 100).cast("bigint").cast(dec).as("disc"),
+        round(col("l_tax") * 100).cast("bigint").cast(dec).as("tax"))
+      val vars = Seq("qty", "cents", "disc", "tax")
+      val aggs = Seq(count(lit(1)).cast(dec).as("n")) ++
+        vars.map(v => sum(col(v)).as(s"s_$v")) ++
+        (for { i <- vars.indices; j <- i until vars.length } yield
+          sum(col(vars(i)) * col(vars(j))).as(s"s_${vars(i)}_${vars(j)}"))
+      val m = base.agg(aggs.head, aggs.tail: _*)
+      def den(v: String) =
+        (col("n") * col(s"s_${v}_$v") - col(s"s_$v") * col(s"s_$v")).cast("double")
+      def corrOf(a: String, b: String) =
+        round((col("n") * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b")).cast("double")
+          / sqrt(den(a) * den(b)), 6)
+      val pairs = for { i <- vars.indices; j <- i + 1 until vars.length } yield
+        struct(lit(vars(i)).as("var_a"), lit(vars(j)).as("var_b"),
+          corrOf(vars(i), vars(j)).as("corr"))
+      m.select(inline(array(pairs: _*))).orderBy("var_a", "var_b")
+    }, Some {
+      val defs = Seq("qty" -> "CAST(l_quantity AS HUGEINT)",
+        "cents" -> "CAST(round(l_extendedprice * 100) AS HUGEINT)",
+        "disc" -> "CAST(round(l_discount * 100) AS HUGEINT)",
+        "tax" -> "CAST(round(l_tax * 100) AS HUGEINT)")
+      val vars = defs.map(_._1)
+      val moments = (Seq("CAST(count(*) AS HUGEINT) AS n") ++
+        vars.map(v => s"sum($v) AS s_$v") ++
+        (for { i <- vars.indices; j <- i until vars.length } yield
+          s"sum(${vars(i)} * ${vars(j)}) AS s_${vars(i)}_${vars(j)}")).mkString(", ")
+      def den(v: String) = s"CAST(n * s_${v}_$v - s_$v * s_$v AS DOUBLE)"
+      val rows = (for { i <- vars.indices; j <- i + 1 until vars.length } yield {
+        val (a, b) = (vars(i), vars(j))
+        s"""SELECT '$a' AS var_a, '$b' AS var_b,
+           |       round(CAST(n * s_${a}_$b - s_$a * s_$b AS DOUBLE)
+           |             / sqrt(${den(a)} * ${den(b)}), 6) AS corr FROM m""".stripMargin
+      }).mkString("\nUNION ALL\n")
+      s"""WITH x AS (SELECT ${defs.map { case (n, e) => s"$e AS $n" }.mkString(", ")}
+         |           FROM lineitem),
+         |m AS (SELECT $moments FROM x)
+         |$rows
+         |ORDER BY var_a, var_b""".stripMargin
+    }),
+
     // Chi-square test of independence over a two-way contingency table:
     // one hash aggregate to cell counts (bounded by category cardinality),
     // margins by window sums over those cells (no second data pass), the

@@ -140,6 +140,29 @@ object QueriesSources {
           |       count(*) AS n_events
           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Stream-stream interval join (purchase→view attribution) — the batch
+    // run of the SAME watermarked transform StreamingSpec drives live
+    // (`QcMonitor.attributionJoin`; watermarks are inert on batch input),
+    // so the join semantics are DuckDB-oracle-checked here and the bounded
+    // streaming state is spec-checked there.
+    Q("e05_attribution_join", (s, d) => {
+      val ev = Tables.events(s, d)
+      QcMonitor.attributionJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"))
+        .select(col("purchase_id"), col("user_id"), col("view_id"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          unix_micros(col("view_ts")).as("view_us"))
+        .orderBy("purchase_id", "view_id")
+    }, Some(
+      """SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
+        |       epoch_us(p.ts) AS purchase_us, epoch_us(v.ts) AS view_us
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id AND v.ts <= p.ts
+        | AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |ORDER BY 1, 3""".stripMargin)),
+
     Q("e01_streaming_window_qc", (s, d) =>
       QcMonitor.windowedQc(Tables.events(s, d))
         .orderBy("hour", "event_type"),
