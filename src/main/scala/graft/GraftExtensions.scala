@@ -12,13 +12,17 @@ import org.apache.spark.sql.types.DoubleType
   * call needed on the user side). The same descriptors back
   * [[GraftExtensions.registerAll]] for sessions that already exist.
   *
-  * All four functions are pure Catalyst expression trees (one custom
-  * codegen expression, three compositions of built-ins) — they stay inside
+  * Every function is a pure Catalyst expression tree (custom codegen
+  * expressions or compositions of built-ins) — they stay inside
   * whole-stage codegen and fold when given literal inputs.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    // plan-tier extension: the range-join binning rewrite (inert unless
+    // spark.graft.rangeJoin.binWidth is set — see plans/RangeJoinBinning)
+    ext.injectOptimizerRule(plans.RangeJoinBinning)
+  }
 }
 
 object GraftExtensions {
@@ -73,6 +77,8 @@ object GraftExtensions {
     Seq[(String, Int, Seq[Expression] => Expression)](
       ("graft_t_pvalue", 2,
         es => functions.StudentTPValue(dbl(es.head), dbl(es(1)))),
+      ("graft_chisq_sf", 2,
+        es => functions.ChiSquaredSf(dbl(es.head), dbl(es(1)))),
       ("graft_shingles", 2, es => {
         require(es(1).foldable, "graft_shingles: n must be a literal")
         functions.DistinctShingles(es.head,

@@ -591,8 +591,10 @@ object QueriesLlm {
       cnt.withColumn("nsrc", sum("nl").over(Window.partitionBy("source")))
         .withColumn("p", col("nl").cast("double") / col("nsrc").cast("double"))
         .groupBy("source")
+        // + 0.0 normalizes the signed zero: a monolingual source sums to
+        // 0.0, and its negation -0.0 would bit-mismatch the oracle's hash
         .agg(first("nsrc").as("n_docs"), count(lit(1)).as("n_langs"),
-          round(-sum(col("p") * log2(col("p"))), 6).as("entropy_bits"))
+          round(-sum(col("p") * log2(col("p"))) + lit(0.0), 6).as("entropy_bits"))
         .orderBy("source")
     }, Some(
       """WITH cnt AS (
@@ -603,7 +605,7 @@ object QueriesLlm {
         |  FROM cnt)
         |SELECT source, CAST(any_value(nsrc) AS BIGINT) AS n_docs,
         |       count(*) AS n_langs,
-        |       round(-sum(p * log2(p)), 6) AS entropy_bits
+        |       round(-sum(p * log2(p)) + 0.0, 6) AS entropy_bits
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Unigram-LM quality proxy (perplexity-filter stand-in).

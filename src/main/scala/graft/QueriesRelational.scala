@@ -234,6 +234,35 @@ object QueriesRelational {
         |FROM q, n WHERE levenshtein(q.q, n.p_name) <= 2
         |ORDER BY q, p_name""".stripMargin)),
 
+    // The range join written NAIVELY (plain inequality condition, no
+    // manual binning) — the injected RangeJoinBinning optimizer rule
+    // (plans/RangeJoinBinning.scala, via spark.sql.extensions) rewrites
+    // it into the binned equi-join automatically when
+    // spark.graft.rangeJoin.binWidth is set. Compare j10, which does the
+    // same binning by hand; PlansSpec pins rewrite-vs-naive equivalence
+    // and the strategy change (hash join, no nested loop).
+    Q("j12_range_join_auto", (s, d) => {
+      s.conf.set("spark.graft.rangeJoin.binWidth", "3600000000")
+      val ev = Tables.events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), unix_micros(col("ts")).as("lo"))
+        .withColumn("hi", col("lo") + 3600000000L)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(unix_micros(col("ts")).as("ts_us"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+      signups.join(errors, col("ts_us") >= col("lo") && col("ts_us") < col("hi"))
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_err"), sum("cents").as("sum_cents"))
+        .orderBy("event_id")
+    }, Some(
+      """WITH si AS (SELECT event_id, epoch_us(ts) AS lo, epoch_us(ts) + 3600000000 AS hi
+        |            FROM events WHERE event_type = 'signup'),
+        |er AS (SELECT epoch_us(ts) AS ts_us, CAST(round(value * 100) AS BIGINT) AS cents
+        |       FROM events WHERE event_type = 'error')
+        |SELECT si.event_id, count(*) AS n_err, CAST(sum(er.cents) AS BIGINT) AS sum_cents
+        |FROM si JOIN er ON er.ts_us >= si.lo AND er.ts_us < si.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("j08_salted_skew_join", (s, d) => {
       val skewedDim = SS(s, d).select("sample_id", "run")
       Relational.saltedJoin(B(s, d), skewedDim, "sample_id", salts = 4)
@@ -830,6 +859,36 @@ object QueriesRelational {
         |                 * (CAST(nij AS DOUBLE) - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(tot AS DOUBLE))
         |                 / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(tot AS DOUBLE))), 6) AS chi2
         |FROM m""".stripMargin)),
+
+    // The inferential completion of a23: p-value through the native
+    // codegen chi-square survival function (`graft_chisq_sf`,
+    // functions/ChiSquared.scala — no SQL analog, so this flavor is
+    // rows-only; the statistic/df feeding it are a23's oracle-checked
+    // values) plus Cramér's V effect size.
+    Q("a25_chisq_inference", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      GraftExtensions.registerAll(s)
+      val cells = Tables.table(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("nij"))
+      val withMargins = cells
+        .withColumn("ri", sum("nij").over(Window.partitionBy("l_returnflag")))
+        .withColumn("cj", sum("nij").over(Window.partitionBy("l_linestatus")))
+        .withColumn("tot", sum("nij").over(Window.partitionBy()))
+      val e = col("ri").cast("double") * col("cj").cast("double") / col("tot").cast("double")
+      withMargins
+        .withColumn("term",
+          (col("nij").cast("double") - e) * (col("nij").cast("double") - e) / e)
+        .agg(countDistinct("l_returnflag").as("r"),
+          countDistinct("l_linestatus").as("c"),
+          sum("term").as("chi2"), first("tot").as("tot"))
+        .select(((col("r") - 1) * (col("c") - 1)).as("df"),
+          round(col("chi2"), 6).as("chi2"),
+          round(expr("graft_chisq_sf(chi2, CAST((r - 1) * (c - 1) AS DOUBLE))"), 6)
+            .as("p_value"),
+          round(sqrt(col("chi2") / (col("tot").cast("double")
+            * least(col("r") - 1, col("c") - 1).cast("double"))), 6).as("cramers_v"))
+    }, None),
 
     // ------------------------------------------------------------------
     // W — sorts / top-k / BH (reference top10k.py:11-14, volcano.R:138,

@@ -51,6 +51,30 @@ object QueriesSources {
         |       min(n_name) AS first_name
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Schema evolution: a dataset written in two generations (the lang
+    // column added later) read back as ONE table via mergeSchema —
+    // pre-evolution rows surface the new column as NULL. The production
+    // shape for any long-lived corpus: at 100 TB schema merging happens
+    // on file FOOTERS (bounded metadata), never by rewriting old data.
+    Q("s08_schema_evolution", (s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      val dir = s"${Q.scratch}/s08_docs"
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/gen=1")
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$dir/gen=2")
+      s.read.option("mergeSchema", "true").parquet(s"$dir/gen=1", s"$dir/gen=2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+        .orderBy(col("lang").asc_nulls_first)
+    }, Some(
+      """WITH merged AS (
+        |  SELECT doc_id, text, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS chars
+        |FROM merged GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
+
     // S3 — sectioned FinalReport parse → long model (marker scan, header
     // split, melt, .AVG_Beta strip, empty→NULL).
     Q("s03_final_report", (s, _) => {

@@ -220,6 +220,38 @@ object QueriesStats {
            |FROM binned b JOIN ref r USING (bin)
            |ORDER BY b.probe_id, b.sample_id""".stripMargin)),
 
+    // K2's distributed input, oracle-checked: the pairwise sample-distance
+    // matrix the MDS kernel eigendecomposes (ops/Mds.scala computes this
+    // exact shape before its bounded driver collect). beta = k/997 makes
+    // the squared-difference sums exact integers, so the self-join +
+    // aggregate is bit-checkable — the iterative eigen step stays
+    // spec-only, but its input no longer is. Scale shape: equi-join on
+    // probe_id, output bounded by samples² (samples are the bounded axis).
+    Q("k08_sample_distance_matrix", (s, d) => {
+      val b = Tables.betaLong(s, d).select(col("probe_id"),
+        col("sample_id"), round(col("beta") * 997).cast("bigint").as("k"))
+      val l = b.select(col("probe_id"), col("sample_id").as("sa"), col("k").as("ka"))
+      val r = b.select(col("probe_id"), col("sample_id").as("sb"), col("k").as("kb"))
+      l.join(r, "probe_id").filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb")
+        .agg(count(lit(1)).as("n_shared"),
+          sum((col("ka") - col("kb")) * (col("ka") - col("kb"))).as("d2_num"))
+        .withColumn("d2", col("d2_num").cast("double")
+          / (lit(994009.0) * col("n_shared").cast("double")))
+        .orderBy("sa", "sb")
+    }, Some(ctes +
+      s""", kb AS (
+         |  SELECT probe_id, sample_id, CAST(round(beta * 997) AS BIGINT) AS k
+         |  FROM beta)
+         |SELECT sa, sb, n_shared, d2_num,
+         |       CAST(d2_num AS DOUBLE) / (994009.0 * CAST(n_shared AS DOUBLE)) AS d2
+         |FROM (
+         |  SELECT a.sample_id AS sa, b.sample_id AS sb, count(*) AS n_shared,
+         |         CAST(sum((a.k - b.k) * (a.k - b.k)) AS BIGINT) AS d2_num
+         |  FROM kb a JOIN kb b ON a.probe_id = b.probe_id AND a.sample_id < b.sample_id
+         |  GROUP BY 1, 2)
+         |ORDER BY sa, sb""".stripMargin)),
+
     // E2 — the full reference lifecycle (QC → BMIQ → ComBat → top-k → PCA)
     // chained as one DAG; output is the workflow's final plot-ready PCA
     // coordinate table. Rows-only.

@@ -79,7 +79,10 @@ object ScaleSmoke {
       "t12_bigram_logprob", "j11_fuzzy_join", "r09_compact_files",
       "t13_sketch_watchlist", "d10_jaccard_df_pruned", "a16_approx_quantile",
       "a17_expectations", "a19_topk_per_group_agg", "a20_hll_union",
-      "r11_zorder_layout", "t15_sketch_merge", "t14_bpe_encode")
+      "r11_zorder_layout", "t15_sketch_merge", "t14_bpe_encode",
+      "k07_quantile_normalize", "a21_cube", "a22_group_regression",
+      "a23_chisq_independence", "a24_corr_matrix", "w11_mad_outliers",
+      "t16_lang_entropy", "d12_semantic_dedup", "e05_attribution_join")
     Seq("1x" -> src, s"${reps}x" -> out).foreach { case (tag, dir) =>
       queries.foreach { qn =>
         val t0 = System.nanoTime()

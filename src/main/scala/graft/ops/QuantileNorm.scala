@@ -33,7 +33,9 @@ import org.apache.spark.sql.functions._
   * integer sum (values expressible as small-denominator rationals — the
   * synthetic beta table is k/997), so results are bit-identical across
   * engines and partition orders. With `denom` = 0 it falls back to plain
-  * `avg` (order-sensitive at the last ulp).
+  * `avg` (order-sensitive at the last ulp). Assumes (key, sample) is
+  * unique (dedupe upstream, as [[graft.Tables.betaLong]] does) — a
+  * duplicate pair would make the tie-broken rank order nondeterministic.
   */
 object QuantileNorm {
 
@@ -43,7 +45,11 @@ object QuantileNorm {
     import org.apache.spark.sql.expressions.Window
 
     val bySample = Window.partitionBy(sampleCol)
-    val ranked = long
+    // ranked is consumed twice (reference-distribution aggregate + the
+    // final map-back join) — persist it so the rank window's shuffle+sort
+    // runs once, not once per consumer (the repo's twice-consumed-stage
+    // convention; Verify/Bench release via Caches between queries).
+    val ranked = Caches.track(long
       .withColumn("rank",
         row_number().over(bySample.orderBy(col(valCol), col(keyCol))))
       .withColumn("__n", count(lit(1)).over(bySample))
@@ -53,6 +59,7 @@ object QuantileNorm {
           .otherwise(lit(0.0)))
       .withColumn("bin",
         least(floor(col("p") * bins), lit(bins - 1)).cast("int"))
+      .persist())
 
     val refDist =
       if (denom > 0)

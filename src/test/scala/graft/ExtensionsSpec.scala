@@ -24,6 +24,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(p == 1.0) // t=0 -> two-sided p = 1
   }
 
+  test("graft_chisq_sf matches the commons-math survival function and known quantiles") {
+    def sf(x: Double, df: Double): Double =
+      builder("graft_chisq_sf")(Seq(Literal(x), Literal(df)))
+        .eval(null).asInstanceOf[Double]
+    // textbook critical value: P(X²_1 >= 3.841) ≈ 0.05
+    assert(math.abs(sf(3.841459, 1.0) - 0.05) < 1e-6)
+    assert(math.abs(sf(5.991465, 2.0) - 0.05) < 1e-6)
+    // identical to the library call the static delegates to
+    assert(sf(7.3, 4.0) ==
+      org.apache.commons.math3.special.Gamma.regularizedGammaQ(2.0, 3.65))
+    // edges: x<=0 -> 1, monotone decreasing in x, df<=0 -> NaN
+    assert(sf(0.0, 3.0) == 1.0)
+    assert(sf(-1.0, 3.0) == 1.0)
+    val xs = Seq(0.5, 1.0, 2.0, 4.0, 8.0).map(sf(_, 3.0))
+    assert(xs.zip(xs.tail).forall { case (a, b) => a > b }, xs)
+    assert(sf(1.0, 0.0).isNaN)
+  }
+
   test("builders reject wrong arity") {
     intercept[IllegalArgumentException] {
       builder("graft_mvalue")(Seq(Literal(1.0), Literal(2.0)))
