@@ -36,7 +36,8 @@ object Bench {
     "r10_curriculum_export", "r11_zorder_layout", "a16_approx_quantile",
     // round-5 statistics/semantic tier
     "k07_quantile_normalize", "d12_semantic_dedup", "a24_corr_matrix",
-    "e05_attribution_join", "j12_range_join_auto", "k08_sample_distance_matrix")
+    "e05_attribution_join", "j12_range_join_auto", "k08_sample_distance_matrix",
+    "k09_probe_covariance")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

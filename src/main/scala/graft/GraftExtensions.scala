@@ -79,6 +79,8 @@ object GraftExtensions {
         es => functions.StudentTPValue(dbl(es.head), dbl(es(1)))),
       ("graft_chisq_sf", 2,
         es => functions.ChiSquaredSf(dbl(es.head), dbl(es(1)))),
+      ("graft_digamma", 1, es => functions.DigammaExpr(dbl(es.head))),
+      ("graft_trigamma", 1, es => functions.TrigammaExpr(dbl(es.head))),
       ("graft_shingles", 2, es => {
         require(es(1).foldable, "graft_shingles: n must be a literal")
         functions.DistinctShingles(es.head,

@@ -252,6 +252,62 @@ object QueriesStats {
          |  GROUP BY 1, 2)
          |ORDER BY sa, sb""".stripMargin)),
 
+    // K1's distributed input, oracle-checked (the k08 move applied to
+    // PCA): pairwise covariances of the top-20 most-variable probes —
+    // exactly the covariance entries the PCA kernel eigendecomposes.
+    // Exact-integer moments end-to-end (k = beta·997): the top-k variance
+    // ranking and every covariance come from integer sums with one fixed
+    // double sequence, so the whole pre-eigen pipeline is bit-checkable.
+    // Pairwise-complete semantics: each pair's covariance is over the
+    // samples observing BOTH probes (the long-model restatement of the
+    // dense matrix's complete columns).
+    Q("k09_probe_covariance", (s, d) => {
+      val bk = Tables.betaLong(s, d).select(col("probe_id"),
+        col("sample_id"), round(col("beta") * 997).cast("bigint").as("k"))
+      val top = bk.groupBy("probe_id")
+        .agg(count(lit(1)).as("n"), sum("k").as("s"),
+          sum(col("k") * col("k")).as("ss"))
+        .filter(col("n") >= 2)
+        .select(col("probe_id"),
+          Fns.varFromMoments(col("n"), col("s"), col("ss")).as("v"))
+        .orderBy(col("v").desc, col("probe_id").asc)
+        .limit(20).select("probe_id")
+      val t = bk.join(broadcast(top), "probe_id")
+      val a = t.select(col("probe_id").as("pa"), col("sample_id"), col("k").as("ka"))
+      val b = t.select(col("probe_id").as("pb"), col("sample_id"), col("k").as("kb"))
+      a.join(b, "sample_id").filter(col("pa") <= col("pb"))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("n_shared"), sum("ka").as("sa"),
+          sum("kb").as("sb"), sum(col("ka") * col("kb")).as("sab"))
+        .filter(col("n_shared") >= 2)
+        .select(col("pa"), col("pb"), col("n_shared"),
+          round((col("sab").cast("double")
+            - col("sa").cast("double") * col("sb").cast("double")
+              / col("n_shared").cast("double"))
+            / (col("n_shared") - 1).cast("double") / 994009.0, 9).as("cov"))
+        .orderBy("pa", "pb")
+    }, Some(ctes +
+      s""", bk AS (
+         |  SELECT probe_id, sample_id, CAST(round(beta * 997) AS BIGINT) AS k
+         |  FROM beta),
+         |mom AS (
+         |  SELECT probe_id, count(*) AS n, CAST(sum(k) AS BIGINT) AS s,
+         |         CAST(sum(k * k) AS BIGINT) AS ss
+         |  FROM bk GROUP BY 1),
+         |top AS (
+         |  SELECT probe_id FROM mom WHERE n >= 2
+         |  ORDER BY ${SqlOracles.varFromMoments("n", "s", "ss")} DESC, probe_id
+         |  LIMIT 20),
+         |t AS (SELECT bk.* FROM bk JOIN top USING (probe_id))
+         |SELECT a.probe_id AS pa, b.probe_id AS pb, count(*) AS n_shared,
+         |       round((CAST(sum(a.k * b.k) AS DOUBLE)
+         |              - CAST(sum(a.k) AS DOUBLE) * CAST(sum(b.k) AS DOUBLE)
+         |                / CAST(count(*) AS DOUBLE))
+         |             / CAST(count(*) - 1 AS DOUBLE) / 994009.0, 9) AS cov
+         |FROM t a JOIN t b ON a.sample_id = b.sample_id AND a.probe_id <= b.probe_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY 1, 2""".stripMargin)),
+
     // E2 — the full reference lifecycle (QC → BMIQ → ComBat → top-k → PCA)
     // chained as one DAG; output is the workflow's final plot-ready PCA
     // coordinate table. Rows-only.

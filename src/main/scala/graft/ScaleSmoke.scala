@@ -22,6 +22,7 @@ object ScaleSmoke {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -82,7 +83,9 @@ object ScaleSmoke {
       "r11_zorder_layout", "t15_sketch_merge", "t14_bpe_encode",
       "k07_quantile_normalize", "a21_cube", "a22_group_regression",
       "a23_chisq_independence", "a24_corr_matrix", "w11_mad_outliers",
-      "t16_lang_entropy", "d12_semantic_dedup", "e05_attribution_join")
+      "t16_lang_entropy", "d12_semantic_dedup", "e05_attribution_join",
+      "j12_range_join_auto", "k08_sample_distance_matrix",
+      "k09_probe_covariance", "s08_schema_evolution", "a25_chisq_inference")
     Seq("1x" -> src, s"${reps}x" -> out).foreach { case (tag, dir) =>
       queries.foreach { qn =>
         val t0 = System.nanoTime()

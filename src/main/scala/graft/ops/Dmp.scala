@@ -20,8 +20,9 @@ import graft.functions.Fns
   *     collected input is ONE ROW (mean/var of adjusted log s²), so this
   *     step is O(1) on the driver at any probe cardinality;
   *  3. column expressions for the moderated t and p-value. The Student-t
-  *     CDF is the engine's only scalar UDF (commons-math3); everything
-  *     else stays in codegen.
+  *     CDF and the digamma/trigamma adjustments are native codegen
+  *     Expressions (functions/StudentT.scala, functions/GammaExprs.scala)
+  *     — no scalar UDF anywhere in the kernel.
   */
 object Dmp {
 
@@ -80,8 +81,13 @@ object Dmp {
     * the same adjusted variable; taking the variance of raw log s² would let
     * a df-varying mean offset inflate evar and under-moderate).
     */
-  private val adjCol = udf((dfree: Double) => Gamma.digamma(dfree / 2) - math.log(dfree / 2))
-  private val triCol = udf((dfree: Double) => Gamma.trigamma(dfree / 2))
+  // native codegen expressions (functions/GammaExprs.scala), not UDFs —
+  // these run once per probe, millions of rows at scale; registration is
+  // idempotent and the callers below invoke it before building the column
+  private def adjCol(dfCol: String) =
+    expr(s"graft_digamma(CAST($dfCol AS DOUBLE) / 2)") - log(col(dfCol) / 2)
+  private def triCol(dfCol: String) =
+    expr(s"graft_trigamma(CAST($dfCol AS DOUBLE) / 2)")
 
   private def priorFromMoments(emean: Double, evarAdj: Double, etri: Double): Prior = {
     val evar = evarAdj - etri
@@ -96,11 +102,12 @@ object Dmp {
   }
 
   def fitPrior(moments: DataFrame): Prior = {
-    val z = log(col("s2")) - adjCol(col("df"))
+    registerFunctions(moments.sparkSession)
+    val z = log(col("s2")) - adjCol("df")
     val row = moments
       .filter(col("s2") > 0 && !isnan(col("s2")))
       .select(avg(z).as("emean"), var_samp(z).as("evar"),
-        avg(triCol(col("df"))).as("etri"))
+        avg(triCol("df")).as("etri"))
       .head()
     // 0 or 1 valid probes leave avg/var_samp null — same degenerate-input
     // guards as fitPriorsBy: no probes → flat unit prior; one probe → no
@@ -118,12 +125,13 @@ object Dmp {
     * coefficients; per-contrast MoM fit is the per-coef restatement).
     */
   def fitPriorsBy(moments: DataFrame, byCol: String): Map[String, Prior] = {
-    val z = log(col("s2")) - adjCol(col("df"))
+    registerFunctions(moments.sparkSession)
+    val z = log(col("s2")) - adjCol("df")
     moments
       .filter(col("s2") > 0 && !isnan(col("s2")))
       .groupBy(byCol)
       .agg(avg(z).as("emean"), var_samp(z).as("evar"),
-        avg(triCol(col("df"))).as("etri"))
+        avg(triCol("df")).as("etri"))
       .collect()
       .map { r =>
         // A single valid probe leaves var_samp null: no spread evidence →
