@@ -37,7 +37,7 @@ object Bench {
     // round-5 statistics/semantic tier
     "k07_quantile_normalize", "d12_semantic_dedup", "a24_corr_matrix",
     "e05_attribution_join", "j12_range_join_auto", "k08_sample_distance_matrix",
-    "k09_probe_covariance")
+    "k09_probe_covariance", "j13_asof_join_exec")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

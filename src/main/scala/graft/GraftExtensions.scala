@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plan-tier extension: the range-join binning rewrite (inert unless
     // spark.graft.rangeJoin.binWidth is set — see plans/RangeJoinBinning)
     ext.injectOptimizerRule(plans.RangeJoinBinning)
+    // physical-tier extension: the as-of join operator (logical node +
+    // strategy + merge-scan exec, plans/AsOfJoin.scala)
+    ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
   }
 }
 
@@ -97,11 +100,19 @@ object GraftExtensions {
 
   /** Imperative flavor for sessions built without the extensions conf
     * (e.g. notebook sessions): registers the same functions as temp
-    * functions. Idempotent.
+    * functions and installs the plan-tier extensions through the
+    * `experimental` hooks. Idempotent.
     */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     descriptors.foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(id.funcName, builder, "built-in")
     }
+    if (!spark.experimental.extraStrategies.contains(plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ plans.AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[plans.RangeJoinBinning]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.RangeJoinBinning(spark)
+  }
 }

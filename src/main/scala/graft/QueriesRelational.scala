@@ -187,6 +187,32 @@ object QueriesRelational {
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.event_id""".stripMargin)),
 
+    // The same as-of semantics through the engine's CUSTOM PHYSICAL
+    // OPERATOR (plans/AsOfJoin.scala: logical node + planner strategy +
+    // merge-scan exec) instead of j09's union+window composition — one
+    // oracle shape, two execution paths. AsOfExecSpec additionally pins
+    // row-level equivalence between the two paths on planted edge cases.
+    Q("j13_asof_join_exec", (s, d) => {
+      GraftExtensions.registerAll(s)
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      graft.plans.AsOfJoin.join(purchases, views, "user_id", "ts_us")
+        .select(col("event_id"),
+          col("ts_us").as("purchase_us"),
+          col("asof_ts_us").as("view_us"),
+          (col("ts_us") - col("asof_ts_us")).as("gap_us"))
+        .orderBy("event_id")
+    }, Some(
+      """SELECT p.event_id, epoch_us(p.ts) AS purchase_us, epoch_us(v.ts) AS view_us,
+        |       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin)),
+
     Q("j10_range_join_binned", (s, d) => {
       val ev = Tables.events(s, d)
       val signups = ev.filter(col("event_type") === "signup")
