@@ -37,7 +37,10 @@ object Bench {
     // round-5 statistics/semantic tier
     "k07_quantile_normalize", "d12_semantic_dedup", "a24_corr_matrix",
     "e05_attribution_join", "j12_range_join_auto", "k08_sample_distance_matrix",
-    "k09_probe_covariance", "j13_asof_join_exec")
+    "k09_probe_covariance", "j13_asof_join_exec",
+    // round-5 closing tier
+    "k10_ranksum_dmp", "t17_html_extract", "t18_url_normalize",
+    "b03_partition_pruned_join", "k12_spearman_corr", "e06_web_pipeline")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -36,6 +36,69 @@ object QueriesLlm {
     * doc_id < 5) so near-dup operators have true positives to find on the
     * otherwise-all-distinct synthetic corpus. Deterministic.
     */
+  /** Deterministic page template shared by t17/e06: title + script +
+    * style + comment + link-dense nav, the document text as the main
+    * content block, an ad div on every third doc_id, entity-bearing
+    * footer — every boilerplate category [[graft.llm.Web.htmlText]]
+    * must strip, derived only from the row's own columns.
+    */
+  private def wrapHtml(docId: org.apache.spark.sql.Column,
+                       source: org.apache.spark.sql.Column,
+                       text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("<html><head><title>"), source, lit(" &amp; co</title>"),
+      lit("<script type=\"text/javascript\">var n = 1 < 2;</script>"),
+      lit("<style>p { color: #333; }</style></head><body>"),
+      lit("<!-- header -->"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav>"),
+      lit("<p>"), text, lit("</p>"),
+      when(pmod(docId, lit(3)) === 0,
+        lit("<div class=\"ads\"><a href=\"http://ads.example.com/buy\">Buy&nbsp;now!</a></div>"))
+        .otherwise(lit("")),
+      lit("<footer>&copy; 2026</footer></body></html>"))
+
+  /** DuckDB mirror of [[wrapHtml]] over columns (doc_id, source, text).
+    * Single line: it interpolates into stripMargin'd oracle strings, where
+    * a multiline value starting with `||` would be eaten as a margin.
+    */
+  private val htmlSqlExpr: String =
+    """'<html><head><title>' || source || ' &amp; co</title>'
+      |         || '<script type="text/javascript">var n = 1 < 2;</script>'
+      |         || '<style>p { color: #333; }</style></head><body>'
+      |         || '<!-- header -->'
+      |         || '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+      |         || '<p>' || text || '</p>'
+      |         || CASE WHEN doc_id % 3 = 0
+      |                 THEN '<div class="ads"><a href="http://ads.example.com/buy">Buy&nbsp;now!</a></div>'
+      |                 ELSE '' END
+      |         || '<footer>&copy; 2026</footer></body></html>'""".stripMargin
+      .linesIterator.map(_.trim).mkString(" ")
+
+  /** DuckDB mirror of [[graft.llm.Web.htmlText]]: the same replace
+    * sequence the engine folds over, one generated CTE per step (no
+    * hand-balanced 11-deep nesting). Consumes a CTE `h(doc_id, html)`,
+    * yields `x(doc_id, html, txt)`.
+    */
+  private val htmlTextCtes: String = {
+    val steps = Seq(
+      "(?is)<script[^>]*>.*?</script>" -> " ",
+      "(?is)<style[^>]*>.*?</style>" -> " ",
+      "(?s)<!--.*?-->" -> " ",
+      "<[^>]*>" -> " ",
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+    val chain = steps.zipWithIndex.map { case ((pat, rep), i) =>
+      val src = if (i == 0) "html" else "t"
+      val from = if (i == 0) "h" else s"x${i - 1}"
+      s"x$i AS (SELECT doc_id, html, regexp_replace($src, '$pat', '$rep', 'g') AS t FROM $from)"
+    }.mkString(",\n")
+    chain + ",\n" +
+      s"""x AS (
+         |  SELECT doc_id, html,
+         |         trim(regexp_replace(t, '[ \\t\\r\\n]+', ' ', 'g')) AS txt
+         |  FROM x${steps.length - 1})""".stripMargin
+  }
+
   private def withPlantedDups(docsDf: org.apache.spark.sql.DataFrame) = {
     val planted = docsDf.filter(col("doc_id") < 5)
       .select((col("doc_id") + 1000000).as("doc_id"),
@@ -865,6 +928,163 @@ object QueriesLlm {
         """SELECT doc_id,
           |       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
           |       (CAST(octet_length(encode(text)) AS BIGINT) * 31 + ascii(substr(text, 1, 1))) % 997 AS stub_feature
-          |FROM documents ORDER BY doc_id""".stripMargin))
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // t17 — HTML boilerplate stripping (the web-crawl ingest step in
+    // front of every dedup/quality stage; trafilatura's job, restated as
+    // a codegen'd regexp chain — script/style/comment blocks out, tags to
+    // spaces, entities decoded, whitespace collapsed). Each document is
+    // wrapped in a deterministic page template (nav, ads on every third
+    // doc, footer) so the extractor has real boilerplate to remove; the
+    // md5 of the extracted text proves byte-exact extraction against the
+    // oracle's identical RE2 chain. Pure per-row work — zero shuffles
+    // until the final orderBy.
+    Q("t17_html_extract", (s, d) => {
+      val html = wrapHtml(col("doc_id"), col("source"), col("text"))
+      val txt = graft.llm.Web.htmlText(html)
+      docs(s, d).select(col("doc_id"), html.as("__h"), txt.as("__t"))
+        .select(col("doc_id"),
+          graft.llm.Web.linkCount(col("__h")).as("n_links"),
+          length(col("__t")).cast("bigint").as("text_chars"),
+          round(graft.llm.Web.linkCount(col("__h")).cast("double")
+            / greatest(size(split(col("__t"), " ")).cast("double"), lit(1.0)), 6)
+            .as("link_density"),
+          md5(col("__t")).as("text_md5"))
+        .orderBy("doc_id")
+    }, Some {
+      s"""WITH h AS (
+         |  SELECT doc_id, $htmlSqlExpr AS html
+         |  FROM documents),
+         |$htmlTextCtes
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(html, '(?i)<a\\b')) AS BIGINT) AS n_links,
+         |       CAST(length(txt) AS BIGINT) AS text_chars,
+         |       round(CAST(len(regexp_extract_all(html, '(?i)<a\\b')) AS DOUBLE)
+         |             / greatest(CAST(len(string_split(txt, ' ')) AS DOUBLE), 1.0), 6) AS link_density,
+         |       md5(txt) AS text_md5
+         |FROM x ORDER BY doc_id""".stripMargin
+    }),
+
+    // e06 — the web-corpus ingest lifecycle as ONE oracle-checked DAG:
+    // crawl replicas (exact re-crawls of the first 20 pages, doc_id offset
+    // chosen to preserve the template's doc_id-derived ad block) → HTML
+    // extraction → quality gate → language ID → fingerprint dedup
+    // (keep-first by min doc_id) → per-language corpus stats. The
+    // curation analog of e04 in which every stage is SQL-expressible, so
+    // the WHOLE pipeline hash-checks against DuckDB — extraction chain,
+    // quality formula, langid tie-breaks, dedup and all. Two shuffles
+    // (dedup keep-first, final rollup); everything upstream is row-local.
+    Q("e06_web_pipeline", (s, d) => {
+      val dd = docs(s, d).select("doc_id", "text", "source")
+      val ingest = dd.union(dd.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 2000001L).as("doc_id"), col("text"), col("source")))
+      val txt = graft.llm.Web.htmlText(
+        wrapHtml(col("doc_id"), col("source"), col("text")))
+      val staged = ingest
+        .select(col("doc_id"), txt.as("__t"))
+        .withColumn("q", TextAnalysis.qualityScore(col("__t")))
+        .filter(col("q") >= 0.3)
+        .withColumn("lang_pred", TextAnalysis.langId(col("__t")))
+        .withColumn("fp", TextAnalysis.fingerprint(col("__t")))
+      val keep = staged.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      staged.join(keep, Seq("fp", "doc_id"))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("__t"))).as("sum_tokens"),
+          round(avg("q"), 6).as("avg_quality"))
+        .orderBy("lang_pred")
+    }, Some {
+      s"""WITH ingest AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000001, text, source FROM documents WHERE doc_id < 20),
+         |h AS (
+         |  SELECT doc_id, $htmlSqlExpr AS html
+         |  FROM ingest),
+         |$htmlTextCtes,
+         |staged AS (
+         |  SELECT doc_id, txt,
+         |         least(CAST(len(regexp_extract_all(lower(txt), '\\b(the|and|of|to|is|in)\\b', 0)) AS DOUBLE)
+         |               / CAST(greatest(len(regexp_extract_all(lower(txt), '[a-z0-9]+', 0)), 1) AS DOUBLE) * 2.0, 1.0) * 0.4 +
+         |         (CASE WHEN CAST(length(regexp_replace(lower(txt), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+         |                    / CAST(greatest(len(regexp_extract_all(lower(txt), '[a-z0-9]+', 0)), 1) AS DOUBLE) >= 3.0
+         |                AND CAST(length(regexp_replace(lower(txt), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+         |                    / CAST(greatest(len(regexp_extract_all(lower(txt), '[a-z0-9]+', 0)), 1) AS DOUBLE) <= 8.0
+         |               THEN 0.3 ELSE 0.0 END) +
+         |         least(CAST(length(txt) AS DOUBLE) / 500.0, 1.0) * 0.3 AS q,
+         |         CASE WHEN len(regexp_extract_all(lower(txt), '\\b(the|and|of|to|is|in)\\b', 0)) >= len(regexp_extract_all(lower(txt), '\\b(der|die|und|das|ist|nicht)\\b', 0))
+         |               AND len(regexp_extract_all(lower(txt), '\\b(the|and|of|to|is|in)\\b', 0)) >= len(regexp_extract_all(lower(txt), '\\b(el|los|las|una|es|y)\\b', 0))
+         |               AND len(regexp_extract_all(lower(txt), '\\b(the|and|of|to|is|in)\\b', 0)) >= len(regexp_extract_all(lower(txt), '\\b(le|la|et|les|une|est)\\b', 0)) THEN 'en'
+         |              WHEN len(regexp_extract_all(lower(txt), '\\b(der|die|und|das|ist|nicht)\\b', 0)) >= len(regexp_extract_all(lower(txt), '\\b(el|los|las|una|es|y)\\b', 0))
+         |               AND len(regexp_extract_all(lower(txt), '\\b(der|die|und|das|ist|nicht)\\b', 0)) >= len(regexp_extract_all(lower(txt), '\\b(le|la|et|les|une|est)\\b', 0)) THEN 'de'
+         |              WHEN len(regexp_extract_all(lower(txt), '\\b(el|los|las|una|es|y)\\b', 0)) >= len(regexp_extract_all(lower(txt), '\\b(le|la|et|les|une|est)\\b', 0)) THEN 'es'
+         |              ELSE 'fr' END AS lang_pred,
+         |         md5(trim(regexp_replace(lower(txt), '[^a-z0-9]+', ' ', 'g'))) AS fp
+         |  FROM x
+         |  WHERE least(CAST(len(regexp_extract_all(lower(txt), '\\b(the|and|of|to|is|in)\\b', 0)) AS DOUBLE)
+         |              / CAST(greatest(len(regexp_extract_all(lower(txt), '[a-z0-9]+', 0)), 1) AS DOUBLE) * 2.0, 1.0) * 0.4 +
+         |        (CASE WHEN CAST(length(regexp_replace(lower(txt), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+         |                   / CAST(greatest(len(regexp_extract_all(lower(txt), '[a-z0-9]+', 0)), 1) AS DOUBLE) >= 3.0
+         |               AND CAST(length(regexp_replace(lower(txt), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+         |                   / CAST(greatest(len(regexp_extract_all(lower(txt), '[a-z0-9]+', 0)), 1) AS DOUBLE) <= 8.0
+         |              THEN 0.3 ELSE 0.0 END) +
+         |        least(CAST(length(txt) AS DOUBLE) / 500.0, 1.0) * 0.3 >= 0.3),
+         |keep AS (
+         |  SELECT fp, min(doc_id) AS doc_id FROM staged GROUP BY 1)
+         |SELECT s.lang_pred, count(*) AS n_docs,
+         |       CAST(sum(len(regexp_extract_all(s.txt, '\\w+|[^\\w\\s]', 0))) AS BIGINT) AS sum_tokens,
+         |       round(avg(s.q), 6) AS avg_quality
+         |FROM staged s JOIN keep k ON s.fp = k.fp AND s.doc_id = k.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
+
+    // t18 — URL normalization + per-domain crawl stats: host/path via
+    // parse_url (codegen'd), tracking params (utm_*/ref/click-ids)
+    // stripped with an array filter preserving parameter order, fragment
+    // dropped, registered domain = last two host labels. The per-domain
+    // rollup is the crawl-quota/dedup grouping every web pipeline runs;
+    // one hash aggregate after row-local canonicalization.
+    Q("t18_url_normalize", (s, d) => {
+      val id = col("doc_id").cast("string")
+      val host = concat(lit("www."), col("source"),
+        when(length(col("source")) === 4, lit(".net")).otherwise(lit(".org")))
+      val url = concat(lit("https://"), host, lit("/"), col("lang"),
+        lit("/article-"), id, lit(".html?utm_source=feed&id="), id,
+        lit("&utm_campaign=c"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit("&ref=mail#sec-"), pmod(col("doc_id"), lit(5)).cast("string"))
+      docs(s, d).select(url.as("__u"))
+        .select(graft.llm.Web.registeredDomain(col("__u")).as("domain"),
+          graft.llm.Web.urlPath(col("__u")).as("__p"),
+          graft.llm.Web.canonicalUrl(col("__u")).as("__c"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          count_distinct(col("__p")).as("n_paths"),
+          min("__c").as("sample_url"))
+        .orderBy("domain")
+    }, Some(
+      """WITH u AS (
+        |  SELECT 'https://www.' || source
+        |         || CASE WHEN length(source) = 4 THEN '.net' ELSE '.org' END
+        |         || '/' || lang || '/article-' || CAST(doc_id AS VARCHAR)
+        |         || '.html?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+        |         || '&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR)
+        |         || '&ref=mail#sec-' || CAST(doc_id % 5 AS VARCHAR) AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+        |         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+        |         regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+        |         array_to_string(list_filter(
+        |           string_split(coalesce(regexp_extract(url, '\?([^#]*)', 1), ''), '&'),
+        |           x -> x <> '' AND NOT (starts_with(x, 'utm_') OR starts_with(x, 'ref=')
+        |                                 OR starts_with(x, 'fbclid=') OR starts_with(x, 'gclid='))),
+        |           '&') AS q
+        |  FROM u)
+        |SELECT regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        |       count(*) AS n_urls,
+        |       count(DISTINCT path) AS n_paths,
+        |       min(scheme || '://' || host || path
+        |           || CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS sample_url
+        |FROM parts GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -165,6 +165,34 @@ object QueriesRelational {
         |WHERE o.o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Dynamic partition pruning: the fact is laid out partitioned by the
+    // join key, the dim side is only known at runtime (a distinct over
+    // the parquet scan — nothing Catalyst can constant-fold), so the
+    // planner injects a dynamicpruning subquery into the fact scan's
+    // PartitionFilters, reusing the broadcast. At 100 TB this is THE
+    // dimension-filter shape: the fact reads only the partitions the dim
+    // selects, never the full table. PlansSpec asserts the
+    // dynamicpruning expression is actually in the scan.
+    Q("b03_partition_pruned_join", (s, d) => {
+      val dir = s"${Q.scratch}/b03_events_by_type"
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100).cast("bigint").as("cents"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      val fact = s.read.parquet(dir)
+      val dim = s.read.parquet(s"$d/events.parquet")
+        .select("event_type").distinct()
+        .filter(length(col("event_type")) <= 5)
+      fact.join(broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .orderBy("event_type")
+    }, Some(
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE length(event_type) <= 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Salting for skew: replicate the dim across salt shards so a hot key
     // spreads over many tasks; result must equal the plain join.
     Q("j09_asof_join", (s, d) => {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
-import graft.ops.{Bmiq, Combat, Dmp, Mds, Pca}
+import graft.ops.{Analytic, Bmiq, Combat, Dmp, Mds, Pca}
 import SqlOracles.ctes
 
 /** Statistical-kernel queries (SURVEY.md §2.9). The DuckDB-expressible
@@ -307,6 +307,180 @@ object QueriesStats {
          |FROM t a JOIN t b ON a.sample_id = b.sample_id AND a.probe_id <= b.probe_id
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY 1, 2""".stripMargin)),
+
+    // K10 — nonparametric DMP: per-probe two-sample Mann–Whitney U
+    // (WT vs MUT), the rank-based alternative the methylation literature
+    // reaches for when the moderated-t normality assumption is suspect.
+    // Rank-invariant, so raw beta is tested directly (no M-transform
+    // needed — same U either way). One data shuffle (tie cells), then
+    // windows/aggregates on the per-probe cell table; U exact by integer
+    // half-rank units, tie-corrected z a fixed double sequence.
+    Q("k10_ranksum_dmp", (s, d) => {
+      val bg = Tables.betaLong(s, d)
+        .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+      Analytic.mannWhitney(bg, "probe_id", "beta", "group", "WT", "MUT")
+        .filter(col("n1") >= 3 && col("n2") >= 3)
+        .select(col("probe_id"), col("n1"), col("n2"), col("u1"),
+          round(col("z"), 6).as("z"))
+        .orderBy("probe_id")
+    }, Some(ctes +
+      s""", bg AS (
+         |  SELECT b.probe_id, b.beta, s."group" AS grp
+         |  FROM beta b JOIN sheet s USING (sample_id)),
+         |cells AS (
+         |  SELECT probe_id, beta,
+         |         CAST(sum(CASE WHEN grp = 'WT' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |         CAST(sum(CASE WHEN grp = 'MUT' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM bg GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *, c1 + c2 AS t,
+         |         sum(c1 + c2) OVER (PARTITION BY probe_id ORDER BY beta
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM cells),
+         |a AS (
+         |  SELECT probe_id, CAST(sum(c1) AS BIGINT) AS n1,
+         |         CAST(sum(c2) AS BIGINT) AS n2, count(*) AS ncells,
+         |         CAST(sum(c1 * (2 * cum - (t - 1))) AS BIGINT) AS r1_2,
+         |         CAST(sum(t * t * t - t) AS BIGINT) AS ties
+         |  FROM r GROUP BY 1)
+         |SELECT probe_id, n1, n2,
+         |       CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+         |       round((CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+         |              - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+         |             / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+         |                    * (CAST(n1 + n2 AS DOUBLE) + 1.0
+         |                       - CAST(ties AS DOUBLE)
+         |                         / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))), 6) AS z
+         |FROM a WHERE ncells > 1 AND n1 >= 3 AND n2 >= 3
+         |ORDER BY probe_id""".stripMargin)),
+
+    // K10 inferential completion (the a23→a25 pattern): two-sided normal
+    // p from the native codegen chi-square survival function (z² ~ χ²₁),
+    // BH-adjusted across probes. Rows-only — the CDF has no SQL analog;
+    // the statistic feeding it is k10's oracle-checked z.
+    Q("k10_ranksum_inference", (s, d) => {
+      GraftExtensions.registerAll(s)
+      val bg = Tables.betaLong(s, d)
+        .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+      val stats = Analytic.mannWhitney(bg, "probe_id", "beta", "group", "WT", "MUT")
+        .filter(col("n1") >= 3 && col("n2") >= 3)
+        .withColumn("p_value", expr("graft_chisq_sf(z * z, 1.0)"))
+      Analytic.bhAdjust(stats, "p_value", "probe_id")
+        .select(col("probe_id"), col("n1"), col("n2"), col("u1"),
+          round(col("z"), 6).as("z"), round(col("p_value"), 6).as("p_value"),
+          round(col("fdr"), 6).as("fdr"))
+        .orderBy("probe_id")
+    }, None),
+
+    // K11 — per-probe two-sample Kolmogorov–Smirnov: max CDF gap between
+    // the WT and MUT beta distributions (sensitive to shape differences a
+    // location test misses — the distributional QC companion to k10).
+    // Same cell+window shape; D exact via the integer gap |cum1·n2−cum2·n1|.
+    Q("k11_ks_dmp", (s, d) => {
+      val bg = Tables.betaLong(s, d)
+        .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+      Analytic.ksTest(bg, "probe_id", "beta", "group", "WT", "MUT")
+        .filter(col("n1") >= 3 && col("n2") >= 3)
+        .select(col("probe_id"), col("n1"), col("n2"),
+          round(col("d"), 9).as("d"), round(col("ks_stat"), 6).as("ks_stat"))
+        .orderBy("probe_id")
+    }, Some(ctes +
+      s""", bg AS (
+         |  SELECT b.probe_id, b.beta, s."group" AS grp
+         |  FROM beta b JOIN sheet s USING (sample_id)),
+         |cells AS (
+         |  SELECT probe_id, beta,
+         |         CAST(sum(CASE WHEN grp = 'WT' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |         CAST(sum(CASE WHEN grp = 'MUT' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM bg GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *,
+         |         sum(c1) OVER (PARTITION BY probe_id ORDER BY beta
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+         |         sum(c2) OVER (PARTITION BY probe_id ORDER BY beta
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+         |         sum(c1) OVER (PARTITION BY probe_id) AS n1,
+         |         sum(c2) OVER (PARTITION BY probe_id) AS n2
+         |  FROM cells),
+         |a AS (
+         |  SELECT probe_id, CAST(max(n1) AS BIGINT) AS n1,
+         |         CAST(max(n2) AS BIGINT) AS n2,
+         |         CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS gap
+         |  FROM r GROUP BY 1)
+         |SELECT probe_id, n1, n2,
+         |       round(CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 9) AS d,
+         |       round(CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+         |             * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+         |                    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 6) AS ks_stat
+         |FROM a WHERE n1 > 0 AND n2 > 0 AND n1 >= 3 AND n2 >= 3
+         |ORDER BY probe_id""".stripMargin)),
+
+    // K12 — sample×sample Spearman correlation matrix (the QC-heatmap
+    // companion to k08's euclidean distances; rank-based, so outlier
+    // probes can't dominate a pair). Ranks are per-sample over that
+    // sample's observed probes, pairs correlate over shared probes — the
+    // pairwise-complete convention k09 established. Exact end to end:
+    // ranks in doubled-rank integer units (ties exact via the k10 tie-cell
+    // trick), Pearson-on-ranks from decimal(38,0) integer moments, one
+    // fixed double sequence at the end. Plan: cell aggregate + per-sample
+    // window + co-keyed join back, then the k08 probe self-join — samples
+    // stay the bounded axis, probes scale freely.
+    Q("k12_spearman_corr", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val b = Tables.betaLong(s, d)
+      val cells = b.groupBy("sample_id", "beta").agg(count(lit(1)).as("t"))
+      val wCum = Window.partitionBy("sample_id").orderBy("beta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = cells.withColumn("cum", sum("t").over(wCum))
+        .withColumn("ar2", lit(2L) * col("cum") - (col("t") - lit(1L)))
+        .select("sample_id", "beta", "ar2")
+      val rb = b.join(ranked, Seq("sample_id", "beta"))
+      val l = rb.select(col("probe_id"), col("sample_id").as("sa"),
+        col("ar2").cast(dec).as("ra"))
+      val r = rb.select(col("probe_id"), col("sample_id").as("sb"),
+        col("ar2").cast(dec).as("rb"))
+      val m = l.join(r, "probe_id").filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb")
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum("ra").as("sx"), sum("rb").as("sy"),
+          sum(col("ra") * col("ra")).as("sxx"),
+          sum(col("rb") * col("rb")).as("syy"),
+          sum(col("ra") * col("rb")).as("sxy"))
+      val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      m.filter(col("n") >= 2 && denx * deny > 0.0)
+        .select(col("sa"), col("sb"), col("n").cast("bigint").as("n_shared"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt(denx * deny), 6).as("rho"))
+        .orderBy("sa", "sb")
+    }, Some(ctes +
+      """, cells AS (
+        |  SELECT sample_id, beta, count(*) AS t FROM beta GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT sample_id, beta,
+        |         2 * sum(t) OVER (PARTITION BY sample_id ORDER BY beta
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (t - 1) AS ar2
+        |  FROM cells),
+        |rkb AS (
+        |  SELECT b.probe_id, b.sample_id, CAST(r.ar2 AS HUGEINT) AS ar2
+        |  FROM beta b JOIN rk r ON b.sample_id = r.sample_id AND b.beta = r.beta),
+        |m AS (
+        |  SELECT a.sample_id AS sa, b.sample_id AS sb,
+        |         CAST(count(*) AS HUGEINT) AS n,
+        |         sum(a.ar2) AS sx, sum(b.ar2) AS sy,
+        |         sum(a.ar2 * a.ar2) AS sxx, sum(b.ar2 * b.ar2) AS syy,
+        |         sum(a.ar2 * b.ar2) AS sxy
+        |  FROM rkb a JOIN rkb b ON a.probe_id = b.probe_id AND a.sample_id < b.sample_id
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, CAST(n AS BIGINT) AS n_shared,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+        |FROM m
+        |WHERE n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE)
+        |                 * CAST(n * syy - sy * sy AS DOUBLE) > 0.0
+        |ORDER BY sa, sb""".stripMargin)),
 
     // E2 — the full reference lifecycle (QC → BMIQ → ComBat → top-k → PCA)
     // chained as one DAG; output is the workflow's final plot-ready PCA

@@ -200,6 +200,88 @@ object Analytic {
       .drop("__lo", "__hi")
   }
 
+  /** Shared base of the two-sample rank tests: collapse the data to
+    * per-(key, value) tie cells with per-group counts. The full data
+    * shuffles exactly once (the cell aggregate); everything downstream
+    * runs on the cell table, which is bounded by distinct values per key.
+    */
+  private def rankCells(df: DataFrame, keyCol: String, valCol: String,
+                        groupCol: String, g1: String, g2: String): DataFrame =
+    df.filter(col(groupCol).isin(g1, g2))
+      .groupBy(keyCol, valCol)
+      .agg(sum(when(col(groupCol) === g1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(groupCol) === g2, 1L).otherwise(0L)).as("c2"))
+      .withColumn("t", col("c1") + col("c2"))
+
+  /** Two-sample Mann–Whitney (Wilcoxon rank-sum) U per key — the
+    * nonparametric alternative to the moderated-t DMP path (rank-based:
+    * any monotone transform of the values, beta vs M-value, yields the
+    * identical U). Plan shape: one aggregate to tie cells, one per-key
+    * cumulative window over the much smaller cell table, one per-key
+    * aggregate — the window and final aggregate share the key partitioning,
+    * so the cells shuffle once and the test scales with keys, not values.
+    *
+    * Exactness: average ranks are carried in doubled-rank integer units
+    * (`ar2 = 2·avg_rank`, always integral even for .5 ranks) and U leaves
+    * integer arithmetic in a single final division; the tie-corrected
+    * normal z is one fixed double-op sequence. Keys where every value is
+    * tied (zero rank variance) drop out, as in R's wilcox.test.
+    * Integer bounds: `ties` sums t³ per key — exact in BIGINT to ~2M rows
+    * per (key, value) cell, far past any per-key group size in scope.
+    */
+  def mannWhitney(df: DataFrame, keyCol: String, valCol: String,
+                  groupCol: String, g1: String, g2: String): DataFrame = {
+    val cells = rankCells(df, keyCol, valCol, groupCol, g1, g2)
+    val wCum = Window.partitionBy(keyCol).orderBy(valCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells.withColumn("cum", sum("t").over(wCum))
+      .withColumn("ar2", lit(2L) * col("cum") - (col("t") - lit(1L)))
+    val agg = ranked.groupBy(keyCol).agg(
+      sum("c1").as("n1"), sum("c2").as("n2"),
+      count(lit(1)).as("ncells"),
+      sum(col("c1") * col("ar2")).as("r1_2"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val nd = (col("n1") + col("n2")).cast("double")
+    agg.filter(col("ncells") > 1)
+      .withColumn("u1", (col("r1_2") - col("n1") * (col("n1") + lit(1L))).cast("double") / 2.0)
+      .withColumn("sigma", sqrt(n1d * n2d / 12.0 *
+        (nd + 1.0 - col("ties").cast("double") / (nd * (nd - 1.0)))))
+      .withColumn("z", (col("u1") - n1d * n2d / 2.0) / col("sigma"))
+      .select(col(keyCol), col("n1"), col("n2"), col("u1"), col("z"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov D per key: max gap between the two
+    * empirical CDFs, evaluated at every distinct value. Same cell+window
+    * shape (and the same single data shuffle) as [[mannWhitney]]; the gap
+    * is kept as the exact integer `|cum1·n2 − cum2·n1|` and divided by
+    * n1·n2 once at the end, so D is bit-reproducible. `ks_stat` is the
+    * sample-size-scaled statistic D·√(n1·n2/(n1+n2)) fed to the KS
+    * asymptotic distribution.
+    */
+  def ksTest(df: DataFrame, keyCol: String, valCol: String,
+             groupCol: String, g1: String, g2: String): DataFrame = {
+    val cells = rankCells(df, keyCol, valCol, groupCol, g1, g2)
+    val wCum = Window.partitionBy(keyCol).orderBy(valCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCol)
+    val gaps = cells
+      .withColumn("cum1", sum("c1").over(wCum))
+      .withColumn("cum2", sum("c2").over(wCum))
+      .withColumn("n1", sum("c1").over(wAll))
+      .withColumn("n2", sum("c2").over(wAll))
+      .withColumn("gap", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+    val agg = gaps.groupBy(keyCol).agg(
+      max("n1").as("n1"), max("n2").as("n2"), max("gap").as("gap"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    agg.filter(col("n1") > 0 && col("n2") > 0)
+      .withColumn("d", col("gap").cast("double") / (n1d * n2d))
+      .withColumn("ks_stat", col("d") * sqrt(n1d * n2d / (n1d + n2d)))
+      .select(col(keyCol), col("n1"), col("n2"), col("d"), col("ks_stat"))
+  }
+
   /** Per-group z-score normalization (the feature-standardization step,
     * grouped): moments come from ONE exact-integer aggregate per group
     * (the same bit-stable path as the variance operators — integer n/s/ss,

@@ -40,6 +40,13 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("b03's fact scan carries a dynamicpruning partition filter") {
+    val plan = SparkEntry.queries("b03_partition_pruned_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.ops.Caches.releaseAll()
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(1200))
+  }
+
   test("filter pushdown reaches the parquet scan on a raw-table query") {
     val plan = Tables.table(spark, sfDir, "documents")
       .filter(col("lang") === "en").select("doc_id", "lang")
