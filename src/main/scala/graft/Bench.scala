@@ -40,7 +40,8 @@ object Bench {
     "k09_probe_covariance", "j13_asof_join_exec",
     // round-5 closing tier
     "k10_ranksum_dmp", "t17_html_extract", "t18_url_normalize",
-    "b03_partition_pruned_join", "k12_spearman_corr", "e06_web_pipeline")
+    "b03_partition_pruned_join", "k12_spearman_corr", "e06_web_pipeline",
+    "k13_anova_f")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -482,6 +482,70 @@ object QueriesStats {
         |                 * CAST(n * syy - sy * sy AS DOUBLE) > 0.0
         |ORDER BY sa, sb""".stripMargin)),
 
+    // K13 — one-way ANOVA F per probe across the three instrument runs:
+    // the batch-effect screen that motivates ComBat (a probe whose means
+    // differ by run before adjustment is the batch signal k05 removes).
+    // ONE hash aggregate per probe: run-conditional integer moments
+    // (beta scaled to its exact 0..996 integer grid, the k08 trick), then
+    // SSB/SSW as a fixed double sequence over the pivoted run columns —
+    // no data-dependent summation order, so bit-reproducible. The F CDF
+    // (incomplete beta) has no SQL analog; statistic + dfs are the
+    // oracle-checked surface, the a23/k10 convention.
+    Q("k13_anova_f", (s, d) => {
+      val bg = Tables.betaLong(s, d)
+        .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+        .withColumn("k", round(col("beta") * 997).cast("bigint"))
+      def ni(r: Int) = sum(when(col("run") === s"run_$r", 1L).otherwise(0L))
+      def si(r: Int) = sum(when(col("run") === s"run_$r", col("k")).otherwise(0L))
+      val m = bg.groupBy("probe_id").agg(
+        count(lit(1)).as("n"), sum("k").as("s"), sum(col("k") * col("k")).as("ss"),
+        ni(0).as("n0"), ni(1).as("n1"), ni(2).as("n2"),
+        si(0).as("s0"), si(1).as("s1"), si(2).as("s2"))
+      def d2(c: String) = col(c).cast("double")
+      val grand = d2("s") * d2("s") / d2("n")
+      val ssb = (d2("s0") * d2("s0") / d2("n0")
+        + d2("s1") * d2("s1") / d2("n1")
+        + d2("s2") * d2("s2") / d2("n2")) - grand
+      val sst = d2("ss") - grand
+      val ssw = sst - ssb
+      m.filter(col("n0") >= 2 && col("n1") >= 2 && col("n2") >= 2)
+        .withColumn("ssb", ssb).withColumn("ssw", ssw)
+        .filter(col("ssw") > 0.0)
+        .select(col("probe_id"), col("n"),
+          round(col("ssb"), 6).as("ssb"), round(col("ssw"), 6).as("ssw"),
+          lit(2L).as("df1"), (col("n") - lit(3L)).as("df2"),
+          round((col("ssb") / 2.0) / (col("ssw") / (d2("n") - 3.0)), 6).as("f"))
+        .orderBy("probe_id")
+    }, Some(ctes +
+      """, bg AS (
+        |  SELECT b.probe_id, CAST(round(b.beta * 997) AS BIGINT) AS k, s.run
+        |  FROM beta b JOIN sheet s USING (sample_id)),
+        |m AS (
+        |  SELECT probe_id, count(*) AS n,
+        |         CAST(sum(k) AS BIGINT) AS s, CAST(sum(k * k) AS BIGINT) AS ss,
+        |         CAST(sum(CASE WHEN run = 'run_0' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |         CAST(sum(CASE WHEN run = 'run_1' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN run = 'run_2' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |         CAST(sum(CASE WHEN run = 'run_0' THEN k ELSE 0 END) AS BIGINT) AS s0,
+        |         CAST(sum(CASE WHEN run = 'run_1' THEN k ELSE 0 END) AS BIGINT) AS s1,
+        |         CAST(sum(CASE WHEN run = 'run_2' THEN k ELSE 0 END) AS BIGINT) AS s2
+        |  FROM bg GROUP BY 1),
+        |e AS (
+        |  SELECT probe_id, n, n0, n1, n2,
+        |         (CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |          + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |          + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+        |         CAST(ss AS DOUBLE)
+        |         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS sst
+        |  FROM m)
+        |SELECT probe_id, n, round(ssb, 6) AS ssb, round(sst - ssb, 6) AS ssw,
+        |       CAST(2 AS BIGINT) AS df1, n - 3 AS df2,
+        |       round((ssb / 2.0) / ((sst - ssb) / (CAST(n AS DOUBLE) - 3.0)), 6) AS f
+        |FROM e
+        |WHERE n0 >= 2 AND n1 >= 2 AND n2 >= 2 AND sst - ssb > 0.0
+        |ORDER BY probe_id""".stripMargin)),
+
     // E2 — the full reference lifecycle (QC → BMIQ → ComBat → top-k → PCA)
     // chained as one DAG; output is the workflow's final plot-ready PCA
     // coordinate table. Rows-only.

@@ -87,7 +87,8 @@ object ScaleSmoke {
       "j12_range_join_auto", "k08_sample_distance_matrix",
       "k09_probe_covariance", "s08_schema_evolution", "a25_chisq_inference",
       "k10_ranksum_dmp", "k11_ks_dmp", "t17_html_extract", "t18_url_normalize",
-      "b03_partition_pruned_join", "k12_spearman_corr", "e06_web_pipeline")
+      "b03_partition_pruned_join", "k12_spearman_corr", "e06_web_pipeline",
+      "k13_anova_f")
     Seq("1x" -> src, s"${reps}x" -> out).foreach { case (tag, dir) =>
       queries.foreach { qn =>
         val t0 = System.nanoTime()

@@ -204,6 +204,8 @@ object Analytic {
     * per-(key, value) tie cells with per-group counts. The full data
     * shuffles exactly once (the cell aggregate); everything downstream
     * runs on the cell table, which is bounded by distinct values per key.
+    * Callers must pass a null-free value column (a null would form its
+    * own tie cell and engines disagree on null sort position).
     */
   private def rankCells(df: DataFrame, keyCol: String, valCol: String,
                         groupCol: String, g1: String, g2: String): DataFrame =
