@@ -41,7 +41,9 @@ object Bench {
     // round-5 closing tier
     "k10_ranksum_dmp", "t17_html_extract", "t18_url_normalize",
     "b03_partition_pruned_join", "k12_spearman_corr", "e06_web_pipeline",
-    "k13_anova_f")
+    "k13_anova_f",
+    // round-6 inferential-completion tier
+    "k13_anova_inference", "k11_ks_inference")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -57,21 +59,32 @@ object Bench {
     // one-time JIT cost into its timing; the derived-view builds stay
     // inside the timed loop (they are real work).
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // Median-of-N per query (default 3): BENCH_r05 recorded 27.0 s for a
+    // query that re-measures at 1.5 s — single-shot timings on a shared
+    // host carry co-tenant noise that the driver's 2× gate then keys off.
+    // The median of three independent cold-kernel runs is stable ±15%.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          e.getStackTrace.take(12).foreach(f => System.err.println(s"[bench]   at $f"))
-          false
-        }
-        // Release kernel-internal caches between queries: keeps timings
-        // honest (no cross-query kernel-cache hits) and the session
-        // leak-free. Targeted — the shared Tables views stay cached, as a
-        // warm production session would keep its dimension tables.
-        finally graft.ops.Caches.releaseAll()
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            e.getStackTrace.take(12).foreach(f => System.err.println(s"[bench]   at $f"))
+            false
+          }
+          // Release kernel-internal caches between reps and queries: keeps
+          // every timing an honest cold-kernel number (no cross-run kernel
+          // cache hits) and the session leak-free. Targeted — the shared
+          // Tables views stay cached, as a warm production session would
+          // keep its dimension tables.
+          finally graft.ops.Caches.releaseAll()
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      val ok = times.nonEmpty
+      val median = if (ok) times.sorted.apply(times.size / 2) else -1.0
+      (name, median, ok)
     }
     def fmt(v: Double) = f"$v%.3f"
     def jsonMap(rs: Seq[(String, Double, Boolean)]) = rs

@@ -12,6 +12,38 @@ import SqlOracles.ctes
   */
 object QueriesStats {
 
+  /** Shared K13 statistic pass: per-probe one-way ANOVA across the three
+    * instrument runs in ONE hash aggregate — run-conditional integer
+    * moments (beta scaled to its exact 0..996 grid, the k08 trick), then
+    * SSB/SSW as a fixed double sequence over the pivoted run columns (no
+    * data-dependent summation order → bit-reproducible). Unrounded output
+    * `(probe_id, n, ssb, ssw, df1, df2, f)`; k13_anova_f rounds it for the
+    * oracle, k13_anova_inference feeds `f` to `graft_f_sf`.
+    */
+  private def anovaF(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val bg = Tables.betaLong(s, d)
+      .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+      .withColumn("k", round(col("beta") * 997).cast("bigint"))
+    def ni(r: Int) = sum(when(col("run") === s"run_$r", 1L).otherwise(0L))
+    def si(r: Int) = sum(when(col("run") === s"run_$r", col("k")).otherwise(0L))
+    val m = bg.groupBy("probe_id").agg(
+      count(lit(1)).as("n"), sum("k").as("s"), sum(col("k") * col("k")).as("ss"),
+      ni(0).as("n0"), ni(1).as("n1"), ni(2).as("n2"),
+      si(0).as("s0"), si(1).as("s1"), si(2).as("s2"))
+    def d2(c: String) = col(c).cast("double")
+    val grand = d2("s") * d2("s") / d2("n")
+    val ssb = (d2("s0") * d2("s0") / d2("n0")
+      + d2("s1") * d2("s1") / d2("n1")
+      + d2("s2") * d2("s2") / d2("n2")) - grand
+    val sst = d2("ss") - grand
+    m.filter(col("n0") >= 2 && col("n1") >= 2 && col("n2") >= 2)
+      .withColumn("ssb", ssb).withColumn("ssw", sst - col("ssb"))
+      .filter(col("ssw") > 0.0)
+      .select(col("probe_id"), col("n"), col("ssb"), col("ssw"),
+        lit(2L).as("df1"), (col("n") - lit(3L)).as("df2"),
+        ((col("ssb") / 2.0) / (col("ssw") / (d2("n") - 3.0))).as("f"))
+  }
+
   def all: Seq[Q] = Seq(
 
     // K3 pass 1 — per-probe two-group M-value moments, pooled variance,
@@ -415,6 +447,25 @@ object QueriesStats {
          |FROM a WHERE n1 > 0 AND n2 > 0 AND n1 >= 3 AND n2 >= 3
          |ORDER BY probe_id""".stripMargin)),
 
+    // K11 inferential completion (the a23→a25/k10 pattern): asymptotic
+    // Kolmogorov p from the native codegen series Q(t)=2Σ(-1)^{k-1}e^{-2k²t²}
+    // at t = ks_stat, BH-adjusted across probes. Rows-only — the series has
+    // no SQL analog; the statistic feeding it is k11's oracle-checked D.
+    // RankTestSpec asserts the series against commons-math approximateP.
+    Q("k11_ks_inference", (s, d) => {
+      GraftExtensions.registerAll(s)
+      val bg = Tables.betaLong(s, d)
+        .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+      val stats = Analytic.ksTest(bg, "probe_id", "beta", "group", "WT", "MUT")
+        .filter(col("n1") >= 3 && col("n2") >= 3)
+        .withColumn("p_value", expr("graft_ks_sf(ks_stat)"))
+      Analytic.bhAdjust(stats, "p_value", "probe_id")
+        .select(col("probe_id"), col("n1"), col("n2"),
+          round(col("d"), 9).as("d"), round(col("ks_stat"), 6).as("ks_stat"),
+          round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
+        .orderBy("probe_id")
+    }, None),
+
     // K12 — sample×sample Spearman correlation matrix (the QC-heatmap
     // companion to k08's euclidean distances; rank-based, so outlier
     // probes can't dominate a pair). Ranks are per-sample over that
@@ -491,32 +542,13 @@ object QueriesStats {
     // no data-dependent summation order, so bit-reproducible. The F CDF
     // (incomplete beta) has no SQL analog; statistic + dfs are the
     // oracle-checked surface, the a23/k10 convention.
-    Q("k13_anova_f", (s, d) => {
-      val bg = Tables.betaLong(s, d)
-        .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
-        .withColumn("k", round(col("beta") * 997).cast("bigint"))
-      def ni(r: Int) = sum(when(col("run") === s"run_$r", 1L).otherwise(0L))
-      def si(r: Int) = sum(when(col("run") === s"run_$r", col("k")).otherwise(0L))
-      val m = bg.groupBy("probe_id").agg(
-        count(lit(1)).as("n"), sum("k").as("s"), sum(col("k") * col("k")).as("ss"),
-        ni(0).as("n0"), ni(1).as("n1"), ni(2).as("n2"),
-        si(0).as("s0"), si(1).as("s1"), si(2).as("s2"))
-      def d2(c: String) = col(c).cast("double")
-      val grand = d2("s") * d2("s") / d2("n")
-      val ssb = (d2("s0") * d2("s0") / d2("n0")
-        + d2("s1") * d2("s1") / d2("n1")
-        + d2("s2") * d2("s2") / d2("n2")) - grand
-      val sst = d2("ss") - grand
-      val ssw = sst - ssb
-      m.filter(col("n0") >= 2 && col("n1") >= 2 && col("n2") >= 2)
-        .withColumn("ssb", ssb).withColumn("ssw", ssw)
-        .filter(col("ssw") > 0.0)
+    Q("k13_anova_f", (s, d) =>
+      anovaF(s, d)
         .select(col("probe_id"), col("n"),
           round(col("ssb"), 6).as("ssb"), round(col("ssw"), 6).as("ssw"),
-          lit(2L).as("df1"), (col("n") - lit(3L)).as("df2"),
-          round((col("ssb") / 2.0) / (col("ssw") / (d2("n") - 3.0)), 6).as("f"))
-        .orderBy("probe_id")
-    }, Some(ctes +
+          col("df1"), col("df2"), round(col("f"), 6).as("f"))
+        .orderBy("probe_id"),
+    Some(ctes +
       """, bg AS (
         |  SELECT b.probe_id, CAST(round(b.beta * 997) AS BIGINT) AS k, s.run
         |  FROM beta b JOIN sheet s USING (sample_id)),
@@ -545,6 +577,25 @@ object QueriesStats {
         |FROM e
         |WHERE n0 >= 2 AND n1 >= 2 AND n2 >= 2 AND sst - ssb > 0.0
         |ORDER BY probe_id""".stripMargin)),
+
+    // K13 inferential completion: per-probe ANOVA p-value from the native
+    // codegen F survival function (regularized incomplete beta — the one
+    // special function the engine was missing; reference tests always
+    // return p-values, /root/reference/plots.R:139-162), BH-adjusted
+    // across probes. Rows-only — the F CDF has no SQL analog; the
+    // statistic feeding it rides k13_anova_f's oracle. ExtensionsSpec
+    // asserts graft_f_sf against commons-math FDistribution.
+    Q("k13_anova_inference", (s, d) => {
+      GraftExtensions.registerAll(s)
+      val stats = anovaF(s, d)
+        .withColumn("p_value",
+          expr("graft_f_sf(f, CAST(df1 AS DOUBLE), CAST(df2 AS DOUBLE))"))
+      Analytic.bhAdjust(stats, "p_value", "probe_id")
+        .select(col("probe_id"), col("n"), col("df1"), col("df2"),
+          round(col("f"), 6).as("f"), round(col("p_value"), 6).as("p_value"),
+          round(col("fdr"), 6).as("fdr"))
+        .orderBy("probe_id")
+    }, None),
 
     // E2 — the full reference lifecycle (QC → BMIQ → ComBat → top-k → PCA)
     // chained as one DAG; output is the workflow's final plot-ready PCA

@@ -42,6 +42,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(sf(1.0, 0.0).isNaN)
   }
 
+  test("graft_f_sf matches the commons-math F distribution and known quantiles") {
+    def sf(x: Double, d1: Double, d2: Double): Double =
+      builder("graft_f_sf")(Seq(Literal(x), Literal(d1), Literal(d2)))
+        .eval(null).asInstanceOf[Double]
+    // against the library distribution the incomplete beta restates
+    for (x <- Seq(0.3, 1.0, 2.5, 7.0); d1 <- Seq(1.0, 2.0, 5.0); d2 <- Seq(3.0, 10.0, 40.0)) {
+      val lib = 1.0 - new org.apache.commons.math3.distribution
+        .FDistribution(d1, d2).cumulativeProbability(x)
+      assert(math.abs(sf(x, d1, d2) - lib) < 1e-12, s"sf($x,$d1,$d2)")
+    }
+    // textbook critical value: P(F_{2,10} >= 4.103) ≈ 0.05
+    assert(math.abs(sf(4.102821, 2.0, 10.0) - 0.05) < 1e-6)
+    // edges: x<=0 -> 1, monotone decreasing in x, df<=0 -> NaN
+    assert(sf(0.0, 2.0, 10.0) == 1.0)
+    assert(sf(-1.0, 2.0, 10.0) == 1.0)
+    val xs = Seq(0.5, 1.0, 2.0, 4.0, 8.0).map(sf(_, 2.0, 10.0))
+    assert(xs.zip(xs.tail).forall { case (a, b) => a > b }, xs)
+    assert(sf(1.0, 0.0, 10.0).isNaN && sf(1.0, 2.0, -1.0).isNaN)
+  }
+
+  test("graft_ks_sf matches commons-math approximateP across the t range") {
+    def sf(t: Double): Double =
+      builder("graft_ks_sf")(Seq(Literal(t))).eval(null).asInstanceOf[Double]
+    val ks = new org.apache.commons.math3.stat.inference.KolmogorovSmirnovTest()
+    // approximateP(d, n, m) = Q(d·sqrt(nm/(n+m))) — same asymptotic series
+    for (d <- Seq(0.1, 0.2, 0.35, 0.5, 0.8); (n, m) <- Seq((50, 50), (30, 70), (100, 25))) {
+      val t = d * math.sqrt(n.toDouble * m / (n + m))
+      assert(math.abs(sf(t) - ks.approximateP(d, n, m)) < 1e-10, s"t=$t d=$d n=$n m=$m")
+    }
+    // known fixed point: Q(1.358) ≈ 0.05 (the classic α=0.05 critical value)
+    assert(math.abs(sf(1.358) - 0.05) < 5e-4)
+    // edges: tiny t -> 1, monotone decreasing, infinite -> 0
+    assert(sf(0.01) == 1.0 && sf(Double.PositiveInfinity) == 0.0)
+    val xs = Seq(0.3, 0.6, 1.0, 1.5, 2.0).map(sf)
+    assert(xs.zip(xs.tail).forall { case (a, b) => a > b }, xs)
+  }
+
   test("builders reject wrong arity") {
     intercept[IllegalArgumentException] {
       builder("graft_mvalue")(Seq(Literal(1.0), Literal(2.0)))

@@ -88,6 +88,21 @@ class RankTestSpec extends SparkSpec {
     assert(r.getAs[Double]("d") == 0.5)
   }
 
+  test("ksTest + graft_ks_sf end-to-end matches commons-math approximateP") {
+    // the k11_ks_inference chain on tie-free samples: D from the engine,
+    // p from the asymptotic series at t = D·sqrt(n1·n2/(n1+n2))
+    GraftExtensions.registerAll(spark)
+    val rnd = new scala.util.Random(17)
+    val xs = Seq.fill(60)(rnd.nextDouble()).distinct
+    val ys = Seq.fill(45)(rnd.nextDouble() * 1.2 + 0.1).distinct
+    val r = Analytic.ksTest(df(xs, ys), "key", "v", "grp", "A", "B")
+      .withColumn("p_value", expr("graft_ks_sf(ks_stat)"))
+      .collect().head
+    val cm = new org.apache.commons.math3.stat.inference.KolmogorovSmirnovTest()
+    val pExpect = cm.approximateP(r.getAs[Double]("d"), xs.size, ys.size)
+    assert(math.abs(r.getAs[Double]("p_value") - pExpect) < 1e-10)
+  }
+
   test("multi-key: statistics are computed per key independently") {
     val multi = (Seq.tabulate(8)(i => ("p1", i.toDouble, if (i % 2 == 0) "A" else "B")) ++
       Seq.tabulate(10)(i => ("p2", (i * i).toDouble, if (i < 5) "A" else "B")))
