@@ -209,6 +209,30 @@ object QueriesStats {
         .orderBy("probe_id", "sample_id")
     }, None),
 
+    // K5, pycombat flavor — the reference's other ComBat entry point
+    // (combat_norm.py:41-73): raw betas, complete-cases, NO covariate,
+    // batch = which merged source file the sample column came from. The
+    // testdata mirror of the reference's file1_2/file3_4 split is
+    // {run_0, run_1} vs {run_2}. minCoverage 0.30: the reference's strict
+    // no-NaN gate (1.0) assumes a near-complete wide matrix (it dropped
+    // 0.5% of probes); the synthetic long table is ~26% dense with max 41%
+    // coverage, so 1.0 would pass nothing — the e02 qcThr precedent.
+    // Rows-only (iterative EB kernel); CombatSpec asserts the beta-flavor
+    // invariants (batch-mean spread shrinks, grand mean preserved,
+    // complete-cases gate at 1.0).
+    Q("k05_combat_betas", (s, d) => {
+      val batchOf = Tables.sampleSheet(s, d)
+        .select(col("sample_id"),
+          when(col("run").isin("run_0", "run_1"), "file1_2")
+            .otherwise("file3_4").as("batch"))
+      Combat.combatBetas(Tables.betaLong(s, d), broadcast(batchOf),
+          minCoverage = 0.30)
+        .select(col("probe_id"), col("sample_id"), col("batch"),
+          round(col("beta"), 6).as("beta"),
+          round(col("beta_adj"), 6).as("beta_adj"))
+        .orderBy("probe_id", "sample_id")
+    }, None),
+
     // K6 — BMIQ normalization (reference bmiq/BMIQ_1.4.R). Rows-only;
     // BmiqSpec asserts identity-on-type-I / range / guard invariants.
     Q("k06_bmiq_normalize", (s, d) =>

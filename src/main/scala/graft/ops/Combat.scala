@@ -194,4 +194,43 @@ object Combat {
           col("stand_mean"))
       .select("probe_id", "sample_id", "run", "group", "m", "m_adj")
   }
+
+  /** K5, pycombat flavor — the reference's SECOND ComBat entry point
+    * (/root/reference/preprocessing/combat_norm.py:41-73): adjust RAW BETAS
+    * directly (no M-transform), batch vector derived from column membership
+    * of the merged source files, NO group covariate (`pycombat(data, batch)`
+    * with no `mod`), after a complete-cases filter (pycombat cannot handle
+    * NaNs — the reference drops any probe row with a missing value).
+    *
+    * Restated on the long model: keep probes observed in EVERY sample, then
+    * run the same EB location-scale machinery with a batch-only design
+    * ([[combat]] with a constant group collapses the group dummies — p = B,
+    * the pycombat no-covariate model exactly).
+    *
+    * @param betas   long `(probe_id, sample_id, beta)`
+    * @param batchOf `(sample_id, batch)` — membership-derived batch labels
+    * @param minCoverage fraction of samples a probe must be observed in.
+    *   1.0 (default) = the reference's strict no-NaN gate. The long-form EB
+    *   machinery itself handles missing cells (all moments are over observed
+    *   entries), so a relaxed gate is safe where the input matrix is sparse
+    *   by construction (the synthetic testdata tops out at 41% coverage).
+    * @return input rows + `beta_adj`
+    */
+  def combatBetas(betas: DataFrame, batchOf: DataFrame,
+      minCoverage: Double = 1.0): DataFrame = {
+    val nSamples = batchOf.select("sample_id").distinct().count()
+    // pycombat's NaN gate: a probe survives only if observed in (enough of)
+    // the samples (one aggregate on the natural key + a semi-join — P3 shape).
+    val complete = betas.filter(col("beta").isNotNull)
+      .groupBy("probe_id").agg(countDistinct("sample_id").as("ns"))
+      .filter(col("ns") >= math.ceil(minCoverage * nSamples).toLong)
+      .select("probe_id")
+    val sheet = batchOf.select(col("sample_id"), col("batch").as("run"),
+      lit("all").as("group"))
+    val m = betas.join(complete, Seq("probe_id"), "left_semi")
+      .select(col("probe_id"), col("sample_id"), col("beta").as("m"))
+    combat(m, sheet)
+      .select(col("probe_id"), col("sample_id"), col("run").as("batch"),
+        col("m").as("beta"), col("m_adj").as("beta_adj"))
+  }
 }
