@@ -233,6 +233,85 @@ object QueriesStats {
         .orderBy("probe_id", "sample_id")
     }, None),
 
+    // K5 interior oracle (the k08/k09 move applied to ComBat): the
+    // standardization stage of the batch-only (pycombat) flavor is exactly
+    // SQL-expressible — with no group dummies the normal equations are
+    // diagonal, so the ridge solve collapses to β_b = s_b/(n_b + ridge)
+    // and stand_mean / var_pooled / γ̂ / δ̂² are fixed double sequences
+    // over the cell moments. This pins a REAL interior surface of the EB
+    // kernel (everything up to the hyperprior fit) against DuckDB, per
+    // probe × batch.
+    Q("k05_combat_stand", (s, d) => {
+      val batchOf = Tables.sampleSheet(s, d)
+        .select(col("sample_id"),
+          when(col("run").isin("run_0", "run_1"), "file1_2")
+            .otherwise("file3_4").as("batch"))
+      val b = Tables.betaLong(s, d)
+      val nSamples = batchOf.select("sample_id").distinct().count()
+      val keep = b.groupBy("probe_id")
+        .agg(countDistinct("sample_id").as("ns"))
+        .filter(col("ns") >= math.ceil(0.30 * nSamples).toLong)
+        .select("probe_id")
+      val sheet = batchOf.select(col("sample_id"), col("batch").as("run"),
+        lit("all").as("group"))
+      val m = b.join(keep, Seq("probe_id"), "left_semi")
+        .select(col("probe_id"), col("sample_id"), col("beta").as("m"))
+      Combat.standStats(m, sheet)
+        .select(col("probe_id"), col("batch"),
+          round(col("stand_mean"), 6).as("stand_mean"),
+          round(col("var_pooled"), 6).as("var_pooled"),
+          round(col("gamma_hat"), 6).as("gamma_hat"),
+          round(col("delta2_hat"), 6).as("delta2_hat"))
+        .orderBy("probe_id", "batch")
+    }, Some(ctes +
+      """, batchof AS (
+        |  SELECT sample_id,
+        |         CASE WHEN run IN ('run_0', 'run_1') THEN 'file1_2'
+        |              ELSE 'file3_4' END AS batch
+        |  FROM sheet),
+        |keep AS (
+        |  SELECT probe_id FROM beta GROUP BY 1
+        |  HAVING count(DISTINCT sample_id) >=
+        |    CAST(ceil(0.30 * (SELECT count(DISTINCT sample_id) FROM batchof)) AS BIGINT)),
+        |cells AS (
+        |  SELECT b.probe_id, o.batch, CAST(count(*) AS BIGINT) AS n,
+        |         sum(b.beta) AS s, sum(b.beta * b.beta) AS ss
+        |  FROM beta b JOIN batchof o USING (sample_id)
+        |  JOIN keep k USING (probe_id)
+        |  GROUP BY 1, 2),
+        |-- diagonal ridge solve: trace = Σn_b, p = 2 batches, β_b = s_b/(n_b+ridge)
+        |probe AS (
+        |  SELECT probe_id, CAST(sum(n) AS BIGINT) AS ntot, sum(ss) AS yy,
+        |         1e-8 * (CAST(sum(n) AS DOUBLE) / 2 + 1.0) AS ridge
+        |  FROM cells GROUP BY 1),
+        |solved AS (
+        |  SELECT c.probe_id, c.batch, c.n, c.s, c.ss, p.ntot, p.yy,
+        |         c.s / (CAST(c.n AS DOUBLE) + p.ridge) AS beta_b
+        |  FROM cells c JOIN probe p USING (probe_id)),
+        |pool AS (
+        |  SELECT probe_id,
+        |         (max(yy) - sum(beta_b * s)) / CAST(max(ntot) AS DOUBLE) AS var_pooled,
+        |         sum(beta_b * CAST(n AS DOUBLE) / CAST(ntot AS DOUBLE)) AS grand
+        |  FROM solved GROUP BY 1),
+        |z AS (
+        |  SELECT s.probe_id, s.batch, s.n,
+        |         p.grand AS stand_mean, p.var_pooled,
+        |         (s.s - CAST(s.n AS DOUBLE) * p.grand) / sqrt(p.var_pooled) AS zs,
+        |         (s.ss - 2 * p.grand * s.s + CAST(s.n AS DOUBLE) * p.grand * p.grand)
+        |           / p.var_pooled AS zss
+        |  FROM solved s JOIN pool p USING (probe_id)
+        |  WHERE p.var_pooled > 1e-12)
+        |SELECT probe_id, batch,
+        |       round(stand_mean, 6) AS stand_mean,
+        |       round(var_pooled, 6) AS var_pooled,
+        |       round(zs / CAST(n AS DOUBLE), 6) AS gamma_hat,
+        |       round(CASE WHEN n > 1
+        |                  THEN greatest((zss - zs * zs / CAST(n AS DOUBLE))
+        |                                / CAST(n - 1 AS DOUBLE), 1e-8)
+        |                  ELSE 1.0 END, 6) AS delta2_hat
+        |FROM z
+        |ORDER BY probe_id, batch""".stripMargin)),
+
     // K6 — BMIQ normalization (reference bmiq/BMIQ_1.4.R). Rows-only;
     // BmiqSpec asserts identity-on-type-I / range / guard invariants.
     Q("k06_bmiq_normalize", (s, d) =>
@@ -242,6 +321,28 @@ object QueriesStats {
           round(col("beta_norm"), 6).as("beta_norm"), col("design_type"))
         .orderBy("probe_id", "sample_id"),
       None),
+
+    // K6 interior oracle (the k08/k09 move applied to BMIQ): type-I probes
+    // are the reference distribution and pass through IDENTICALLY
+    // (BMIQ_1.4.R:210 — ops/Bmiq.scala:255), so the kernel's type-I output
+    // slice is SQL-expressible: every (probe, sample) with design_type 1
+    // must appear exactly once with beta_norm = beta. Runs the REAL
+    // kernel — a routing/drop/mutation bug in the per-sample normalize
+    // would hash-mismatch here even though the full kernel has no SQL
+    // analog.
+    Q("k06_bmiq_type1", (s, d) =>
+      Bmiq.bmiq(Tables.betaLong(s, d), Tables.probeManifest(s, d))
+        .filter(col("design_type") === 1)
+        .select(col("probe_id"), col("sample_id"),
+          round(col("beta"), 6).as("beta"),
+          round(col("beta_norm"), 6).as("beta_norm"))
+        .orderBy("probe_id", "sample_id"),
+      Some(ctes +
+        """SELECT b.probe_id, b.sample_id,
+          |       round(b.beta, 6) AS beta, round(b.beta, 6) AS beta_norm
+          |FROM beta b JOIN manifest m USING (probe_id)
+          |WHERE m.design_type = 1
+          |ORDER BY probe_id, sample_id""".stripMargin)),
 
     // K — between-sample quantile normalization (preprocessCore
     // normalize.quantiles analog; binned-reference restatement for the
@@ -496,40 +597,18 @@ object QueriesStats {
     // sample's observed probes, pairs correlate over shared probes — the
     // pairwise-complete convention k09 established. Exact end to end:
     // ranks in doubled-rank integer units (ties exact via the k10 tie-cell
-    // trick), Pearson-on-ranks from decimal(38,0) integer moments, one
-    // fixed double sequence at the end. Plan: cell aggregate + per-sample
-    // window + co-keyed join back, then the k08 probe self-join — samples
-    // stay the bounded axis, probes scale freely.
-    Q("k12_spearman_corr", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val dec = "decimal(38,0)"
-      val b = Tables.betaLong(s, d)
-      val cells = b.groupBy("sample_id", "beta").agg(count(lit(1)).as("t"))
-      val wCum = Window.partitionBy("sample_id").orderBy("beta")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ranked = cells.withColumn("cum", sum("t").over(wCum))
-        .withColumn("ar2", lit(2L) * col("cum") - (col("t") - lit(1L)))
-        .select("sample_id", "beta", "ar2")
-      val rb = b.join(ranked, Seq("sample_id", "beta"))
-      val l = rb.select(col("probe_id"), col("sample_id").as("sa"),
-        col("ar2").cast(dec).as("ra"))
-      val r = rb.select(col("probe_id"), col("sample_id").as("sb"),
-        col("ar2").cast(dec).as("rb"))
-      val m = l.join(r, "probe_id").filter(col("sa") < col("sb"))
-        .groupBy("sa", "sb")
-        .agg(count(lit(1)).cast(dec).as("n"),
-          sum("ra").as("sx"), sum("rb").as("sy"),
-          sum(col("ra") * col("ra")).as("sxx"),
-          sum(col("rb") * col("rb")).as("syy"),
-          sum(col("ra") * col("rb")).as("sxy"))
-      val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-      val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
-      m.filter(col("n") >= 2 && denx * deny > 0.0)
-        .select(col("sa"), col("sb"), col("n").cast("bigint").as("n_shared"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / sqrt(denx * deny), 6).as("rho"))
-        .orderBy("sa", "sb")
-    }, Some(ctes +
+    // trick), Pearson-on-ranks from exact integer moments — width-dispatched
+    // bigint/decimal(38,0) (see Analytic.spearmanMatrix), one fixed double
+    // sequence at the end. Plan: cell aggregate + per-sample window +
+    // co-keyed join back, then the k08 probe self-join — samples stay the
+    // bounded axis, probes scale freely.
+    Q("k12_spearman_corr", (s, d) =>
+      Analytic.spearmanMatrix(Tables.betaLong(s, d),
+          "probe_id", "sample_id", "beta")
+        .select(col("sa"), col("sb"), col("n_shared"),
+          round(col("rho"), 6).as("rho"))
+        .orderBy("sa", "sb"),
+    Some(ctes +
       """, cells AS (
         |  SELECT sample_id, beta, count(*) AS t FROM beta GROUP BY 1, 2),
         |rk AS (

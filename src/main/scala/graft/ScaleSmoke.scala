@@ -13,7 +13,11 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val reuse = args.contains("--reuse")
-    val rest = args.filterNot(_ == "--reuse")
+    // --only=<substr>[,<substr>…] filters the timed query list (replica
+    // build unaffected) — for re-measuring one query after a perf change.
+    val only = args.collectFirst { case a if a.startsWith("--only=") =>
+      a.stripPrefix("--only=").split(',').toSeq }
+    val rest = args.filterNot(a => a == "--reuse" || a.startsWith("--only="))
     val reps = if (rest.nonEmpty) rest(0).toInt else 8
     val src = if (rest.length > 1) rest(1) else "/root/testdata/sf0.1"
     val out = s"${Q.scratch}/scale$reps"
@@ -89,8 +93,12 @@ object ScaleSmoke {
       "k10_ranksum_dmp", "k11_ks_dmp", "t17_html_extract", "t18_url_normalize",
       "b03_partition_pruned_join", "k12_spearman_corr", "e06_web_pipeline",
       "k13_anova_f")
+    val timed = only match {
+      case Some(subs) => queries.filter(q => subs.exists(q.contains))
+      case None => queries
+    }
     Seq("1x" -> src, s"${reps}x" -> out).foreach { case (tag, dir) =>
-      queries.foreach { qn =>
+      timed.foreach { qn =>
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(qn)(spark, dir).count()
         val secs = (System.nanoTime() - t0) / 1e9
@@ -103,6 +111,7 @@ object ScaleSmoke {
     // MinHash candidates (bounded by true near-dups), components over them
     // — the oracle query c01 instead uses exact-Jaccard edges, which
     // inherit d02's deliberate quadratic-on-duplication behavior.
+    if (only.isDefined) { spark.stop(); return }
     {
       val t0 = System.nanoTime()
       val docs8 = Tables.table(spark, out, "documents")

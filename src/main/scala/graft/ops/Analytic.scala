@@ -284,6 +284,78 @@ object Analytic {
       .select(col(keyCol), col("n1"), col("n2"), col("d"), col("ks_stat"))
   }
 
+  /** K12 — sample×sample Spearman correlation matrix: ranks are per-sample
+    * over that sample's observed probes (doubled-rank integer units, ties
+    * exact via the tie-cell trick), pairs correlate over shared probes
+    * (pairwise-complete), Pearson-on-ranks from exact integer moments.
+    * Plan: cell aggregate + per-sample window + co-keyed join back, then
+    * the probe self-join — samples stay the bounded axis, probes scale
+    * freely.
+    *
+    * Width dispatch (the bhAdjust/CC/PageRank size-dispatch pattern): the
+    * six rank moments per pair dominate the shuffle. With ranks ≤ 2·P the
+    * moment sums are bounded by 4·P³, so below P ≈ 1.3M probes BIGINT
+    * (8-byte, codegen'd long arithmetic) is exact — a 300k-probe array
+    * rides the cheap path with 85× headroom at the 300_000 threshold.
+    * Above it, decimal(38,0) takes over. Either way the FINAL per-pair
+    * combination runs in decimal(38,0) over the same exact integer sums,
+    * so the two paths are bit-equal by construction (PropertySpec asserts
+    * it). ANSI mode (Spark 4 default) turns any bound miscount into an
+    * overflow error, never a silent wrap.
+    *
+    * @param forceDecimal Some(true)/Some(false) pins the moment width for
+    *   the equivalence test; None (production) dispatches on probe count.
+    */
+  def spearmanMatrix(df: DataFrame, probeCol: String, sampleCol: String,
+      valCol: String, forceDecimal: Option[Boolean] = None): DataFrame = {
+    val cells = df.groupBy(sampleCol, valCol).agg(count(lit(1)).as("t"))
+    val wCum = Window.partitionBy(sampleCol).orderBy(valCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells.withColumn("cum", sum("t").over(wCum))
+      .withColumn("ar2", lit(2L) * col("cum") - (col("t") - lit(1L)))
+      .select(col(sampleCol), col(valCol), col("ar2"))
+    val rb = df.join(ranked, Seq(sampleCol, valCol))
+    val useDecimal = forceDecimal.getOrElse {
+      df.select(probeCol).distinct().count() > 300000L
+    }
+    val width = if (useDecimal) "decimal(38,0)" else "bigint"
+    // Dict-encode the bounded sample axis (sorted → index order preserves
+    // the id sort, so `sa < sb` keeps its string semantics) so the
+    // expansion join's pair aggregate hashes one 8-byte int pair instead
+    // of two strings per row — the aggregate sees |probe|·|samples/probe|²
+    // rows, every byte of key counts. Decoded after the aggregate, which
+    // is pairs-sized, not expansion-sized.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sampleIds = df.select(sampleCol).distinct()
+      .as[String].collect().sorted
+    val sdim = broadcast(
+      sampleIds.zipWithIndex.toSeq.toDF(sampleCol, "__sid"))
+    val rbe = rb.join(sdim, sampleCol)
+    val l = rbe.select(col(probeCol), col("__sid").as("sa_i"),
+      col("ar2").cast(width).as("ra"))
+    val r = rbe.select(col(probeCol), col("__sid").as("sb_i"),
+      col("ar2").cast(width).as("rb"))
+    val m = l.join(r, probeCol).filter(col("sa_i") < col("sb_i"))
+      .groupBy("sa_i", "sb_i")
+      .agg(count(lit(1)).as("cnt"),
+        sum("ra").as("msx"), sum("rb").as("msy"),
+        sum(col("ra") * col("ra")).as("msxx"),
+        sum(col("rb") * col("rb")).as("msyy"),
+        sum(col("ra") * col("rb")).as("msxy"))
+    val dec = "decimal(38,0)"
+    def D(c: String) = col(c).cast(dec)
+    val (n, sx, sy, sxx, syy, sxy) =
+      (D("cnt"), D("msx"), D("msy"), D("msxx"), D("msyy"), D("msxy"))
+    val denx = (n * sxx - sx * sx).cast("double")
+    val deny = (n * syy - sy * sy).cast("double")
+    m.filter(col("cnt") >= 2 && denx * deny > 0.0)
+      .join(broadcast(sdim.toDF("sa", "sa_i")), "sa_i")
+      .join(broadcast(sdim.toDF("sb", "sb_i")), "sb_i")
+      .select(col("sa"), col("sb"), col("cnt").cast("bigint").as("n_shared"),
+        ((n * sxy - sx * sy).cast("double") / sqrt(denx * deny)).as("rho"))
+  }
+
   /** Per-group z-score normalization (the feature-standardization step,
     * grouped): moments come from ONE exact-integer aggregate per group
     * (the same bit-stable path as the variance operators — integer n/s/ss,

@@ -34,10 +34,15 @@ object Combat {
       n_b: Long, z_sum_b: Double, z_ss_b: Double,
       gamma_hat: Double, delta2_hat: Double)
 
-  /** Input: long M-values `m(probe_id, sample_id, m)` and a sample sheet
-    * with `sample_id, run (batch), group`. Output adds `m_adj`.
+  /** Passes 1–2 of [[combat]] (cell moments → per-probe OLS →
+    * standardization → per-batch γ̂/δ̂²) as their own operator. Exposed
+    * because this interior surface is exactly oracle-checkable for the
+    * batch-only design (the pycombat flavor): with no group dummies the
+    * normal equations are DIAGONAL, so the ridge solve collapses to
+    * β_b = s_b/(n_b + ridge) and every downstream stat is a fixed,
+    * SQL-expressible double sequence (k05_combat_stand pins it in DuckDB).
     */
-  def combat(mvals: DataFrame, sheet: DataFrame): DataFrame = {
+  def standStats(mvals: DataFrame, sheet: DataFrame): DataFrame = {
     val spark = mvals.sparkSession
     import spark.implicits._
 
@@ -52,7 +57,7 @@ object Combat {
       .agg(count(lit(1)).as("n"), sum("m").as("s"), sum(col("m") * col("m")).as("ss"))
       .as[(String, String, String, Long, Double, Double)]
 
-    val cellStats = cells.groupByKey(_._1).flatMapGroups { (probe, it) =>
+    cells.groupByKey(_._1).flatMapGroups { (probe, it) =>
       val (bs, gs) = bc.value
       val bIdx = bs.zipWithIndex.toMap
       val gIdx = gs.zipWithIndex.toMap
@@ -125,11 +130,23 @@ object Combat {
           }
         }
       }
+    }.toDF()
+  }
+
+  /** Input: long M-values `m(probe_id, sample_id, m)` and a sample sheet
+    * with `sample_id, run (batch), group`. Output adds `m_adj`.
+    */
+  def combat(mvals: DataFrame, sheet: DataFrame): DataFrame = {
+    val spark = mvals.sparkSession
+
+    val dims = sheet.select("sample_id", "run", "group")
+    val joined = mvals.join(broadcast(dims), "sample_id")
+
     // Deliberate multi-consumer cache: cellStats feeds the hyperprior
     // collect, the EB join, and the stand-mean join. It lives until the
     // caller's query completes; tracked so session-sharing harnesses
     // release it between queries (ops.Caches).
-    }.toDF().persist()
+    val cellStats = standStats(mvals, sheet).persist()
     Caches.track(cellStats)
 
     val batchStats = cellStats.groupBy("probe_id", "batch")

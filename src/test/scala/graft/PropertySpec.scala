@@ -141,6 +141,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: spearmanMatrix bigint path is bit-equal to the decimal path") {
+    // random sparse probe×sample matrices with heavy ties (values on a
+    // coarse grid force tie cells, the hard case for doubled ranks)
+    samples(Gen.listOfN(400,
+      Gen.zip(Gen.choose(0, 60), Gen.choose(0, 7), Gen.choose(0, 12))), 6)
+      .foreach { triples =>
+        val df = triples.distinct
+          .map { case (p, s, v) => (f"p$p%03d", s"s$s", v / 12.0) }
+          .toDF("probe_id", "sample_id", "beta")
+        val narrow = Analytic.spearmanMatrix(df, "probe_id", "sample_id",
+            "beta", forceDecimal = Some(false))
+          .orderBy("sa", "sb").collect().toSeq
+        val wide = Analytic.spearmanMatrix(df, "probe_id", "sample_id",
+            "beta", forceDecimal = Some(true))
+          .orderBy("sa", "sb").collect().toSeq
+        assert(narrow == wide) // bit-equal: same integers, same final ops
+        assert(narrow.nonEmpty)
+      }
+  }
+
   test("property: top-k by variance is invariant under row permutation") {
     val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 5), Gen.choose(0.0, 100.0)))
     samples(gen, 10).filter(_.map(_._1).distinct.size >= 3).foreach { rows =>
