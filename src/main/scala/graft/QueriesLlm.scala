@@ -946,8 +946,7 @@ object QueriesLlm {
         .select(col("doc_id"),
           graft.llm.Web.linkCount(col("__h")).as("n_links"),
           length(col("__t")).cast("bigint").as("text_chars"),
-          round(graft.llm.Web.linkCount(col("__h")).cast("double")
-            / greatest(size(split(col("__t"), " ")).cast("double"), lit(1.0)), 6)
+          round(graft.llm.Web.linkDensity(col("__h"), col("__t")), 6)
             .as("link_density"),
           md5(col("__t")).as("text_md5"))
         .orderBy("doc_id")
@@ -975,9 +974,22 @@ object QueriesLlm {
     // quality formula, langid tie-breaks, dedup and all. Two shuffles
     // (dedup keep-first, final rollup); everything upstream is row-local.
     Q("e06_web_pipeline", (s, d) => {
+      import s.implicits._
       val dd = docs(s, d).select("doc_id", "text", "source")
+      // Planted non-English pages (stopword-dominant de/es/fr, long enough
+      // to clear the length-term of the quality gate) force MULTIPLE
+      // lang_pred output groups, so the hash check discriminates the
+      // langid branches and per-language rollup — with the natural corpus
+      // alone every doc predicts 'en' and the output collapses to one row
+      // (round-5 advisory).
+      val planted = Seq(
+        (3000001L, "der die und das ist nicht " * 30, "plant"),
+        (3000002L, "el los las una es y " * 40, "plant"),
+        (3000003L, "le la et les une est " * 40, "plant"))
+        .toDF("doc_id", "text", "source")
       val ingest = dd.union(dd.filter(col("doc_id") < 20)
         .select((col("doc_id") + 2000001L).as("doc_id"), col("text"), col("source")))
+        .union(planted)
       val txt = graft.llm.Web.htmlText(
         wrapHtml(col("doc_id"), col("source"), col("text")))
       val staged = ingest
@@ -997,7 +1009,13 @@ object QueriesLlm {
       s"""WITH ingest AS (
          |  SELECT doc_id, text, source FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 2000001, text, source FROM documents WHERE doc_id < 20),
+         |  SELECT doc_id + 2000001, text, source FROM documents WHERE doc_id < 20
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (3000001, repeat('der die und das ist nicht ', 30), 'plant'),
+         |    (3000002, repeat('el los las una es y ', 40), 'plant'),
+         |    (3000003, repeat('le la et les une est ', 40), 'plant'))
+         |    t(doc_id, text, source)),
          |h AS (
          |  SELECT doc_id, $htmlSqlExpr AS html
          |  FROM ingest),

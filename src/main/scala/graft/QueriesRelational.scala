@@ -171,14 +171,19 @@ object QueriesRelational {
     // planner injects a dynamicpruning subquery into the fact scan's
     // PartitionFilters, reusing the broadcast. At 100 TB this is THE
     // dimension-filter shape: the fact reads only the partitions the dim
-    // selects, never the full table. PlansSpec asserts the
+    // selects, never the full table. PlanGuardSpec asserts the
     // dynamicpruning expression is actually in the scan.
     Q("b03_partition_pruned_join", (s, d) => {
-      val dir = s"${Q.scratch}/b03_events_by_type"
-      Tables.events(s, d)
-        .select(col("event_id"), col("user_id"),
-          round(col("value") * 100).cast("bigint").as("cents"), col("event_type"))
-        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      // Partitioned copy keyed by source dir and written only when absent:
+      // concurrent builders (bench + tests) and plan-only inspection
+      // (PlanGuardSpec) must not race on — or needlessly rewrite — a
+      // shared fixed path.
+      val dir = s"${Q.scratch}/b03_events_by_type_${Integer.toHexString(d.hashCode)}"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            round(col("value") * 100).cast("bigint").as("cents"), col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(dir)
       val fact = s.read.parquet(dir)
       val dim = s.read.parquet(s"$d/events.parquet")
         .select("event_type").distinct()

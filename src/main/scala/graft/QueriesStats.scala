@@ -190,6 +190,15 @@ object QueriesStats {
       Pca.pcaCoords(Tables.betaLong(s, d), topK = 50, k = 2, scale = false),
       None),
 
+    // K1 — all-CpG scale path: NO top-k selection, unbounded feature axis
+    // via the dual RowMatrix SVD (Gram = samples², probes never
+    // materialize as a dimension — ops/Pca.pcaAllCpg). Rows-only;
+    // PcaMdsSpec asserts sign-aligned equivalence with the bounded path
+    // on complete input.
+    Q("k01_pca_allcpg", (s, d) =>
+      Pca.pcaAllCpg(Tables.betaLong(s, d), k = 3),
+      None),
+
     // K2 — classical MDS coords on top-100 probes (reference
     // Mouse_Microarray_General_Workflow.R:66-75).
     Q("k02_mds_coords", (s, d) =>

@@ -39,11 +39,16 @@ object Web {
   def linkCount(html: Column): Column =
     size(regexp_extract_all(html, lit("(?i)<a\\b"), lit(0))).cast("bigint")
 
-  /** Links per extracted word; >~0.5 marks boilerplate-dominated pages. */
-  def linkDensity(html: Column): Column = {
-    val words = size(split(htmlText(html), " ")).cast("double")
-    linkCount(html).cast("double") / greatest(words, lit(1.0))
-  }
+  /** Links per extracted word; >~0.5 marks boilerplate-dominated pages.
+    * The two-arg form takes already-extracted text so a pipeline that has
+    * materialized `htmlText` (t17) reuses it instead of re-running the
+    * extraction chain.
+    */
+  def linkDensity(html: Column, text: Column): Column =
+    linkCount(html).cast("double") /
+      greatest(size(split(text, " ")).cast("double"), lit(1.0))
+
+  def linkDensity(html: Column): Column = linkDensity(html, htmlText(html))
 
   // -- URL normalization ---------------------------------------------------
 

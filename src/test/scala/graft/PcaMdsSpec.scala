@@ -26,6 +26,40 @@ class PcaMdsSpec extends SparkSpec {
       s"PC1 does not separate clusters: a=$a b=$b")
   }
 
+  test("PCA all-CpG dual path matches the bounded path up to sign on complete input") {
+    // complete matrix (every probe observed in every sample), topK covers
+    // all probes -> both paths see the identical centered matrix
+    val rows = for (p <- 0 until 25; s <- 0 until 8) yield {
+      (f"p$p%03d", f"s$s", 0.3 + 0.05 * math.sin(p * 1.3 + s * 0.9)
+        + 0.02 * math.cos(p * 0.7) * s)
+    }
+    val df = rows.toDF("probe_id", "sample_id", "beta")
+    val bounded = Pca.pcaCoords(df, topK = 25, k = 2, scale = false)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(3), r.getDouble(2), r.getDouble(4))).toMap
+    val dual = Pca.pcaAllCpg(df, k = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(3), r.getDouble(2), r.getDouble(4))).toMap
+    assert(bounded.keySet == dual.keySet)
+    // per-component sign alignment: the two orientation rules live in
+    // different bases (probe-space loadings vs sample-space V), so align
+    // by the dominant sample's sign before comparing
+    for (c <- 0 until 2) {
+      def pcs(m: Map[String, (Double, Double, Double, Double)]) =
+        m.toSeq.sortBy(_._1).map(kv => if (c == 0) kv._2._1 else kv._2._2)
+      val (b, a) = (pcs(bounded), pcs(dual))
+      val sign = if (math.signum(b.maxBy(math.abs)) ==
+        math.signum(a.maxBy(math.abs))) 1.0 else -1.0
+      b.zip(a).foreach { case (x, y) =>
+        assert(math.abs(x - sign * y) < 1e-4, s"pc${c + 1}: $x vs $y (sign $sign)")
+      }
+      // explained-variance ratios are basis-free
+      val evB = bounded.values.head.productElement(2 + c).asInstanceOf[Double]
+      val evA = dual.values.head.productElement(2 + c).asInstanceOf[Double]
+      assert(math.abs(evB - evA) < 1e-4, s"evr${c + 1}: $evB vs $evA")
+    }
+  }
+
   test("MDS: dim1 recovers a planted 1-D sample ordering") {
     val rows = for (p <- 0 until 30; s <- 0 until 8) yield {
       (f"p$p%03d", f"s$s", 0.1 + 0.09 * s + 0.002 * math.sin(p * 2.3))

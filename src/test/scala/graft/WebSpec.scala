@@ -39,6 +39,19 @@ class WebSpec extends SparkSpec {
     assert(df.select(Web.linkCount(col("h"))).as[Long].head() == 3L)
   }
 
+  test("linkDensity is links per extracted word; both arg forms agree") {
+    // 2 anchors, extracted text = "one two three four" (4 words) -> 0.5
+    val html = "<p>one <a href=x>two</a> three</p><a href=y>four</a>"
+    val df = Seq(html).toDF("h").withColumn("t", Web.htmlText(col("h")))
+    val one = df.select(Web.linkDensity(col("h"))).as[Double].head()
+    val two = df.select(Web.linkDensity(col("h"), col("t"))).as[Double].head()
+    assert(one == 0.5 && two == 0.5)
+    // empty extraction guards the denominator at 1
+    val empty = Seq("<a href=x></a>").toDF("h")
+      .select(Web.linkDensity(col("h"))).as[Double].head()
+    assert(empty == 1.0)
+  }
+
   private def canon(url: String): String =
     Seq(url).toDF("u").select(Web.canonicalUrl(col("u"))).as[String].head()
 
