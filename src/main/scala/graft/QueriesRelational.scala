@@ -179,9 +179,12 @@ object QueriesRelational {
       // (PlanGuardSpec) must not race on — or needlessly rewrite — a
       // shared fixed path.
       val dir = s"${Q.scratch}/b03_events_by_type_${Integer.toHexString(d.hashCode)}"
+      // Constructed unconditionally: beyond feeding the write, Tables.events
+      // sets the session's nanos-timestamp read conf, which the dim's direct
+      // parquet read below depends on.
+      val ev = Tables.events(s, d)
       if (!new java.io.File(s"$dir/_SUCCESS").exists())
-        Tables.events(s, d)
-          .select(col("event_id"), col("user_id"),
+        ev.select(col("event_id"), col("user_id"),
             round(col("value") * 100).cast("bigint").as("cents"), col("event_type"))
           .write.mode("overwrite").partitionBy("event_type").parquet(dir)
       val fact = s.read.parquet(dir)

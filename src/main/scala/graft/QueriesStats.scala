@@ -645,6 +645,30 @@ object QueriesStats {
         |                 * CAST(n * syy - sy * sy AS DOUBLE) > 0.0
         |ORDER BY sa, sb""".stripMargin)),
 
+    // K12 inferential completion: the rank-correlation t-transform
+    // t = ρ·√((n−2)/(1−ρ²)) ~ t_{n−2} under H₀, p through the existing
+    // codegen Student-t survival chain (graft_t_pvalue — the same
+    // expression k03's moderated t uses), BH-adjusted across sample
+    // pairs. Rows-only — the t CDF has no SQL analog; ρ and n_shared are
+    // k12's oracle-checked values.
+    Q("k12_spearman_inference", (s, d) => {
+      GraftExtensions.registerAll(s)
+      val stats = Analytic.spearmanMatrix(Tables.betaLong(s, d),
+          "probe_id", "sample_id", "beta")
+        .filter(col("n_shared") >= 4 && abs(col("rho")) < 1.0)
+        .withColumn("t_stat", col("rho") *
+          sqrt((col("n_shared") - 2).cast("double") /
+            (lit(1.0) - col("rho") * col("rho"))))
+        .withColumn("p_value",
+          expr("graft_t_pvalue(t_stat, CAST(n_shared - 2 AS DOUBLE))"))
+        .withColumn("pair", concat(col("sa"), lit("|"), col("sb")))
+      Analytic.bhAdjust(stats, "p_value", "pair")
+        .select(col("sa"), col("sb"), col("n_shared"),
+          round(col("rho"), 6).as("rho"), round(col("t_stat"), 6).as("t_stat"),
+          round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
+        .orderBy("sa", "sb")
+    }, None),
+
     // K13 — one-way ANOVA F per probe across the three instrument runs:
     // the batch-effect screen that motivates ComBat (a probe whose means
     // differ by run before adjustment is the batch signal k05 removes).

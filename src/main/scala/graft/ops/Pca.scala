@@ -112,16 +112,19 @@ object Pca {
   /** All-CpG PCA — the scale path for an UNBOUNDED feature axis (the
     * documented escape above: no top-k selection, no pivot). Dual
     * formulation: with probes as ROWS of the centered long matrix A
-    * (probes × samples) and samples as the bounded column axis,
-    * `RowMatrix.computeSVD(k, computeU = false)` never materializes
-    * anything probe-dimensional — the Gram matrix AᵀA is samples², built
-    * in one distributed pass — and the sample PCA scores are exactly
-    * V·Σ (A = UΣVᵀ ⇒ scores = XᶜW = VΣ). Missing cells impute at the
-    * probe mean (= 0 after centering), the sparse-vector no-op.
-    * Explained-variance ratios are σ_j²/‖A‖²_F — the same quantity the
-    * bounded path derives from its eigenvalues. PcaMdsSpec asserts
-    * sign-aligned equivalence with [[pcaCoords]](scale = false) on
-    * complete input covering every probe.
+    * (probes × samples) and samples as the bounded column axis, nothing
+    * probe-dimensional ever materializes — the Gram matrix AᵀA (samples²)
+    * is built in ONE distributed pass (`computeGramianMatrix`, BLAS spr
+    * accumulation — no ARPACK iteration train, no LAPACK dgesdd) and
+    * eigendecomposed driver-side with the symmetric solver, the same
+    * robust path [[pcaCoords]] uses for its covariance. Sample PCA scores
+    * are exactly V·Σ (A = UΣVᵀ ⇒ scores = XᶜW = VΣ, σ_j = √λ_j);
+    * explained-variance ratios are λ_j/trace(AᵀA) = σ_j²/‖A‖²_F — the
+    * same quantity the bounded path derives from its eigenvalues. Missing
+    * cells impute at the probe mean (= 0 after centering), the
+    * sparse-vector no-op. PcaMdsSpec asserts sign-aligned equivalence
+    * with [[pcaCoords]](scale = false) on complete input covering every
+    * probe.
     */
   def pcaAllCpg(beta: DataFrame, k: Int): DataFrame = {
     val spark = beta.sparkSession
@@ -132,8 +135,6 @@ object Pca {
     val mu = beta.groupBy("probe_id").agg(avg("beta").as("__mu"))
     val centered = beta.join(mu, "probe_id").join(sdim, "sample_id")
       .select(col("probe_id"), col("__sid"), (col("beta") - col("__mu")).as("v"))
-      .persist()
-    val total = centered.agg(sum(col("v") * col("v"))).head().getDouble(0)
     val rows = centered.groupBy("probe_id")
       .agg(collect_list(struct(col("__sid").as("_1"), col("v").as("_2"))).as("cells"))
       .select("cells").as[Seq[(Int, Double)]]
@@ -141,22 +142,29 @@ object Pca {
         val sorted = cells.sortBy(_._1)
         OldVectors.sparse(nS, sorted.map(_._1).toArray, sorted.map(_._2).toArray)
       }
-    val svd = fitWithRetry("RowMatrix.computeSVD") {
-      new RowMatrix(rows, 0L, nS).computeSVD(k, computeU = false)
+    val gram = fitWithRetry("RowMatrix.computeGramianMatrix") {
+      new RowMatrix(rows, 0L, nS).computeGramianMatrix()
     }
-    centered.unpersist(false)
-    val kEff = svd.s.size
-    val v = svd.V.toArray // column-major nS × kEff
+    val gramB = new BDM(nS, nS, gram.toArray)
+    val es = eigSym(gramB) // eigenvalues ascending
+    val lambdas = es.eigenvalues.toArray.map(math.max(_, 0.0))
+    val total = lambdas.sum // = trace(AᵀA) = ‖A‖²_F
+    val kEff = math.min(k, nS)
     // deterministic orientation: largest-|entry| of each V column positive
-    val signs = Array.tabulate(kEff) { j =>
-      if (Array.tabulate(nS)(r => v(j * nS + r)).maxBy(math.abs) < 0) -1.0 else 1.0
+    val scores = Array.ofDim[Double](nS, kEff)
+    val evr = Array.ofDim[Double](kEff)
+    for (j <- 0 until kEff) {
+      val idx = nS - 1 - j
+      val colArr = Array.tabulate(nS)(r => es.eigenvectors(r, idx))
+      val sign = if (colArr.maxBy(math.abs) < 0) -1.0 else 1.0
+      val sigma = math.sqrt(lambdas(idx))
+      for (i <- 0 until nS) scores(i)(j) = colArr(i) * sign * sigma
+      evr(j) = lambdas(idx) / math.max(total, 1e-300)
     }
-    val scores = Array.tabulate(nS, kEff)((i, j) => v(j * nS + i) * signs(j) * svd.s(j))
     val out = (0 until nS).map { i =>
       (samples(i) +: (0 until kEff).flatMap(j => Seq(
         BigDecimal(scores(i)(j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        BigDecimal(svd.s(j) * svd.s(j) / math.max(total, 1e-300))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))).toSeq
+        BigDecimal(evr(j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))).toSeq
     }
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("sample_id",

@@ -103,6 +103,31 @@ class RankTestSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("p_value") - pExpect) < 1e-10)
   }
 
+  test("spearman t-transform inference matches commons-math TDistribution") {
+    GraftExtensions.registerAll(spark)
+    // two samples sharing 8 probes with an imperfect monotone relation
+    val a = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+    val b = Seq(0.15, 0.25, 0.30, 0.50, 0.45, 0.70, 0.65, 0.90)
+    val long = (a.zipWithIndex.map { case (v, i) => (f"p$i", "sA", v) } ++
+      b.zipWithIndex.map { case (v, i) => (f"p$i", "sB", v) })
+      .toDF("probe_id", "sample_id", "beta")
+    val r = graft.ops.Analytic.spearmanMatrix(long, "probe_id", "sample_id", "beta")
+      .withColumn("t_stat", col("rho") *
+        sqrt((col("n_shared") - 2).cast("double") /
+          (lit(1.0) - col("rho") * col("rho"))))
+      .withColumn("p_value",
+        expr("graft_t_pvalue(t_stat, CAST(n_shared - 2 AS DOUBLE))"))
+      .collect().head
+    val n = r.getAs[Long]("n_shared").toDouble
+    assert(n == 8.0)
+    val rho = r.getAs[Double]("rho")
+    val t = rho * math.sqrt((n - 2) / (1 - rho * rho))
+    val dist = new org.apache.commons.math3.distribution.TDistribution(n - 2)
+    val pExpect = 2.0 * (1.0 - dist.cumulativeProbability(math.abs(t)))
+    assert(math.abs(r.getAs[Double]("p_value") - pExpect) < 1e-10,
+      s"rho=$rho t=$t p=${r.getAs[Double]("p_value")} expect=$pExpect")
+  }
+
   test("multi-key: statistics are computed per key independently") {
     val multi = (Seq.tabulate(8)(i => ("p1", i.toDouble, if (i % 2 == 0) "A" else "B")) ++
       Seq.tabulate(10)(i => ("p2", (i * i).toDouble, if (i < 5) "A" else "B")))
