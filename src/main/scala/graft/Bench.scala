@@ -43,7 +43,7 @@ object Bench {
     "b03_partition_pruned_join", "k12_spearman_corr", "e06_web_pipeline",
     "k13_anova_f",
     // round-6 inferential-completion tier
-    "k13_anova_inference", "k11_ks_inference")
+    "k13_anova_inference", "k11_ks_inference", "k14_dmr_regions")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -733,6 +733,89 @@ object QueriesStats {
         .orderBy("probe_id")
     }, None),
 
+    // K14 — DMR detection (bumphunter-style region merge): the downstream
+    // step every methylation analysis runs after per-probe testing —
+    // consecutive same-direction significant probes along the genome merge
+    // into differentially methylated REGIONS. Per-probe group delta-beta
+    // from ONE hash aggregate of exact integer moments (the k08 0..996
+    // grid trick, so the statistic is a fixed double sequence), then the
+    // gaps-and-islands window per (chr, direction) — the w08
+    // sessionization shape transplanted onto genomic coordinates. Probe
+    // position derives from the probe id (the synthetic genome's
+    // coordinate); maxGap 115 = 5 probe steps. Regions need >= 2 probes
+    // (the bumphunter convention). One data shuffle + one window on the
+    // thinned significant set.
+    Q("k14_dmr_regions", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bg = Tables.betaLong(s, d)
+        .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+        .withColumn("k", round(col("beta") * 997).cast("bigint"))
+      def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+      val delta = bg.groupBy("probe_id").agg(
+        sum(when(col("group") === "WT", col("k"))).as("s1"),
+        sum(when(col("group") === "MUT", col("k"))).as("s2"),
+        count(when(col("group") === "WT", 1)).as("n1"),
+        count(when(col("group") === "MUT", 1)).as("n2"))
+        .filter(col("n1") >= 3 && col("n2") >= 3)
+        .withColumn("delta_beta",
+          (d2(col("s1")) / d2(col("n1")) - d2(col("s2")) / d2(col("n2"))) / 997.0)
+        .filter(abs(col("delta_beta")) >= 0.05)
+      val sig = delta
+        .join(broadcast(Tables.chipAnnotation(s, d)), "probe_id")
+        .withColumn("pos", substring(col("probe_id"), 3, 7).cast("bigint"))
+        .withColumn("dir", when(col("delta_beta") > 0, 1).otherwise(-1))
+      val w = Window.partitionBy("chr", "dir").orderBy("pos")
+      val runs = sig
+        .withColumn("new_reg",
+          when(col("pos") - lag("pos", 1).over(w) <= 115, 0).otherwise(1))
+        .withColumn("reg", sum("new_reg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      runs.groupBy("chr", "dir", "reg")
+        .agg(min("pos").as("start_pos"), max("pos").as("end_pos"),
+          count(lit(1)).as("n_probes"),
+          round(avg("delta_beta"), 6).as("mean_delta"))
+        .filter(col("n_probes") >= 2)
+        .select(col("chr"), col("dir"), col("start_pos"), col("end_pos"),
+          col("n_probes"), col("mean_delta"))
+        .orderBy("chr", "dir", "start_pos")
+    }, Some(ctes +
+      """, bg AS (
+        |  SELECT b.probe_id, CAST(round(b.beta * 997) AS BIGINT) AS k,
+        |         s."group" AS grp
+        |  FROM beta b JOIN sheet s USING (sample_id)),
+        |delta AS (
+        |  SELECT probe_id,
+        |         CAST(sum(CASE WHEN grp = 'WT' THEN k END) AS BIGINT) AS s1,
+        |         CAST(sum(CASE WHEN grp = 'MUT' THEN k END) AS BIGINT) AS s2,
+        |         count(CASE WHEN grp = 'WT' THEN 1 END) AS n1,
+        |         count(CASE WHEN grp = 'MUT' THEN 1 END) AS n2
+        |  FROM bg GROUP BY 1),
+        |sig AS (
+        |  SELECT d.probe_id, a.chr,
+        |         CAST(substr(d.probe_id, 3) AS BIGINT) AS pos,
+        |         (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |          - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 997.0 AS delta_beta,
+        |         CASE WHEN (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |                    - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 997.0 > 0
+        |              THEN 1 ELSE -1 END AS dir
+        |  FROM delta d JOIN anno a USING (probe_id)
+        |  WHERE n1 >= 3 AND n2 >= 3
+        |    AND abs((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |             - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 997.0) >= 0.05),
+        |isl AS (
+        |  SELECT *, CASE WHEN pos - lag(pos) OVER (PARTITION BY chr, dir ORDER BY pos) <= 115
+        |                 THEN 0 ELSE 1 END AS new_reg
+        |  FROM sig),
+        |runs AS (
+        |  SELECT *, sum(new_reg) OVER (PARTITION BY chr, dir ORDER BY pos
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS reg
+        |  FROM isl)
+        |SELECT chr, dir, min(pos) AS start_pos, max(pos) AS end_pos,
+        |       count(*) AS n_probes, round(avg(delta_beta), 6) AS mean_delta
+        |FROM runs GROUP BY chr, dir, reg
+        |HAVING count(*) >= 2
+        |ORDER BY chr, dir, start_pos""".stripMargin)),
+
     // E2 — the full reference lifecycle (QC → BMIQ → ComBat → top-k → PCA)
     // chained as one DAG; output is the workflow's final plot-ready PCA
     // coordinate table. Rows-only.
