@@ -368,6 +368,44 @@ object QueriesCuration {
     Q("t14_bpe_encode", (s, d) => {
       val ms = graft.llm.Bpe.learnMerges(docs(s, d), numMerges = 16)
       graft.llm.Bpe.encode(docs(s, d), ms).orderBy("doc_id")
-    }, None)
+    }, None),
+
+    // Temperature-scaled source mixture (the multilingual sampling rule of
+    // Lample & Conneau 2019 §3.1, alpha = 0.5, public): per-source weight
+    // ∝ tokens^alpha renormalized, then the per-source sampling rate that
+    // spends a fixed token budget — upweighting small sources without
+    // swamping large ones. One hash aggregate over the corpus + one
+    // 1-row broadcast cross for the normalizer; adding sources widens a
+    // 20-row table, never the number of passes. The deterministic-rate
+    // companion to c08's hash-bucket mixture draw.
+    Q("c13_temperature_mixture", (s, d) => {
+      val per = docs(s, d)
+        .select(col("source"),
+          size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
+            .cast("long").as("tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("n_tokens"))
+        .withColumn("w_raw", sqrt(col("n_tokens").cast("double")))
+      val tot = per.agg(sum("w_raw").as("w_tot"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("w_raw") / col("w_tot"), 6).as("weight"),
+          round(least(lit(1.0), col("w_raw") / col("w_tot") * 50000.0 /
+            col("n_tokens").cast("double")), 6).as("sample_rate"))
+        .orderBy("source")
+    }, Some(
+      """WITH sized AS (
+        |  SELECT source,
+        |         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS BIGINT) AS tokens
+        |  FROM documents),
+        |per AS (SELECT source, count(*) AS n_docs,
+        |               CAST(sum(tokens) AS BIGINT) AS n_tokens,
+        |               sqrt(CAST(sum(tokens) AS DOUBLE)) AS w_raw
+        |        FROM sized GROUP BY 1),
+        |tot AS (SELECT sum(w_raw) AS w_tot FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |       round(w_raw / w_tot, 6) AS weight,
+        |       round(least(1.0, w_raw / w_tot * 50000.0 / CAST(n_tokens AS DOUBLE)), 6) AS sample_rate
+        |FROM per, tot ORDER BY source""".stripMargin))
   )
 }

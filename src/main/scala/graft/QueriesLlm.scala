@@ -1103,6 +1103,137 @@ object QueriesLlm {
         |       count(DISTINCT path) AS n_paths,
         |       min(scheme || '://' || host || path
         |           || CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS sample_url
-        |FROM parts GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM parts GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Gopher quality-rule bundle (Rae et al. 2021 §A1.1, public): word
+    // count in [30, 100k], mean word length in [3, 10], symbol-to-word
+    // ratio <= 0.1, >= 80% of words with an alphabetic character, >= 2
+    // stopword hits. Every per-doc signal is row-local, every boundary
+    // comparison is exact integer arithmetic (chars < 3*words instead of
+    // chars/words < 3.0), and the per-source report is ONE hash aggregate
+    // — the a17 expectations shape, so at 100 TB the shuffle carries one
+    // counter row per (source, partition). Three planted violator
+    // fixtures (symbol-laden, pathological word length, digit-only words)
+    // make the rules that the clean corpus would never trip bind.
+    Q("t19_gopher_rules", (s, d) => {
+      val base = docs(s, d).select("doc_id", "source", "text")
+      def planted(off: Int)(t: org.apache.spark.sql.Column) =
+        docs(s, d).filter(col("doc_id") < 4)
+          .select((col("doc_id") + off).as("doc_id"), col("source"), t.as("text"))
+      val aug = base
+        .union(planted(2000000)(concat(lit("# … " * 30), col("text"))))
+        .union(planted(3000000)(regexp_replace(col("text"), "[a-z]+",
+          "pneumonoultramicroscopicsilicovolcanoconiosis")))
+        .union(planted(4000000)(lit(Seq.fill(40)("1234").mkString(" "))))
+      val norm = TextAnalysis.normalized(col("text"))
+      val f = aug.select(col("source"),
+        size(split(norm, " ")).as("nw"),
+        (length(norm) - size(split(norm, " ")) + 1).as("chars"),
+        size(filter(split(norm, " "), w => w.rlike("[a-z]"))).as("alphaw"),
+        regexp_count(lower(col("text")),
+          lit("\\b(the|and|of|to|is|in)\\b")).as("stops"),
+        regexp_count(col("text"), lit("#|…|\\.\\.\\.")).as("symc"))
+      def flag(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+      f.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          flag(col("nw") < 30 || col("nw") > 100000).as("fail_word_count"),
+          flag(col("chars") < col("nw") * 3 || col("chars") > col("nw") * 10)
+            .as("fail_mean_word_len"),
+          flag(col("symc") * 10 > col("nw")).as("fail_symbol_ratio"),
+          flag(col("alphaw") * 5 < col("nw") * 4).as("fail_alpha_ratio"),
+          flag(col("stops") < 2).as("fail_stopwords"),
+          flag(col("nw").between(30, 100000) &&
+            col("chars").between(col("nw") * 3, col("nw") * 10) &&
+            col("symc") * 10 <= col("nw") && col("alphaw") * 5 >= col("nw") * 4 &&
+            col("stops") >= 2).as("n_pass"))
+        .orderBy("source")
+    }, Some(
+      """WITH aug AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, source, repeat('# … ', 30) || text
+        |  FROM documents WHERE doc_id < 4
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, source,
+        |         regexp_replace(text, '[a-z]+',
+        |                        'pneumonoultramicroscopicsilicovolcanoconiosis', 'g')
+        |  FROM documents WHERE doc_id < 4
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, source, trim(repeat('1234 ', 40))
+        |  FROM documents WHERE doc_id < 4),
+        |f AS (SELECT source,
+        |  string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws,
+        |  length(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS chars,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b', 0)) AS stops,
+        |  len(regexp_extract_all(text, '#|…|\.\.\.', 0)) AS symc
+        |FROM aug),
+        |g AS (SELECT source, len(ws) AS nw, chars,
+        |  len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alphaw,
+        |  stops, symc FROM f)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN nw < 30 OR nw > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+        |  CAST(sum(CASE WHEN chars < nw * 3 OR chars > nw * 10 THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+        |  CAST(sum(CASE WHEN symc * 10 > nw THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio,
+        |  CAST(sum(CASE WHEN alphaw * 5 < nw * 4 THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_ratio,
+        |  CAST(sum(CASE WHEN stops < 2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+        |  CAST(sum(CASE WHEN nw BETWEEN 30 AND 100000
+        |                 AND chars BETWEEN nw * 3 AND nw * 10
+        |                 AND symc * 10 <= nw AND alphaw * 5 >= nw * 4
+        |                 AND stops >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // C4-style corpus-level exact line dedup (Raffel et al. 2020 §2.2,
+    // public: "we discard all but one of any three-sentence span
+    // occurring more than once", here at line granularity): documents are
+    // segmented into 8-word lines row-locally (sequence + slice — no
+    // per-token shuffle), the corpus-wide keep-first is ONE window over
+    // the line key, and the cleaned text is reassembled per doc in
+    // deterministic pos order. Planted full-document copies (the t04
+    // fixture move) guarantee cross-doc duplicate lines exist; the
+    // keep-first tie-break (doc_id, pos) retains the original. At 100 TB
+    // the line-hash shuffle is the cost and it is the operator's floor —
+    // every line must meet its duplicates once.
+    Q("t20_c4_line_dedup", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, d).select("doc_id", "text")
+      val copies = docs(s, d).filter(col("doc_id") < 3)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val ws = split(TextAnalysis.normalized(col("text")), " ")
+      val lines = base.union(copies).select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), floor((size(ws) - 1) / 8).cast("int")),
+          i => array_join(slice(ws, i * 8 + 1, lit(8)), " "))))
+        .toDF("doc_id", "pos", "line")
+      lines
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("line").orderBy("doc_id", "pos")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("pos"), col("line"))))),
+            x => x.getField("line")), " ")).as("fp"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 3),
+        |toks AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+        |  FROM aug),
+        |words AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+        |          FROM toks),
+        |lines AS (SELECT doc_id, (i - 1) // 8 AS pos,
+        |                 string_agg(w, ' ' ORDER BY i) AS line
+        |          FROM words GROUP BY 1, 2),
+        |r AS (SELECT doc_id, pos, line,
+        |             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |      FROM lines)
+        |SELECT doc_id, count(*) AS n_lines,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' '
+        |                               ORDER BY pos), '')) AS fp
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

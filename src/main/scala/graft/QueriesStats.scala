@@ -816,6 +816,79 @@ object QueriesStats {
         |HAVING count(*) >= 2
         |ORDER BY chr, dir, start_pos""".stripMargin)),
 
+    // K15 — epigenetic-clock-style linear age predictor (the Horvath 2013
+    // pattern, public: a bounded CpG coefficient panel, per-sample age =
+    // intercept + Σ coef·beta). The panel (353 probes for the original
+    // clock) is a broadcast dim; the dot product runs from exact integer
+    // numerators (beta = k/997 on its grid, coef = m/10) so the sum is
+    // error-free until one final division — no float-summation order
+    // anywhere. The canonical 100 TB scoring shape: broadcast join +
+    // ONE hash aggregate, one partial row per (sample, partition) on the
+    // shuffle, samples the bounded output axis.
+    Q("k15_clock_predictor", (s, d) => {
+      val coef = Tables.table(s, d, "part")
+        .filter(col("p_partkey") % 17 === 3)
+        .select(format_string("cg%07d", col("p_partkey")).as("probe_id"),
+          (col("p_partkey") % 13 - 6).cast("long").as("coef_num"))
+      Tables.betaLong(s, d)
+        .withColumn("k", round(col("beta") * 997).cast("long"))
+        .join(broadcast(coef), "probe_id")
+        .groupBy("sample_id")
+        .agg(count(lit(1)).as("n_panel"),
+          sum(col("k") * col("coef_num")).as("dot"))
+        .select(col("sample_id"), col("n_panel"),
+          round(lit(20.0) + col("dot").cast("double") / 9970.0, 6).as("age_pred"))
+        .orderBy("sample_id")
+    }, Some(ctes +
+      """, coef AS (
+        |  SELECT printf('cg%07d', p_partkey) AS probe_id,
+        |         p_partkey % 13 - 6 AS coef_num
+        |  FROM part WHERE p_partkey % 17 = 3)
+        |SELECT sample_id, count(*) AS n_panel,
+        |       round(20.0 + CAST(sum(CAST(round(beta * 997) AS BIGINT) * coef_num) AS DOUBLE) / 9970.0, 6) AS age_pred
+        |FROM beta JOIN coef USING (probe_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // K16 — reference-based cell-type deconvolution (the Houseman 2012
+    // pattern, public: estimate per-sample cell-mixture proportions by
+    // projecting the sample's methylome onto reference cell-type
+    // profiles). Two-type closed form: w = Σ(β−pB)(pA−pB) / Σ(pA−pB)²
+    // clamped to [0,1] — the constrained-projection special case that
+    // needs no iterative solver. Profiles live on the same 0..996 integer
+    // grid as beta, so both sums are exact integers and the one division
+    // happens on the final moments row — no float-summation order. Shape:
+    // broadcast profile panel ⋈ long betas → ONE per-sample hash
+    // aggregate; samples the bounded output axis (the PCA/MDS posture).
+    Q("k16_cell_deconvolution", (s, d) => {
+      val prof = Tables.table(s, d, "part")
+        .select(format_string("cg%07d", col("p_partkey")).as("probe_id"),
+          (col("p_partkey") * 3 % 997).cast("long").as("pa"),
+          (col("p_partkey") * 7 % 997).cast("long").as("pb"))
+        .filter(col("pa") =!= col("pb"))
+      Tables.betaLong(s, d)
+        .withColumn("k", round(col("beta") * 997).cast("long"))
+        .join(broadcast(prof), "probe_id")
+        .groupBy("sample_id")
+        .agg(count(lit(1)).as("n_probes"),
+          sum((col("k") - col("pb")) * (col("pa") - col("pb"))).as("num"),
+          sum((col("pa") - col("pb")) * (col("pa") - col("pb"))).as("den"))
+        .select(col("sample_id"), col("n_probes"),
+          round(least(lit(1.0), greatest(lit(0.0),
+            col("num").cast("double") / col("den").cast("double"))), 6)
+            .as("frac_type_a"))
+        .orderBy("sample_id")
+    }, Some(ctes +
+      """, prof AS (
+        |  SELECT printf('cg%07d', p_partkey) AS probe_id,
+        |         p_partkey * 3 % 997 AS pa, p_partkey * 7 % 997 AS pb
+        |  FROM part WHERE p_partkey * 3 % 997 <> p_partkey * 7 % 997)
+        |SELECT sample_id, count(*) AS n_probes,
+        |       round(least(1.0, greatest(0.0,
+        |         CAST(sum((CAST(round(beta * 997) AS BIGINT) - pb) * (pa - pb)) AS DOUBLE)
+        |         / CAST(sum((pa - pb) * (pa - pb)) AS DOUBLE))), 6) AS frac_type_a
+        |FROM beta JOIN prof USING (probe_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // E2 — the full reference lifecycle (QC → BMIQ → ComBat → top-k → PCA)
     // chained as one DAG; output is the workflow's final plot-ready PCA
     // coordinate table. Rows-only.

@@ -92,7 +92,9 @@ object ScaleSmoke {
       "k09_probe_covariance", "s08_schema_evolution", "a25_chisq_inference",
       "k10_ranksum_dmp", "k11_ks_dmp", "t17_html_extract", "t18_url_normalize",
       "b03_partition_pruned_join", "k12_spearman_corr", "e06_web_pipeline",
-      "k13_anova_f", "k14_dmr_regions", "k05_combat_betas", "k01_pca_allcpg")
+      "k13_anova_f", "k14_dmr_regions", "k05_combat_betas", "k01_pca_allcpg",
+      "t19_gopher_rules", "t20_c4_line_dedup", "c13_temperature_mixture",
+      "k15_clock_predictor")
     val timed = only match {
       case Some(subs) => queries.filter(q => subs.exists(q.contains))
       case None => queries
