@@ -889,6 +889,122 @@ object QueriesStats {
         |FROM beta JOIN prof USING (probe_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // E7 — the methylation DOWNSTREAM lifecycle as one DAG: QC gates →
+    // two-group delta screen → clock + deconvolution panels → per-sample
+    // subject report (the deliverable a study hands back per subject).
+    // Counterpart to e02 (which ends at PCA): every stage here is
+    // SQL-expressible, so the whole pipeline hash-checks against DuckDB
+    // the way e06 does for the web lifecycle. QC thresholds compare in
+    // exact integer form (detp = j/1010 on its grid: avg < 0.05 ⟺
+    // 2·Σj < 101·n) — no float-summation boundary anywhere. Shape: two
+    // QC aggregates + semi-joins, one screen aggregate collapsing to a
+    // 1-row broadcast, two broadcast-panel aggregates, one per-sample
+    // rollup — shuffles all on natural keys, output bounded by samples.
+    Q("e07_downstream_pipeline", (s, d) => {
+      val detp = Tables.detpLong(s, d)
+        .withColumn("j", round(col("pval") * 1010).cast("long"))
+      def gate(df: org.apache.spark.sql.DataFrame, key: String) =
+        df.groupBy(key)
+          .agg(sum("j").as("sj"), count(lit(1)).as("n"))
+          .filter(col("sj") * 2 < col("n") * 101)
+          .select(key)
+      val goodS = gate(detp, "sample_id")
+      val goodP = gate(detp.join(goodS, Seq("sample_id"), "left_semi"), "probe_id")
+      val qc = Tables.betaLong(s, d)
+        .join(goodS, Seq("sample_id"), "left_semi")
+        .join(goodP, Seq("probe_id"), "left_semi")
+        .withColumn("k", round(col("beta") * 997).cast("long"))
+      val sheet = broadcast(Tables.sampleSheet(s, d))
+      // two-group delta screen (the k14 significance gate) → 1-row scalar
+      val nSig = qc.join(sheet, "sample_id")
+        .groupBy("probe_id")
+        .agg(sum(when(col("group") === "WT", col("k"))).as("s1"),
+          sum(when(col("group") === "MUT", col("k"))).as("s2"),
+          count(when(col("group") === "WT", 1)).as("n1"),
+          count(when(col("group") === "MUT", 1)).as("n2"))
+        .filter(col("n1") >= 3 && col("n2") >= 3)
+        .filter(abs((col("s1").cast("double") / col("n1").cast("double")
+          - col("s2").cast("double") / col("n2").cast("double")) / 997.0) >= 0.05)
+        .agg(count(lit(1)).as("n_sig_probes"))
+      // panels on the QC'd betas (k15/k16 over the gated table)
+      val part = Tables.table(s, d, "part")
+      val clock = qc.join(broadcast(part
+          .filter(col("p_partkey") % 17 === 3)
+          .select(format_string("cg%07d", col("p_partkey")).as("probe_id"),
+            (col("p_partkey") % 13 - 6).cast("long").as("coef_num"))), "probe_id")
+        .groupBy("sample_id")
+        .agg(round(lit(20.0) +
+          sum(col("k") * col("coef_num")).cast("double") / 9970.0, 6).as("age_pred"))
+      val deconv = qc.join(broadcast(part
+          .select(format_string("cg%07d", col("p_partkey")).as("probe_id"),
+            (col("p_partkey") * 3 % 997).cast("long").as("pa"),
+            (col("p_partkey") * 7 % 997).cast("long").as("pb"))
+          .filter(col("pa") =!= col("pb"))), "probe_id")
+        .groupBy("sample_id")
+        .agg(round(least(lit(1.0), greatest(lit(0.0),
+          sum((col("k") - col("pb")) * (col("pa") - col("pb"))).cast("double")
+            / sum((col("pa") - col("pb")) * (col("pa") - col("pb"))).cast("double"))), 6)
+          .as("frac_type_a"))
+      qc.groupBy("sample_id").agg(count(lit(1)).as("n_probes"))
+        .join(clock, Seq("sample_id"), "left")
+        .join(deconv, Seq("sample_id"), "left")
+        .join(sheet, "sample_id")
+        .crossJoin(broadcast(nSig))
+        .select(col("sample_id"), col("run"), col("group"), col("n_probes"),
+          col("age_pred"), col("frac_type_a"), col("n_sig_probes"))
+        .orderBy("sample_id")
+    }, Some(ctes +
+      """, dj AS (
+        |  SELECT probe_id, sample_id, CAST(round(pval * 1010) AS BIGINT) AS j
+        |  FROM detp),
+        |goods AS (
+        |  SELECT sample_id FROM dj GROUP BY 1
+        |  HAVING sum(j) * 2 < count(*) * 101),
+        |goodp AS (
+        |  SELECT probe_id FROM dj JOIN goods USING (sample_id) GROUP BY 1
+        |  HAVING sum(j) * 2 < count(*) * 101),
+        |qc AS (
+        |  SELECT b.probe_id, b.sample_id,
+        |         CAST(round(b.beta * 997) AS BIGINT) AS k
+        |  FROM beta b
+        |  JOIN goods USING (sample_id) JOIN goodp USING (probe_id)),
+        |nsig AS (
+        |  SELECT count(*) AS n_sig_probes FROM (
+        |    SELECT q.probe_id,
+        |           CAST(sum(CASE WHEN s."group" = 'WT' THEN q.k END) AS BIGINT) AS s1,
+        |           CAST(sum(CASE WHEN s."group" = 'MUT' THEN q.k END) AS BIGINT) AS s2,
+        |           count(CASE WHEN s."group" = 'WT' THEN 1 END) AS n1,
+        |           count(CASE WHEN s."group" = 'MUT' THEN 1 END) AS n2
+        |    FROM qc q JOIN sheet s USING (sample_id) GROUP BY 1)
+        |  WHERE n1 >= 3 AND n2 >= 3
+        |    AND abs((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 997.0) >= 0.05),
+        |clock AS (
+        |  SELECT sample_id,
+        |         round(20.0 + CAST(sum(k * (p_partkey % 13 - 6)) AS DOUBLE) / 9970.0, 6) AS age_pred
+        |  FROM qc JOIN (SELECT printf('cg%07d', p_partkey) AS probe_id, p_partkey
+        |                FROM part WHERE p_partkey % 17 = 3) USING (probe_id)
+        |  GROUP BY 1),
+        |deconv AS (
+        |  SELECT sample_id,
+        |         round(least(1.0, greatest(0.0,
+        |           CAST(sum((k - pb) * (pa - pb)) AS DOUBLE)
+        |           / CAST(sum((pa - pb) * (pa - pb)) AS DOUBLE))), 6) AS frac_type_a
+        |  FROM qc JOIN (SELECT printf('cg%07d', p_partkey) AS probe_id,
+        |                       p_partkey * 3 % 997 AS pa, p_partkey * 7 % 997 AS pb
+        |                FROM part
+        |                WHERE p_partkey * 3 % 997 <> p_partkey * 7 % 997) USING (probe_id)
+        |  GROUP BY 1)
+        |SELECT q.sample_id, s.run, s."group",
+        |       count(*) AS n_probes, any_value(c.age_pred) AS age_pred,
+        |       any_value(dv.frac_type_a) AS frac_type_a,
+        |       any_value(n.n_sig_probes) AS n_sig_probes
+        |FROM qc q
+        |JOIN sheet s USING (sample_id)
+        |LEFT JOIN clock c ON q.sample_id = c.sample_id
+        |LEFT JOIN deconv dv ON q.sample_id = dv.sample_id
+        |CROSS JOIN nsig n
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
+
     // E2 — the full reference lifecycle (QC → BMIQ → ComBat → top-k → PCA)
     // chained as one DAG; output is the workflow's final plot-ready PCA
     // coordinate table. Rows-only.

@@ -94,7 +94,7 @@ object ScaleSmoke {
       "b03_partition_pruned_join", "k12_spearman_corr", "e06_web_pipeline",
       "k13_anova_f", "k14_dmr_regions", "k05_combat_betas", "k01_pca_allcpg",
       "t19_gopher_rules", "t20_c4_line_dedup", "c13_temperature_mixture",
-      "k15_clock_predictor")
+      "k15_clock_predictor", "k16_cell_deconvolution")
     val timed = only match {
       case Some(subs) => queries.filter(q => subs.exists(q.contains))
       case None => queries
