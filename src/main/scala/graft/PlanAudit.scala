@@ -17,6 +17,8 @@ object PlanAudit {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // mirror the Verify/Bench sessions: injected functions + rules active
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
