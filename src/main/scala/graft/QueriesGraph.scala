@@ -62,6 +62,51 @@ object QueriesGraph {
         |       CAST(count(*) AS BIGINT) AS shared_customers
         |FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp
         |GROUP BY 1, 2
-        |ORDER BY 3 DESC, 1, 2 LIMIT 20""".stripMargin))
+        |ORDER BY 3 DESC, 1, 2 LIMIT 20""".stripMargin)),
+
+    // Triangle counting over the co-order part graph (parts that appear in
+    // the same order ≥ 2 times form an edge): the classic cohesion metric
+    // of near-dup/community structure. The Spark plan uses the
+    // degree-ordered orientation (each edge directed toward the higher
+    // (degree, id) endpoint) so every wedge join fans out by the SMALLER
+    // degree — the compact-forward bound O(Σ d_min(e)) that survives skewed
+    // degree distributions at 100 TB, instead of the naive O(Σ d(v)²). The
+    // oracle counts the same triangles with the a<b<c triple join (the
+    // orientation changes the join order, never the triangle set). Output:
+    // per-part triangle participation, top 20.
+    Q("g03_triangle_count", (s, d) => {
+      val li = Tables.table(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").cast("bigint").as("p"))
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).select("u", "v")
+      val tri = Graph.triangles(pairs)
+        .select(explode(array(col("x"), col("y"), col("z"))).as("part"))
+      tri.groupBy("part").agg(count(lit(1)).as("triangles"))
+        .orderBy(col("triangles").desc, col("part").asc)
+        .limit(20)
+        .select(col("part").as("l_partkey"), col("triangles"))
+    }, Some(
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS p
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (
+        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |parts AS (
+        |  SELECT x AS part FROM tri UNION ALL
+        |  SELECT y FROM tri UNION ALL
+        |  SELECT z FROM tri)
+        |SELECT part AS l_partkey, CAST(count(*) AS BIGINT) AS triangles
+        |FROM parts GROUP BY 1
+        |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin))
   )
 }

@@ -720,6 +720,55 @@ object QueriesLlm {
         |  FROM scored)
         |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin)),
 
+    // BM25 retrieval scoring — the ranked-search counterpart of t05's
+    // TF-IDF (and the relevance prior of retrieval-augmented curation):
+    // score every document against the fixed query {hash, join, stream}
+    // and keep the top 15. Lucene idf variant; k1=1.2, b=0.75. The whole
+    // query is one doc-keyed aggregate + a 1-row broadcast corpus-stats
+    // cross + TakeOrdered — nothing pairwise, no UDFs, fixed-sequence
+    // double arithmetic (ordering on the ROUNDED score so both engines
+    // rank identically).
+    Q("t21_bm25", (s, d) => {
+      val scored = TextAnalysis.bm25(docs(s, d), Seq("hash", "join", "stream"))
+        .withColumn("score", round(col("score"), 6))
+      scored.filter(col("score") > 0.0)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(15)
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS dl,
+        |         CAST(sum(CASE WHEN w = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf_hash,
+        |         CAST(sum(CASE WHEN w = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf_join,
+        |         CAST(sum(CASE WHEN w = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS tf_stream
+        |  FROM words WHERE w != '' GROUP BY 1),
+        |corpus AS (
+        |  SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS sdl,
+        |         CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+        |         CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+        |         CAST(sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_stream
+        |  FROM perdoc),
+        |scored AS (
+        |  SELECT doc_id, dl, tf_hash, tf_join, tf_stream,
+        |    round(
+        |      ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5))
+        |        * (CAST(tf_hash AS DOUBLE) * 2.2)
+        |        / (CAST(tf_hash AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(nd AS DOUBLE))))
+        |      + ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_join AS DOUBLE) + 0.5) / (CAST(df_join AS DOUBLE) + 0.5))
+        |        * (CAST(tf_join AS DOUBLE) * 2.2)
+        |        / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(nd AS DOUBLE))))
+        |      + ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_stream AS DOUBLE) + 0.5) / (CAST(df_stream AS DOUBLE) + 0.5))
+        |        * (CAST(tf_stream AS DOUBLE) * 2.2)
+        |        / (CAST(tf_stream AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(nd AS DOUBLE)))),
+        |      6) AS score
+        |  FROM perdoc CROSS JOIN corpus)
+        |SELECT doc_id, dl, tf_hash, tf_join, tf_stream, score
+        |FROM scored WHERE score > 0.0
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin)),
+
     // ------------------------------------------------------------------
     // Multimodal columns
     // ------------------------------------------------------------------

@@ -952,6 +952,70 @@ object QueriesRelational {
             * least(col("r") - 1, col("c") - 1).cast("double"))), 6).as("cramers_v"))
     }, None),
 
+    // Exponential-decay recency features per user (the feature-generation
+    // step of behavioral/training-signal pipelines): over each user's 20
+    // most recent events, a geometrically-decayed value sum and the decay
+    // mass (their ratio is the decayed mean). One rank window + one hash
+    // aggregate — the frame is bounded at 20 rows so the weighted sum is
+    // ≤20 doubles regardless of corpus size (no unbounded power terms, no
+    // overflow at any scale). alpha = 0.9 per recency step.
+    Q("a26_decay_features", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      ev.withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_recent"),
+          round(sum(col("value") * pow(lit(0.9), col("rn") - 1)), 6).as("decay_value"),
+          round(sum(pow(lit(0.9), col("rn") - 1)), 6).as("decay_mass"))
+        .orderBy("user_id")
+    }, Some(
+      """WITH r AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_recent,
+        |       round(sum(value * pow(0.9, rn - 1)), 6) AS decay_value,
+        |       round(sum(pow(0.9, rn - 1)), 6) AS decay_mass
+        |FROM r WHERE rn <= 20 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Shuffle-key skew diagnosis — the operational pre-flight of every
+    // 100 TB join/agg plan: per-key row counts on the prospective shuffle
+    // key, the global census (distinct keys, total rows, max/avg load,
+    // max-key share = the straggler bound, expected-vs-worst partition
+    // ratio), and the 10 heaviest keys. ONE key-aggregate feeds both a
+    // 1-row global rollup (broadcast cross) and a top-k — the profile a
+    // salting/AQE-skew decision reads.
+    Q("a27_skew_profile", (s, d) => {
+      val c = Tables.table(s, d, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      val g = c.agg(count(lit(1)).as("n_keys"), sum("cnt").as("total"),
+        max("cnt").as("max_cnt"))
+      c.crossJoin(broadcast(g))
+        .withColumn("share", round(col("cnt").cast("double")
+          / col("total").cast("double"), 6))
+        .withColumn("skew_ratio", round(col("max_cnt").cast("double")
+          * col("n_keys").cast("double") / col("total").cast("double"), 6))
+        .orderBy(col("cnt").desc, col("l_suppkey").asc)
+        .limit(10)
+        .select("l_suppkey", "cnt", "n_keys", "total", "share", "skew_ratio")
+    }, Some(
+      """WITH c AS (
+        |  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |g AS (
+        |  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total,
+        |         CAST(max(cnt) AS BIGINT) AS max_cnt
+        |  FROM c)
+        |SELECT l_suppkey, cnt, n_keys, total,
+        |       round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        |       round(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |             / CAST(total AS DOUBLE), 6) AS skew_ratio
+        |FROM c CROSS JOIN g
+        |ORDER BY cnt DESC, l_suppkey LIMIT 10""".stripMargin)),
+
     // ------------------------------------------------------------------
     // W — sorts / top-k / BH (reference top10k.py:11-14, volcano.R:138,
     // plots.R:162)

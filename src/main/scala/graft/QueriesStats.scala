@@ -12,6 +12,43 @@ import SqlOracles.ctes
   */
 object QueriesStats {
 
+  /** Shared K17 statistic pass: per-probe Welch two-sample t (unequal
+    * variances — the test scipy's `ttest_ind(equal_var=False)` runs and the
+    * un-moderated counterpart of the K3 eBayes fit, reference
+    * /root/reference/plots.R:139-162 where every probe gets a t + p): group-
+    * conditional exact integer moments on beta's 0..996 grid in ONE hash
+    * aggregate, then t and the Welch–Satterthwaite df as a fixed double
+    * sequence. t is scale-invariant so it is computed directly in grid
+    * units; `delta_beta` rescales by /997 for reporting. Unrounded output;
+    * k17_welch_dmp rounds for the oracle, k17_welch_inference feeds
+    * (t, df) to `graft_t_pvalue`.
+    */
+  private[graft] def welchT(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val bg = Tables.betaLong(s, d)
+      .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+      .withColumn("k", round(col("beta") * 997).cast("bigint"))
+    def gi(g: String, e: org.apache.spark.sql.Column) =
+      sum(when(col("group") === g, e).otherwise(0L))
+    val m = bg.groupBy("probe_id").agg(
+      gi("WT", lit(1L)).as("n1"), gi("WT", col("k")).as("s1"),
+      gi("WT", col("k") * col("k")).as("ss1"),
+      gi("MUT", lit(1L)).as("n2"), gi("MUT", col("k")).as("s2"),
+      gi("MUT", col("k") * col("k")).as("ss2"))
+    def d2(c: String) = col(c).cast("double")
+    val v1 = (d2("ss1") - d2("s1") * d2("s1") / d2("n1")) / (d2("n1") - 1.0)
+    val v2 = (d2("ss2") - d2("s2") * d2("s2") / d2("n2")) / (d2("n2") - 1.0)
+    m.filter(col("n1") >= 3 && col("n2") >= 3)
+      .withColumn("se1", v1 / d2("n1")).withColumn("se2", v2 / d2("n2"))
+      .withColumn("se", col("se1") + col("se2"))
+      .filter(col("se") > 0.0)
+      .select(col("probe_id"), col("n1"), col("n2"),
+        ((d2("s1") / d2("n1") - d2("s2") / d2("n2")) / 997.0).as("delta_beta"),
+        ((d2("s1") / d2("n1") - d2("s2") / d2("n2")) / sqrt(col("se"))).as("t"),
+        ((col("se") * col("se"))
+          / (col("se1") * col("se1") / (d2("n1") - 1.0)
+            + col("se2") * col("se2") / (d2("n2") - 1.0))).as("df"))
+  }
+
   /** Shared K13 statistic pass: per-probe one-way ANOVA across the three
     * instrument runs in ONE hash aggregate — run-conditional integer
     * moments (beta scaled to its exact 0..996 grid, the k08 trick), then
@@ -1031,6 +1068,63 @@ object QueriesStats {
       graft.ops.Pipelines.curationPipeline(
           docs.filter(col("doc_id") >= 5), bench)
         .orderBy("src_doc", "chunk_id")
+    }, None),
+
+    // K17 — per-probe Welch two-sample t (unequal-variance): the classic
+    // group-difference screen beside the moderated K3 fit and the
+    // nonparametric k10/k11 pair. Statistic + Welch–Satterthwaite df are a
+    // fixed double sequence over ONE aggregate of exact integer moments —
+    // fully oracle-checkable.
+    Q("k17_welch_dmp", (s, d) =>
+      welchT(s, d)
+        .select(col("probe_id"), col("n1"), col("n2"),
+          round(col("delta_beta"), 6).as("delta_beta"),
+          round(col("t"), 6).as("t"), round(col("df"), 6).as("df"))
+        .orderBy("probe_id"),
+    Some(ctes +
+      """, bg AS (
+        |  SELECT b.probe_id, CAST(round(b.beta * 997) AS BIGINT) AS k,
+        |         s."group" AS grp
+        |  FROM beta b JOIN sheet s USING (sample_id)),
+        |m AS (
+        |  SELECT probe_id,
+        |         CAST(sum(CASE WHEN grp = 'WT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN grp = 'WT' THEN k ELSE 0 END) AS BIGINT) AS s1,
+        |         CAST(sum(CASE WHEN grp = 'WT' THEN k * k ELSE 0 END) AS BIGINT) AS ss1,
+        |         CAST(sum(CASE WHEN grp = 'MUT' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |         CAST(sum(CASE WHEN grp = 'MUT' THEN k ELSE 0 END) AS BIGINT) AS s2,
+        |         CAST(sum(CASE WHEN grp = 'MUT' THEN k * k ELSE 0 END) AS BIGINT) AS ss2
+        |  FROM bg GROUP BY 1),
+        |e AS (
+        |  SELECT probe_id, n1, n2,
+        |         (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |           / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE) AS se1,
+        |         (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |           / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE) AS se2,
+        |         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |           - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS md
+        |  FROM m WHERE n1 >= 3 AND n2 >= 3)
+        |SELECT probe_id, n1, n2,
+        |       round(md / 997.0, 6) AS delta_beta,
+        |       round(md / sqrt(se1 + se2), 6) AS t,
+        |       round((se1 + se2) * (se1 + se2)
+        |             / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+        |                + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS df
+        |FROM e WHERE se1 + se2 > 0.0
+        |ORDER BY probe_id""".stripMargin)),
+
+    // K17 inferential completion (the k13/k10 pattern): two-sided p from
+    // the native codegen Student-t survival function at the Welch
+    // fractional df, BH-adjusted across probes. Rows-only — the t CDF has
+    // no SQL analog; (t, df) ride k17_welch_dmp's oracle.
+    Q("k17_welch_inference", (s, d) => {
+      GraftExtensions.registerAll(s)
+      val stats = welchT(s, d).withColumn("p_value", expr("graft_t_pvalue(t, df)"))
+      Analytic.bhAdjust(stats, "p_value", "probe_id")
+        .select(col("probe_id"), col("n1"), col("n2"),
+          round(col("t"), 6).as("t"), round(col("df"), 6).as("df"),
+          round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
+        .orderBy("probe_id")
     }, None)
   )
 }

@@ -82,6 +82,44 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** BM25 document relevance for a FIXED literal query (Robertson
+    * k1/b form with the Lucene idf variant ln(1 + (N−df+0.5)/(df+0.5)),
+    * which stays positive for high-df terms). One per-doc hash aggregate
+    * computes dl and one exact-integer conditional tf per query term
+    * (terms are a compile-time literal list, so the aggregate is N_terms
+    * sum(when) columns — the a22/a24 fixed-sequence pattern, no
+    * data-dependent summation order); a second 1-row aggregate derives
+    * N/avgdl/df and rides a broadcast cross join. Score is a fixed double
+    * expression per row — the whole query is two shuffles (doc-keyed agg +
+    * the 1-row global) and a TakeOrdered top-k, nothing pairwise. Output
+    * columns: doc_id, dl, tf_<term>…, score (unrounded).
+    */
+  def bm25(docs: org.apache.spark.sql.DataFrame, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+        explode(split(normalized(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val perDoc = words.groupBy("doc_id").agg(
+      count(lit(1)).as("dl"),
+      terms.map(t => sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+    val corpusAggs =
+      Seq(count(lit(1)).as("nd"), sum("dl").as("sdl")) ++
+        terms.map(t => sum(when(col(s"tf_$t") > 0L, 1L).otherwise(0L)).as(s"df_$t"))
+    val corpus = perDoc.agg(corpusAggs.head, corpusAggs.tail: _*)
+    val joined = perDoc.crossJoin(broadcast(corpus))
+    val avgdl = col("sdl").cast("double") / col("nd").cast("double")
+    val dl = col("dl").cast("double")
+    val score = terms.map { t =>
+      val tf = col(s"tf_$t").cast("double")
+      val df = col(s"df_$t").cast("double")
+      val idf = log(lit(1.0) + (col("nd").cast("double") - df + lit(0.5)) / (df + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
+    }.reduceLeft(_ + _)
+    joined.select(
+      (col("doc_id") +: col("dl") +: terms.map(t => col(s"tf_$t"))) :+ score.as("score"): _*)
+  }
+
   /** TF-IDF per (doc, term): tf = term count in doc, idf = ln(N/df).
     * Two hash aggregates + one join on the term — the shuffle keys are the
     * natural ones and nothing is driver-side except the corpus count N.

@@ -168,4 +168,41 @@ object Graph {
        |       FROM deg CROSS JOIN n),
        |$rounds""".stripMargin
   }
+
+  /** Triangle enumeration by degree-ordered orientation (compact-forward):
+    * orient every undirected edge toward the higher (degree, id) endpoint,
+    * join wedges at the lowest-ordered vertex, close against either
+    * orientation of the third edge. Each triangle is emitted exactly once
+    * (only its π-minimum vertex has two out-edges into it); the wedge
+    * fan-out is bounded by the SMALLER endpoint degree per edge — the
+    * O(Σ_e d_min(e)) bound that survives skewed degree distributions,
+    * instead of the naive O(Σ_v d(v)²). The oriented edge set is persisted
+    * (Caches-tracked) across its three consumers.
+    *
+    * @param pairs undirected edges as `(u, v)` bigint columns with u < v,
+    *              no duplicates
+    * @return one row per triangle, vertices sorted ascending as (x, y, z)
+    */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("u").as("n"))
+      .unionAll(pairs.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val e = pairs
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+    val eo = Caches.track(e.persist())
+    val wedges = eo.as("e1").join(eo.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    wedges.join(eo.as("e3"),
+        (col("e3.src") === col("b") && col("e3.dst") === col("c")) ||
+        (col("e3.src") === col("c") && col("e3.dst") === col("b")))
+      .select(sort_array(array(col("a"), col("b"), col("c"))).as("t"))
+      .select(col("t").getItem(0).as("x"), col("t").getItem(1).as("y"),
+        col("t").getItem(2).as("z"))
+  }
 }
