@@ -195,12 +195,15 @@ object Graph {
       .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
         when(uFirst, col("v")).otherwise(col("u")).as("dst"))
     val eo = Caches.track(e.persist())
+    // wedge endpoints are emitted id-ordered (b < c), so the closing-edge
+    // probe joins on the UNORDERED pair key (least, greatest) — a pure
+    // equi-join (hash join), never a nested-loop OR of orientations
     val wedges = eo.as("e1").join(eo.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-    wedges.join(eo.as("e3"),
-        (col("e3.src") === col("b") && col("e3.dst") === col("c")) ||
-        (col("e3.src") === col("c") && col("e3.dst") === col("b")))
+    val closing = eo.select(least(col("src"), col("dst")).as("b"),
+      greatest(col("src"), col("dst")).as("c"))
+    wedges.join(closing, Seq("b", "c"))
       .select(sort_array(array(col("a"), col("b"), col("c"))).as("t"))
       .select(col("t").getItem(0).as("x"), col("t").getItem(1).as("y"),
         col("t").getItem(2).as("z"))
