@@ -42,8 +42,10 @@ object Bench {
     "k10_ranksum_dmp", "t17_html_extract", "t18_url_normalize",
     "b03_partition_pruned_join", "k12_spearman_corr", "e06_web_pipeline",
     "k13_anova_f",
-    // round-6 inferential-completion tier
-    "k13_anova_inference", "k11_ks_inference", "k14_dmr_regions")
+    // round-6 inferential-completion + corpus-policy + closing tier
+    "k13_anova_inference", "k11_ks_inference", "k14_dmr_regions",
+    "e07_downstream_pipeline", "t20_c4_line_dedup", "k17_welch_dmp",
+    "g03_triangle_count", "t21_bm25")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

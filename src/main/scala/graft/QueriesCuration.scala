@@ -406,6 +406,50 @@ object QueriesCuration {
         |SELECT source, n_docs, n_tokens,
         |       round(w_raw / w_tot, 6) AS weight,
         |       round(least(1.0, w_raw / w_tot * 50000.0 / CAST(n_tokens AS DOUBLE)), 6) AS sample_rate
-        |FROM per, tot ORDER BY source""".stripMargin))
+        |FROM per, tot ORDER BY source""".stripMargin)),
+
+    // Per-domain crawl-budget policy (the CommonCrawl-style cap every web
+    // corpus applies so no single site dominates the mixture) + domain
+    // blocklist, in one pass: docs carry the t18 synthetic URL, the
+    // registered domain is the policy key, blocked domains drop whole,
+    // the rest keep their `cap` BEST documents (longest text, doc_id
+    // tie-break). One rank window + one hash aggregate — the per-domain
+    // fan-in is the window partition, nothing global but the tiny report.
+    Q("c14_domain_cap", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cap = 15
+      val host = concat(lit("www."), col("source"),
+        when(length(col("source")) === 4, lit(".net")).otherwise(lit(".org")))
+      val url = concat(lit("https://"), host, lit("/a-"), col("doc_id").cast("string"))
+      val u = docs(s, d).select(col("doc_id"), col("n_chars"),
+        graft.llm.Web.registeredDomain(url).as("domain"))
+      val w = Window.partitionBy("domain")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      u.withColumn("rk", row_number().over(w))
+        .withColumn("blocked", col("domain").isin("src3.net", "src17.org"))
+        .groupBy("domain").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("blocked"), 1L).otherwise(0L)).as("n_dropped_block"),
+          sum(when(!col("blocked") && col("rk") <= cap, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("blocked") && col("rk") > cap, 1L).otherwise(0L)).as("n_dropped_cap"))
+        .orderBy("domain")
+    }, Some(
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |         regexp_extract('www.' || source
+        |           || CASE WHEN length(source) = 4 THEN '.net' ELSE '.org' END,
+        |           '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM documents),
+        |r AS (
+        |  SELECT domain, doc_id,
+        |         domain IN ('src3.net', 'src17.org') AS blocked,
+        |         row_number() OVER (PARTITION BY domain
+        |           ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM u)
+        |SELECT domain, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_block,
+        |       CAST(sum(CASE WHEN NOT blocked AND rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN NOT blocked AND rk > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_cap
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
