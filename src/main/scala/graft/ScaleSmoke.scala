@@ -96,7 +96,9 @@ object ScaleSmoke {
       "b03_partition_pruned_join", "k12_spearman_corr", "e06_web_pipeline",
       "k13_anova_f", "k14_dmr_regions", "k05_combat_betas", "k01_pca_allcpg",
       "t19_gopher_rules", "t20_c4_line_dedup", "c13_temperature_mixture",
-      "k15_clock_predictor", "k16_cell_deconvolution")
+      "k15_clock_predictor", "k16_cell_deconvolution",
+      "k17_welch_dmp", "t21_bm25", "g03_triangle_count",
+      "a26_decay_features", "a27_skew_profile", "c14_domain_cap")
     val timed = only match {
       case Some(subs) => queries.filter(q => subs.exists(q.contains))
       case None => queries
