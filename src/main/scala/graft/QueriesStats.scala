@@ -49,6 +49,43 @@ object QueriesStats {
             + col("se2") * col("se2") / (d2("n2") - 1.0))).as("df"))
   }
 
+  /** Shared K18 statistic pass: Brown–Forsythe (median-centered Levene)
+    * across the three instrument runs. Exact per-(probe,run) median on the
+    * 0..996 grid (x.0/x.5 ⇒ |2k − 2·med| is an exact integer in doubled
+    * units), then the k13 one-way-F sequence on those integer deviations.
+    * Unrounded output `(probe_id, n, df1, df2, bf_f)`.
+    */
+  private[graft] def brownForsythe(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val bg = Tables.betaLong(s, d)
+      .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+      .withColumn("k", round(col("beta") * 997).cast("bigint"))
+      .select("probe_id", "run", "k")
+    val med = bg.groupBy("probe_id", "run")
+      .agg(expr("percentile(k, 0.5)").as("med"))
+    val z = bg.join(med, Seq("probe_id", "run"))
+      .withColumn("z2",
+        abs(col("k") * 2 - round(col("med") * 2).cast("bigint")))
+    def ni(r: Int) = sum(when(col("run") === s"run_$r", 1L).otherwise(0L))
+    def si(r: Int) = sum(when(col("run") === s"run_$r", col("z2")).otherwise(0L))
+    val m = z.groupBy("probe_id").agg(
+      count(lit(1)).as("n"), sum("z2").as("sz"),
+      sum(col("z2") * col("z2")).as("szz"),
+      ni(0).as("n0"), ni(1).as("n1"), ni(2).as("n2"),
+      si(0).as("s0"), si(1).as("s1"), si(2).as("s2"))
+    def d2(c: String) = col(c).cast("double")
+    val grand = d2("sz") * d2("sz") / d2("n")
+    val ssb = (d2("s0") * d2("s0") / d2("n0")
+      + d2("s1") * d2("s1") / d2("n1")
+      + d2("s2") * d2("s2") / d2("n2")) - grand
+    val sst = d2("szz") - grand
+    m.filter(col("n0") >= 2 && col("n1") >= 2 && col("n2") >= 2)
+      .withColumn("ssb", ssb).withColumn("ssw", sst - col("ssb"))
+      .filter(col("ssw") > 0.0)
+      .select(col("probe_id"), col("n"), lit(2L).as("df1"),
+        (col("n") - lit(3L)).as("df2"),
+        ((col("ssb") / 2.0) / (col("ssw") / (d2("n") - 3.0))).as("bf_f"))
+  }
+
   /** Shared K13 statistic pass: per-probe one-way ANOVA across the three
     * instrument runs in ONE hash aggregate — run-conditional integer
     * moments (beta scaled to its exact 0..996 grid, the k08 trick), then
@@ -1112,6 +1149,73 @@ object QueriesStats {
         |                + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS df
         |FROM e WHERE se1 + se2 > 0.0
         |ORDER BY probe_id""".stripMargin)),
+
+    // K18 — Brown–Forsythe variance-homogeneity screen (Levene's test with
+    // median centers): the pre-test that decides between pooled and
+    // Welch/heteroscedastic analyses, run across the three instrument runs
+    // (the k13 batch axis — unequal run VARIANCE is the other batch
+    // pathology ComBat's δ² corrects). Per-(probe,run) EXACT median (the
+    // w11 percentile idiom; on the 0..996 integer grid the median is x.0
+    // or x.5 exactly, so the absolute deviation in DOUBLED grid units
+    // |2k − 2·med| is an exact integer), then the k13 one-way-F machinery
+    // on those integer deviations — moments exact, F a fixed double
+    // sequence, fully oracle-checkable. Two co-keyed shuffles (median agg,
+    // deviation join + moment agg).
+    Q("k18_brown_forsythe", (s, d) =>
+      brownForsythe(s, d)
+        .select(col("probe_id"), col("n"), col("df1"), col("df2"),
+          round(col("bf_f"), 6).as("bf_f"))
+        .orderBy("probe_id"),
+    Some(ctes +
+      """, bg AS (
+        |  SELECT b.probe_id, s.run, CAST(round(b.beta * 997) AS BIGINT) AS k
+        |  FROM beta b JOIN sheet s USING (sample_id)),
+        |med AS (
+        |  SELECT probe_id, run, quantile_cont(k, 0.5) AS med
+        |  FROM bg GROUP BY 1, 2),
+        |z AS (
+        |  SELECT bg.probe_id, bg.run,
+        |         abs(bg.k * 2 - CAST(round(m.med * 2) AS BIGINT)) AS z2
+        |  FROM bg JOIN med m USING (probe_id, run)),
+        |m AS (
+        |  SELECT probe_id, count(*) AS n,
+        |         CAST(sum(z2) AS BIGINT) AS sz, CAST(sum(z2 * z2) AS BIGINT) AS szz,
+        |         CAST(sum(CASE WHEN run = 'run_0' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |         CAST(sum(CASE WHEN run = 'run_1' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN run = 'run_2' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |         CAST(sum(CASE WHEN run = 'run_0' THEN z2 ELSE 0 END) AS BIGINT) AS s0,
+        |         CAST(sum(CASE WHEN run = 'run_1' THEN z2 ELSE 0 END) AS BIGINT) AS s1,
+        |         CAST(sum(CASE WHEN run = 'run_2' THEN z2 ELSE 0 END) AS BIGINT) AS s2
+        |  FROM z GROUP BY 1),
+        |e AS (
+        |  SELECT probe_id, n, n0, n1, n2,
+        |         (CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |          + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |          + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |         - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+        |         CAST(szz AS DOUBLE)
+        |         - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) AS sst
+        |  FROM m)
+        |SELECT probe_id, n, CAST(2 AS BIGINT) AS df1, n - 3 AS df2,
+        |       round((ssb / 2.0) / ((sst - ssb) / (CAST(n AS DOUBLE) - 3.0)), 6) AS bf_f
+        |FROM e
+        |WHERE n0 >= 2 AND n1 >= 2 AND n2 >= 2 AND sst - ssb > 0.0
+        |ORDER BY probe_id""".stripMargin)),
+
+    // K18 inferential completion: Brown–Forsythe p through the codegen F
+    // survival function + BH (the k13 pattern). Rows-only; the statistic
+    // rides k18's oracle.
+    Q("k18_bf_inference", (s, d) => {
+      GraftExtensions.registerAll(s)
+      val stats = brownForsythe(s, d)
+        .withColumn("p_value",
+          expr("graft_f_sf(bf_f, CAST(df1 AS DOUBLE), CAST(df2 AS DOUBLE))"))
+      Analytic.bhAdjust(stats, "p_value", "probe_id")
+        .select(col("probe_id"), col("n"), col("df1"), col("df2"),
+          round(col("bf_f"), 6).as("bf_f"),
+          round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
+        .orderBy("probe_id")
+    }, None),
 
     // K17 inferential completion (the k13/k10 pattern): two-sided p from
     // the native codegen Student-t survival function at the Welch

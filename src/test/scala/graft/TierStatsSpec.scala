@@ -43,6 +43,43 @@ class TierStatsSpec extends SparkSpec {
     }
   }
 
+  test("k18 Brown-Forsythe F matches a driver-side reference on real probes") {
+    val sp = spark
+    import sp.implicits._
+    val got = QueriesStats.brownForsythe(sp, sf)
+      .orderBy("probe_id").limit(5).collect()
+    assert(got.nonEmpty)
+    val bg = Tables.betaLong(sp, sf)
+      .join(Tables.sampleSheet(sp, sf), "sample_id")
+      .select(col("probe_id"), col("run"),
+        round(col("beta") * 997).cast("bigint").as("k"))
+      .as[(String, String, Long)].collect().groupBy(_._1)
+    def median2(xs: Seq[Long]): Long = { // 2×median of integers, exact
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+    }
+    got.foreach { r =>
+      val rows = bg(r.getAs[String]("probe_id"))
+      val groups = rows.groupBy(_._2).values.toSeq
+      val z = groups.flatMap { g =>
+        val m2 = median2(g.map(_._3))
+        g.map(x => math.abs(2 * x._3 - m2).toDouble)
+      }
+      val perGroup = groups.map { g =>
+        val m2 = median2(g.map(_._3))
+        g.map(x => math.abs(2 * x._3 - m2).toDouble)
+      }
+      val n = z.size.toDouble
+      val grand = z.sum / n
+      val ssb = perGroup.map(g => g.size * math.pow(g.sum / g.size - grand, 2)).sum
+      val ssw = perGroup.map(g => g.map(x => math.pow(x - g.sum / g.size, 2)).sum).sum
+      val f = (ssb / 2.0) / (ssw / (n - 3.0))
+      assert(math.abs(r.getAs[Double]("bf_f") - f) < 1e-6 * math.max(1.0, f),
+        s"${r.getAs[String]("probe_id")}: got ${r.getAs[Double]("bf_f")} expect $f")
+    }
+  }
+
   private def triSet(edges: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
     val sp = spark
     import sp.implicits._
