@@ -450,6 +450,108 @@ object QueriesCuration {
         |       CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_block,
         |       CAST(sum(CASE WHEN NOT blocked AND rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       CAST(sum(CASE WHEN NOT blocked AND rk > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_cap
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // E8 — the CONTINUOUS-INGEST lifecycle as one DAG (the incremental
+    // counterpart of e04/e06: what a crawler admission service runs per
+    // batch against the standing corpus): new batch (doc_id >= 400) →
+    // within-batch keep-first fingerprint dedup → anti-join against the
+    // corpus's fingerprints (d07's shape) → minimum-length quality gate →
+    // per-domain admission cap (c14's shape, 10 best per domain) →
+    // per-domain funnel report. Every stage is SQL-expressible (md5
+    // fingerprints, rank windows, one anti-join), so the WHOLE pipeline
+    // hash-checks against DuckDB — the e06 pattern for ingest. Scale: the
+    // corpus side is touched only as a fingerprint-keyed join (bloom/
+    // broadcast-able); both windows partition by batch-local keys.
+    Q("e08_ingest_pipeline", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sp = s
+      import sp.implicits._
+      // Planted admission fixtures (mirrored in the oracle, the e06
+      // pattern) so every gate BINDS and the hash check discriminates it:
+      // 9001/9002 duplicate each other across domains (keep-first by
+      // doc_id), 9003 duplicates corpus doc 7 (anti-join drop), 9004
+      // fails the word-count gate.
+      val dupTxt = Seq.fill(10)("planted duplicate filler").mkString(" ")
+      val base = docs(s, d).select("doc_id", "text", "source", "n_chars")
+        .unionByName(Seq(
+          (9001L, dupTxt, "src2", dupTxt.length.toLong),
+          (9002L, dupTxt, "src5", dupTxt.length.toLong),
+          (9004L, "tiny planted doc", "src2", 16L))
+          .toDF("doc_id", "text", "source", "n_chars"))
+        .unionByName(docs(s, d).filter(col("doc_id") === 7)
+          .select(lit(9003L).as("doc_id"), col("text"),
+            lit("src8").as("source"), col("n_chars")))
+      val fp = TextAnalysis.fingerprint(col("text"))
+      val words = size(filter(split(TextAnalysis.normalized(col("text")), " "),
+        w => w =!= ""))
+      val host = concat(lit("www."), col("source"),
+        when(length(col("source")) === 4, lit(".net")).otherwise(lit(".org")))
+      val all = base.select(col("doc_id"), col("n_chars"), col("source"),
+        fp.as("fp"), words.as("wc"),
+        graft.llm.Web.registeredDomain(
+          concat(lit("https://"), host, lit("/a-"), col("doc_id").cast("string")))
+          .as("domain"))
+      val corpus = all.filter(col("doc_id") < 400).select("fp").distinct()
+      val batch = all.filter(col("doc_id") >= 400)
+      val wFp = Window.partitionBy("fp").orderBy(col("doc_id").asc)
+      val flagged = batch
+        .withColumn("rk_fp", row_number().over(wFp))
+        .join(corpus.withColumn("in_corpus", lit(true)), Seq("fp"), "left")
+        .withColumn("pass_dedup", col("rk_fp") === 1 && col("in_corpus").isNull)
+        .withColumn("pass_quality", col("pass_dedup") && col("wc") >= 30)
+      val wCap = Window.partitionBy("domain")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val capped = flagged.filter(col("pass_quality"))
+        .withColumn("rk_cap", row_number().over(wCap))
+        .select(col("doc_id"), (col("rk_cap") <= 3).as("admitted"))
+      flagged.join(capped, Seq("doc_id"), "left")
+        .groupBy("domain").agg(
+          count(lit(1)).as("n_batch"),
+          sum(when(col("pass_dedup"), 1L).otherwise(0L)).as("n_dedup"),
+          sum(when(col("pass_quality"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("admitted") === true, 1L).otherwise(0L)).as("n_admitted"))
+        .orderBy("domain")
+    }, Some(
+      """WITH all_docs AS (
+        |  SELECT doc_id, n_chars, source,
+        |         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |         CAST(len(list_filter(string_split(
+        |           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |           w -> w <> '')) AS INTEGER) AS wc,
+        |         regexp_extract('www.' || source
+        |           || CASE WHEN length(source) = 4 THEN '.net' ELSE '.org' END,
+        |           '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM (SELECT doc_id, text, source, n_chars FROM documents
+        |        UNION ALL
+        |        SELECT v.* FROM (VALUES
+        |          (9001, trim(repeat('planted duplicate filler ', 10)), 'src2',
+        |           len(trim(repeat('planted duplicate filler ', 10)))),
+        |          (9002, trim(repeat('planted duplicate filler ', 10)), 'src5',
+        |           len(trim(repeat('planted duplicate filler ', 10)))),
+        |          (9004, 'tiny planted doc', 'src2', 16)) v(doc_id, text, source, n_chars)
+        |        UNION ALL
+        |        SELECT 9003, text, 'src8', n_chars FROM documents WHERE doc_id = 7)),
+        |corpus AS (
+        |  SELECT DISTINCT fp FROM all_docs WHERE doc_id < 400),
+        |flagged AS (
+        |  SELECT b.doc_id, b.n_chars, b.wc, b.domain,
+        |         row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) = 1
+        |           AND c.fp IS NULL AS pass_dedup
+        |  FROM all_docs b LEFT JOIN corpus c ON b.fp = c.fp
+        |  WHERE b.doc_id >= 400),
+        |q AS (
+        |  SELECT *, pass_dedup AND wc >= 30 AS pass_quality FROM flagged),
+        |capped AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (PARTITION BY domain
+        |           ORDER BY n_chars DESC, doc_id) <= 3 AS admitted
+        |  FROM q WHERE pass_quality)
+        |SELECT q.domain, count(*) AS n_batch,
+        |       CAST(sum(CASE WHEN q.pass_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+        |       CAST(sum(CASE WHEN q.pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |       CAST(sum(CASE WHEN c.admitted THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+        |FROM q LEFT JOIN capped c USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
