@@ -85,6 +85,7 @@ object GraftExtensions {
       ("graft_f_sf", 3,
         es => functions.FDistSf(dbl(es.head), dbl(es(1)), dbl(es(2)))),
       ("graft_ks_sf", 1, es => functions.KolmogorovSf(dbl(es.head))),
+      ("graft_nfc", 1, es => functions.NfcNormalize(es.head)),
       ("graft_digamma", 1, es => functions.DigammaExpr(dbl(es.head))),
       ("graft_trigamma", 1, es => functions.TrigammaExpr(dbl(es.head))),
       ("graft_shingles", 2, es => {

@@ -769,6 +769,49 @@ object QueriesLlm {
         |FROM scored WHERE score > 0.0
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin)),
 
+    // Unicode NFC canonicalization (native codegen Expression `graft_nfc`,
+    // java.text.Normalizer-backed) — the hygiene step BEFORE fingerprint
+    // dedup: decomposed combining marks (e + U+0301) hash apart from their
+    // precomposed forms (U+00E9) and silently defeat exact dedup. Planted
+    // fixtures (decomposed/precomposed café pair + a decomposed naïve, the
+    // e06 pattern) make the collapse visible: srcU's distinct fingerprint
+    // count drops from 3 to 2 after normalization. Oracle uses DuckDB's
+    // own nfc_normalize — the two independent Unicode tables must agree
+    // byte-for-byte for the hash check to pass.
+    Q("t22_nfc_normalize", (s, d) => {
+      GraftExtensions.registerAll(s)
+      val sp = s
+      import sp.implicits._
+      val base = docs(s, d).select(col("doc_id"), col("text"), col("source"))
+        .unionByName(Seq(
+          (9101L, "cafe\u0301 latte menu", "srcU"), // decomposed e + U+0301
+          (9102L, "caf\u00e9 latte menu", "srcU"), // precomposed U+00E9
+          (9103L, "nai\u0308ve approach", "srcU")) // decomposed i + U+0308
+          .toDF("doc_id", "text", "source"))
+      base.select(col("source"), col("text"),
+          expr("graft_nfc(text)").as("norm"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("norm") =!= col("text"), 1L).otherwise(0L)).as("n_changed"),
+          count_distinct(md5(col("text"))).as("fp_pre"),
+          count_distinct(md5(col("norm"))).as("fp_post"))
+        .orderBy("source")
+    }, Some(
+      """WITH base AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (9101, 'caf' || 'e' || chr(769) || ' latte menu', 'srcU'),
+        |    (9102, 'caf' || chr(233) || ' latte menu', 'srcU'),
+        |    (9103, 'nai' || chr(776) || 've approach', 'srcU'))
+        |    v(doc_id, text, source)),
+        |n AS (SELECT source, text, nfc_normalize(text) AS norm FROM base)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |       count(DISTINCT md5(text)) AS fp_pre,
+        |       count(DISTINCT md5(norm)) AS fp_post
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ------------------------------------------------------------------
     // Multimodal columns
     // ------------------------------------------------------------------

@@ -111,4 +111,20 @@ class ExtensionsSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("0.5"), s"expected constant-folded literal in: $plan")
   }
+
+  test("graft_nfc composes combining marks, is idempotent, keeps NFC text as-is") {
+    val sp = spark
+    import sp.implicits._
+    GraftExtensions.registerAll(sp)
+    val rows = Seq("cafe\u0301", "caf\u00e9", "nai\u0308ve", "plain ascii")
+      .toDF("s")
+      .selectExpr("s", "graft_nfc(s) AS n", "graft_nfc(graft_nfc(s)) AS nn")
+      .collect()
+    val byIn = rows.map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byIn("cafe\u0301")._1 == "caf\u00e9") // decomposed -> precomposed
+    assert(byIn("nai\u0308ve")._1 == "na\u00efve")
+    assert(byIn("caf\u00e9")._1 == "caf\u00e9") // already NFC: unchanged
+    assert(byIn("plain ascii")._1 == "plain ascii")
+    rows.foreach(r => assert(r.getString(1) == r.getString(2), "not idempotent"))
+  }
 }
