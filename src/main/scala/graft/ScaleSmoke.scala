@@ -98,7 +98,8 @@ object ScaleSmoke {
       "t19_gopher_rules", "t20_c4_line_dedup", "c13_temperature_mixture",
       "k15_clock_predictor", "k16_cell_deconvolution",
       "k17_welch_dmp", "t21_bm25", "g03_triangle_count",
-      "a26_decay_features", "a27_skew_profile", "c14_domain_cap")
+      "a26_decay_features", "a27_skew_profile", "c14_domain_cap",
+      "k18_brown_forsythe", "e08_ingest_pipeline", "t22_nfc_normalize")
     val timed = only match {
       case Some(subs) => queries.filter(q => subs.exists(q.contains))
       case None => queries
