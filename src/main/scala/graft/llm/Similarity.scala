@@ -17,6 +17,18 @@ object Similarity {
   private def withVec(emb: DataFrame): DataFrame =
     emb.withColumn("v", col("embedding").cast("array<double>"))
 
+  /** `graft_dot` as a Column (functions/VecDot.scala): the same left-fold
+    * arithmetic as `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — bit-equal,
+    * oracle-compatible — but one codegen'd primitive loop instead of
+    * CodegenFallback lambda dispatch per element. `dotC(v, v)` is the
+    * squared norm.
+    */
+  private def dotC(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.VecDotProduct(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
   /** dot(v, q) and |v|² as codegen array expressions (zip_with/aggregate —
     * sequential fold, no UDF). A zero-norm vector (or query) gets cos =
     * −1, not the NaN that 0/0 would produce — Spark orders NaN ABOVE every
@@ -26,10 +38,8 @@ object Similarity {
   private def scored(e: DataFrame, qArr: Seq[Double]): DataFrame = {
     val qLit = typedLit(qArr)
     val qNorm = math.sqrt(qArr.map(x => x * x).sum)
-    e.withColumn("dot",
-        aggregate(zip_with(col("v"), qLit, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
-      .withColumn("nrm",
-        aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    e.withColumn("dot", dotC(col("v"), qLit))
+      .withColumn("nrm", dotC(col("v"), col("v")))
       .withColumn("cos",
         when(col("nrm") > 0 && lit(qNorm) > 0,
           round(col("dot") / sqrt(col("nrm")) / lit(qNorm), 6))
@@ -222,8 +232,7 @@ object Similarity {
   def pqTopK(emb: DataFrame, queryId: Long, k: Int, m: Int = 8,
              codebookSize: Int = 16, rerank: Int = 5): DataFrame = {
     val unit = graft.ops.Caches.track(
-      withVec(emb).withColumn("nrm",
-          sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      withVec(emb).withColumn("nrm", sqrt(dotC(col("v"), col("v"))))
         .withColumn("vn", transform(col("v"), x => x / col("nrm")))
         .persist())
     // dim read off the persisted frame — no separate scan of the raw input
@@ -266,8 +275,7 @@ object Similarity {
     // neighbor misses the WHOLE shortlist.
     shortlist.join(unit.select(col("vec_id"), col("vn")), "vec_id")
       .withColumn("cos", // dot of unit vectors = cosine
-        round(aggregate(zip_with(col("vn"), typedLit(q), (x, y) => x * y),
-          lit(0.0), (a, x) => a + x), 6))
+        round(dotC(col("vn"), typedLit(q)), 6))
       .select("vec_id", "adist", "cos")
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
@@ -301,8 +309,7 @@ object Similarity {
   def semanticDedup(emb: DataFrame, ncells: Int, minCos: Double): DataFrame = {
     val e = graft.ops.Caches.track(
       withVec(emb)
-        .withColumn("nrm",
-          sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+        .withColumn("nrm", sqrt(dotC(col("v"), col("v"))))
         .persist())
     val centers = localKMeans(trainSample(e, "v", 200L * ncells), ncells)
     val assigned = e
@@ -310,9 +317,7 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
     val pairs = assigned.as("x").join(assigned.as("y"), "cell")
       .filter(col("x.vec_id") < col("y.vec_id"))
-      .withColumn("dot",
-        aggregate(zip_with(col("x.v"), col("y.v"), (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x))
+      .withColumn("dot", dotC(col("x.v"), col("y.v")))
       .withColumn("cos", round(col("dot") / col("x.nrm") / col("y.nrm"), 6))
       .filter(col("cos") >= minCos)
     val droppedRows = pairs
@@ -328,13 +333,11 @@ object Similarity {
     */
   def cosineNearDups(emb: DataFrame, blockCol: String, minCos: Double): DataFrame = {
     val e = withVec(emb)
-      .withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm", sqrt(dotC(col("v"), col("v"))))
       .select(col("vec_id"), col(blockCol).as("block"), col("v"), col("nrm"))
     e.as("x").join(e.as("y"), "block")
       .filter(col("x.vec_id") < col("y.vec_id"))
-      .withColumn("dot",
-        aggregate(zip_with(col("x.v"), col("y.v"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+      .withColumn("dot", dotC(col("x.v"), col("y.v")))
       .withColumn("cos", round(col("dot") / col("x.nrm") / col("y.nrm"), 6))
       .filter(col("cos") >= minCos)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),

@@ -112,6 +112,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(plan.contains("0.5"), s"expected constant-folded literal in: $plan")
   }
 
+  test("graft_dot is bit-equal to the zip_with/aggregate fold") {
+    val sp = spark
+    import sp.implicits._
+    GraftExtensions.registerAll(sp)
+    val rows = Seq.tabulate(50)(i =>
+      (i.toLong, Seq.tabulate(16)(j => math.sin(i * 17 + j) * 3.7),
+        Seq.tabulate(16)(j => math.cos(i * 5 + j) / 1.3)))
+      .toDF("id", "a", "b")
+    val both = rows.selectExpr("id", "graft_dot(a, b) AS fast",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) AS slow",
+        "graft_dot(a, a) AS nrm2",
+        "aggregate(transform(a, x -> x * x), 0.0D, (acc, x) -> acc + x) AS nrm2s")
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"dot mismatch id=${r.getLong(0)}")
+      assert(r.getDouble(3) == r.getDouble(4), s"norm mismatch id=${r.getLong(0)}")
+    }
+    // length mismatch and null element degrade to NaN, not a crash
+    val edge = Seq((Seq(1.0, 2.0), Seq(1.0)))
+      .toDF("a", "b").selectExpr("graft_dot(a, b) AS d").head()
+    assert(edge.getDouble(0).isNaN)
+  }
+
   test("graft_nfc composes combining marks, is idempotent, keeps NFC text as-is") {
     val sp = spark
     import sp.implicits._
