@@ -87,6 +87,7 @@ object GraftExtensions {
       ("graft_ks_sf", 1, es => functions.KolmogorovSf(dbl(es.head))),
       ("graft_nfc", 1, es => functions.NfcNormalize(es.head)),
       ("graft_dot", 2, es => functions.VecDotProduct(es.head, es(1))),
+      ("graft_nearest", 2, es => functions.VecNearestCenter(es.head, es(1))),
       ("graft_digamma", 1, es => functions.DigammaExpr(dbl(es.head))),
       ("graft_trigamma", 1, es => functions.TrigammaExpr(dbl(es.head))),
       ("graft_shingles", 2, es => {

@@ -32,6 +32,82 @@ object VecDot {
   }
 }
 
+/** Nearest-center assignment fused into one loop: 1-based index of the
+  * centroid (first argument, an `array<array<double>>` — in practice a
+  * foldable codebook literal) with the smallest squared distance to the
+  * vector. Replaces the composed
+  * `array_position(darr, array_min(darr))` over
+  * `transform(centers, c => aggregate(zip_with(c, v, (a,b) => (a-b)²), 0.0, _+_))`
+  * — same fold order per center, same first-minimum tie rule, so the
+  * assignment is bit-identical — without materializing the distance array
+  * or paying interpreted lambda dispatch per element. A malformed center
+  * (length mismatch / null element) gets distance NaN and is never
+  * selected; if every center is malformed the result is 0 (no cell).
+  */
+object VecNearest {
+  def nearest(centers: ArrayData, v: ArrayData): Int = {
+    val n = v.numElements()
+    var best = Double.PositiveInfinity
+    var bestIdx = 0
+    var c = 0
+    val nc = centers.numElements()
+    while (c < nc) {
+      if (!centers.isNullAt(c)) {
+        val ctr = centers.getArray(c)
+        if (ctr.numElements() == n) {
+          var acc = 0.0
+          var i = 0
+          var ok = true
+          while (ok && i < n) {
+            if (ctr.isNullAt(i) || v.isNullAt(i)) ok = false
+            else {
+              val d = ctr.getDouble(i) - v.getDouble(i)
+              acc += d * d
+              i += 1
+            }
+          }
+          if (ok && acc < best) { best = acc; bestIdx = c + 1 }
+        }
+      }
+      c += 1
+    }
+    bestIdx
+  }
+}
+
+/** Registered as `graft_nearest(centers, v)` by [[graft.GraftExtensions]]. */
+case class VecNearestCenter(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def okC(t: DataType) = t match {
+    case ArrayType(ArrayType(DoubleType, _), _) => true
+    case _ => false
+  }
+  private def okV(t: DataType) = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okC(left.dataType) && okV(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<array<double>>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_nearest"
+
+  override protected def nullSafeEval(c: Any, v: Any): Any =
+    VecNearest.nearest(c.asInstanceOf[ArrayData], v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, v) => s"graft.functions.VecNearest.nearest($c, $v)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecNearestCenter =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registered as `graft_dot(a, b)` by [[graft.GraftExtensions]]. */
 case class VecDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

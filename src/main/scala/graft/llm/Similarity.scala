@@ -166,18 +166,20 @@ object Similarity {
   /** Per-row squared-L2 distances to each center of a literal codebook,
     * as one codegen'd array expression over the sub-vector columns.
     */
-  private def distArray(centers: Array[Array[Double]],
-                        sub: org.apache.spark.sql.Column) =
-    transform(typedLit(centers.map(_.toSeq).toSeq),
-      c => aggregate(zip_with(c, sub, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x))
-
-  /** 1-based index of the nearest center (= array_position of the min —
-    * exact double equality is safe: it compares the stored array's own
-    * element).
+  /** 1-based nearest-center index, fused (functions/VecDot.scala
+    * `graft_nearest`): same per-center fold order and first-minimum tie
+    * rule as the composed array_position(array_min) over a
+    * transform/zip_with distance array — bit-identical assignment — but
+    * one codegen'd loop with no intermediate array and no interpreted
+    * lambda dispatch (the HOF chain is CodegenFallback).
     */
-  private def nearestCenter(darr: org.apache.spark.sql.Column) =
-    array_position(darr, array_min(darr)).cast("int")
+  private def nearestC(centers: Array[Array[Double]],
+                       v: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.VecNearestCenter(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          typedLit(centers.map(_.toSeq).toSeq)),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(v)))
 
   /** IVF-style ANN: a k-means coarse quantizer partitions the corpus into
     * nlist cells; a query scores only the nprobe cells whose centroids are
@@ -192,7 +194,7 @@ object Similarity {
               nprobe: Int = 2): DataFrame = {
     val e = graft.ops.Caches.track(withVec(emb).persist())
     val centers = localKMeans(trainSample(e, "v", 200L * nlist), nlist)
-    val assigned = e.withColumn("cell", nearestCenter(distArray(centers, col("v"))) - 1)
+    val assigned = e.withColumn("cell", nearestC(centers, col("v")) - 1)
     val q = queryVec(e, queryId)
     val probeCells = centers.zipWithIndex
       .map { case (c, i) =>
@@ -251,8 +253,8 @@ object Similarity {
     // (vec_id, c_0..c_{m-1}) — the PQ code table; all a query scan reads
     val codes = unit.select(
       (col("vec_id") +: (0 until m).map(i =>
-        nearestCenter(distArray(codebooks(i),
-          slice(col("vn"), i * sub + 1, sub))).as(s"c_$i"))): _*)
+        nearestC(codebooks(i),
+          slice(col("vn"), i * sub + 1, sub)).as(s"c_$i"))): _*)
     val q = unit.filter(col("vec_id") === queryId).select("vn").head().getSeq[Double](0)
     val dtabs = (0 until m).map { i =>
       val qs = q.slice(i * sub, (i + 1) * sub)
@@ -313,7 +315,7 @@ object Similarity {
         .persist())
     val centers = localKMeans(trainSample(e, "v", 200L * ncells), ncells)
     val assigned = e
-      .withColumn("cell", nearestCenter(distArray(centers, col("v"))) - 1)
+      .withColumn("cell", nearestC(centers, col("v")) - 1)
       .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
     val pairs = assigned.as("x").join(assigned.as("y"), "cell")
       .filter(col("x.vec_id") < col("y.vec_id"))

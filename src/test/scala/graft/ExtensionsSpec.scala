@@ -135,6 +135,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(edge.getDouble(0).isNaN)
   }
 
+  test("graft_nearest matches the composed argmin chain, first-min tie rule") {
+    val sp = spark
+    import sp.implicits._
+    GraftExtensions.registerAll(sp)
+    val rows = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 13 + j))))
+      .toDF("id", "v")
+    rows.createOrReplaceTempView("near_v")
+    val centersSql = (0 until 5).map(c =>
+      (0 until 8).map(j => math.cos(c * 7 + j).toString + "D").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val both = sp.sql(
+      s"""SELECT id, graft_nearest($centersSql, v) AS fast,
+         |  CAST(array_position(darr, array_min(darr)) AS INT) AS slow
+         |FROM (SELECT id, v,
+         |  transform($centersSql, c ->
+         |    aggregate(zip_with(c, v, (a, b) -> (a - b) * (a - b)),
+         |      0.0D, (acc, x) -> acc + x)) AS darr
+         |  FROM near_v)""".stripMargin).collect()
+    both.foreach(r => assert(r.getInt(1) == r.getInt(2), s"id=${r.getLong(0)}"))
+    // exact tie: two identical centers -> first index wins, as array_position does
+    val tie = sp.sql(
+      """SELECT graft_nearest(array(array(1.0D, 0.0D), array(1.0D, 0.0D),
+        |                           array(9.0D, 9.0D)), array(1.0D, 0.1D)) AS i""".stripMargin)
+      .head().getInt(0)
+    assert(tie == 1)
+  }
+
   test("graft_nfc composes combining marks, is idempotent, keeps NFC text as-is") {
     val sp = spark
     import sp.implicits._
