@@ -29,8 +29,8 @@ object Similarity {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
-  /** dot(v, q) and |v|² as codegen array expressions (zip_with/aggregate —
-    * sequential fold, no UDF). A zero-norm vector (or query) gets cos =
+  /** dot(v, q) and |v|² via the native `graft_dot` loop (see [[dotC]] —
+    * no UDF, no HOF fallback). A zero-norm vector (or query) gets cos =
     * −1, not the NaN that 0/0 would produce — Spark orders NaN ABOVE every
     * real value, so an unguarded zero vector would outrank all true
     * matches and pass every `cos >= threshold` filter.
