@@ -1016,6 +1016,63 @@ object QueriesRelational {
         |FROM c CROSS JOIN g
         |ORDER BY cnt DESC, l_suppkey LIMIT 10""".stripMargin)),
 
+    // ANALYZE-style table profile — the stats-collection pass every
+    // cost-based planner (and every data-quality dashboard) runs: per
+    // column, row count, null count, exact distinct count, min/max
+    // (stringified for a uniform long schema). ONE wide hash aggregate
+    // computes every column's stats in a single scan (count_distinct
+    // columns become one Expand + aggregate — the grouping-sets shape);
+    // the long unpivot is a row-local stack of the 1-row result. At
+    // 100 TB exact NDV swaps for approx_count_distinct per the a12
+    // documented pattern; everything else is the same single pass.
+    Q("a28_table_profile", (s, d) => {
+      val li = Tables.table(s, d, "lineitem")
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_returnflag", "l_linestatus")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          count_distinct(col(c)).as(s"${c}__ndv"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max")))
+      val wide = li.agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map(c =>
+        wide.select(lit(c).as("column_name"), col("n_rows"),
+          col(s"${c}__nulls").as("n_nulls"), col(s"${c}__ndv").as("ndv"),
+          col(s"${c}__min").as("min_val"), col(s"${c}__max").as("max_val")))
+        .reduce(_.unionByName(_))
+      stacked.orderBy("column_name")
+    }, Some(
+      """WITH w AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ok_nulls,
+        |    count(DISTINCT l_orderkey) AS ok_ndv,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS ok_min, CAST(max(l_orderkey) AS VARCHAR) AS ok_max,
+        |    CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pk_nulls,
+        |    count(DISTINCT l_partkey) AS pk_ndv,
+        |    CAST(min(l_partkey) AS VARCHAR) AS pk_min, CAST(max(l_partkey) AS VARCHAR) AS pk_max,
+        |    CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS sk_nulls,
+        |    count(DISTINCT l_suppkey) AS sk_ndv,
+        |    CAST(min(l_suppkey) AS VARCHAR) AS sk_min, CAST(max(l_suppkey) AS VARCHAR) AS sk_max,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+        |    count(DISTINCT l_quantity) AS q_ndv,
+        |    CAST(min(l_quantity) AS VARCHAR) AS q_min, CAST(max(l_quantity) AS VARCHAR) AS q_max,
+        |    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS rf_nulls,
+        |    count(DISTINCT l_returnflag) AS rf_ndv,
+        |    CAST(min(l_returnflag) AS VARCHAR) AS rf_min, CAST(max(l_returnflag) AS VARCHAR) AS rf_max,
+        |    CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ls_nulls,
+        |    count(DISTINCT l_linestatus) AS ls_ndv,
+        |    CAST(min(l_linestatus) AS VARCHAR) AS ls_min, CAST(max(l_linestatus) AS VARCHAR) AS ls_max
+        |  FROM lineitem)
+        |SELECT 'l_orderkey' AS column_name, n_rows, ok_nulls AS n_nulls, ok_ndv AS ndv,
+        |       ok_min AS min_val, ok_max AS max_val FROM w
+        |UNION ALL SELECT 'l_partkey', n_rows, pk_nulls, pk_ndv, pk_min, pk_max FROM w
+        |UNION ALL SELECT 'l_suppkey', n_rows, sk_nulls, sk_ndv, sk_min, sk_max FROM w
+        |UNION ALL SELECT 'l_quantity', n_rows, q_nulls, q_ndv, q_min, q_max FROM w
+        |UNION ALL SELECT 'l_returnflag', n_rows, rf_nulls, rf_ndv, rf_min, rf_max FROM w
+        |UNION ALL SELECT 'l_linestatus', n_rows, ls_nulls, ls_ndv, ls_min, ls_max FROM w
+        |ORDER BY column_name""".stripMargin)),
+
     // ------------------------------------------------------------------
     // W — sorts / top-k / BH (reference top10k.py:11-14, volcano.R:138,
     // plots.R:162)
