@@ -674,6 +674,43 @@ object QueriesStats {
         .orderBy("probe_id")
     }, None),
 
+    // K19 — Fisher's combined probability (meta-analysis): per probe,
+    // fuse the three independent-family evidence streams the engine
+    // already computes — Welch t (parametric location), Mann–Whitney
+    // (rank location), KS (distribution shape) — into one statistic
+    // X = −2·Σ ln p ~ χ²(2k), p through the codegen chi-square survival
+    // function, BH across probes. The classic multi-test consolidation a
+    // screening pipeline runs before committing to a probe list. Each
+    // input p rides its own oracle-checked statistic chain; the three
+    // stats passes share the SAME bg join and each is one aggregate, so
+    // the whole query is three co-keyed aggregates + two joins. Rows-only
+    // (the component CDFs have no SQL analog).
+    Q("k19_fisher_combined", (s, d) => {
+      GraftExtensions.registerAll(s)
+      val bg = Tables.betaLong(s, d)
+        .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+      val pWelch = welchT(s, d)
+        .select(col("probe_id"), expr("graft_t_pvalue(t, df)").as("p_w"))
+      val pRank = Analytic.mannWhitney(bg, "probe_id", "beta", "group", "WT", "MUT")
+        .filter(col("n1") >= 3 && col("n2") >= 3)
+        .select(col("probe_id"), expr("graft_chisq_sf(z * z, 1.0)").as("p_r"))
+      val pKs = Analytic.ksTest(bg, "probe_id", "beta", "group", "WT", "MUT")
+        .filter(col("n1") >= 3 && col("n2") >= 3)
+        .select(col("probe_id"), expr("graft_ks_sf(ks_stat)").as("p_k"))
+      // ln(p) guards: a p that underflows to 0 clamps to the smallest
+      // positive double (ln ≈ −744.4) so X stays finite and ordering holds
+      def lnp(c: org.apache.spark.sql.Column) = log(greatest(c, lit(4.9e-324)))
+      val fused = pWelch.join(pRank, "probe_id").join(pKs, "probe_id")
+        .withColumn("x2", lit(-2.0) * (lnp(col("p_w")) + lnp(col("p_r")) + lnp(col("p_k"))))
+        .withColumn("p_value", expr("graft_chisq_sf(x2, 6.0)"))
+      Analytic.bhAdjust(fused, "p_value", "probe_id")
+        .select(col("probe_id"),
+          round(col("p_w"), 6).as("p_w"), round(col("p_r"), 6).as("p_r"),
+          round(col("p_k"), 6).as("p_k"), round(col("x2"), 6).as("x2"),
+          round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
+        .orderBy("probe_id")
+    }, None),
+
     // K12 — sample×sample Spearman correlation matrix (the QC-heatmap
     // companion to k08's euclidean distances; rank-based, so outlier
     // probes can't dominate a pair). Ranks are per-sample over that

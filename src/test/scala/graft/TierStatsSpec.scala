@@ -80,6 +80,24 @@ class TierStatsSpec extends SparkSpec {
     }
   }
 
+  test("k19 Fisher combination is consistent with its component p-values") {
+    val sp = spark
+    val got = SparkEntry.queries("k19_fisher_combined")(sp, sf)
+      .limit(5).collect()
+    assert(got.nonEmpty)
+    val chi = new org.apache.commons.math3.distribution.ChiSquaredDistribution(6.0)
+    got.foreach { r =>
+      val (pw, pr, pk) = (r.getAs[Double]("p_w"), r.getAs[Double]("p_r"), r.getAs[Double]("p_k"))
+      val x2 = -2.0 * (math.log(pw) + math.log(pr) + math.log(pk))
+      // rounded components => loose tolerance on the recomputed statistic
+      assert(math.abs(r.getAs[Double]("x2") - x2) < 2e-4,
+        s"${r.getString(0)}: x2=${r.getAs[Double]("x2")} recomputed=$x2")
+      val p = 1.0 - chi.cumulativeProbability(r.getAs[Double]("x2"))
+      assert(math.abs(r.getAs[Double]("p_value") - p) < 1e-5)
+      graft.ops.Caches.releaseAll()
+    }
+  }
+
   private def triSet(edges: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
     val sp = spark
     import sp.implicits._
