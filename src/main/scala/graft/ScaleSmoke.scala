@@ -99,7 +99,8 @@ object ScaleSmoke {
       "k15_clock_predictor", "k16_cell_deconvolution",
       "k17_welch_dmp", "t21_bm25", "g03_triangle_count",
       "a26_decay_features", "a27_skew_profile", "c14_domain_cap",
-      "k18_brown_forsythe", "e08_ingest_pipeline", "t22_nfc_normalize")
+      "k18_brown_forsythe", "e08_ingest_pipeline", "t22_nfc_normalize",
+      "a28_table_profile", "k19_fisher_combined")
     val timed = only match {
       case Some(subs) => queries.filter(q => subs.exists(q.contains))
       case None => queries
