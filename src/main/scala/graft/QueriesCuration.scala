@@ -552,6 +552,94 @@ object QueriesCuration {
         |       CAST(sum(CASE WHEN q.pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
         |       CAST(sum(CASE WHEN c.admitted THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
         |FROM q LEFT JOIN capped c USING (doc_id)
-        |GROUP BY 1 ORDER BY 1""".stripMargin))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // C15 — k-anonymity audit over quasi-identifiers: before a corpus (or
+    // its metadata) ships, group by the quasi-identifier tuple
+    // (source, lang, length decile) and flag equivalence classes smaller
+    // than k=5 — rows in those classes are re-identifiable by their QI
+    // combination alone (Sweeney's k-anonymity, the metadata-side
+    // companion of the t07 PII redaction pass). ONE hash aggregate on the
+    // QI key + a 1-row broadcast rollup for the corpus-level risk share;
+    // at 100 TB the QI census is exactly the a06 frequency-table shape.
+    Q("c15_k_anonymity", (s, d) => {
+      val k = 5L
+      val qi = docs(s, d).select(col("source"), col("lang"),
+        (col("n_chars") - col("n_chars") % 100).as("len_bucket"))
+      val classes = qi.groupBy("source", "lang", "len_bucket")
+        .agg(count(lit(1)).as("class_size"))
+        .withColumn("at_risk", col("class_size") < k)
+      val total = classes.agg(sum("class_size").as("n_total"),
+        sum(when(col("at_risk"), col("class_size")).otherwise(0L))
+          .as("n_at_risk"))
+      classes.crossJoin(broadcast(total))
+        .select(col("source"), col("lang"), col("len_bucket"),
+          col("class_size"), col("at_risk"),
+          round(col("n_at_risk").cast("double") / col("n_total").cast("double"), 6)
+            .as("corpus_risk_share"))
+        .orderBy("source", "lang", "len_bucket")
+    }, Some(
+      """WITH qi AS (
+        |  SELECT source, lang, n_chars - n_chars % 100 AS len_bucket
+        |  FROM documents),
+        |classes AS (
+        |  SELECT source, lang, len_bucket, count(*) AS class_size
+        |  FROM qi GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT CAST(sum(class_size) AS BIGINT) AS n_total,
+        |         CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+        |           AS n_at_risk
+        |  FROM classes)
+        |SELECT c.source, c.lang, c.len_bucket, c.class_size,
+        |       c.class_size < 5 AS at_risk,
+        |       round(CAST(t.n_at_risk AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+        |         AS corpus_risk_share
+        |FROM classes c CROSS JOIN t
+        |ORDER BY c.source, c.lang, c.len_bucket""".stripMargin)),
+
+    // C16 — rolling-origin evaluation folds over the event stream: split
+    // the observed time span into four exact integer quarters; fold f
+    // trains on quarters < f and tests on quarter f — the temporally
+    // leakage-free CV protocol for forecasting/engagement models (the
+    // time-axis counterpart of c06's cluster-coherent split: there the
+    // leakage channel is near-duplication, here it is the arrow of time).
+    // Quarter assignment is pure integer arithmetic off a 1-row broadcast
+    // range; one aggregate per (fold, role) after a 3-row fold explode.
+    Q("c16_time_folds", (s, d) => {
+      val sp = s
+      import sp.implicits._
+      val ev = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("t"))
+      val rng = ev.agg(min("t").as("tmin"), max("t").as("tmax"))
+      val q = ev.crossJoin(broadcast(rng))
+        .withColumn("quarter",
+          expr("((t - tmin) * 4) div (tmax - tmin + 1)"))
+      val folds = Seq(1, 2, 3).toDF("fold")
+      q.crossJoin(broadcast(folds))
+        .withColumn("role",
+          when(col("quarter") < col("fold"), "train")
+            .when(col("quarter") === col("fold"), "test"))
+        .filter(col("role").isNotNull)
+        .groupBy("fold", "role")
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          min("t").as("min_t"), max("t").as("max_t"))
+        .orderBy("fold", "role")
+    }, Some(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |r AS (SELECT min(t) AS tmin, max(t) AS tmax FROM e),
+        |q AS (
+        |  SELECT user_id, t, ((t - tmin) * 4) // (tmax - tmin + 1) AS quarter
+        |  FROM e CROSS JOIN r),
+        |x AS (
+        |  SELECT q.*, f.fold,
+        |         CASE WHEN q.quarter < f.fold THEN 'train'
+        |              WHEN q.quarter = f.fold THEN 'test' END AS role
+        |  FROM q CROSS JOIN (VALUES (1), (2), (3)) f(fold))
+        |SELECT fold, role, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       min(t) AS min_t, max(t) AS max_t
+        |FROM x WHERE role IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -107,6 +107,45 @@ object QueriesGraph {
         |  SELECT z FROM tri)
         |SELECT part AS l_partkey, CAST(count(*) AS BIGINT) AS triangles
         |FROM parts GROUP BY 1
-        |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin))
+        |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin)),
+
+    // BFS hop distances from a seed set (customers of nation 0) over the
+    // customer↔supplier order graph, bounded to 4 hops — the reachability
+    // radius / crawl-frontier primitive. Level-synchronous frontier joins
+    // (see ops/Graph.shortestPaths scaladoc); the oracle states the same
+    // semantics declaratively as a bounded recursive CTE with min(dist)
+    // — BFS distance ≡ min over ≤4-hop walks.
+    Q("g04_shortest_paths", (s, d) => {
+      val seeds = Tables.table(s, d, "customer")
+        .filter(col("c_nationkey") === 0)
+        .select((col("c_custkey").cast("bigint") * 2L).as("id"))
+      val dist = Graph.shortestPaths(
+        Graph.custSuppEdges(Tables.table(s, d, "orders"),
+          Tables.table(s, d, "lineitem")), seeds, maxHops = 4)
+      dist.select(
+          when(col("id") % 2L === 0L, "customer").otherwise("supplier")
+            .as("node_type"),
+          when(col("id") % 2L === 0L, col("id") / lit(2L))
+            .otherwise((col("id") - 1L) / lit(2L)).cast("bigint").as("node_key"),
+          col("dist"))
+        .orderBy("node_type", "node_key")
+    }, Some(
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+        |                  CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |walk(id, dist) AS (
+        |  SELECT CAST(c_custkey AS BIGINT) * 2, 0
+        |  FROM customer WHERE c_nationkey = 0
+        |  UNION
+        |  SELECT u.dst, w.dist + 1
+        |  FROM walk w JOIN und u ON w.id = u.src WHERE w.dist < 4),
+        |d AS (SELECT id, min(dist) AS dist FROM walk GROUP BY 1)
+        |SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+        |       CAST(CASE WHEN id % 2 = 0 THEN id // 2 ELSE (id - 1) // 2 END AS BIGINT)
+        |         AS node_key,
+        |       CAST(dist AS INT) AS dist
+        |FROM d ORDER BY node_type, node_key""".stripMargin))
   )
 }

@@ -320,6 +320,14 @@ object QueriesLlm {
       Similarity.pqTopK(emb(s, d), queryId = 0L, k = 10),
       None),
 
+    // MMR diversity re-rank over the brute-force top-20 candidates
+    // (rows-only — the greedy selection is iterative; SimilaritySpec pins
+    // first-pick-equals-top-cosine and planted-redundancy demotion).
+    Q("n07_mmr_rerank", (s, d) =>
+      Similarity.mmrRerank(emb(s, d), queryId = 0L, k = 5,
+        candidates = 20, lambda = 0.7),
+      None),
+
     Q("n02_ann_lsh_bucketed", (s, d) =>
       Similarity.lshTopK(emb(s, d), queryId = 0L, k = 5, bits = 4),
       Some(
@@ -811,6 +819,71 @@ object QueriesLlm {
         |       count(DISTINCT md5(text)) AS fp_pre,
         |       count(DISTINCT md5(norm)) AS fp_post
         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // T23 — Zipf slope: OLS fit of ln(freq) on ln(rank) over the top-100
+    // corpus terms — natural corpora sit near slope −1, so a far-off slope
+    // flags synthetic/templated text (the corpus-level companion of t06's
+    // per-doc repetition score). Term counts are exact integers; the
+    // bounded 100-row tail computes its regression moments as ORDERED
+    // running sums (the a29/a31 pattern) so the double sequence is
+    // engine-identical, and the final row carries the fit.
+    Q("t23_zipf_slope", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = docs(s, d).select(
+        explode(split(trim(regexp_replace(lower(col("text")),
+          "[^a-z0-9]+", " ")), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val freq = words.groupBy("w").agg(count(lit(1)).as("freq"))
+      val ranked = freq.withColumn("rk", row_number().over(
+          Window.orderBy(col("freq").desc, col("w").asc)))
+        .filter(col("rk") <= 100)
+        .withColumn("x", log(col("rk").cast("double")))
+        .withColumn("y", log(col("freq").cast("double")))
+      val wCum = Window.orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sums = ranked
+        .withColumn("sx", sum("x").over(wCum))
+        .withColumn("sy", sum("y").over(wCum))
+        .withColumn("sxy", sum(col("x") * col("y")).over(wCum))
+        .withColumn("sxx", sum(col("x") * col("x")).over(wCum))
+        .withColumn("last", row_number().over(Window.orderBy(col("rk").desc)))
+        .filter(col("last") === 1)
+      def d2(c: String) = col(c).cast("double")
+      sums.withColumn("slope",
+          (d2("rk") * col("sxy") - col("sx") * col("sy"))
+            / (d2("rk") * col("sxx") - col("sx") * col("sx")))
+        .select(col("rk").as("n_terms"),
+          round(col("slope"), 6).as("slope"),
+          round((col("sy") - col("slope") * col("sx")) / d2("rk"), 6)
+            .as("intercept"))
+    }, Some(
+      """WITH words AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text),
+        |           '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |freq AS (SELECT w, count(*) AS freq FROM words WHERE w != '' GROUP BY 1),
+        |ranked AS (
+        |  SELECT w, freq, row_number() OVER (ORDER BY freq DESC, w) AS rk
+        |  FROM freq QUALIFY rk <= 100),
+        |xy AS (
+        |  SELECT rk, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+        |  FROM ranked),
+        |sums AS (
+        |  SELECT rk,
+        |         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |         sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
+        |  FROM xy
+        |  WINDOW w AS (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  QUALIFY row_number() OVER (ORDER BY rk DESC) = 1),
+        |fit AS (
+        |  SELECT rk AS n_terms,
+        |         (CAST(rk AS DOUBLE) * sxy - sx * sy)
+        |         / (CAST(rk AS DOUBLE) * sxx - sx * sx) AS slope,
+        |         sx, sy
+        |  FROM sums)
+        |SELECT n_terms, round(slope, 6) AS slope,
+        |       round((sy - slope * sx) / CAST(n_terms AS DOUBLE), 6) AS intercept
+        |FROM fit""".stripMargin)),
 
     // ------------------------------------------------------------------
     // Multimodal columns

@@ -1073,6 +1073,254 @@ object QueriesRelational {
         |UNION ALL SELECT 'l_linestatus', n_rows, ls_nulls, ls_ndv, ls_min, ls_max FROM w
         |ORDER BY column_name""".stripMargin)),
 
+    // A29 — mutual information between two categorical columns (order
+    // status × priority): the dependence screen feature stores run before
+    // trusting a categorical feature pair (and the MI feature-selection
+    // primitive of quality-classifier pipelines). Cell counts and both
+    // marginals are EXACT bigints from one aggregate + two tiny windows
+    // over the |X|·|Y| cell table; every per-cell quantity (pmi, mi_term)
+    // is row-local, and the scalar MI is exposed as `mi_running` — a
+    // cumulative sum in a DETERMINISTIC (x, y) order, so the double
+    // sequence is identical in the DuckDB oracle (no order-nondeterministic
+    // global double sum anywhere). Last row's mi_running = total MI in nats.
+    Q("a29_mutual_information", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = Tables.table(s, d, "orders")
+        .groupBy(col("o_orderstatus").as("x"), col("o_orderpriority").as("y"))
+        .agg(count(lit(1)).as("n_xy"))
+      val wx = Window.partitionBy("x")
+      val wy = Window.partitionBy("y")
+      val wAll = Window.partitionBy()
+      val wCum = Window.orderBy("x", "y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+      val t = cells
+        .withColumn("n_x", sum("n_xy").over(wx))
+        .withColumn("n_y", sum("n_xy").over(wy))
+        .withColumn("n", sum("n_xy").over(wAll))
+        .withColumn("pmi",
+          log(d2(col("n")) * d2(col("n_xy")) / (d2(col("n_x")) * d2(col("n_y")))))
+        .withColumn("mi_term", d2(col("n_xy")) / d2(col("n")) * col("pmi"))
+      t.withColumn("mi_running", sum("mi_term").over(wCum))
+        .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+          round(col("pmi"), 9).as("pmi"), round(col("mi_term"), 9).as("mi_term"),
+          round(col("mi_running"), 9).as("mi_running"))
+        .orderBy("x", "y")
+    }, Some(
+      """WITH cells AS (
+        |  SELECT o_orderstatus AS x, o_orderpriority AS y, count(*) AS n_xy
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (
+        |  SELECT x, y, n_xy,
+        |         sum(n_xy) OVER (PARTITION BY x) AS n_x,
+        |         sum(n_xy) OVER (PARTITION BY y) AS n_y,
+        |         sum(n_xy) OVER () AS n
+        |  FROM cells),
+        |e AS (
+        |  SELECT x, y, n_xy, n_x, n_y,
+        |         ln(CAST(n AS DOUBLE) * CAST(n_xy AS DOUBLE)
+        |            / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) AS pmi,
+        |         CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE)
+        |         * ln(CAST(n AS DOUBLE) * CAST(n_xy AS DOUBLE)
+        |              / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) AS mi_term
+        |  FROM t)
+        |SELECT x, y, n_xy, CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+        |       round(pmi, 9) AS pmi, round(mi_term, 9) AS mi_term,
+        |       round(sum(mi_term) OVER (ORDER BY x, y
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9) AS mi_running
+        |FROM e ORDER BY x, y""".stripMargin)),
+
+    // A30 — autocorrelation function: per event-type series ordered by
+    // (ts, event_id), ACF at lags 1..5 with the full-series-mean estimator
+    // r_ℓ = Σ(x_t−x̄)(x_{t−ℓ}−x̄) / Σ(x_t−x̄)². ONE window pass emits all
+    // five lag columns (5 lag() calls share the same window frame sort),
+    // stacked row-local, then per-(type, lag) EXACT integer cross-moments
+    // on cents — the numerator expansion sxy − x̄(Σa+Σb) + np·x̄² keeps
+    // every data-dependent sum a bigint; only the final ratio is floating
+    // point. The seasonality/staleness probe of event-stream QC.
+    Q("a30_acf", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+      val ev = Tables.events(s, d).select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("bigint").as("c"))
+      val lagged = ev.select(
+        col("event_type") +: col("c").as("x") +:
+          (1 to 5).map(l => lag("c", l).over(w).as(s"b$l")): _*)
+      val stacked = lagged.select(col("event_type"), col("x"),
+        expr("stack(5, 1, b1, 2, b2, 3, b3, 4, b4, 5, b5) AS (lag, b)"))
+        .filter(col("b").isNotNull)
+      val base = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("c").as("s"), sum(col("c") * col("c")).as("ss"))
+      def d2(c: String) = col(c).cast("double")
+      stacked.groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("x") * col("b")).as("sxy"),
+          sum("x").as("sa"), sum("b").as("sb"))
+        .join(base, "event_type")
+        .withColumn("mu", d2("s") / d2("n"))
+        .withColumn("num", d2("sxy") - col("mu") * (d2("sa") + d2("sb"))
+          + d2("n_pairs") * col("mu") * col("mu"))
+        .withColumn("den", d2("ss") - d2("n") * col("mu") * col("mu"))
+        .filter(col("den") > 0.0)
+        .select(col("event_type"), col("lag"), col("n_pairs"),
+          round(col("num") / col("den"), 6).as("acf"))
+        .orderBy("event_type", "lag")
+    }, Some(
+      """WITH ev AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |lagged AS (
+        |  SELECT event_type, c AS x,
+        |         lag(c, 1) OVER w AS b1, lag(c, 2) OVER w AS b2,
+        |         lag(c, 3) OVER w AS b3, lag(c, 4) OVER w AS b4,
+        |         lag(c, 5) OVER w AS b5
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+        |stacked AS (
+        |  SELECT event_type, x, 1 AS lag, b1 AS b FROM lagged WHERE b1 IS NOT NULL
+        |  UNION ALL SELECT event_type, x, 2, b2 FROM lagged WHERE b2 IS NOT NULL
+        |  UNION ALL SELECT event_type, x, 3, b3 FROM lagged WHERE b3 IS NOT NULL
+        |  UNION ALL SELECT event_type, x, 4, b4 FROM lagged WHERE b4 IS NOT NULL
+        |  UNION ALL SELECT event_type, x, 5, b5 FROM lagged WHERE b5 IS NOT NULL),
+        |pairs AS (
+        |  SELECT event_type, lag, count(*) AS n_pairs,
+        |         CAST(sum(x * b) AS BIGINT) AS sxy, CAST(sum(x) AS BIGINT) AS sa,
+        |         CAST(sum(b) AS BIGINT) AS sb
+        |  FROM stacked GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+        |         CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM ev GROUP BY 1),
+        |j AS (
+        |  SELECT p.*, b.n, b.s, b.ss, CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mu
+        |  FROM pairs p JOIN base b USING (event_type))
+        |SELECT event_type, lag, n_pairs,
+        |       round((CAST(sxy AS DOUBLE)
+        |              - mu * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+        |              + CAST(n_pairs AS DOUBLE) * mu * mu)
+        |             / (CAST(ss AS DOUBLE) - CAST(n AS DOUBLE) * mu * mu), 6) AS acf
+        |FROM j WHERE CAST(ss AS DOUBLE) - CAST(n AS DOUBLE) * mu * mu > 0.0
+        |ORDER BY event_type, lag""".stripMargin)),
+
+    // A31 — Benford first-digit profile: the classic fabricated-data /
+    // ingest-anomaly screen. First significant digit extracted on the
+    // EXACT integer cent path (substring of the bigint's decimal string —
+    // no float log10 near power-of-10 boundaries), digit census in one
+    // hash aggregate, Benford expectation ln(1+1/d)/ln(10) and the χ²
+    // goodness-of-fit contribution row-local, and the statistic exposed as
+    // `chisq_running` — a cumulative sum in digit order (the a29 pattern)
+    // so the final row carries the full χ²(8) without any
+    // order-nondeterministic double aggregate.
+    Q("a31_benford", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val digits = Tables.table(s, d, "orders")
+        .select(substring(round(col("o_totalprice") * 100).cast("bigint")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+      val counts = digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+      val wAll = Window.partitionBy()
+      val wCum = Window.orderBy("digit")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val t = counts
+        .withColumn("n", sum("n_obs").over(wAll))
+        .withColumn("expected_n",
+          d2(col("n")) * log(lit(1.0) + lit(1.0) / d2(col("digit"))) / log(lit(10.0)))
+        .withColumn("contrib",
+          (d2(col("n_obs")) - col("expected_n")) * (d2(col("n_obs")) - col("expected_n"))
+            / col("expected_n"))
+      t.withColumn("chisq_running", sum("contrib").over(wCum))
+        .select(col("digit"), col("n_obs"), round(col("expected_n"), 6).as("expected_n"),
+          round(col("contrib"), 6).as("contrib"),
+          round(col("chisq_running"), 6).as("chisq_running"))
+        .orderBy("digit")
+    }, Some(
+      """WITH digits AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+        |                     1, 1) AS INT) AS digit
+        |  FROM orders),
+        |counts AS (SELECT digit, count(*) AS n_obs FROM digits GROUP BY 1),
+        |t AS (
+        |  SELECT digit, n_obs, sum(n_obs) OVER () AS n
+        |  FROM counts),
+        |e AS (
+        |  SELECT digit, n_obs,
+        |         CAST(n AS DOUBLE) * ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)
+        |           AS expected_n,
+        |         (CAST(n_obs AS DOUBLE)
+        |          - CAST(n AS DOUBLE) * ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
+        |         * (CAST(n_obs AS DOUBLE)
+        |            - CAST(n AS DOUBLE) * ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
+        |         / (CAST(n AS DOUBLE) * ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
+        |           AS contrib
+        |  FROM t)
+        |SELECT digit, n_obs, round(expected_n, 6) AS expected_n,
+        |       round(contrib, 6) AS contrib,
+        |       round(sum(contrib) OVER (ORDER BY digit
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS chisq_running
+        |FROM e ORDER BY digit""".stripMargin)),
+
+    // A32 — partial correlation (price ~ quantity controlling for
+    // discount): the confounder-adjusted dependence screen,
+    // r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) computed entirely
+    // from the a24 one-pass exact decimal(38,0) moment aggregate — ONE
+    // scan, ONE 1-row reduce, every downstream step row-local double math.
+    Q("a32_partial_corr", (s, d) => {
+      val dec = "decimal(38,0)"
+      val base = Tables.table(s, d, "lineitem").select(
+        cents(col("l_extendedprice")).cast(dec).as("x"),
+        col("l_quantity").cast("bigint").cast(dec).as("y"),
+        round(col("l_discount") * 100).cast("bigint").cast(dec).as("z"))
+      val vars = Seq("x", "y", "z")
+      val aggs = Seq(count(lit(1)).cast(dec).as("n")) ++
+        vars.map(v => sum(col(v)).as(s"s_$v")) ++
+        (for { i <- vars.indices; j <- i until vars.length } yield
+          sum(col(vars(i)) * col(vars(j))).as(s"s_${vars(i)}_${vars(j)}"))
+      val m = base.agg(aggs.head, aggs.tail: _*)
+      def den(v: String) =
+        (col("n") * col(s"s_${v}_$v") - col(s"s_$v") * col(s"s_$v")).cast("double")
+      def corrOf(a: String, b: String) =
+        (col("n") * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b")).cast("double") /
+          sqrt(den(a) * den(b))
+      m.withColumn("r_xy", corrOf("x", "y"))
+        .withColumn("r_xz", corrOf("x", "z"))
+        .withColumn("r_yz", corrOf("y", "z"))
+        .select(round(col("r_xy"), 6).as("r_xy"),
+          round(col("r_xz"), 6).as("r_xz"),
+          round(col("r_yz"), 6).as("r_yz"),
+          round((col("r_xy") - col("r_xz") * col("r_yz"))
+            / sqrt((lit(1.0) - col("r_xz") * col("r_xz"))
+              * (lit(1.0) - col("r_yz") * col("r_yz"))), 6).as("r_partial"))
+    }, Some(
+      """WITH v AS (
+        |  SELECT CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT) AS x,
+        |         CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) AS y,
+        |         CAST(CAST(round(l_discount * 100) AS BIGINT) AS HUGEINT) AS z
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |         sum(x) AS s_x, sum(y) AS s_y, sum(z) AS s_z,
+        |         sum(x * x) AS s_x_x, sum(x * y) AS s_x_y, sum(x * z) AS s_x_z,
+        |         sum(y * y) AS s_y_y, sum(y * z) AS s_y_z, sum(z * z) AS s_z_z
+        |  FROM v),
+        |r AS (
+        |  SELECT
+        |    CAST(n * s_x_y - s_x * s_y AS DOUBLE)
+        |      / sqrt(CAST(n * s_x_x - s_x * s_x AS DOUBLE)
+        |             * CAST(n * s_y_y - s_y * s_y AS DOUBLE)) AS r_xy,
+        |    CAST(n * s_x_z - s_x * s_z AS DOUBLE)
+        |      / sqrt(CAST(n * s_x_x - s_x * s_x AS DOUBLE)
+        |             * CAST(n * s_z_z - s_z * s_z AS DOUBLE)) AS r_xz,
+        |    CAST(n * s_y_z - s_y * s_z AS DOUBLE)
+        |      / sqrt(CAST(n * s_y_y - s_y * s_y AS DOUBLE)
+        |             * CAST(n * s_z_z - s_z * s_z AS DOUBLE)) AS r_yz
+        |  FROM m)
+        |SELECT round(r_xy, 6) AS r_xy, round(r_xz, 6) AS r_xz,
+        |       round(r_yz, 6) AS r_yz,
+        |       round((r_xy - r_xz * r_yz)
+        |             / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6) AS r_partial
+        |FROM r""".stripMargin)),
+
     // ------------------------------------------------------------------
     // W — sorts / top-k / BH (reference top10k.py:11-14, volcano.R:138,
     // plots.R:162)
@@ -1282,6 +1530,60 @@ object QueriesRelational {
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
     }),
 
+    // R12 — snapshot diff (CDC between table versions): v2 is derived
+    // from the documents snapshot by a deterministic mutation set (every
+    // 17th doc deleted, every 13th rewritten, a planted insert block), and
+    // the diff is ONE full-outer join on the key emitting
+    // added/removed/changed with the changed-column list — the
+    // table-format time-travel diff (Delta/Iceberg snapshot compare)
+    // restated relationally. At scale both sides bucket by the key, so
+    // the join co-locates; unchanged rows are filtered before the sink.
+    Q("r12_snapshot_diff", (s, d) => {
+      val v1 = Tables.table(s, d, "documents")
+        .select("doc_id", "text", "source", "n_chars")
+      val v2base = v1
+        .filter(col("doc_id") % 17 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 5, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+      val inserts = v1.filter(col("doc_id") % 29 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit("ingest_v2").as("source"), col("n_chars"))
+      val v2 = v2base.unionByName(inserts)
+      val j = v1.as("a").join(v2.as("b"), Seq("doc_id"), "full_outer")
+      j.select(col("doc_id"),
+          when(col("a.n_chars").isNull, "added")
+            .when(col("b.n_chars").isNull, "removed")
+            .otherwise("changed").as("change_type"),
+          concat_ws(",",
+            when(col("a.text") =!= col("b.text"), lit("text")),
+            when(col("a.source") =!= col("b.source"), lit("source")))
+            .as("changed_cols"))
+        .filter(col("change_type") =!= "changed" || col("changed_cols") =!= "")
+        .orderBy("doc_id")
+    }, Some(
+      """WITH v1 AS (SELECT doc_id, text, source, n_chars FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 5 THEN text || ' [rev2]' ELSE text END AS text,
+        |         source, n_chars
+        |  FROM v1 WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 'ingest_v2', n_chars
+        |  FROM v1 WHERE doc_id % 29 = 7),
+        |j AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |         CASE WHEN a.doc_id IS NULL THEN 'added'
+        |              WHEN b.doc_id IS NULL THEN 'removed'
+        |              ELSE 'changed' END AS change_type,
+        |         concat_ws(',',
+        |           CASE WHEN a.text <> b.text THEN 'text' END,
+        |           CASE WHEN a.source <> b.source THEN 'source' END) AS changed_cols
+        |  FROM v1 a FULL OUTER JOIN v2 b USING (doc_id))
+        |SELECT doc_id, change_type, changed_cols
+        |FROM j WHERE change_type <> 'changed' OR changed_cols <> ''
+        |ORDER BY doc_id""".stripMargin)),
+
     // Batch sessionization (12 h inactivity gap): session index via one
     // keyed window pass, then per-session aggregates. Money stays in exact
     // integer cents (w06 convention) so the cross-engine hash is stable.
@@ -1385,6 +1687,120 @@ object QueriesRelational {
         |       round(any_value(m.med), 6) AS med, round(any_value(m.mad), 6) AS mad
         |FROM dev d JOIN mad m USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // W12 — single mean-shift changepoint per event-type series (the
+    // binary-segmentation / CUSUM "at most one change" statistic): at
+    // every split position t the standardized mean gap
+    // G_t = √(t(n−t)/n)·|mean_left − mean_right| from EXACT cumulative
+    // cent sums, argmax per key with a deterministic (G desc, t asc)
+    // tie-break. One window for the ordered cumsum, one for the argmax —
+    // both partitioned by event_type, so no global sort at any scale; the
+    // drift detector that decides when a feature distribution moved.
+    Q("w12_changepoint", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+      val ev = Tables.events(s, d).select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("bigint").as("c"))
+      def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+      val cum = ev
+        .withColumn("t", row_number().over(ord))
+        .withColumn("cum", sum("c").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("s", sum("c").over(Window.partitionBy("event_type")))
+        .filter(col("t") < col("n"))
+        .withColumn("mean_l", d2(col("cum")) / d2(col("t")))
+        .withColumn("mean_r",
+          (d2(col("s")) - d2(col("cum"))) / (d2(col("n")) - d2(col("t"))))
+        .withColumn("g",
+          sqrt(d2(col("t")) * (d2(col("n")) - d2(col("t"))) / d2(col("n")))
+            * abs(col("mean_l") - col("mean_r")))
+      val pick = Window.partitionBy("event_type")
+        .orderBy(col("g").desc, col("t").asc)
+      cum.withColumn("rn", row_number().over(pick)).filter(col("rn") === 1)
+        .select(col("event_type"), col("n"), col("t").as("split_pos"),
+          col("event_id").as("split_event_id"),
+          round(col("g"), 6).as("g_stat"),
+          round(col("mean_l"), 6).as("mean_left_cents"),
+          round(col("mean_r"), 6).as("mean_right_cents"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH ev AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |cum AS (
+        |  SELECT event_type, event_id,
+        |         row_number() OVER w AS t,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         count(*) OVER (PARTITION BY event_type) AS n,
+        |         sum(c) OVER (PARTITION BY event_type) AS s
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+        |g AS (
+        |  SELECT event_type, event_id, t, n,
+        |         CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) AS mean_l,
+        |         (CAST(s AS DOUBLE) - CAST(cum AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) AS mean_r,
+        |         sqrt(CAST(t AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))
+        |              / CAST(n AS DOUBLE))
+        |         * abs(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)
+        |               - (CAST(s AS DOUBLE) - CAST(cum AS DOUBLE))
+        |                 / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))) AS g
+        |  FROM cum WHERE t < n),
+        |pick AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY g DESC, t ASC) AS rn
+        |  FROM g)
+        |SELECT event_type, n, t AS split_pos, event_id AS split_event_id,
+        |       round(g, 6) AS g_stat, round(mean_l, 6) AS mean_left_cents,
+        |       round(mean_r, 6) AS mean_right_cents
+        |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // W13 — decile transition matrix (cohort mobility): rank every user's
+    // spend into deciles in each half of the time range (split at the
+    // exact integer midpoint of the observed span) and count
+    // (decile_then, decile_now) user flows — the churn / upgrade-path
+    // matrix of engagement analytics. Spend is exact cents; ntile(10) on
+    // (spend desc, user_id) is a total order, so bucket assignment is
+    // engine-independent; the 1-row time range broadcasts.
+    Q("w13_decile_transition", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("t"),
+        round(col("value") * 100).cast("bigint").as("c"))
+      val rng = ev.agg(min("t").as("tmin"), max("t").as("tmax"))
+      val spend = ev.crossJoin(broadcast(rng))
+        .withColumn("period",
+          when(col("t") <= expr("(tmin + tmax) div 2"), 1).otherwise(2))
+        .groupBy("user_id", "period").agg(sum("c").as("spend"))
+      val dc = spend.withColumn("decile", ntile(10).over(
+        Window.partitionBy("period").orderBy(col("spend").desc, col("user_id").asc)))
+      dc.as("a").filter(col("a.period") === 1)
+        .join(dc.as("b").filter(col("b.period") === 2), "user_id")
+        .groupBy(col("a.decile").as("decile_p1"), col("b.decile").as("decile_p2"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("decile_p1", "decile_p2")
+    }, Some(
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |r AS (SELECT min(t) AS tmin, max(t) AS tmax FROM e),
+        |sp AS (
+        |  SELECT user_id,
+        |         CASE WHEN t <= (tmin + tmax) // 2 THEN 1 ELSE 2 END AS period,
+        |         CAST(sum(c) AS BIGINT) AS spend
+        |  FROM e CROSS JOIN r GROUP BY 1, 2),
+        |dc AS (
+        |  SELECT *, ntile(10) OVER (PARTITION BY period
+        |    ORDER BY spend DESC, user_id) AS decile
+        |  FROM sp)
+        |SELECT a.decile AS decile_p1, b.decile AS decile_p2, count(*) AS n_users
+        |FROM dc a JOIN dc b ON a.user_id = b.user_id
+        |WHERE a.period = 1 AND b.period = 2
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // SCD type-2 dimension from the event_type change log: collapse
     // consecutive repeats per user, stamp [valid_from, valid_to) via lead.

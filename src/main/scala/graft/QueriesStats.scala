@@ -86,6 +86,81 @@ object QueriesStats {
         ((col("ssb") / 2.0) / (col("ssw") / (d2("n") - 3.0))).as("bf_f"))
   }
 
+  /** Shared K20 statistic pass: Kruskal–Wallis H across the three
+    * instrument runs — the k10 tie-cell machinery generalized to three
+    * groups. Average ranks live in exact DOUBLED integer units (the tie
+    * cell spanning global positions cum−t+1..cum has doubled average rank
+    * 2·cum − (t−1)); per-run doubled rank sums Ri_2 are exact bigints, and
+    * with Ri = Ri_2/2 the classic 12/(N(N+1))·ΣRi²/ni becomes
+    * 3/(N(N+1))·ΣRi_2²/ni. Tie correction 1 − Σ(t³−t)/(N³−N). Unrounded
+    * output `(probe_id, n, n0, n1, n2, h)`.
+    */
+  private[graft] def kruskalWallis(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = Tables.betaLong(s, d)
+      .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+      .select("probe_id", "run", "beta")
+    def ci(r: Int) = sum(when(col("run") === s"run_$r", 1L).otherwise(0L))
+    val cells = bg.groupBy("probe_id", "beta")
+      .agg(ci(0).as("c0"), ci(1).as("c1"), ci(2).as("c2"))
+      .withColumn("t", col("c0") + col("c1") + col("c2"))
+    val w = Window.partitionBy("probe_id").orderBy("beta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells.withColumn("cum", sum("t").over(w))
+      // doubled average rank of every member of this tie cell
+      .withColumn("dr", col("cum") * 2 - (col("t") - 1))
+    val a = ranked.groupBy("probe_id").agg(
+      count(lit(1)).as("ncells"),
+      sum("c0").as("n0"), sum("c1").as("n1"), sum("c2").as("n2"),
+      sum(col("c0") * col("dr")).as("r0_2"),
+      sum(col("c1") * col("dr")).as("r1_2"),
+      sum(col("c2") * col("dr")).as("r2_2"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    def d2(c: String) = col(c).cast("double")
+    val n = d2("n0") + d2("n1") + d2("n2")
+    val hRaw = lit(3.0) / (n * (n + 1.0)) *
+      (d2("r0_2") * d2("r0_2") / d2("n0")
+        + d2("r1_2") * d2("r1_2") / d2("n1")
+        + d2("r2_2") * d2("r2_2") / d2("n2")) - lit(3.0) * (n + 1.0)
+    val tieC = lit(1.0) - d2("ties") / (n * n * n - n)
+    a.filter(col("n0") >= 2 && col("n1") >= 2 && col("n2") >= 2 &&
+        col("ncells") > 1)
+      .select(col("probe_id"),
+        (col("n0") + col("n1") + col("n2")).as("n"),
+        col("n0"), col("n1"), col("n2"), (hRaw / tieC).as("h"))
+  }
+
+  /** Shared K21 statistic pass: per-probe Jarque–Bera from exact integer
+    * moments Σk..Σk⁴ on the 0..996 grid, central/standardized moments as a
+    * fixed double sequence (m2^1.5 written `m2·√m2` so the oracle's
+    * sequence is identical). Unrounded `(probe_id, n, skew, kurt, jb)`.
+    */
+  private[graft] def jarqueBera(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val bk = Tables.betaLong(s, d)
+      .withColumn("k", round(col("beta") * 997).cast("bigint"))
+    val m = bk.groupBy("probe_id").agg(
+      count(lit(1)).as("n"), sum("k").as("s1"),
+      sum(col("k") * col("k")).as("s2"),
+      sum(col("k") * col("k") * col("k")).as("s3"),
+      sum(col("k") * col("k") * col("k") * col("k")).as("s4"))
+    def d2(c: String) = col(c).cast("double")
+    val mu = d2("s1") / d2("n")
+    val e2 = d2("s2") / d2("n")
+    val e3 = d2("s3") / d2("n")
+    val e4 = d2("s4") / d2("n")
+    val m2 = e2 - mu * mu
+    val m3 = e3 - lit(3.0) * mu * e2 + lit(2.0) * mu * mu * mu
+    val m4 = e4 - lit(4.0) * mu * e3 + lit(6.0) * mu * mu * e2 -
+      lit(3.0) * mu * mu * mu * mu
+    m.withColumn("m2", m2).withColumn("m3", m3).withColumn("m4", m4)
+      .filter(col("n") >= 8 && col("m2") > 0.0)
+      .withColumn("skew", col("m3") / (col("m2") * sqrt(col("m2"))))
+      .withColumn("kurt", col("m4") / (col("m2") * col("m2")))
+      .select(col("probe_id"), col("n"), col("skew"), col("kurt"),
+        (d2("n") / 6.0 * (col("skew") * col("skew")
+          + (col("kurt") - 3.0) * (col("kurt") - 3.0) / 4.0)).as("jb"))
+  }
+
   /** Shared K13 statistic pass: per-probe one-way ANOVA across the three
     * instrument runs in ONE hash aggregate — run-conditional integer
     * moments (beta scaled to its exact 0..996 grid, the k08 trick), then
@@ -1264,6 +1339,128 @@ object QueriesStats {
       Analytic.bhAdjust(stats, "p_value", "probe_id")
         .select(col("probe_id"), col("n1"), col("n2"),
           round(col("t"), 6).as("t"), round(col("df"), 6).as("df"),
+          round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
+        .orderBy("probe_id")
+    }, None),
+
+    // K20 — Kruskal–Wallis H across the three instrument runs: the
+    // nonparametric one-way ANOVA (rank analog of k13, multi-group analog
+    // of k10's Mann–Whitney — closes the nonparametric family). Same
+    // tie-cell shape as k10: one data shuffle to (probe, beta) cells with
+    // per-run counts, a per-probe cumulative window for average ranks in
+    // exact DOUBLED integer units, then H with the tie correction as a
+    // fixed double sequence. Rank sums are exact bigints; only the final
+    // combination is floating point, so the DuckDB oracle is bit-for-bit.
+    Q("k20_kruskal_wallis", (s, d) =>
+      kruskalWallis(s, d)
+        .select(col("probe_id"), col("n"), col("n0"), col("n1"), col("n2"),
+          round(col("h"), 6).as("h"))
+        .orderBy("probe_id"),
+    Some(ctes +
+      """, bg AS (
+        |  SELECT b.probe_id, b.beta, s.run
+        |  FROM beta b JOIN sheet s USING (sample_id)),
+        |cells AS (
+        |  SELECT probe_id, beta,
+        |         CAST(sum(CASE WHEN run = 'run_0' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |         CAST(sum(CASE WHEN run = 'run_1' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN run = 'run_2' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM bg GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, c0 + c1 + c2 AS t,
+        |         sum(c0 + c1 + c2) OVER (PARTITION BY probe_id ORDER BY beta
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM cells),
+        |a AS (
+        |  SELECT probe_id, count(*) AS ncells,
+        |         CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+        |         CAST(sum(c2) AS BIGINT) AS n2,
+        |         CAST(sum(c0 * (2 * cum - (t - 1))) AS BIGINT) AS r0_2,
+        |         CAST(sum(c1 * (2 * cum - (t - 1))) AS BIGINT) AS r1_2,
+        |         CAST(sum(c2 * (2 * cum - (t - 1))) AS BIGINT) AS r2_2,
+        |         CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        |  FROM r GROUP BY 1),
+        |e AS (
+        |  SELECT probe_id, n0 + n1 + n2 AS n, n0, n1, n2,
+        |         (3.0 / (CAST(n0 + n1 + n2 AS DOUBLE) * CAST(n0 + n1 + n2 + 1 AS DOUBLE))
+        |          * (CAST(r0_2 AS DOUBLE) * CAST(r0_2 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |             + CAST(r1_2 AS DOUBLE) * CAST(r1_2 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |             + CAST(r2_2 AS DOUBLE) * CAST(r2_2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |          - 3.0 * CAST(n0 + n1 + n2 + 1 AS DOUBLE))
+        |         / (1.0 - CAST(ties AS DOUBLE)
+        |                  / (CAST(n0 + n1 + n2 AS DOUBLE) * CAST(n0 + n1 + n2 AS DOUBLE)
+        |                     * CAST(n0 + n1 + n2 AS DOUBLE)
+        |                     - CAST(n0 + n1 + n2 AS DOUBLE))) AS h
+        |  FROM a
+        |  WHERE n0 >= 2 AND n1 >= 2 AND n2 >= 2 AND ncells > 1)
+        |SELECT probe_id, n, n0, n1, n2, round(h, 6) AS h
+        |FROM e ORDER BY probe_id""".stripMargin)),
+
+    // K20 inferential completion: H ~ χ²(k−1) under H0 → two-sided p via
+    // the codegen chi-square survival function + BH (the k10/k13 pattern).
+    // Rows-only — the CDF has no SQL analog; H rides k20's oracle.
+    Q("k20_kw_inference", (s, d) => {
+      GraftExtensions.registerAll(s)
+      val stats = kruskalWallis(s, d)
+        .withColumn("p_value", expr("graft_chisq_sf(h, 2.0)"))
+      Analytic.bhAdjust(stats, "p_value", "probe_id")
+        .select(col("probe_id"), col("n"), round(col("h"), 6).as("h"),
+          round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
+        .orderBy("probe_id")
+    }, None),
+
+    // K21 — Jarque–Bera normality screen: per-probe sample skewness and
+    // (Pearson) kurtosis from EXACT integer moments up to order 4 on the
+    // 0..996 beta grid (k ≤ 996 ⇒ Σk⁴ ≤ n·9.8e11 — bigint-safe to ~9e6
+    // observations per probe), standardized moments as a fixed double
+    // sequence (scale-invariant, so grid units cancel — no /997 anywhere).
+    // The pre-test that justifies k03's normal-theory eBayes over the
+    // k10/k11 nonparametric path. ONE hash aggregate, map-side combined.
+    Q("k21_jarque_bera", (s, d) =>
+      jarqueBera(s, d)
+        .select(col("probe_id"), col("n"), round(col("skew"), 6).as("skew"),
+          round(col("kurt"), 6).as("kurt"), round(col("jb"), 6).as("jb"))
+        .orderBy("probe_id"),
+    Some(ctes +
+      """, bk AS (
+        |  SELECT probe_id, CAST(round(beta * 997) AS BIGINT) AS k FROM beta),
+        |m AS (
+        |  SELECT probe_id, count(*) AS n, CAST(sum(k) AS BIGINT) AS s1,
+        |         CAST(sum(k * k) AS BIGINT) AS s2,
+        |         CAST(sum(k * k * k) AS BIGINT) AS s3,
+        |         CAST(sum(k * k * k * k) AS BIGINT) AS s4
+        |  FROM bk GROUP BY 1),
+        |c AS (
+        |  SELECT probe_id, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+        |         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+        |         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+        |  FROM m),
+        |cm AS (
+        |  SELECT probe_id, n,
+        |         e2 - mu * mu AS m2,
+        |         e3 - 3.0 * mu * e2 + 2.0 * mu * mu * mu AS m3,
+        |         e4 - 4.0 * mu * e3 + 6.0 * mu * mu * e2
+        |            - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM c),
+        |st AS (
+        |  SELECT probe_id, n, m3 / (m2 * sqrt(m2)) AS skew,
+        |         m4 / (m2 * m2) AS kurt
+        |  FROM cm WHERE n >= 8 AND m2 > 0.0)
+        |SELECT probe_id, n, round(skew, 6) AS skew, round(kurt, 6) AS kurt,
+        |       round(CAST(n AS DOUBLE) / 6.0
+        |             * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0), 6) AS jb
+        |FROM st ORDER BY probe_id""".stripMargin)),
+
+    // K21 inferential completion: JB ~ χ²(2) asymptotically → p via the
+    // codegen chi-square survival function + BH. Rows-only; the statistic
+    // rides k21's oracle.
+    Q("k21_jb_inference", (s, d) => {
+      GraftExtensions.registerAll(s)
+      val stats = jarqueBera(s, d)
+        .withColumn("p_value", expr("graft_chisq_sf(jb, 2.0)"))
+      Analytic.bhAdjust(stats, "p_value", "probe_id")
+        .select(col("probe_id"), col("n"), round(col("jb"), 6).as("jb"),
           round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id")
     }, None)

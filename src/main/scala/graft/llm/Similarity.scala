@@ -77,6 +77,65 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance diversity re-rank (Carbonell & Goldstein
+    * 1998): fetch the top-`candidates` cosine neighbors with the
+    * distributed n01 scan, then run the greedy selection
+    * `argmax_i λ·cos(q,i) − (1−λ)·max_{j∈S} cos(i,j)` driver-side on that
+    * BOUNDED candidate set (the PQ-codebook policy: the corpus-sized scan
+    * is distributed, the k·candidates² greedy loop is a driver constant).
+    * Deterministic: candidate order is (cos desc, vec_id asc) and ties in
+    * the MMR score break toward the lower vec_id.
+    *
+    * @return (rank, vec_id, relevance, redundancy, mmr_score), rank 1..k
+    */
+  def mmrRerank(emb: DataFrame, queryId: Long, k: Int,
+                candidates: Int = 20, lambda: Double = 0.7): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = withVec(emb)
+    val q = queryVec(e, queryId)
+    val cand = scored(e.filter(col("vec_id") =!= queryId), q)
+      .filter(col("nrm") > 0)
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(candidates)
+      .select(col("vec_id"), col("cos"), col("v"))
+      .collect()
+    val ids = cand.map(_.getLong(0))
+    val rel = cand.map(_.getDouble(1))
+    val unit = cand.map { r =>
+      val a = r.getSeq[Double](2).toArray
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n > 0) a.map(_ / n) else a
+    }
+    def sim(i: Int, j: Int): Double = {
+      var s = 0.0; var x = 0
+      while (x < unit(i).length) { s += unit(i)(x) * unit(j)(x); x += 1 }
+      s
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double, Double)]
+    while (selected.length < math.min(k, cand.length)) {
+      var best = -1; var bestScore = Double.NegativeInfinity; var bestRed = 0.0
+      var i = 0
+      while (i < cand.length) {
+        if (!selected.contains(i)) {
+          val red = if (selected.isEmpty) 0.0
+            else selected.map(j => sim(i, j)).max
+          val sc = lambda * rel(i) - (1.0 - lambda) * red
+          if (sc > bestScore ||
+              (sc == bestScore && best >= 0 && ids(i) < ids(best))) {
+            best = i; bestScore = sc; bestRed = red
+          }
+        }
+        i += 1
+      }
+      selected += best
+      out += ((selected.length, ids(best), rel(best),
+        math.rint(bestRed * 1e6) / 1e6, math.rint(bestScore * 1e6) / 1e6))
+    }
+    out.toSeq.toDF("rank", "vec_id", "relevance", "redundancy", "mmr_score")
+  }
+
   /** Deterministic driver-local Lloyd's k-means for quantizer training.
     * Codebooks/centroid tables are tiny offline artifacts at corpus scale —
     * training them needs a bounded sample, not a distributed fit, so this

@@ -208,4 +208,43 @@ object Graph {
       .select(col("t").getItem(0).as("x"), col("t").getItem(1).as("y"),
         col("t").getItem(2).as("z"))
   }
+
+  /** Multi-source BFS hop distances, bounded to `maxHops` — the
+    * reachability primitive (seed-set expansion over a link graph, the
+    * crawl-frontier / influence-radius shape). Level-synchronous: each
+    * round joins ONLY the current frontier (nodes first reached last
+    * round) against the edge list, drops already-settled nodes with an
+    * anti-join, and unions the new level in. The frontier join keys on
+    * src, the settled table is localCheckpoint'ed per round so the plan
+    * stays constant-size in hops (reliable checkpoints on a real cluster),
+    * and each round is two co-keyed shuffles — never a whole-graph
+    * re-walk. Equivalent to min-dist over all ≤maxHops walks, which is
+    * what the recursive-CTE oracle computes.
+    *
+    * @param edges (src, dst) pairs, interpreted undirected (both
+    *              orientations are generated internally)
+    * @param seeds single-column `id` frame, distance-0 nodes
+    * @return (id, dist) for every node within maxHops of a seed
+    */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val und = Caches.track(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .persist())
+    var settled = seeds.select(col("id")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint()
+    var frontier = settled
+    var hop = 1
+    while (hop <= maxHops && !frontier.isEmpty) {
+      val next = frontier.join(und, frontier("id") === und("src"))
+        .select(und("dst").as("id")).distinct()
+        .join(settled, Seq("id"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint()
+      settled = settled.union(next).localCheckpoint()
+      frontier = next
+      hop += 1
+    }
+    settled
+  }
 }

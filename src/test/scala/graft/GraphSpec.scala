@@ -61,6 +61,34 @@ class GraphSpec extends SparkSpec {
     assert(ranksOf(g, 7, localThreshold = 0L) == reference(g, 7))
   }
 
+  test("shortestPaths: BFS distances on a planted path + branch graph") {
+    val sp = spark
+    import sp.implicits._
+    // path 1-2-3-4-5 with a branch 2-6; node 9 unreachable (no edges to it)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L),
+      (8L, 9L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    try {
+      val got = Graph.shortestPaths(edges, seeds, maxHops = 3)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 6L -> 2, 4L -> 3),
+        s"BFS distances wrong: $got") // 5 is 4 hops away, 8/9 disconnected
+    } finally graft.ops.Caches.releaseAll()
+  }
+
+  test("shortestPaths: multi-source takes the minimum over seeds") {
+    val sp = spark
+    import sp.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("id")
+    try {
+      val got = Graph.shortestPaths(edges, seeds, maxHops = 4)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2),
+        s"multi-source BFS wrong: $got")
+    } finally graft.ops.Caches.releaseAll()
+  }
+
   test("custSuppEdges namespaces customers even / suppliers odd, distinct") {
     val sp = spark
     import sp.implicits._

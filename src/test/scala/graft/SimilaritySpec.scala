@@ -117,4 +117,30 @@ class SimilaritySpec extends SparkSpec {
     // own — nothing else drops
     assert(out.count(_._2._1) == 5)
   }
+
+  test("mmrRerank: first pick is the top-cosine hit, planted redundancy demotes") {
+    // q = e1; vecs 1,2 nearly identical (cos(1,2) ≈ 0.99996), vec 3 equally
+    // relevant but on the OTHER side of q (cos(1,3) ≈ 0.9802 — lower
+    // redundancy). Pure relevance order: 1, 2, 3 (by id tie-break on the
+    // rounded cos). MMR at λ=0.7 must pick 1 first, then prefer the
+    // diverse 3 (0.7·0.995 − 0.3·0.9802) over the redundant near-copy 2
+    // (0.7·0.994 − 0.3·0.99996).
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(1.0f, 0.1f, 0.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.11f, 0.0f, 0.0f), 0),
+      (3L, Seq(1.0f, -0.1f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.mmrRerank(e, queryId = 0L, k = 3,
+      candidates = 10, lambda = 0.7).collect()
+    val order = got.sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+    assert(order.head == 1L, s"first MMR pick must be the top-cosine hit: $order")
+    assert(order == Seq(1L, 3L, 2L),
+      s"redundant near-copy must be demoted below the diverse vec: $order")
+    // rank-1 redundancy is 0 by definition; later picks carry max-sim to S
+    val byRank = got.map(r => r.getInt(0) ->
+      (r.getDouble(3), r.getDouble(4))).toMap
+    assert(byRank(1)._1 == 0.0)
+    assert(byRank(2)._1 > 0.0 && byRank(2)._1 < 1.0)
+  }
 }

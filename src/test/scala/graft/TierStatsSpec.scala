@@ -43,6 +43,145 @@ class TierStatsSpec extends SparkSpec {
     }
   }
 
+  test("a29 mutual information: running total matches a driver-side reference") {
+    val sp = spark
+    import sp.implicits._
+    val rows = SparkEntry.queries("a29_mutual_information")(sp, sf)
+      .orderBy("x", "y").collect()
+    assert(rows.nonEmpty)
+    // independent reference from the raw table
+    val cells = Tables.table(sp, sf, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority").count()
+      .as[(String, String, Long)].collect()
+    val n = cells.map(_._3).sum.toDouble
+    val px = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val py = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val mi = cells.sortBy(c => (c._1, c._2)).map { case (x, y, c) =>
+      c / n * math.log(n * c / (px(x).toDouble * py(y).toDouble))
+    }.sum
+    val lastRunning = rows.last.getAs[Double]("mi_running")
+    assert(math.abs(lastRunning - mi) < 1e-6,
+      s"MI: got $lastRunning expect $mi")
+    // MI of a non-degenerate table is non-negative
+    assert(lastRunning >= -1e-12)
+  }
+
+  test("a30 ACF matches a naive driver-side autocorrelation") {
+    val sp = spark
+    import sp.implicits._
+    val got = SparkEntry.queries("a30_acf")(sp, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("lag")) ->
+        r.getAs[Double]("acf")).toMap
+    assert(got.nonEmpty)
+    val series = Tables.events(sp, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("t"),
+        col("event_id"), round(col("value") * 100).cast("bigint").as("c"))
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.sortBy(x => (x._2, x._3)).map(_._4.toDouble) }
+    series.foreach { case (et, xs) =>
+      val n = xs.length
+      val mu = xs.sum / n
+      val den = xs.map(x => (x - mu) * (x - mu)).sum
+      (1 to 5).foreach { l =>
+        if (n > l && den > 0) {
+          val num = (l until n).map(t => (xs(t) - mu) * (xs(t - l) - mu)).sum
+          val expect = num / den
+          assert(math.abs(got((et, l)) - expect) < 1e-5,
+            s"acf($et, $l): got ${got((et, l))} expect $expect")
+        }
+      }
+    }
+  }
+
+  test("w12 changepoint finds a planted level shift at the right position") {
+    val sp = spark
+    import sp.implicits._
+    // independent reference on the real series: argmax of the G statistic
+    val got = SparkEntry.queries("w12_changepoint")(sp, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Int]("split_pos"), r.getAs[Double]("g_stat"))).toMap
+    assert(got.nonEmpty)
+    val series = Tables.events(sp, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("t"),
+        col("event_id"), round(col("value") * 100).cast("bigint").as("c"))
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.sortBy(x => (x._2, x._3)).map(_._4.toDouble) }
+    series.foreach { case (et, xs) =>
+      val n = xs.length
+      val cum = xs.scanLeft(0.0)(_ + _).tail
+      val s = cum.last
+      var bestT = -1; var bestG = Double.NegativeInfinity
+      (1 until n).foreach { t =>
+        val g = math.sqrt(t.toDouble * (n - t) / n) *
+          math.abs(cum(t - 1) / t - (s - cum(t - 1)) / (n - t))
+        if (g > bestG) { bestG = g; bestT = t }
+      }
+      assert(got(et)._1 == bestT,
+        s"$et: split at ${got(et)._1}, reference says $bestT")
+      assert(math.abs(got(et)._2 - bestG) < 1e-4,
+        s"$et: G ${got(et)._2} vs $bestG")
+    }
+  }
+
+  test("k20 Kruskal-Wallis H matches a driver-side average-rank reference") {
+    val sp = spark
+    import sp.implicits._
+    val got = QueriesStats.kruskalWallis(sp, sf)
+      .orderBy("probe_id").limit(8).collect()
+    assert(got.nonEmpty, "no probes survived the n>=2-per-run gates")
+    val bg = Tables.betaLong(sp, sf)
+      .join(Tables.sampleSheet(sp, sf), "sample_id")
+      .select(col("probe_id"), col("run"), col("beta"))
+      .as[(String, String, Double)].collect().groupBy(_._1)
+    got.foreach { r =>
+      val rows = bg(r.getAs[String]("probe_id"))
+      // average ranks with ties, 1-based, computed the naive way
+      val sorted = rows.map(_._3).sorted
+      def avgRank(v: Double): Double = {
+        val lo = sorted.indexWhere(_ == v) + 1
+        val hi = sorted.lastIndexWhere(_ == v) + 1
+        (lo + hi) / 2.0
+      }
+      val n = rows.length.toDouble
+      val byRun = rows.groupBy(_._2).values.toSeq
+      val hRaw = 12.0 / (n * (n + 1)) * byRun.map { g =>
+        val rs = g.map(x => avgRank(x._3)).sum
+        rs * rs / g.length
+      }.sum - 3 * (n + 1)
+      val ties = sorted.groupBy(identity).values
+        .map(t => math.pow(t.length, 3) - t.length).sum
+      val h = hRaw / (1.0 - ties / (n * n * n - n))
+      assert(math.abs(r.getAs[Double]("h") - h) < 1e-6 * math.max(1.0, h),
+        s"${r.getAs[String]("probe_id")}: got ${r.getAs[Double]("h")} expect $h")
+      assert(r.getAs[Long]("n") == rows.length)
+    }
+  }
+
+  test("k21 Jarque-Bera matches direct biased-moment computation") {
+    val sp = spark
+    import sp.implicits._
+    val got = QueriesStats.jarqueBera(sp, sf)
+      .orderBy("probe_id").limit(8).collect()
+    assert(got.nonEmpty)
+    val bk = Tables.betaLong(sp, sf)
+      .select(col("probe_id"), round(col("beta") * 997).cast("bigint").as("k"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    got.foreach { r =>
+      val xs = bk(r.getAs[String]("probe_id")).map(_._2.toDouble)
+      val n = xs.length.toDouble
+      val mu = xs.sum / n
+      def cm(p: Int) = xs.map(x => math.pow(x - mu, p)).sum / n
+      val skew = cm(3) / math.pow(cm(2), 1.5)
+      val kurt = cm(4) / (cm(2) * cm(2))
+      val jb = n / 6.0 * (skew * skew + (kurt - 3) * (kurt - 3) / 4.0)
+      assert(math.abs(r.getAs[Double]("skew") - skew) < 1e-9, s"skew mismatch")
+      assert(math.abs(r.getAs[Double]("kurt") - kurt) < 1e-9, s"kurt mismatch")
+      assert(math.abs(r.getAs[Double]("jb") - jb) < 1e-6 * math.max(1.0, jb))
+    }
+  }
+
   test("k18 Brown-Forsythe F matches a driver-side reference on real probes") {
     val sp = spark
     import sp.implicits._
