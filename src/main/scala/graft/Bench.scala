@@ -16,24 +16,24 @@ object Bench {
 
   /** Fixed cross-tier headline set — the expensive/representative query per
     * tier. Kept stable across rounds so BENCH_r{N} lines are comparable
-    * (r6: three sub-0.2 s legacy entries — so01/a01/t01 — rotated out to
-    * keep the line under the driver's 2000-char stdout tail buffer; their
-    * timings remain in BENCH_full.json).
+    * (r6: sub-0.2 s legacy entries — so01/a01/t01, then c12/t17/a20/j09 —
+    * rotated out to keep the line under the driver's 2000-char stdout tail
+    * buffer; their timings remain in BENCH_full.json).
     */
   private val headline = Set(
     "e02_full_workflow", "e04_curation_pipeline", "e01_streaming_window_qc",
     "k01_pca_scaled", "k02_mds_coords", "k03_dmp_moderated",
     "k05_combat_adjust", "k06_bmiq_normalize",
     "w01_topk_variance", "w03_bh_adjust", "w08_sessionize",
-    "j01_outer_merge_runs", "j09_asof_join",
+    "j01_outer_merge_runs",
     "d02_ngram_jaccard", "d03_minhash_lsh", "d05_embedding_neardup",
     "n01_ann_cosine_topk", "n03_ann_ivf", "n06_ann_pq",
     "t05_tfidf", "t10_quality_classifier",
-    "c01_dedup_clusters", "c05_sequence_packing", "c12_shuffle_shards",
+    "c01_dedup_clusters", "c05_sequence_packing",
     "g01_pagerank", "r02_partitioned_write", "r07_upsert_merge",
     "s03_final_report", "m03_image_pixels",
     // round-4 closing tier (line stays well under the 2000-char buffer)
-    "a17_expectations", "a19_topk_per_group_agg", "a20_hll_union",
+    "a17_expectations", "a19_topk_per_group_agg",
     "t13_sketch_watchlist", "t15_sketch_merge", "t14_bpe_encode",
     "d10_jaccard_df_pruned", "d11_incremental_neardup",
     "r10_curriculum_export", "r11_zorder_layout", "a16_approx_quantile",
@@ -42,14 +42,17 @@ object Bench {
     "e05_attribution_join", "j12_range_join_auto", "k08_sample_distance_matrix",
     "k09_probe_covariance", "j13_asof_join_exec",
     // round-5 closing tier
-    "k10_ranksum_dmp", "t17_html_extract", "t18_url_normalize",
+    "k10_ranksum_dmp", "t18_url_normalize",
     "b03_partition_pruned_join", "k12_spearman_corr", "e06_web_pipeline",
     "k13_anova_f",
     // round-6 inferential-completion + corpus-policy + closing tier
     "k13_anova_inference", "k11_ks_inference", "k14_dmr_regions",
     "e07_downstream_pipeline", "t20_c4_line_dedup", "k17_welch_dmp",
     "g03_triangle_count", "t21_bm25", "k18_brown_forsythe",
-    "e08_ingest_pipeline", "t22_nfc_normalize")
+    "e08_ingest_pipeline", "t22_nfc_normalize",
+    // distributional-diagnostics tier
+    "k20_kruskal_wallis", "g04_shortest_paths", "w12_changepoint",
+    "t23_zipf_slope")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -1321,6 +1321,62 @@ object QueriesRelational {
         |             / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6) AS r_partial
         |FROM r""".stripMargin)),
 
+    // A33 — join-cardinality pre-flight: predict |A ⋈ B| on a key as
+    // Σ_k cnt_A(k)·cnt_B(k) from the two per-key histograms BEFORE paying
+    // for the join — the planner-style sanity check a pipeline runs before
+    // kicking off a 100 TB fact-fact join (catches the accidental
+    // many-to-many blowup that a27's single-side skew census can't see).
+    // Two key-cardinality aggregates + one co-keyed join of the histograms
+    // (never the facts), all counts exact bigints; reports the predicted
+    // total, match coverage of each side, and the worst fan-out keys.
+    Q("a33_join_cardinality", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ca = Tables.table(s, d, "orders")
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cnt_a"))
+      val cb = Tables.table(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cnt_b"))
+      val h = ca.join(cb, Seq("k"), "full_outer")
+        .select(col("k"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+          coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+        .withColumn("contrib", col("cnt_a") * col("cnt_b"))
+      val top = h.filter(col("contrib") > 0)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("contrib").desc, col("k").asc)))
+        .filter(col("rk") <= 5)
+        .select(lit("top_key").as("row_type"), col("k").as("key"),
+          col("cnt_a"), col("cnt_b"), col("contrib").as("predicted_rows"))
+      val total = h.agg(
+        sum("contrib").as("predicted_rows"),
+        sum(when(col("contrib") > 0, col("cnt_a")).otherwise(0L)).as("cnt_a"),
+        sum(when(col("contrib") > 0, col("cnt_b")).otherwise(0L)).as("cnt_b"))
+        .select(lit("total").as("row_type"), lit(-1L).as("key"),
+          col("cnt_a"), col("cnt_b"), col("predicted_rows"))
+      total.unionByName(top).orderBy("row_type", "key")
+    }, Some(
+      """WITH ca AS (SELECT o_orderkey AS k, count(*) AS cnt_a FROM orders GROUP BY 1),
+        |cb AS (SELECT l_orderkey AS k, count(*) AS cnt_b FROM lineitem GROUP BY 1),
+        |h AS (
+        |  SELECT coalesce(ca.k, cb.k) AS k,
+        |         CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a,
+        |         CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b,
+        |         CAST(coalesce(cnt_a, 0) * coalesce(cnt_b, 0) AS BIGINT) AS contrib
+        |  FROM ca FULL OUTER JOIN cb ON ca.k = cb.k),
+        |top AS (
+        |  SELECT 'top_key' AS row_type, k AS key, cnt_a, cnt_b,
+        |         contrib AS predicted_rows,
+        |         row_number() OVER (ORDER BY contrib DESC, k) AS rk
+        |  FROM h WHERE contrib > 0 QUALIFY rk <= 5),
+        |total AS (
+        |  SELECT 'total' AS row_type, CAST(-1 AS BIGINT) AS key,
+        |         CAST(sum(CASE WHEN contrib > 0 THEN cnt_a ELSE 0 END) AS BIGINT) AS cnt_a,
+        |         CAST(sum(CASE WHEN contrib > 0 THEN cnt_b ELSE 0 END) AS BIGINT) AS cnt_b,
+        |         CAST(sum(contrib) AS BIGINT) AS predicted_rows
+        |  FROM h)
+        |SELECT row_type, key, cnt_a, cnt_b, predicted_rows FROM total
+        |UNION ALL
+        |SELECT row_type, key, cnt_a, cnt_b, predicted_rows FROM top
+        |ORDER BY row_type, key""".stripMargin)),
+
     // ------------------------------------------------------------------
     // W — sorts / top-k / BH (reference top10k.py:11-14, volcano.R:138,
     // plots.R:162)

@@ -100,7 +100,12 @@ object ScaleSmoke {
       "k17_welch_dmp", "t21_bm25", "g03_triangle_count",
       "a26_decay_features", "a27_skew_profile", "c14_domain_cap",
       "k18_brown_forsythe", "e08_ingest_pipeline", "t22_nfc_normalize",
-      "a28_table_profile", "k19_fisher_combined")
+      "a28_table_profile", "k19_fisher_combined",
+      "k20_kruskal_wallis", "k21_jarque_bera", "a29_mutual_information",
+      "a30_acf", "a31_benford", "a32_partial_corr", "w12_changepoint",
+      "w13_decile_transition", "g04_shortest_paths", "c15_k_anonymity",
+      "c16_time_folds", "r12_snapshot_diff", "t23_zipf_slope",
+      "a33_join_cardinality")
     val timed = only match {
       case Some(subs) => queries.filter(q => subs.exists(q.contains))
       case None => queries

@@ -43,6 +43,18 @@ class TierStatsSpec extends SparkSpec {
     }
   }
 
+  test("a33 join-cardinality prediction equals the actual join row count") {
+    val sp = spark
+    val total = SparkEntry.queries("a33_join_cardinality")(sp, sf)
+      .filter(col("row_type") === "total").head()
+    val actual = Tables.table(sp, sf, "orders")
+      .join(Tables.table(sp, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .count()
+    assert(total.getAs[Long]("predicted_rows") == actual,
+      s"predicted ${total.getAs[Long]("predicted_rows")} vs actual $actual")
+  }
+
   test("a29 mutual information: running total matches a driver-side reference") {
     val sp = spark
     import sp.implicits._
