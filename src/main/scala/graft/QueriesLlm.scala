@@ -885,6 +885,108 @@ object QueriesLlm {
         |       round((sy - slope * sx) / CAST(n_terms AS DOUBLE), 6) AS intercept
         |FROM fit""".stripMargin)),
 
+    // T24 — Heaps' law fit: vocabulary growth V = K·N^β across the corpus
+    // ingest order, fit on 10 document-decile checkpoints — β far from
+    // ~0.5 flags templated/synthetic text the same way t23's Zipf slope
+    // does, and the checkpoint table doubles as the tokenizer's
+    // vocabulary-budget forecast. All data-sized steps are aggregates
+    // (per-doc token counts, per-term FIRST occurrence via min(doc_id),
+    // per-decile rollups); the cumulative/OLS tail runs over the bounded
+    // 10-row checkpoint set with ordered running sums (the t23 pattern).
+    // The doc-decile ntile is the one global window — over one row per
+    // DOCUMENT (not tokens); at 100 TB the same checkpoints come from
+    // fixed id ranges with no sort.
+    Q("t24_heaps_law", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = docs(s, d).select(col("doc_id"),
+        explode(split(trim(regexp_replace(lower(col("text")),
+          "[^a-z0-9]+", " ")), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val tokPerDoc = words.groupBy("doc_id").agg(count(lit(1)).as("toks"))
+      val dec = tokPerDoc.withColumn("dec",
+        ntile(10).over(Window.orderBy("doc_id")))
+      val bounds = dec.groupBy("dec").agg(max("doc_id").as("max_doc"),
+        sum("toks").as("dec_toks"))
+      val firstDoc = words.groupBy("w").agg(min("doc_id").as("first_doc"))
+      // decile of each term's first occurrence: smallest decile whose
+      // max_doc covers it (≤10-row broadcast, min() collapses the fan-out)
+      val termDec = firstDoc.join(broadcast(bounds.select("dec", "max_doc")),
+          col("first_doc") <= col("max_doc"))
+        .groupBy("w").agg(min("dec").as("dec"))
+      val newTerms = termDec.groupBy("dec").agg(count(lit(1)).as("new_terms"))
+      val wCum = Window.orderBy("dec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pts = bounds.join(newTerms, Seq("dec"), "left")
+        .withColumn("tokens_cum", sum("dec_toks").over(wCum))
+        .withColumn("vocab_cum",
+          sum(coalesce(col("new_terms"), lit(0L))).over(wCum))
+        .withColumn("x", log(col("tokens_cum").cast("double")))
+        .withColumn("y", log(col("vocab_cum").cast("double")))
+      val sums = pts
+        .withColumn("sx", sum("x").over(wCum))
+        .withColumn("sy", sum("y").over(wCum))
+        .withColumn("sxy", sum(col("x") * col("y")).over(wCum))
+        .withColumn("sxx", sum(col("x") * col("x")).over(wCum))
+        .withColumn("last", row_number().over(Window.orderBy(col("dec").desc)))
+        .filter(col("last") === 1)
+      def d2(c: String) = col(c).cast("double")
+      sums.withColumn("beta",
+          (d2("dec") * col("sxy") - col("sx") * col("sy"))
+            / (d2("dec") * col("sxx") - col("sx") * col("sx")))
+        .select(col("dec").as("n_points"),
+          col("tokens_cum").as("tokens_total"),
+          col("vocab_cum").as("vocab_total"),
+          round(col("beta"), 6).as("heaps_beta"),
+          round((col("sy") - col("beta") * col("sx")) / d2("dec"), 6)
+            .as("intercept"))
+    }, Some(
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text),
+        |           '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |wf AS (SELECT doc_id, w FROM words WHERE w != ''),
+        |tpd AS (SELECT doc_id, count(*) AS toks FROM wf GROUP BY 1),
+        |dec AS (
+        |  SELECT doc_id, toks, ntile(10) OVER (ORDER BY doc_id) AS dec
+        |  FROM tpd),
+        |bounds AS (
+        |  SELECT dec, max(doc_id) AS max_doc, CAST(sum(toks) AS BIGINT) AS dec_toks
+        |  FROM dec GROUP BY 1),
+        |fd AS (SELECT w, min(doc_id) AS first_doc FROM wf GROUP BY 1),
+        |td AS (
+        |  SELECT fd.w, min(b.dec) AS dec
+        |  FROM fd JOIN bounds b ON fd.first_doc <= b.max_doc
+        |  GROUP BY 1),
+        |nt AS (SELECT dec, count(*) AS new_terms FROM td GROUP BY 1),
+        |pts AS (
+        |  SELECT b.dec,
+        |         sum(b.dec_toks) OVER w AS tokens_cum,
+        |         sum(coalesce(nt.new_terms, 0)) OVER w AS vocab_cum
+        |  FROM bounds b LEFT JOIN nt USING (dec)
+        |  WINDOW w AS (ORDER BY b.dec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |xy AS (
+        |  SELECT dec, tokens_cum, vocab_cum,
+        |         ln(CAST(tokens_cum AS DOUBLE)) AS x,
+        |         ln(CAST(vocab_cum AS DOUBLE)) AS y
+        |  FROM pts),
+        |sums AS (
+        |  SELECT dec, tokens_cum, vocab_cum,
+        |         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |         sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
+        |  FROM xy
+        |  WINDOW w AS (ORDER BY dec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  QUALIFY row_number() OVER (ORDER BY dec DESC) = 1),
+        |fit AS (
+        |  SELECT dec, tokens_cum, vocab_cum, sx, sy,
+        |         (CAST(dec AS DOUBLE) * sxy - sx * sy)
+        |         / (CAST(dec AS DOUBLE) * sxx - sx * sx) AS beta
+        |  FROM sums)
+        |SELECT dec AS n_points, CAST(tokens_cum AS BIGINT) AS tokens_total,
+        |       CAST(vocab_cum AS BIGINT) AS vocab_total,
+        |       round(beta, 6) AS heaps_beta,
+        |       round((sy - beta * sx) / CAST(dec AS DOUBLE), 6) AS intercept
+        |FROM fit""".stripMargin)),
+
     // ------------------------------------------------------------------
     // Multimodal columns
     // ------------------------------------------------------------------

@@ -1377,6 +1377,152 @@ object QueriesRelational {
         |SELECT row_type, key, cnt_a, cnt_b, predicted_rows FROM top
         |ORDER BY row_type, key""".stripMargin)),
 
+    // A34 — Gini coefficient of per-user spend by event type: the
+    // inequality / concentration profile (is engagement long-tailed or
+    // whale-dominated — the same question a crawl asks of domain traffic).
+    // Per-user spend and the rank-weighted sum Σi·s_i are EXACT bigints
+    // over one keyed rank window (total order: spend asc, user asc);
+    // G = 2Σi·s/(nΣs) − (n+1)/n is one row-local double expression per
+    // group. Two co-keyed shuffles (spend agg, rank window + final agg).
+    Q("a34_gini", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val spend = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          round(col("value") * 100).cast("bigint").as("c"))
+        .groupBy("event_type", "user_id").agg(sum("c").as("spend"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("spend").asc, col("user_id").asc)
+      def d2(c: String) = col(c).cast("double")
+      spend.withColumn("i", row_number().over(w).cast("bigint"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"), sum("spend").as("total_cents"),
+          sum(col("i") * col("spend")).as("sis"))
+        .withColumn("gini",
+          lit(2.0) * d2("sis") / (d2("n_users") * d2("total_cents"))
+            - (d2("n_users") + 1.0) / d2("n_users"))
+        .select(col("event_type"), col("n_users"), col("total_cents"),
+          round(col("gini"), 6).as("gini"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH spend AS (
+        |  SELECT event_type, user_id,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY spend, user_id) AS BIGINT) AS i
+        |  FROM spend),
+        |a AS (
+        |  SELECT event_type, count(*) AS n_users,
+        |         CAST(sum(spend) AS BIGINT) AS total_cents,
+        |         CAST(sum(i * spend) AS BIGINT) AS sis
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_users, total_cents,
+        |       round(2.0 * CAST(sis AS DOUBLE)
+        |             / (CAST(n_users AS DOUBLE) * CAST(total_cents AS DOUBLE))
+        |             - (CAST(n_users AS DOUBLE) + 1.0) / CAST(n_users AS DOUBLE), 6)
+        |         AS gini
+        |FROM a ORDER BY event_type""".stripMargin)),
+
+    // W14 — seasonal-naive forecast error (the MASE shape): per series,
+    // compare the season-lag predictor x̂_t = x_{t−5} against the naive
+    // x̂_t = x_{t−1} on the SAME evaluation rows — the model-free
+    // baseline every forecasting pipeline scores against before training
+    // anything. Absolute errors are exact integer cents from one keyed
+    // window (both lags share the frame sort); MASE is one double ratio
+    // per series.
+    Q("w14_forecast_error", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+      val ev = Tables.events(s, d).select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("bigint").as("c"))
+      def d2(c: String) = col(c).cast("double")
+      ev.withColumn("lag5", lag("c", 5).over(w))
+        .withColumn("lag1", lag("c", 1).over(w))
+        .filter(col("lag5").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("c") - col("lag5"))).as("se"),
+          sum(abs(col("c") - col("lag1"))).as("ne"))
+        .filter(col("ne") > 0)
+        .select(col("event_type"), col("n_eval"),
+          round(d2("se") / d2("n_eval"), 6).as("mae_seasonal_cents"),
+          round(d2("ne") / d2("n_eval"), 6).as("mae_naive_cents"),
+          round(d2("se") / d2("ne"), 6).as("mase"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH ev AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, c, lag(c, 5) OVER w AS lag5, lag(c, 1) OVER w AS lag1
+        |  FROM ev WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+        |a AS (
+        |  SELECT event_type, count(*) AS n_eval,
+        |         CAST(sum(abs(c - lag5)) AS BIGINT) AS se,
+        |         CAST(sum(abs(c - lag1)) AS BIGINT) AS ne
+        |  FROM l WHERE lag5 IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_eval,
+        |       round(CAST(se AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) AS mae_seasonal_cents,
+        |       round(CAST(ne AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) AS mae_naive_cents,
+        |       round(CAST(se AS DOUBLE) / CAST(ne AS DOUBLE), 6) AS mase
+        |FROM a WHERE ne > 0 ORDER BY event_type""".stripMargin)),
+
+    // J14 — keyed interval-overlap join (range × range): urgent orders'
+    // 7-day windows × low-priority orders' 7-day windows FOR THE SAME
+    // CUSTOMER NATION — the genomic (chromosome, bin) pattern. Each
+    // interval explodes into its ≤2 week-buckets; candidates meet through
+    // the (nation, bucket) EQUI-join (hash, never nested-loop), pairs
+    // dedup by key, the exact overlap predicate filters locally. The
+    // partition key is the scale lever: overlap-join OUTPUT grows with
+    // within-key temporal density² (the d05 lesson), so at 100 TB you
+    // key by the natural axis (chromosome, tenant, region) and keep each
+    // key's density bounded. Bounded output: top-20 urgent orders.
+    Q("j14_interval_overlap", (s, d) => {
+      val weekUs = 604800000000L
+      val nat = broadcast(Tables.table(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey")))
+      def side(prio: String) = Tables.table(s, d, "orders")
+        .filter(col("o_orderpriority") === prio)
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey").as("k"), col("c_nationkey").as("nat"),
+          unix_micros(col("o_orderdate")).as("lo"),
+          (unix_micros(col("o_orderdate")) + weekUs).as("hi"))
+      def binned(df: org.apache.spark.sql.DataFrame, pre: String) = df.select(
+        col("k").as(s"${pre}k"), col("nat"),
+        col("lo").as(s"${pre}lo"), col("hi").as(s"${pre}hi"),
+        explode(sequence(expr("lo div 604800000000"),
+          expr("(hi - 1) div 604800000000"))).as("bucket"))
+      binned(side("1-URGENT"), "a")
+        .join(binned(side("5-LOW"), "b"), Seq("nat", "bucket"))
+        .filter(col("alo") < col("bhi") && col("blo") < col("ahi"))
+        .select("ak", "bk").distinct()
+        .groupBy("ak").agg(count(lit(1)).as("n_overlaps"))
+        .orderBy(col("n_overlaps").desc, col("ak").asc)
+        .limit(20)
+        .select(col("ak").as("o_orderkey"), col("n_overlaps"))
+    }, Some(
+      """WITH a AS (
+        |  SELECT o_orderkey AS k, c.c_nationkey AS nat,
+        |         epoch_us(o_orderdate) AS lo,
+        |         epoch_us(o_orderdate) + 604800000000 AS hi
+        |  FROM orders JOIN customer c ON o_custkey = c.c_custkey
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |b AS (
+        |  SELECT o_orderkey AS k, c.c_nationkey AS nat,
+        |         epoch_us(o_orderdate) AS lo,
+        |         epoch_us(o_orderdate) + 604800000000 AS hi
+        |  FROM orders JOIN customer c ON o_custkey = c.c_custkey
+        |  WHERE o_orderpriority = '5-LOW'),
+        |p AS (
+        |  SELECT DISTINCT a.k AS ak, b.k AS bk
+        |  FROM a JOIN b ON a.nat = b.nat AND a.lo < b.hi AND b.lo < a.hi)
+        |SELECT ak AS o_orderkey, count(*) AS n_overlaps
+        |FROM p GROUP BY 1
+        |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin)),
+
     // ------------------------------------------------------------------
     // W — sorts / top-k / BH (reference top10k.py:11-14, volcano.R:138,
     // plots.R:162)

@@ -161,6 +161,36 @@ object QueriesStats {
           + (col("kurt") - 3.0) * (col("kurt") - 3.0) / 4.0)).as("jb"))
   }
 
+  /** Shared K22 statistic pass: Mann–Kendall S from the bounded samples²
+    * pair join (sample_id's fixed-width string order = collection order),
+    * tie-corrected variance from one tie-cell aggregate, continuity-
+    * corrected z. Unrounded `(probe_id, n, s_stat, z)`.
+    */
+  private[graft] def mannKendall(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val bk = Tables.betaLong(s, d)
+      .withColumn("k", round(col("beta") * 997).cast("bigint"))
+      .select("probe_id", "sample_id", "k")
+    val pairs = bk.as("a").join(bk.as("b"),
+        col("a.probe_id") === col("b.probe_id") &&
+          col("a.sample_id") < col("b.sample_id"))
+      .groupBy(col("a.probe_id").as("probe_id"))
+      .agg(sum(signum(col("b.k") - col("a.k")).cast("bigint")).as("s_stat"))
+    val ties = bk.groupBy("probe_id", "k").agg(count(lit(1)).as("t"))
+      .groupBy("probe_id")
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tsum"),
+        sum("t").as("n"))
+    def d2(c: String) = col(c).cast("double")
+    pairs.join(ties, "probe_id")
+      .withColumn("var_s",
+        (d2("n") * (d2("n") - 1.0) * (d2("n") * 2.0 + 5.0) - d2("tsum")) / 18.0)
+      .filter(col("n") >= 8 && col("var_s") > 0.0)
+      .withColumn("z",
+        when(col("s_stat") > 0, (d2("s_stat") - 1.0) / sqrt(col("var_s")))
+          .when(col("s_stat") < 0, (d2("s_stat") + 1.0) / sqrt(col("var_s")))
+          .otherwise(lit(0.0)))
+      .select(col("probe_id"), col("n"), col("s_stat"), col("z"))
+  }
+
   /** Shared K13 statistic pass: per-probe one-way ANOVA across the three
     * instrument runs in ONE hash aggregate — run-conditional integer
     * moments (beta scaled to its exact 0..996 grid, the k08 trick), then
@@ -1462,6 +1492,64 @@ object QueriesStats {
       Analytic.bhAdjust(stats, "p_value", "probe_id")
         .select(col("probe_id"), col("n"), round(col("jb"), 6).as("jb"),
           round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
+        .orderBy("probe_id")
+    }, None),
+
+    // K22 — Mann–Kendall trend test: per-probe monotonic drift across the
+    // sample collection order (sample_id's fixed-width encoding IS the
+    // synthetic collection sequence — the reference's chip-position axis).
+    // S = Σ_{i<j} sign(k_j − k_i) is an exact integer from the bounded
+    // samples² pair join (the k08/k12 shape: pairs co-keyed on probe,
+    // samples the bounded axis), tie-corrected variance
+    // [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18 from one tie-cell aggregate, and
+    // the continuity-corrected z a row-local double sequence. The drift
+    // screen run before trusting a batch: does a probe trend with
+    // processing order?
+    Q("k22_mann_kendall", (s, d) =>
+      mannKendall(s, d)
+        .select(col("probe_id"), col("n"), col("s_stat"),
+          round(col("z"), 6).as("z"))
+        .orderBy("probe_id"),
+    Some(ctes +
+      """, bk AS (
+        |  SELECT probe_id, sample_id, CAST(round(beta * 997) AS BIGINT) AS k
+        |  FROM beta),
+        |pairs AS (
+        |  SELECT a.probe_id,
+        |         CAST(sum(CASE WHEN b.k > a.k THEN 1
+        |                       WHEN b.k < a.k THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM bk a JOIN bk b
+        |    ON a.probe_id = b.probe_id AND a.sample_id < b.sample_id
+        |  GROUP BY 1),
+        |ties AS (
+        |  SELECT probe_id, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum,
+        |         CAST(sum(t) AS BIGINT) AS n
+        |  FROM (SELECT probe_id, k, count(*) AS t FROM bk GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT p.probe_id, t.n, p.s_stat,
+        |         (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) - 1.0)
+        |            * (2.0 * CAST(t.n AS DOUBLE) + 5.0)
+        |          - CAST(t.tsum AS DOUBLE)) / 18.0 AS var_s
+        |  FROM pairs p JOIN ties t USING (probe_id))
+        |SELECT probe_id, n, s_stat,
+        |       round(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+        |                  WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+        |                  ELSE 0.0 END, 6) AS z
+        |FROM j WHERE n >= 8 AND var_s > 0.0
+        |ORDER BY probe_id""".stripMargin)),
+
+    // K22 inferential completion: two-sided normal p via z² ~ χ²₁ through
+    // the codegen chi-square survival function + BH (the k10 pattern).
+    // Rows-only; (S, z) ride k22's oracle.
+    Q("k22_mk_inference", (s, d) => {
+      GraftExtensions.registerAll(s)
+      val stats = mannKendall(s, d)
+        .withColumn("p_value", expr("graft_chisq_sf(z * z, 1.0)"))
+      Analytic.bhAdjust(stats, "p_value", "probe_id")
+        .select(col("probe_id"), col("n"), col("s_stat"),
+          round(col("z"), 6).as("z"), round(col("p_value"), 6).as("p_value"),
+          round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id")
     }, None)
   )

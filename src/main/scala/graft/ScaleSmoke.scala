@@ -105,7 +105,9 @@ object ScaleSmoke {
       "a30_acf", "a31_benford", "a32_partial_corr", "w12_changepoint",
       "w13_decile_transition", "g04_shortest_paths", "c15_k_anonymity",
       "c16_time_folds", "r12_snapshot_diff", "t23_zipf_slope",
-      "a33_join_cardinality")
+      "a33_join_cardinality",
+      "a34_gini", "w14_forecast_error", "j14_interval_overlap",
+      "k22_mann_kendall", "t24_heaps_law")
     val timed = only match {
       case Some(subs) => queries.filter(q => subs.exists(q.contains))
       case None => queries

@@ -55,6 +55,82 @@ class TierStatsSpec extends SparkSpec {
       s"predicted ${total.getAs[Long]("predicted_rows")} vs actual $actual")
   }
 
+  test("k22 Mann-Kendall S/z match a driver-side pair-loop reference") {
+    val sp = spark
+    import sp.implicits._
+    val got = QueriesStats.mannKendall(sp, sf)
+      .orderBy("probe_id").limit(8).collect()
+    assert(got.nonEmpty)
+    val bk = Tables.betaLong(sp, sf)
+      .select(col("probe_id"), col("sample_id"),
+        round(col("beta") * 997).cast("bigint").as("k"))
+      .as[(String, String, Long)].collect().groupBy(_._1)
+    got.foreach { r =>
+      val xs = bk(r.getAs[String]("probe_id")).sortBy(_._2).map(_._3)
+      val n = xs.length
+      var sStat = 0L
+      for (i <- 0 until n; j <- i + 1 until n)
+        sStat += java.lang.Long.signum(xs(j) - xs(i))
+      val tsum = xs.groupBy(identity).values
+        .map { t => val c = t.length.toLong; c * (c - 1) * (2 * c + 5) }.sum
+      val varS = (n.toDouble * (n - 1) * (2.0 * n + 5) - tsum) / 18.0
+      val z = if (sStat > 0) (sStat - 1.0) / math.sqrt(varS)
+        else if (sStat < 0) (sStat + 1.0) / math.sqrt(varS) else 0.0
+      assert(r.getAs[Long]("s_stat") == sStat,
+        s"${r.getAs[String]("probe_id")}: S ${r.getAs[Long]("s_stat")} vs $sStat")
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-9)
+    }
+  }
+
+  test("a34 Gini matches a driver-side Lorenz computation and is in [0, 1)") {
+    val sp = spark
+    import sp.implicits._
+    val got = SparkEntry.queries("a34_gini")(sp, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("gini")).toMap
+    assert(got.nonEmpty)
+    val spend = Tables.events(sp, sf)
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("bigint").as("c"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (t, v) =>
+        t -> v.groupBy(_._2).values.map(_.map(_._3).sum).toSeq.sorted }
+    spend.foreach { case (t, xs) =>
+      val n = xs.length.toDouble
+      val tot = xs.sum.toDouble
+      val sis = xs.zipWithIndex.map { case (x, i) => (i + 1) * x.toDouble }.sum
+      val g = 2.0 * sis / (n * tot) - (n + 1) / n
+      assert(math.abs(got(t) - g) < 1e-5, s"$t: ${got(t)} vs $g")
+      assert(got(t) >= 0.0 && got(t) < 1.0)
+    }
+  }
+
+  test("t24 Heaps totals equal corpus token and vocabulary counts") {
+    val sp = spark
+    val row = SparkEntry.queries("t24_heaps_law")(sp, sf).head()
+    val words = Tables.table(sp, sf, "documents").select(
+      explode(split(trim(regexp_replace(lower(col("text")),
+        "[^a-z0-9]+", " ")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    assert(row.getAs[Long]("tokens_total") == words.count())
+    assert(row.getAs[Long]("vocab_total") == words.distinct().count())
+    assert(row.getAs[Int]("n_points") == 10)
+    // vocabulary growth is sublinear; the sf0.001 synthetic corpus
+    // saturates its vocabulary in the first decile, so β may be exactly 0
+    val beta = row.getAs[Double]("heaps_beta")
+    assert(beta >= 0.0 && beta < 1.0, s"heaps_beta out of range: $beta")
+  }
+
+  test("w14 MASE is consistent with its own reported MAE components") {
+    val sp = spark
+    val rows = SparkEntry.queries("w14_forecast_error")(sp, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("mae_seasonal_cents") /
+        r.getAs[Double]("mae_naive_cents")
+      assert(math.abs(r.getAs[Double]("mase") - ratio) < 1e-4)
+    }
+  }
+
   test("a29 mutual information: running total matches a driver-side reference") {
     val sp = spark
     import sp.implicits._
