@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StringType}
-import graft.sources.SectionedReport
+import graft.sources.{SectionedReport, Xlsx}
 import graft.streaming.QcMonitor
 
 /** Source/sink queries (SURVEY.md §2.1): CSV round-trip, sectioned
@@ -140,6 +140,53 @@ object QueriesSources {
         |  ('a_Grn.idat', CAST(5 AS BIGINT)),
         |  ('b_Red.idat', CAST(7 AS BIGINT))
         |) t(file, length) ORDER BY file""".stripMargin)),
+
+    // S2+S8 — XLSX round-trip through the dependency-free OOXML
+    // reader/writer (sources/Xlsx.scala): driver-side bounded sink (the
+    // reference's to_excel contract — filter.py:22,48, combat_norm.py:81),
+    // then the DISTRIBUTED binaryFile-based scan (one parse task per file,
+    // reference read_excel — filter.py:11, top10k.py:5). All cells come
+    // back as strings (CSV-without-inferSchema contract) and are cast;
+    // money flows as exact integer cents so the oracle is fp-order-proof.
+    Q("s09_xlsx_roundtrip", (s, d) => {
+      val path = s"${Q.scratch}/s09_supplier_${Integer.toHexString(d.hashCode)}.xlsx"
+      if (!new java.io.File(path).exists())
+        Xlsx.write(Tables.table(s, d, "supplier"), path, sheet = "suppliers")
+      Xlsx.read(s, path, sheet = Some("suppliers"))
+        .select(col("s_nationkey").cast("int").as("s_nationkey"),
+          col("s_name"),
+          round(col("s_acctbal").cast("double") * 100).cast("bigint").as("cents"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), min("s_name").as("first_name"),
+          sum("cents").as("acctbal_cents"))
+        .orderBy("s_nationkey")
+    }, Some(
+      """SELECT s_nationkey, count(*) AS n, min(s_name) AS first_name,
+        |       CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S8 distributed flavor: one xlsx part per Spark partition written
+    // executor-side (Hadoop FS API), then the glob scan parses all parts in
+    // parallel — the shape that scales an xlsx export beyond the format's
+    // 1,048,576-row single-sheet cap.
+    Q("s10_xlsx_partitioned", (s, d) => {
+      val dir = s"${Q.scratch}/s10_lineitem_xlsx_${Integer.toHexString(d.hashCode)}"
+      if (!new java.io.File(dir).exists()) {
+        val li = Tables.table(s, d, "lineitem")
+          .filter(col("l_linenumber") === 1 && col("l_orderkey") % 4 === 0)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        Xlsx.writePartitioned(li.repartition(4, col("l_orderkey")), dir)
+      }
+      Xlsx.read(s, s"$dir/*.xlsx")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity").cast("double") * 100).cast("bigint")).as("qty_cents"))
+        .orderBy("l_returnflag")
+    }, Some(
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 4 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // E — batch flavor of the streaming QC window (same transform the
     // Structured Streaming monitor uses; StreamingSpec drives the

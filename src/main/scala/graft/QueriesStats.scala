@@ -1551,6 +1551,113 @@ object QueriesStats {
           round(col("z"), 6).as("z"), round(col("p_value"), 6).as("p_value"),
           round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id")
-    }, None)
+    }, None),
+
+    // K10 (plot-data scope) — 95% confidence ellipse per group, the table
+    // behind the reference's `stat_ellipse(level=0.95)` on the PCA scatter
+    // (workflow.R:251 etc.). Engine emits the ellipse PARAMETERS (center,
+    // axis lengths, orientation); the renderer is out of scope. Points =
+    // per-sample (mean beta, mean detP) — a 2-D per-sample scatter whose
+    // stage-1 means come from EXACT integer grid moments, so the whole
+    // chain is DuckDB-oracle-checkable (unlike the eigen-produced PC1/PC2,
+    // where this same closed form applies unchanged). Stage 2 scales the
+    // rounded means to exact 1e-6-grid integers; the 2×2 covariance
+    // eigensystem is closed-form (θ = ½·atan2(2·cxy, cxx−cyy)), and the
+    // χ²₂ 0.95 quantile is the shared literal 5.991464547107979 (= −2·ln
+    // 0.05) so no libm log enters the compare. ONE narrow aggregate per
+    // stage — per-sample then per-group, both trivially distributed.
+    Q("k23_group_ellipse", (s, d) => {
+      val perSample = Tables.betaLong(s, d)
+        .withColumn("k", round(col("beta") * 997).cast("bigint"))
+        .groupBy("sample_id")
+        .agg(count(lit(1)).as("nb"), sum("k").as("sk"))
+        .join(Tables.detpLong(s, d)
+            .withColumn("q", round(col("pval") * 1010).cast("bigint"))
+            .groupBy("sample_id")
+            .agg(count(lit(1)).as("np"), sum("q").as("sq")),
+          Seq("sample_id"))
+        .select(col("sample_id"),
+          round(col("sk").cast("double") / (col("nb").cast("double") * 997.0), 6)
+            .cast("double").as("x"),
+          round(col("sq").cast("double") / (col("np").cast("double") * 1010.0), 6)
+            .cast("double").as("y"))
+        .select(col("sample_id"),
+          round(col("x") * 1e6).cast("bigint").as("x6"),
+          round(col("y") * 1e6).cast("bigint").as("y6"))
+      val g = perSample
+        .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+        .groupBy("group")
+        .agg(count(lit(1)).as("n"),
+          sum("x6").as("sx"), sum("y6").as("sy"),
+          sum(col("x6") * col("x6")).as("sxx"),
+          sum(col("x6") * col("y6")).as("sxy"),
+          sum(col("y6") * col("y6")).as("syy"))
+      def dc(c: String) = col(c).cast("double")
+      val nD = dc("n")
+      val cxx = (dc("sxx") - dc("sx") * dc("sx") / nD) / (nD - 1.0)
+      val cxy = (dc("sxy") - dc("sx") * dc("sy") / nD) / (nD - 1.0)
+      val cyy = (dc("syy") - dc("sy") * dc("sy") / nD) / (nD - 1.0)
+      g.withColumn("cxx", cxx).withColumn("cxy", cxy).withColumn("cyy", cyy)
+        .withColumn("disc",
+          sqrt((col("cxx") - col("cyy")) * (col("cxx") - col("cyy")) / 4.0
+            + col("cxy") * col("cxy")))
+        .withColumn("l1", (col("cxx") + col("cyy")) / 2.0 + col("disc"))
+        .withColumn("l2", (col("cxx") + col("cyy")) / 2.0 - col("disc"))
+        .select(col("group"), col("n"),
+          round(dc("sx") / nD / 1e6, 6).as("center_x"),
+          round(dc("sy") / nD / 1e6, 6).as("center_y"),
+          round(atan2(lit(2.0) * col("cxy"), col("cxx") - col("cyy")) / 2.0, 6)
+            .as("theta"),
+          round(sqrt(greatest(col("l1"), lit(0.0)) * 5.991464547107979) / 1e6, 6)
+            .as("semi_major"),
+          round(sqrt(greatest(col("l2"), lit(0.0)) * 5.991464547107979) / 1e6, 6)
+            .as("semi_minor"))
+        .orderBy("group")
+    }, Some(ctes +
+      """, ps AS (
+        |  SELECT b.sample_id,
+        |         CAST(round(round(CAST(sum(CAST(round(b.beta * 997) AS BIGINT)) AS DOUBLE)
+        |             / (CAST(count(*) AS DOUBLE) * 997.0), 6) * 1e6) AS BIGINT) AS x6
+        |  FROM beta b GROUP BY 1),
+        |pp AS (
+        |  SELECT p.sample_id,
+        |         CAST(round(round(CAST(sum(CAST(round(p.pval * 1010) AS BIGINT)) AS DOUBLE)
+        |             / (CAST(count(*) AS DOUBLE) * 1010.0), 6) * 1e6) AS BIGINT) AS y6
+        |  FROM detp p GROUP BY 1),
+        |gm AS (
+        |  SELECT sh."group" AS grp, count(*) AS n,
+        |         CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+        |         CAST(sum(x6 * x6) AS BIGINT) AS sxx,
+        |         CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+        |         CAST(sum(y6 * y6) AS BIGINT) AS syy
+        |  FROM ps JOIN pp USING (sample_id) JOIN sheet sh USING (sample_id)
+        |  GROUP BY 1),
+        |cv AS (
+        |  SELECT grp, n, sx, sy,
+        |         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS cxx,
+        |         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS cxy,
+        |         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS cyy
+        |  FROM gm),
+        |ei AS (
+        |  SELECT grp, n, sx, sy, cxx, cxy, cyy,
+        |         sqrt((cxx - cyy) * (cxx - cyy) / 4.0 + cxy * cxy) AS disc
+        |  FROM cv)
+        |SELECT grp AS "group", n,
+        |       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6) AS center_x,
+        |       round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6) AS center_y,
+        |       round(atan2(2.0 * cxy, cxx - cyy) / 2.0, 6) AS theta,
+        |       round(sqrt(greatest((cxx + cyy) / 2.0 + disc, 0.0) * 5.991464547107979) / 1e6, 6) AS semi_major,
+        |       round(sqrt(greatest((cxx + cyy) / 2.0 - disc, 0.0) * 5.991464547107979) / 1e6, 6) AS semi_minor
+        |FROM ei ORDER BY "group"""".stripMargin)),
+
+    // K8 (plot-data scope) — pheatmap's sample dendrogram as a table:
+    // distributed k08-style distances (the oracle-checked aggregate), then
+    // the O(samples³) UPGMA merge loop on the bounded axis. step=0 rows
+    // carry the leaf order, step>0 rows the merge schedule with heights.
+    // Rows-only (iterative); HclustSpec pins a hand-computed linkage and
+    // the SciPy-convention invariants.
+    Q("k24_hclust_dendrogram", (s, d) =>
+      graft.ops.Hclust.mergeTable(s, Tables.betaLong(s, d)),
+      None)
   )
 }
