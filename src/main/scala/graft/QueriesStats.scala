@@ -1650,6 +1650,20 @@ object QueriesStats {
         |       round(sqrt(greatest((cxx + cyy) / 2.0 - disc, 0.0) * 5.991464547107979) / 1e6, 6) AS semi_minor
         |FROM ei ORDER BY "group"""".stripMargin)),
 
+    // K9 (plot-data scope) — BMIQ's fitted-mixture diagnostic: the
+    // analytic 3-class beta mixture density per (sample, design type) on a
+    // fixed grid, deterministic where the reference uses rmultinom/rbeta
+    // draws to approximate the same curve (BMIQ_1.4.R:82-93,134-146).
+    // Rows-only (EM kernel); BmiqSpec pins component/total consistency,
+    // unit mass, and lockstep with the normalization fit.
+    Q("k25_bmiq_fit_density", (s, d) =>
+      Bmiq.fittedDensity(Tables.betaLong(s, d), Tables.probeManifest(s, d), gridN = 50)
+        .select(col("sample_id"), col("design_type"), round(col("x"), 6).as("x"),
+          round(col("dens_u"), 6).as("dens_u"), round(col("dens_h"), 6).as("dens_h"),
+          round(col("dens_m"), 6).as("dens_m"), round(col("density"), 6).as("density"))
+        .orderBy("sample_id", "design_type", "x"),
+      None),
+
     // K8 (plot-data scope) — pheatmap's sample dendrogram as a table:
     // distributed k08-style distances (the oracle-checked aggregate), then
     // the O(samples³) UPGMA merge loop on the bounded axis. step=0 rows

@@ -258,6 +258,94 @@ object Bmiq {
     (t1Norm ++ t2Norm).iterator
   }
 
+  /** K9 (plot-data scope) — the fitted-mixture diagnostic the reference
+    * overlays on each sample's beta histogram (BMIQ_1.4.R:82-93 type-1,
+    * :134-146 type-2). The reference approximates its own fitted density
+    * by `rmultinom`/`rbeta` DRAWS; the engine emits the analytic mixture
+    * density on a fixed grid instead — the same curve, deterministic
+    * (no RNG), which is why this row was "plotting-only" until the
+    * plot-data restatement. One row per (sample, design_type, grid point)
+    * with per-class contributions; rendering stays out of scope.
+    *
+    * The fit prep below deliberately MIRRORS normalizeSample's pre-fit
+    * steps (sort → regularize → stride-subsample → EM; type-2 thresholds
+    * shifted by the KDE-mode offsets) rather than refactoring that
+    * verified kernel — the two must stay in lockstep, see BmiqSpec's
+    * "diagnostic density matches the normalization fit" test.
+    * Distribution shape = bmiq's: flatMapGroups over the sample axis.
+    */
+  def fittedDensity(beta: DataFrame, manifest: DataFrame, gridN: Int = 100,
+                    nfit: Int = 10000, niter: Int = 5, minPerType: Int = 50): DataFrame = {
+    val spark = beta.sparkSession
+    import spark.implicits._
+    beta.join(broadcast(manifest), "probe_id")
+      .select("probe_id", "sample_id", "beta", "design_type")
+      .as[In]
+      .groupByKey(_.sample_id)
+      .flatMapGroups { (sid, it) =>
+        fitParams(it.toArray, nfit, niter, minPerType) match {
+          case None => Iterator.empty
+          case Some((p1, p2)) =>
+            Seq((1, p1), (2, p2)).iterator.flatMap { case (dt, p) =>
+              val dists = p.map { case (_, a, b) => new BetaDistribution(a, b) }
+              (1 until gridN).iterator.map { g =>
+                val x = g.toDouble / gridN
+                val c = Array.tabulate(3)(j => p(j)._1 * dists(j).density(x))
+                (sid, dt, x, c(0), c(1), c(2), c(0) + c(1) + c(2))
+              }
+            }
+        }
+      }
+      .toDF("sample_id", "design_type", "x", "dens_u", "dens_h", "dens_m", "density")
+  }
+
+  /** The pre-fit + EM chain shared semantically with normalizeSample:
+    * returns (type-1 params, type-2 params), or None under the ≥minPerType
+    * guard (where normalization is identity and there is no fit to plot).
+    */
+  private[graft] def fitParams(rows: Array[In], nfit: Int, niter: Int, minPerType: Int)
+      : Option[(Array[(Double, Double, Double)], Array[(Double, Double, Double)])] = {
+    val sorted = rows.sortBy(_.probe_id)
+    val t1 = sorted.filter(_.design_type == 1).map(_.beta)
+    val t2 = sorted.filter(_.design_type == 2).map(_.beta)
+    if (t1.length < minPerType || t2.length < minPerType) return None
+    val minPos = sorted.map(_.beta).filter(_ > 0).foldLeft(1.0)(math.min)
+    val maxSub1 = sorted.map(_.beta).filter(_ < 1).foldLeft(0.0)(math.max)
+    def reg(v: Double) = regularize(v, minPos, maxSub1)
+    val t1r = t1.map(reg)
+    val t2rAll = t2.map(reg)
+    val p1 = fitMixture(strideSample(t1r, nfit), niter)
+    val dists1 = p1.map { case (_, a, b) => new BetaDistribution(a, b) }
+    def classify(v: Double): Int = {
+      var best = 0; var bestD = -1.0
+      var j = 0
+      while (j < 3) {
+        val dd = p1(j)._1 * math.max(dists1(j).density(v), 1e-300)
+        if (dd > bestD) { bestD = dd; best = j }
+        j += 1
+      }
+      best
+    }
+    val c1 = t1r.map(classify)
+    def boundary(vals: Array[Double], cls: Array[Int], a: Int, b: Int,
+                 fallback: Double): Double = {
+      val left = vals.zip(cls).collect { case (v, c) if c == a => v }
+      val right = vals.zip(cls).collect { case (v, c) if c == b => v }
+      if (left.isEmpty || right.isEmpty) fallback else (left.max + right.min) / 2
+    }
+    val th1Lo = boundary(t1r, c1, 0, 1, 0.2)
+    val th1Hi = boundary(t1r, c1, 1, 2, 0.75)
+    val mod1U = kdeMode(t1r.zip(c1).collect { case (v, 0) => v })
+    val mod1M = kdeMode(t1r.zip(c1).collect { case (v, 2) => v })
+    val mod2U = kdeMode(t2rAll.filter(_ < 0.4))
+    val mod2M = kdeMode(t2rAll.filter(_ > 0.6))
+    val (th2Lo, th2Hi) =
+      if (mod1U.isNaN || mod1M.isNaN || mod2U.isNaN || mod2M.isNaN) (th1Lo, th1Hi)
+      else (th1Lo + (mod2U - mod1U), th1Hi + (mod2M - mod1M))
+    val p2 = fitMixture(strideSample(t2rAll, nfit), niter, th2Lo, th2Hi)
+    Some((p1, p2))
+  }
+
   /** Entry point: long betas + probe manifest (design_type 1|2) →
     * normalized long betas.
     */

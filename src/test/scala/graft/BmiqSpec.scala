@@ -89,4 +89,38 @@ class BmiqSpec extends SparkSpec {
     val changed = out.filter(col("beta_norm") =!= col("beta")).count()
     assert(changed == 0)
   }
+
+  test("diagnostic density (K9): unit mass, component consistency, guard, lockstep fit") {
+    val df = fixture("S1")
+    val gridN = 200
+    val dens = Bmiq.fittedDensity(df.select("probe_id", "sample_id", "beta"),
+      manifest(df), gridN = gridN).collect()
+    // both design types, gridN-1 interior points each
+    assert(dens.length == 2 * (gridN - 1))
+    // total = sum of weighted class contributions, pointwise
+    dens.foreach { r =>
+      val s = r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+      assert(math.abs(s - r.getDouble(6)) < 1e-12)
+    }
+    // mixture density integrates to ~1 on the open grid (midpoint rule;
+    // edge mass beyond the grid accounts for the tolerance)
+    Seq(1, 2).foreach { dt =>
+      val mass = dens.filter(_.getInt(1) == dt).map(_.getDouble(6)).sum / gridN
+      assert(math.abs(mass - 1.0) < 0.1, s"design $dt mass $mass")
+    }
+    // lockstep with the normalization fit: fitParams is the same chain
+    // normalizeSample runs, so the diagnostic's type-1 U mode must sit in
+    // the low arm and M in the high arm of the planted trimodal input
+    import spark.implicits._
+    val rows = df.select("probe_id", "sample_id", "beta", "design_type")
+      .as[Bmiq.In].collect()
+    val Some((p1, _)) = Bmiq.fitParams(rows, 10000, 5, 50)
+    def mean(p: (Double, Double, Double)) = p._2 / (p._2 + p._3)
+    assert(mean(p1(0)) < 0.3 && mean(p1(2)) > 0.7)
+    assert(math.abs(p1.map(_._1).sum - 1.0) < 1e-9)
+    // under the per-type guard there is no fit to plot
+    val tiny = fixture("S2").filter(col("probe_id").rlike("_000[0-9]$"))
+    assert(Bmiq.fittedDensity(tiny.select("probe_id", "sample_id", "beta"),
+      manifest(tiny)).count() == 0)
+  }
 }
