@@ -640,6 +640,90 @@ object QueriesCuration {
         |       count(DISTINCT user_id) AS n_users,
         |       min(t) AS min_t, max(t) AS max_t
         |FROM x WHERE role IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Entity resolution / record linkage — the cross-source identity step
+    // of any multi-source corpus (merge CRM + web mentions of the same
+    // entity before per-entity curation). Deterministic second-source
+    // mentions derive from `customer` (the r12 mutation pattern): 80% are
+    // prefix-typo'd duplicates (edit distance ≤ 2 planted), 20% are
+    // genuinely new prospects (edit distance ≫ threshold). Scale shape is
+    // textbook blocked ER: candidate pairs come ONLY through an equi-join
+    // on the (nation, name-tail) blocking key — never a cross join — and
+    // the Levenshtein refine runs per candidate, so cost is linear in
+    // entities at fixed block selectivity (the tail carries the stable id
+    // digits; typos hit the prefix — redundant-key blocking would union a
+    // second equi-join if mutations could hit either end). Matched pairs
+    // resolve to the CRM id (each web mention derives from ≤1 CRM row, so
+    // components are pairs; no iterative closure needed here — c01's
+    // union-find handles the general case), unmatched rows on either side
+    // survive as singleton entities.
+    Q("c17_entity_resolution", (s, d) => {
+      val crm = Tables.table(s, d, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"))
+      val web = crm
+        .select(
+          when(col("id") % 5 === 0, col("id") + 20000000L)
+            .otherwise(col("id") + 10000000L).as("id"),
+          when(col("id") % 5 === 0, regexp_replace(col("name"), "^Customer#", "Prospect#"))
+            .when(col("id") % 3 === 1, regexp_replace(col("name"), "^Customer#", "Custmr#"))
+            .when(col("id") % 3 === 2, regexp_replace(col("name"), "^Customer#", "Cstomer#"))
+            .otherwise(col("name")).as("name"),
+          col("nation"),
+          when(col("id") % 7 === 2, lit("UNKNOWN")).otherwise(col("seg")).as("seg"))
+      def withBlock(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("tail", expr("right(name, 6)"))
+      val cand = withBlock(crm).as("a")
+        .join(withBlock(web).as("b"), Seq("nation", "tail"))
+        .withColumn("lev", levenshtein(col("a.name"), col("b.name")))
+      val matches = cand.filter(col("lev") <= 4)
+        .select(col("a.id").as("entity_id"), col("a.name").as("name_canon"),
+          col("b.id").as("web_id"), col("lev"),
+          (col("a.seg") === col("b.seg")).as("seg_agree"))
+      val crmOnly = crm.join(matches.select(col("entity_id").as("id")), Seq("id"), "left_anti")
+        .select(col("id").as("entity_id"), col("name").as("name_canon"),
+          lit(1L).as("n_mentions"), lit("crm").as("sources"),
+          lit(null).cast("int").as("lev"), lit(null).cast("boolean").as("seg_agree"))
+      val webOnly = web.join(matches.select(col("web_id").as("id")), Seq("id"), "left_anti")
+        .select(col("id").as("entity_id"), col("name").as("name_canon"),
+          lit(1L).as("n_mentions"), lit("web").as("sources"),
+          lit(null).cast("int").as("lev"), lit(null).cast("boolean").as("seg_agree"))
+      matches
+        .select(col("entity_id"), col("name_canon"), lit(2L).as("n_mentions"),
+          lit("crm,web").as("sources"), col("lev"), col("seg_agree"))
+        .unionByName(crmOnly).unionByName(webOnly)
+        .orderBy("entity_id")
+    }, Some(
+      """WITH crm AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation,
+        |         c_mktsegment AS seg
+        |  FROM customer),
+        |web AS (
+        |  SELECT CASE WHEN id % 5 = 0 THEN id + 20000000 ELSE id + 10000000 END AS id,
+        |         CASE WHEN id % 5 = 0 THEN regexp_replace(name, '^Customer#', 'Prospect#')
+        |              WHEN id % 3 = 1 THEN regexp_replace(name, '^Customer#', 'Custmr#')
+        |              WHEN id % 3 = 2 THEN regexp_replace(name, '^Customer#', 'Cstomer#')
+        |              ELSE name END AS name,
+        |         nation,
+        |         CASE WHEN id % 7 = 2 THEN 'UNKNOWN' ELSE seg END AS seg
+        |  FROM crm),
+        |cand AS (
+        |  SELECT a.id AS aid, a.name AS aname, a.seg AS aseg,
+        |         b.id AS bid, b.name AS bname, b.seg AS bseg,
+        |         levenshtein(a.name, b.name) AS lev
+        |  FROM crm a JOIN web b
+        |    ON a.nation = b.nation AND right(a.name, 6) = right(b.name, 6)),
+        |m AS (SELECT * FROM cand WHERE lev <= 4)
+        |SELECT aid AS entity_id, aname AS name_canon, CAST(2 AS BIGINT) AS n_mentions,
+        |       'crm,web' AS sources, lev, aseg = bseg AS seg_agree
+        |FROM m
+        |UNION ALL
+        |SELECT id, name, 1, 'crm', NULL, NULL FROM crm
+        |WHERE id NOT IN (SELECT aid FROM m)
+        |UNION ALL
+        |SELECT id, name, 1, 'web', NULL, NULL FROM web
+        |WHERE id NOT IN (SELECT bid FROM m)
+        |ORDER BY entity_id""".stripMargin))
   )
 }

@@ -171,7 +171,9 @@ object QueriesSources {
     // 1,048,576-row single-sheet cap.
     Q("s10_xlsx_partitioned", (s, d) => {
       val dir = s"${Q.scratch}/s10_lineitem_xlsx_${Integer.toHexString(d.hashCode)}"
-      if (!new java.io.File(dir).exists()) {
+      // guard on the sink's commit marker, not bare directory existence — a
+      // failed/killed earlier run leaves a partial dir that must be redone
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
         val li = Tables.table(s, d, "lineitem")
           .filter(col("l_linenumber") === 1 && col("l_orderkey") % 4 === 0)
           .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))

@@ -107,7 +107,9 @@ object ScaleSmoke {
       "c16_time_folds", "r12_snapshot_diff", "t23_zipf_slope",
       "a33_join_cardinality",
       "a34_gini", "w14_forecast_error", "j14_interval_overlap",
-      "k22_mann_kendall", "t24_heaps_law")
+      "k22_mann_kendall", "t24_heaps_law",
+      "s10_xlsx_partitioned", "k23_group_ellipse", "k24_hclust_dendrogram",
+      "k25_bmiq_fit_density", "c17_entity_resolution")
     val timed = only match {
       case Some(subs) => queries.filter(q => subs.exists(q.contains))
       case None => queries

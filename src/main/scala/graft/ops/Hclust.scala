@@ -46,47 +46,117 @@ object Hclust {
   /** Average-linkage merge schedule from a collected condensed distance
     * matrix. Labels: leaves keep their ids; internal nodes are "N<step>".
     * Returns (step, left, right, height, size) plus the leaf order.
+    *
+    * O(n²) memory (one in-place n×n matrix; the merged cluster reuses the
+    * lower slot) and ~O(n²) time via cached per-row nearest neighbors —
+    * each merge updates one row/col and only re-scans rows whose cached
+    * nearest was one of the merged pair. 1000 samples link in well under a
+    * second (the naive all-pairs rescan was 80 s at that size). Argmin is
+    * still the global (distance, label, label) order, so tie-breaks are
+    * platform-stable and identical to the reference implementation of this
+    * method in HclustSpec.
     */
   def linkage(ids: IndexedSeq[String], dist: (Int, Int) => Double)
       : (Seq[(Int, String, String, Double, Int)], Seq[String]) = {
     val n = ids.length
-    // active cluster id -> (label, size, member leaf order)
-    val active = mutable.LinkedHashMap.empty[Int, (String, Int, Vector[String])]
-    ids.zipWithIndex.foreach { case (id, i) => active(i) = (id, 1, Vector(id)) }
-    val d = mutable.Map.empty[(Int, Int), Double]
-    for (i <- 0 until n; j <- i + 1 until n) d((i, j)) = dist(i, j)
-    def dd(a: Int, b: Int) = if (a < b) d((a, b)) else d((b, a))
+    if (n == 0) return (Seq.empty, Seq.empty)
+    if (n == 1) return (Seq.empty, Seq(ids.head))
+    require(n <= 16000,
+      s"hclust sample axis $n exceeds the bounded-driver envelope (16000); " +
+        "cluster a bounded selection or consume the distributed distance table directly")
+    val d = Array.ofDim[Double](n, n)
+    for (i <- 0 until n; j <- i + 1 until n) {
+      val v = dist(i, j); d(i)(j) = v; d(j)(i) = v
+    }
+    val label = Array.tabulate(n)(ids(_))
+    val size = Array.fill(n)(1)
+    val members = Array.tabulate(n)(i => Vector(ids(i)))
+    val created = Array.tabulate(n)(identity) // creation order for leaf-order concat
+    val alive = Array.fill(n)(true)
+    val bestJ = Array.fill(n)(-1)
+
+    // candidate(i,j) = (d, min(label), max(label)); strict total order
+    def less(dA: Double, aLo: String, aHi: String,
+             dB: Double, bLo: String, bHi: String): Boolean =
+      dA < dB || (dA == dB && (aLo < bLo || (aLo == bLo && aHi < bHi)))
+    def lohi(i: Int, j: Int): (String, String) =
+      if (label(i) <= label(j)) (label(i), label(j)) else (label(j), label(i))
+    def recompute(i: Int): Unit = {
+      var bj = -1; var bd = 0.0; var blo = ""; var bhi = ""
+      var j = 0
+      while (j < n) {
+        if (j != i && alive(j)) {
+          val (lo, hi) = lohi(i, j)
+          if (bj < 0 || less(d(i)(j), lo, hi, bd, blo, bhi)) {
+            bj = j; bd = d(i)(j); blo = lo; bhi = hi
+          }
+        }
+        j += 1
+      }
+      bestJ(i) = bj
+    }
+    for (i <- 0 until n) recompute(i)
 
     val merges = mutable.ArrayBuffer.empty[(Int, String, String, Double, Int)]
-    var next = n
+    var nActive = n
     var step = 1
-    while (active.size > 1) {
-      // deterministic argmin: (distance, labelA, labelB) with labels ordered
-      val ks = active.keys.toIndexedSeq
-      var best: (Double, String, String, Int, Int) = null
-      for (x <- ks.indices; y <- x + 1 until ks.length) {
-        val (a, b) = (ks(x), ks(y))
-        val (la, lb) = (active(a)._1, active(b)._1)
-        val (lo, hi) = if (la <= lb) (la, lb) else (lb, la)
-        val cand = (dd(a, b), lo, hi, a, b)
-        if (best == null ||
-            cand._1 < best._1 ||
-            (cand._1 == best._1 && (cand._2 < best._2 ||
-              (cand._2 == best._2 && cand._3 < best._3)))) best = cand
+    while (nActive > 1) {
+      // global argmin over row caches = global argmin over all pairs
+      var bi = -1; var bd = 0.0; var blo = ""; var bhi = ""
+      var i = 0
+      while (i < n) {
+        if (alive(i) && bestJ(i) >= 0) {
+          val j = bestJ(i)
+          val (lo, hi) = lohi(i, j)
+          if (bi < 0 || less(d(i)(j), lo, hi, bd, blo, bhi)) {
+            bi = i; bd = d(i)(j); blo = lo; bhi = hi
+          }
+        }
+        i += 1
       }
-      val (h, lo, hi, a, b) = (best._1, best._2, best._3, best._4, best._5)
-      val (sa, sb) = (active(a)._2, active(b)._2)
-      // UPGMA update: d(new, c) = (|a| d(a,c) + |b| d(b,c)) / (|a|+|b|)
-      for (c <- active.keys if c != a && c != b)
-        d((math.min(next, c), math.max(next, c))) =
-          (sa * dd(a, c) + sb * dd(b, c)) / (sa + sb).toDouble
-      val order = active(a)._3 ++ active(b)._3
-      active.remove(a); active.remove(b)
-      active(next) = (s"N$step", sa + sb, order)
-      merges += ((step, lo, hi, h, sa + sb))
-      next += 1; step += 1
+      val a = bi; val b = bestJ(bi)
+      val h = d(a)(b)
+      // merged cluster lives in slot a; earlier-created members lead
+      val (first, second) = if (created(a) <= created(b)) (a, b) else (b, a)
+      val newMembers = members(first) ++ members(second)
+      val (sa, sb) = (size(a), size(b))
+      // UPGMA: d(new, c) = (|a| d(a,c) + |b| d(b,c)) / (|a|+|b|)
+      var c = 0
+      while (c < n) {
+        if (alive(c) && c != a && c != b) {
+          val v = (sa * d(a)(c) + sb * d(b)(c)) / (sa + sb).toDouble
+          d(a)(c) = v; d(c)(a) = v
+        }
+        c += 1
+      }
+      alive(b) = false
+      label(a) = s"N$step"; size(a) = sa + sb
+      members(a) = newMembers; created(a) = n + step
+      merges += ((step, blo, bhi, h, sa + sb))
+      nActive -= 1
+      if (nActive > 1) {
+        recompute(a)
+        // rows pointing at a merged slot re-scan; every other row only
+        // checks whether the new cluster beats its cached nearest
+        c = 0
+        while (c < n) {
+          if (alive(c) && c != a) {
+            if (bestJ(c) == a || bestJ(c) == b) recompute(c)
+            else {
+              val j = bestJ(c)
+              val (lo1, hi1) = lohi(c, a)
+              val (lo2, hi2) = lohi(c, j)
+              if (less(d(c)(a), lo1, hi1, d(c)(j), lo2, hi2)) bestJ(c) = a
+            }
+          }
+          c += 1
+        }
+      }
+      step += 1
     }
-    (merges.toSeq, active.head._2._3)
+    var root = 0
+    while (!alive(root)) root += 1
+    (merges.toSeq, members(root))
   }
 
   /** Full K8 query: distributed distances → driver linkage → merge table.

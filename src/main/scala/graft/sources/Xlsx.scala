@@ -159,8 +159,13 @@ object Xlsx {
     val data = bytes(header, df.toLocalIterator().asScala, sheet)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    // write-then-rename: a killed run must never leave a half-written
+    // container at the published path (readers guard on file existence)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
+    val out = fs.create(tmp, true)
     out.write(data); out.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
   }
 
   /** S8 distributed sink: one xlsx part per Spark partition, written
@@ -186,6 +191,9 @@ object Xlsx {
         out.write(data); out.close()
       }
     }
+    // commit marker, Hadoop-style: existence-of-directory is NOT completion
+    // (a failed job leaves a partial dir); callers guard on _SUCCESS
+    fs0.create(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), true).close()
   }
 
   // ----------------------------------------------------------------- read

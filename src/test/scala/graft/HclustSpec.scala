@@ -26,6 +26,54 @@ class HclustSpec extends SparkSpec {
     assert(merges.head._2 == "A" && merges.head._3 == "B")
   }
 
+  test("cached-neighbor linkage is identical to the naive all-pairs-rescan reference") {
+    // deterministic pseudo-random distances; includes planted exact ties
+    val n = 60
+    val ids = (0 until n).map(i => f"S$i%03d")
+    def dist(i: Int, j: Int): Double = {
+      val v = math.abs(math.sin(i * 31.7 + j * 7.3))
+      math.rint(v * 50) / 50.0 // coarse grid -> many exact ties
+    }
+    // naive reference: full rescan of all active pairs each step
+    def naive(): (Seq[(Int, String, String, Double, Int)], Seq[String]) = {
+      val active = scala.collection.mutable.LinkedHashMap.empty[Int, (String, Int, Vector[String])]
+      ids.zipWithIndex.foreach { case (id, i) => active(i) = (id, 1, Vector(id)) }
+      val d = scala.collection.mutable.Map.empty[(Int, Int), Double]
+      for (i <- 0 until n; j <- i + 1 until n) d((i, j)) = dist(i, j)
+      def dd(a: Int, b: Int) = if (a < b) d((a, b)) else d((b, a))
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Double, Int)]
+      var next = n; var step = 1
+      while (active.size > 1) {
+        val ks = active.keys.toIndexedSeq
+        var best: (Double, String, String, Int, Int) = null
+        for (x <- ks.indices; y <- x + 1 until ks.length) {
+          val (a, b) = (ks(x), ks(y))
+          val (la, lb) = (active(a)._1, active(b)._1)
+          val (lo, hi) = if (la <= lb) (la, lb) else (lb, la)
+          val cand = (dd(a, b), lo, hi, a, b)
+          if (best == null || cand._1 < best._1 ||
+              (cand._1 == best._1 && (cand._2 < best._2 ||
+                (cand._2 == best._2 && cand._3 < best._3)))) best = cand
+        }
+        val (h, lo, hi, a, b) = (best._1, best._2, best._3, best._4, best._5)
+        val (sa, sb) = (active(a)._2, active(b)._2)
+        for (c <- active.keys if c != a && c != b)
+          d((math.min(next, c), math.max(next, c))) =
+            (sa * dd(a, c) + sb * dd(b, c)) / (sa + sb).toDouble
+        val order = active(a)._3 ++ active(b)._3
+        active.remove(a); active.remove(b)
+        active(next) = (s"N$step", sa + sb, order)
+        merges += ((step, lo, hi, h, sa + sb))
+        next += 1; step += 1
+      }
+      (merges.toSeq, active.head._2._3)
+    }
+    val (mFast, oFast) = Hclust.linkage(ids, dist)
+    val (mRef, oRef) = naive()
+    assert(mFast == mRef)
+    assert(oFast == oRef)
+  }
+
   test("mergeTable over a beta table: n-1 merges, monotone heights, full leaf order") {
     import spark.implicits._
     val beta = Seq(
