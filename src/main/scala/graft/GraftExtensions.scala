@@ -86,6 +86,7 @@ object GraftExtensions {
         es => functions.FDistSf(dbl(es.head), dbl(es(1)), dbl(es(2)))),
       ("graft_ks_sf", 1, es => functions.KolmogorovSf(dbl(es.head))),
       ("graft_nfc", 1, es => functions.NfcNormalize(es.head)),
+      ("graft_jaro_winkler", 2, es => functions.JaroWinklerExpr(es.head, es(1))),
       ("graft_dot", 2, es => functions.VecDotProduct(es.head, es(1))),
       ("graft_nearest", 2, es => functions.VecNearestCenter(es.head, es(1))),
       ("graft_digamma", 1, es => functions.DigammaExpr(dbl(es.head))),

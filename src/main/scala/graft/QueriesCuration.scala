@@ -642,6 +642,7 @@ object QueriesCuration {
         |FROM x WHERE role IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // see erMentions/erCandidates below the query list
     // Entity resolution / record linkage — the cross-source identity step
     // of any multi-source corpus (merge CRM + web mentions of the same
     // entity before per-entity curation). Deterministic second-source
@@ -659,24 +660,8 @@ object QueriesCuration {
     // union-find handles the general case), unmatched rows on either side
     // survive as singleton entities.
     Q("c17_entity_resolution", (s, d) => {
-      val crm = Tables.table(s, d, "customer")
-        .select(col("c_custkey").as("id"), col("c_name").as("name"),
-          col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"))
-      val web = crm
-        .select(
-          when(col("id") % 5 === 0, col("id") + 20000000L)
-            .otherwise(col("id") + 10000000L).as("id"),
-          when(col("id") % 5 === 0, regexp_replace(col("name"), "^Customer#", "Prospect#"))
-            .when(col("id") % 3 === 1, regexp_replace(col("name"), "^Customer#", "Custmr#"))
-            .when(col("id") % 3 === 2, regexp_replace(col("name"), "^Customer#", "Cstomer#"))
-            .otherwise(col("name")).as("name"),
-          col("nation"),
-          when(col("id") % 7 === 2, lit("UNKNOWN")).otherwise(col("seg")).as("seg"))
-      def withBlock(df: org.apache.spark.sql.DataFrame) =
-        df.withColumn("tail", expr("right(name, 6)"))
-      val cand = withBlock(crm).as("a")
-        .join(withBlock(web).as("b"), Seq("nation", "tail"))
-        .withColumn("lev", levenshtein(col("a.name"), col("b.name")))
+      val (crm, web) = erMentions(s, d)
+      val cand = erCandidates(crm, web)
       val matches = cand.filter(col("lev") <= 4)
         .select(col("a.id").as("entity_id"), col("a.name").as("name_canon"),
           col("b.id").as("web_id"), col("lev"),
@@ -694,21 +679,8 @@ object QueriesCuration {
           lit("crm,web").as("sources"), col("lev"), col("seg_agree"))
         .unionByName(crmOnly).unionByName(webOnly)
         .orderBy("entity_id")
-    }, Some(
-      """WITH crm AS (
-        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation,
-        |         c_mktsegment AS seg
-        |  FROM customer),
-        |web AS (
-        |  SELECT CASE WHEN id % 5 = 0 THEN id + 20000000 ELSE id + 10000000 END AS id,
-        |         CASE WHEN id % 5 = 0 THEN regexp_replace(name, '^Customer#', 'Prospect#')
-        |              WHEN id % 3 = 1 THEN regexp_replace(name, '^Customer#', 'Custmr#')
-        |              WHEN id % 3 = 2 THEN regexp_replace(name, '^Customer#', 'Cstomer#')
-        |              ELSE name END AS name,
-        |         nation,
-        |         CASE WHEN id % 7 = 2 THEN 'UNKNOWN' ELSE seg END AS seg
-        |  FROM crm),
-        |cand AS (
+    }, Some(erSql +
+      """, cand AS (
         |  SELECT a.id AS aid, a.name AS aname, a.seg AS aseg,
         |         b.id AS bid, b.name AS bname, b.seg AS bseg,
         |         levenshtein(a.name, b.name) AS lev
@@ -724,6 +696,81 @@ object QueriesCuration {
         |UNION ALL
         |SELECT id, name, 1, 'web', NULL, NULL FROM web
         |WHERE id NOT IN (SELECT bid FROM m)
-        |ORDER BY entity_id""".stripMargin))
+        |ORDER BY entity_id""".stripMargin)),
+
+    // Pairwise fuzzy scoring over the SAME blocked candidates with BOTH
+    // similarity families: built-in Levenshtein + the engine's codegen
+    // `graft_jaro_winkler` expression (functions/JaroWinkler.scala) —
+    // cross-engine-checked cell-by-cell against DuckDB's independent
+    // jaro_winkler_similarity implementation over every real candidate
+    // pair, which makes this oracle a conformance test of the expression
+    // itself (strcmp95 conventions: ⌊max/2⌋−1 window, integer-halved
+    // transpositions, 0.7 boost threshold, both-empty → 0).
+    Q("c18_fuzzy_scores", (s, d) => {
+      GraftExtensions.registerAll(s)
+      val (crm, web) = erMentions(s, d)
+      erCandidates(crm, web)
+        .select(col("a.id").as("crm_id"), col("b.id").as("web_id"),
+          col("lev"),
+          round(expr("graft_jaro_winkler(a.name, b.name)"), 6).as("jw"),
+          (expr("graft_jaro_winkler(a.name, b.name)") >= 0.85).as("accept"))
+        .orderBy("crm_id", "web_id")
+    }, Some(erSql +
+      """SELECT a.id AS crm_id, b.id AS web_id,
+        |       levenshtein(a.name, b.name) AS lev,
+        |       round(jaro_winkler_similarity(a.name, b.name), 6) AS jw,
+        |       jaro_winkler_similarity(a.name, b.name) >= 0.85 AS accept
+        |FROM crm a JOIN web b
+        |  ON a.nation = b.nation AND right(a.name, 6) = right(b.name, 6)
+        |ORDER BY 1, 2""".stripMargin))
   )
+
+  /** Deterministic two-source entity mentions for c17/c18 (the r12
+    * mutation pattern): 80% prefix-typo'd duplicates, 20% new prospects.
+    */
+  private def erMentions(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val crm = Tables.table(s, d, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"))
+    val web = crm
+      .select(
+        when(col("id") % 5 === 0, col("id") + 20000000L)
+          .otherwise(col("id") + 10000000L).as("id"),
+        when(col("id") % 5 === 0, regexp_replace(col("name"), "^Customer#", "Prospect#"))
+          .when(col("id") % 3 === 1, regexp_replace(col("name"), "^Customer#", "Custmr#"))
+          .when(col("id") % 3 === 2, regexp_replace(col("name"), "^Customer#", "Cstomer#"))
+          .otherwise(col("name")).as("name"),
+        col("nation"),
+        when(col("id") % 7 === 2, lit("UNKNOWN")).otherwise(col("seg")).as("seg"))
+    (crm, web)
+  }
+
+  /** Blocked candidate pairs on (nation, name-tail) + Levenshtein refine
+    * input — the only pair generator in the ER tier (equi-join, no cross).
+    */
+  private def erCandidates(crm: org.apache.spark.sql.DataFrame,
+                           web: org.apache.spark.sql.DataFrame) = {
+    def withBlock(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("tail", expr("right(name, 6)"))
+    withBlock(crm).as("a")
+      .join(withBlock(web).as("b"), Seq("nation", "tail"))
+      .withColumn("lev", levenshtein(col("a.name"), col("b.name")))
+  }
+
+  /** Shared SQL mirror of [[erMentions]] for the c17/c18 oracles. */
+  private val erSql: String =
+    """WITH crm AS (
+      |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation,
+      |         c_mktsegment AS seg
+      |  FROM customer),
+      |web AS (
+      |  SELECT CASE WHEN id % 5 = 0 THEN id + 20000000 ELSE id + 10000000 END AS id,
+      |         CASE WHEN id % 5 = 0 THEN regexp_replace(name, '^Customer#', 'Prospect#')
+      |              WHEN id % 3 = 1 THEN regexp_replace(name, '^Customer#', 'Custmr#')
+      |              WHEN id % 3 = 2 THEN regexp_replace(name, '^Customer#', 'Cstomer#')
+      |              ELSE name END AS name,
+      |         nation,
+      |         CASE WHEN id % 7 = 2 THEN 'UNKNOWN' ELSE seg END AS seg
+      |  FROM crm)
+      |""".stripMargin
 }

@@ -2268,6 +2268,47 @@ object QueriesRelational {
     }, Some(
       """SELECT '{"doc_id":' || doc_id || ',"lang":"' || lang ||
         |       '","source":"' || source || '","n_chars":' || n_chars || '}' AS value
-        |FROM documents ORDER BY 1""".stripMargin))
+        |FROM documents ORDER BY 1""".stripMargin)),
+
+    // Incremental view maintenance — the 100 TB daily-update shape: the
+    // standing per-type stats view is NOT recomputed over the full history
+    // when a new time slice lands; the base aggregate (bounded mergeable
+    // state: n / Σ / Σ² / min / max as exact integers) MERGES with the
+    // delta slice's aggregate. The oracle recomputes from the full table
+    // in one pass — merge ≡ recompute is exact because the states are
+    // integer moments (no fp-order dependence), which is precisely the
+    // property that makes the state mergeable at any fan-in. Slice
+    // boundary = last exact-integer time quarter (the c16 fold rule).
+    Q("a35_incremental_agg", (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        unix_micros(col("ts")).as("t"),
+        round(col("value") * 100).cast("bigint").as("c"))
+      val rng = ev.agg(min("t").as("tmin"), max("t").as("tmax"))
+      val q = ev.crossJoin(broadcast(rng))
+        .withColumn("quarter", expr("((t - tmin) * 4) div (tmax - tmin + 1)"))
+      def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("s"),
+          sum(col("c") * col("c")).as("ss"), min("c").as("mn"), max("c").as("mx"))
+      val base = agg(q.filter(col("quarter") < 3))
+      val delta = agg(q.filter(col("quarter") >= 3))
+      def z(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
+      base.as("b").join(delta.as("dl"), Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (z(col("b.n")) + z(col("dl.n"))).as("n"),
+          (z(col("b.s")) + z(col("dl.s"))).as("sum_cents"),
+          (z(col("b.ss")) + z(col("dl.ss"))).as("ss_cents"),
+          least(col("b.mn"), col("dl.mn")).as("min_cents"),
+          greatest(col("b.mx"), col("dl.mx")).as("max_cents"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS t,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(c) AS BIGINT) AS sum_cents,
+        |       CAST(sum(c * c) AS BIGINT) AS ss_cents,
+        |       min(c) AS min_cents, max(c) AS max_cents
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
