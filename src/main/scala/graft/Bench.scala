@@ -52,7 +52,9 @@ object Bench {
     "e08_ingest_pipeline", "t22_nfc_normalize",
     // distributional-diagnostics tier
     "k20_kruskal_wallis", "g04_shortest_paths", "w12_changepoint",
-    "t23_zipf_slope", "k22_mann_kendall", "t24_heaps_law")
+    "t23_zipf_slope", "k22_mann_kendall", "t24_heaps_law",
+    // S5/K7 reclamation (IDAT binary codec + pOOBAH)
+    "e09_idat_lifecycle", "k26_poobah_detp")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -4,7 +4,8 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StringType}
-import graft.sources.{SectionedReport, Xlsx}
+import graft.ops.Poobah
+import graft.sources.{Idat, SectionedReport, Xlsx}
 import graft.streaming.QcMonitor
 
 /** Source/sink queries (SURVEY.md §2.1): CSV round-trip, sectioned
@@ -140,6 +141,68 @@ object QueriesSources {
         |  ('a_Grn.idat', CAST(5 AS BIGINT)),
         |  ('b_Red.idat', CAST(7 AS BIGINT))
         |) t(file, length) ORDER BY file""".stripMargin)),
+
+    // S5 — IDAT round-trip through the dependency-free binary codec
+    // (sources/Idat.scala, format per the public illuminaio spec): the
+    // long intensity fixture (Tables.idatLong) is serialized to real
+    // {sample}_{Grn|Red}.idat files once (executor-side, commit-marker
+    // guarded), then the DISTRIBUTED binaryFile-based scan parses every
+    // file in its own task and the per-(sample, channel) aggregate must
+    // hash-match DuckDB's direct computation on the same derivation — a
+    // lossless roundtrip is indistinguishable from no roundtrip.
+    Q("s05_idat_roundtrip", (s, d) => {
+      val dir = s"${Q.scratch}/s05_idat_${Integer.toHexString(d.hashCode)}"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Idat.writeFiles(Tables.idatLong(s, d), dir)
+      Idat.read(s, s"$dir/*.idat")
+        .groupBy("sample_id", "channel")
+        .agg(count(lit(1)).as("n_beads"),
+          sum(col("mean").cast("long")).as("sum_mean"),
+          sum(col("sd").cast("long")).as("sum_sd"),
+          sum(col("nbeads").cast("long")).as("sum_nbeads"),
+          min("address").as("min_address"), max("address").as("max_address"),
+          min("barcode").as("barcode"), min("chip_type").as("chip_type"))
+        .orderBy("sample_id", "channel")
+    }, Some(SqlOracles.ctes +
+      """SELECT sample_id, channel, count(*) AS n_beads,
+        |       CAST(sum(mean) AS BIGINT) AS sum_mean,
+        |       CAST(sum(sd) AS BIGINT) AS sum_sd,
+        |       CAST(sum(nbeads) AS BIGINT) AS sum_nbeads,
+        |       min(address) AS min_address, max(address) AS max_address,
+        |       min(barcode) AS barcode, min(chip_type) AS chip_type
+        |FROM idat GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // S5+K7 end-to-end — the reference's whole IDAT lifecycle
+    // (/root/reference/idat.r): scan binary Grn/Red pairs → pOOBAH
+    // detection p-values from the out-of-band background ecdf → β = M/(M+U)
+    // → mask probes at detP > 0.05 (idat.r:71) → combine across samples and
+    // runs, dropping probes with no surviving sample (idat.r:80-125; free
+    // in the long model — absent rows). Every stage is SQL-expressible, so
+    // the whole DAG — binary parse included — is hash-checked against
+    // DuckDB recomputing from the parquet derivation directly.
+    Q("e09_idat_lifecycle", (s, d) => {
+      val dir = s"${Q.scratch}/s05_idat_${Integer.toHexString(d.hashCode)}"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Idat.writeFiles(Tables.idatLong(s, d), dir)
+      val dec = Poobah.decodeAddress(Idat.read(s, s"$dir/*.idat"))
+      Poobah.betas(dec)
+        .join(Poobah.detectionP(dec), Seq("sample_id", "probe_id"))
+        .filter(col("detp") <= 0.05)
+        .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_pass"),
+          countDistinct("run").as("n_runs"),
+          min("beta").as("min_beta"), max("beta").as("max_beta"))
+        .orderBy("probe_id")
+    }, Some(SqlOracles.ctes +
+      """SELECT b.probe_id, count(*) AS n_pass,
+        |       CAST(count(DISTINCT sh.run) AS BIGINT) AS n_runs,
+        |       min(b.beta) AS min_beta, max(b.beta) AS max_beta
+        |FROM idat_beta b
+        |JOIN idat_detp p ON p.sample_id = b.sample_id AND p.probe_id = b.probe_id
+        |JOIN sheet sh ON sh.sample_id = b.sample_id
+        |WHERE p.detp <= 0.05
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // S2+S8 — XLSX round-trip through the dependency-free OOXML
     // reader/writer (sources/Xlsx.scala): driver-side bounded sink (the

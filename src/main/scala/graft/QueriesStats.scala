@@ -1672,6 +1672,21 @@ object QueriesStats {
     // the SciPy-convention invariants.
     Q("k24_hclust_dendrogram", (s, d) =>
       graft.ops.Hclust.mergeTable(s, Tables.betaLong(s, d)),
-      None)
+      None),
+
+    // K7 (reclaimed round 6) — pOOBAH detection p-values (SeSAMe, Zhou et
+    // al. NAR 2018; reference gate at /root/reference/idat.r:71): per
+    // (sample, channel) empirical background from Type I out-of-band
+    // intensities, p = 1 − ecdf(signal), computed distributively by the
+    // union-and-running-count window (ops/Poobah.scala — one shuffle; a
+    // window partition is array-size bounded). Fully oracle-checked: the
+    // ecdf is exact integer counting and the final division is the same
+    // IEEE op sequence in both engines.
+    Q("k26_poobah_detp", (s, d) =>
+      graft.ops.Poobah.detectionP(Tables.idatLong(s, d))
+        .orderBy("sample_id", "probe_id"),
+      Some(ctes +
+        """SELECT sample_id, probe_id, detp
+          |FROM idat_detp ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -8,9 +8,11 @@ package graft
   */
 object SqlOracles {
 
-  /** WITH-clause defining beta / detp / sheet / manifest / anno.
-    * Prepend to any oracle query that touches the methylation views.
-    * DuckDB prunes unused CTEs, so including all five is free.
+  /** WITH-clause defining beta / detp / sheet / manifest / anno plus the
+    * IDAT intensity model (idat / idat_detp / idat_beta — mirrors of
+    * [[graft.Tables.idatLong]] and `ops/Poobah.scala`). Prepend to any
+    * oracle query that touches the derived views. DuckDB prunes unused
+    * CTEs, so including all of them is free.
     */
   val ctes: String =
     """WITH beta AS (
@@ -41,7 +43,67 @@ object SqlOracles {
       |         CASE WHEN p_partkey % 23 = 21 THEN 'chrX'
       |              WHEN p_partkey % 23 = 22 THEN 'chrY'
       |              ELSE 'chr' || CAST(p_partkey % 23 + 1 AS VARCHAR) END AS chr
-      |  FROM part)
+      |  FROM part),
+      |idat_addr AS (
+      |  SELECT p_partkey AS k, CAST(p_partkey AS BIGINT) AS addr, 2 AS design_type,
+      |         'Grn' AS channel, TRUE AS in_band, 'M' AS bead
+      |  FROM part WHERE p_partkey % 2 = 1
+      |  UNION ALL SELECT p_partkey, CAST(p_partkey AS BIGINT), 2, 'Red', TRUE, 'U'
+      |  FROM part WHERE p_partkey % 2 = 1
+      |  UNION ALL SELECT p_partkey, CAST(p_partkey AS BIGINT) + 100000000, 1,
+      |         CASE WHEN p_partkey % 4 = 0 THEN 'Grn' ELSE 'Red' END, TRUE, 'U'
+      |  FROM part WHERE p_partkey % 2 = 0
+      |  UNION ALL SELECT p_partkey, CAST(p_partkey AS BIGINT) + 200000000, 1,
+      |         CASE WHEN p_partkey % 4 = 0 THEN 'Grn' ELSE 'Red' END, TRUE, 'M'
+      |  FROM part WHERE p_partkey % 2 = 0
+      |  UNION ALL SELECT p_partkey, CAST(p_partkey AS BIGINT) + 100000000, 1,
+      |         CASE WHEN p_partkey % 4 = 0 THEN 'Red' ELSE 'Grn' END, FALSE, 'U'
+      |  FROM part WHERE p_partkey % 2 = 0
+      |  UNION ALL SELECT p_partkey, CAST(p_partkey AS BIGINT) + 200000000, 1,
+      |         CASE WHEN p_partkey % 4 = 0 THEN 'Red' ELSE 'Grn' END, FALSE, 'M'
+      |  FROM part WHERE p_partkey % 2 = 0),
+      |idat AS (
+      |  SELECT printf('S%03d', sk) AS sample_id, sk, channel,
+      |         CAST(addr AS INTEGER) AS address,
+      |         CAST(CASE WHEN in_band
+      |                   THEN (addr * 7919 + sk * 104729 + CASE WHEN channel = 'Grn' THEN 0 ELSE 13 END) % 28000 + 1
+      |                   ELSE (addr * 7919 + sk * 104729 + CASE WHEN channel = 'Grn' THEN 0 ELSE 13 END) % 6000 + 1
+      |              END AS INTEGER) AS mean,
+      |         CAST((addr * 31 + sk * 17 + CASE WHEN channel = 'Grn' THEN 0 ELSE 13 END) % 400 + 20 AS INTEGER) AS sd,
+      |         CAST((addr + sk) % 16 + 4 AS INTEGER) AS nbeads,
+      |         printf('2052439%05d', sk) AS barcode,
+      |         'BeadChip-8x5' AS chip_type,
+      |         printf('cg%07d', k) AS probe_id, design_type, in_band, bead
+      |  FROM idat_addr CROSS JOIN
+      |       (SELECT CAST(s_suppkey AS BIGINT) AS sk FROM supplier WHERE s_suppkey % 25 = 3)),
+      |idat_detp AS (
+      |  SELECT sample_id, probe_id,
+      |         min(1.0 - CAST(cnt AS DOUBLE) / CAST(noob AS DOUBLE)) AS detp
+      |  FROM (
+      |    SELECT sample_id, channel, probe_id, is_oob,
+      |           sum(is_oob) OVER (PARTITION BY sample_id, channel
+      |                             ORDER BY value ASC, is_oob DESC
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt,
+      |           sum(is_oob) OVER (PARTITION BY sample_id, channel) AS noob
+      |    FROM (
+      |      SELECT sample_id, channel, CAST(mean AS BIGINT) AS value, 1 AS is_oob,
+      |             CAST(NULL AS VARCHAR) AS probe_id
+      |      FROM idat WHERE design_type = 1 AND NOT in_band
+      |      UNION ALL
+      |      SELECT sample_id, channel, CAST(sum(mean) AS BIGINT), 0, probe_id
+      |      FROM idat WHERE design_type = 1 AND in_band GROUP BY sample_id, channel, probe_id
+      |      UNION ALL
+      |      SELECT sample_id, channel, CAST(mean AS BIGINT), 0, probe_id
+      |      FROM idat WHERE design_type = 2))
+      |  WHERE is_oob = 0 GROUP BY 1, 2),
+      |idat_beta AS (
+      |  SELECT sample_id, probe_id,
+      |         CAST(m AS DOUBLE) / CAST(m + u AS DOUBLE) AS beta
+      |  FROM (
+      |    SELECT sample_id, probe_id,
+      |           sum(CASE WHEN bead = 'M' THEN CAST(mean AS BIGINT) ELSE 0 END) AS m,
+      |           sum(CASE WHEN bead = 'U' THEN CAST(mean AS BIGINT) ELSE 0 END) AS u
+      |    FROM idat WHERE in_band GROUP BY 1, 2))
       |""".stripMargin
 
   /** SQL mirror of [[graft.functions.Fns.varFromMoments]] — identical double

@@ -131,6 +131,66 @@ object Tables {
           when(col("p_partkey") % 2 === 0, 1).otherwise(2).as("design_type"))
     }
 
+  /** Long IDAT intensity model (SURVEY.md §2 S5/K7, reclaimed round 6):
+    * one row per (sample, channel, bead address) with integer Mean/SD/
+    * NBeads — the content of a `{sample}_{Grn|Red}.idat` pair
+    * (/root/reference/idat.r:38,67). Probe = part; Type I/II from partkey
+    * parity (lockstep with [[probeManifest]]); Type I probes carry TWO
+    * bead addresses (U at 1e8+k, M at 2e8+k) read in BOTH channels — the
+    * design channel in-band, the other channel out-of-band (the pOOBAH
+    * background, `ops/Poobah.scala`); Type II carry one address (k) with
+    * M in Grn and U in Red. Intensities are pure integer arithmetic on
+    * (address, suppkey, channel) — bit-exact in ANSI SQL (the `idat` CTE
+    * in [[SqlOracles.ctes]]) — with in-band means on a wider range
+    * (0..28000) than out-of-band background (0..6000), so detection
+    * p-values discriminate. The sample panel is the bounded `s_suppkey %
+    * 25 = 3` slice (4 samples at sf0.01, 40 at sf0.1) — broadcast against
+    * the address grid.
+    */
+  def idatLong(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "idat") {
+      val parts = table(spark, dir, "part").select(col("p_partkey").as("k"))
+      val t2 = parts.filter(col("k") % 2 === 1)
+      val typeII = t2.select(col("k"), col("k").as("addr"),
+          lit(2).as("design_type"), lit("Grn").as("channel"),
+          lit(true).as("in_band"), lit("M").as("bead"))
+        .unionAll(t2.select(col("k"), col("k").as("addr"), lit(2), lit("Red"),
+          lit(true), lit("U")))
+      val t1 = parts.filter(col("k") % 2 === 0)
+        .withColumn("c1", when(col("k") % 4 === 0, "Grn").otherwise("Red"))
+        .withColumn("c2", when(col("k") % 4 === 0, "Red").otherwise("Grn"))
+      val typeI = t1.select(col("k"), (col("k") + 100000000).as("addr"),
+          lit(1).as("design_type"), col("c1").as("channel"),
+          lit(true).as("in_band"), lit("U").as("bead"))
+        .unionAll(t1.select(col("k"), (col("k") + 200000000).as("addr"),
+          lit(1), col("c1"), lit(true), lit("M")))
+        .unionAll(t1.select(col("k"), (col("k") + 100000000).as("addr"),
+          lit(1), col("c2"), lit(false), lit("U")))
+        .unionAll(t1.select(col("k"), (col("k") + 200000000).as("addr"),
+          lit(1), col("c2"), lit(false), lit("M")))
+      val samples = table(spark, dir, "supplier")
+        .filter(col("s_suppkey") % 25 === 3)
+        .select(col("s_suppkey").cast("long").as("sk"))
+      val chO = when(col("channel") === "Grn", 0L).otherwise(13L)
+      val h = col("addr").cast("long") * 7919L + col("sk") * 104729L + chO
+      typeII.unionAll(typeI)
+        .crossJoin(broadcast(samples))
+        .select(
+          format_string("S%03d", col("sk")).as("sample_id"),
+          col("sk"), col("channel"),
+          col("addr").cast("int").as("address"),
+          when(col("in_band"), h % 28000 + 1).otherwise(h % 6000 + 1)
+            .cast("int").as("mean"),
+          ((col("addr").cast("long") * 31L + col("sk") * 17L + chO) % 400 + 20)
+            .cast("int").as("sd"),
+          ((col("addr").cast("long") + col("sk")) % 16 + 4)
+            .cast("int").as("nbeads"),
+          format_string("2052439%05d", col("sk")).as("barcode"),
+          lit("BeadChip-8x5").as("chip_type"),
+          format_string("cg%07d", col("k")).as("probe_id"),
+          col("design_type"), col("in_band"), col("bead"))
+    }
+
   /** Chip annotation (reference /root/reference/workflow.R:16,61-62):
     * probe → chromosome, including chrX/chrY for the sex-probe anti-join.
     */

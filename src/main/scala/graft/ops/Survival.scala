@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Survival analysis over event logs (beyond-reference scale tier): the
+  * Kaplan–Meier product-limit estimator and the two-group log-rank test —
+  * the standard time-to-event primitives (retention/churn curves at scale;
+  * in the reference's domain, the survival pendant to its test family).
+  *
+  * Everything is built from ONE subject aggregate (one row per subject:
+  * group, integer duration, event/censor flag) followed by windows over
+  * per-(group, duration) aggregates — the a13 "window after aggregation"
+  * posture: window input is one row per distinct duration, bounded by the
+  * time axis, never by event volume. No collect, no cross join.
+  *
+  * Determinism contract (shared with the DuckDB oracles): counts are exact
+  * integers; the KM product is computed as exp of an ORDERED running sum of
+  * log-terms (ascending duration), and log-rank E/V totals are ordered
+  * running sums — identical IEEE sequences in both engines.
+  */
+object Survival {
+
+  /** Kaplan–Meier curve per group from a subject table
+    * `(grp, duration_h, event)` — event 1 = observed, 0 = right-censored.
+    * Output: one row per (group, event time): n_risk, d_events, survival.
+    *
+    * Conventions: subjects censored at t are still at risk at t
+    * (deaths-before-censorings tie rule); if every subject still at risk
+    * dies at t (d = n_risk), survival is exactly 0 from t on — computed
+    * through a running-extinction flag, NOT ln(0), which Spark nulls and
+    * DuckDB returns -inf for (the one place the engines would diverge).
+    */
+  def kaplanMeier(subjects: DataFrame): DataFrame = {
+    val durcnt = subjects.groupBy("grp", "duration_h")
+      .agg(count(lit(1)).as("n_all"), sum("event").as("d"))
+    val wDesc = Window.partitionBy("grp").orderBy(col("duration_h").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.partitionBy("grp").orderBy(col("duration_h").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    durcnt
+      .withColumn("n_risk", sum("n_all").over(wDesc))
+      .filter(col("d") > 0)
+      .withColumn("term",
+        when(col("d") < col("n_risk"),
+          log((col("n_risk") - col("d")).cast("double") / col("n_risk").cast("double"))))
+      .withColumn("extinct",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wAsc))
+      .withColumn("survival",
+        when(col("extinct") === 1, lit(0.0)).otherwise(exp(sum("term").over(wAsc))))
+      .select(col("grp"), col("duration_h"), col("n_risk"),
+        col("d").as("d_events"), col("survival"))
+  }
+
+  /** Two-group log-rank test from the same subject table. At every pooled
+    * event time t: n_g(t) subjects of group g at risk, d_g(t) events;
+    * E_A = d·n_A/n and hypergeometric Var_A accumulate over t, and
+    * (O_A − E_A)² / ΣVar_A ~ χ²(1) under H₀.
+    *
+    * n_g at POOLED times (a group has no row at another group's event
+    * time) uses the union-and-running-count trick (the pOOBAH ecdf shape):
+    * per-duration subject counts and the pooled time grid union into one
+    * per-group DESCENDING window — subject rows before grid rows at equal
+    * time, so a grid row's running sum is exactly #{duration ≥ t}. One
+    * shuffle; window input is per-(group, duration) aggregates.
+    */
+  def logRank(subjects: DataFrame, grpA: String): DataFrame = {
+    val durcnt = subjects.groupBy("grp", "duration_h")
+      .agg(count(lit(1)).cast("long").as("n_all"), sum("event").as("d"))
+    // pooled event-time grid × the two groups (grid is an aggregate of an
+    // aggregate — histogram-sized; the group list is bounded)
+    val grid = durcnt.filter(col("d") > 0)
+      .select(col("duration_h").as("t")).distinct()
+    val groups = subjects.select("grp").distinct()
+    val gridG = grid.crossJoin(broadcast(groups))
+    val u = durcnt.select(col("grp"), col("duration_h").as("t"),
+        col("n_all").as("w"), lit(0).as("is_grid"))
+      .unionAll(gridG.select(col("grp"), col("t"), lit(0L).as("w"),
+        lit(1).as("is_grid")))
+    val wDesc = Window.partitionBy("grp")
+      .orderBy(col("t").desc, col("is_grid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = u.withColumn("n_at", sum("w").over(wDesc))
+      .filter(col("is_grid") === 1)
+      .select(col("grp"), col("t"), col("n_at"))
+    val withD = atRisk.join(
+        durcnt.select(col("grp"), col("duration_h").as("t"), col("d")),
+        Seq("grp", "t"), "left")
+      .withColumn("d", coalesce(col("d"), lit(0L)))
+    // pivot the (exactly two) groups side by side, then per-time E/V;
+    // the caller names group A (keeps the plan action-free — no driver
+    // peek at construction time)
+    val gName = grpA
+    val byT = withD.groupBy("t").agg(
+      sum(when(col("grp") === gName, col("n_at")).otherwise(0L)).as("n_a"),
+      sum(when(col("grp") =!= gName, col("n_at")).otherwise(0L)).as("n_b"),
+      sum(when(col("grp") === gName, col("d")).otherwise(0L)).as("d_a"),
+      sum(when(col("grp") =!= gName, col("d")).otherwise(0L)).as("d_b"))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val dd = (col("d_a") + col("d_b")).cast("double")
+    val pA = col("n_a").cast("double") / n
+    val wAsc = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("e_a", dd * pA)
+      .withColumn("v_a",
+        when(col("n_a") + col("n_b") > 1,
+          dd * pA * (lit(1.0) - pA) * (n - dd) / (n - lit(1.0)))
+          .otherwise(lit(0.0)))
+      // ordered running totals → deterministic double sequence; keep the
+      // last row (all times accumulated)
+      .withColumn("o_a_cum", sum("d_a").over(wAsc))
+      .withColumn("e_a_cum", sum("e_a").over(wAsc))
+      .withColumn("v_a_cum", sum("v_a").over(wAsc))
+      .withColumn("n_times", count(lit(1)).over(wAsc))
+      .withColumn("__last", lead("t", 1).over(Window.orderBy(col("t").asc)))
+      .filter(col("__last").isNull)
+      .select(lit(gName).as("grp_a"), col("n_times"),
+        col("o_a_cum").as("o_a"), col("e_a_cum").as("e_a"),
+        col("v_a_cum").as("var_a"),
+        ((col("o_a_cum").cast("double") - col("e_a_cum"))
+          * (col("o_a_cum").cast("double") - col("e_a_cum"))
+          / col("v_a_cum")).as("chi2"))
+  }
+}
