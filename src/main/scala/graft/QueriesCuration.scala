@@ -722,6 +722,123 @@ object QueriesCuration {
         |       jaro_winkler_similarity(a.name, b.name) >= 0.85 AS accept
         |FROM crm a JOIN web b
         |  ON a.nation = b.nation AND right(a.name, 6) = right(b.name, 6)
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // Deterministic negative sampling for contrastive training: each
+    // anchor doc draws k=4 negatives from a DIFFERENT source, ranked by a
+    // portable integer pair-hash. Scale shape: candidates are pre-assigned
+    // to B = N div 256 hash buckets and an anchor equi-joins exactly ONE
+    // bucket (≈256 candidates regardless of corpus size) — never a cross
+    // join, never a global sort; the per-anchor top-k is a bounded window.
+    // All hashes are pure 31-bit LCG arithmetic, bit-identical in ANSI SQL
+    // (at true 1e10-doc scale the multipliers would move to a 64-bit
+    // mixer; the SHAPE — bucketed candidate access — is the scale story).
+    Q("c19_negative_sampling", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val all = docs(s, d).select(col("doc_id"), col("source"))
+      val nRow = all.agg(count(lit(1)).as("n_docs"))
+      val cand = all.crossJoin(broadcast(nRow))
+        .withColumn("b", greatest(lit(1L), expr("n_docs div 256")))
+        .withColumn("bucket", expr("(doc_id * 1103515245 + 12345) % 2147483647") % col("b"))
+      val anchors = cand.filter(col("doc_id") % 17 === 3)
+        .select(col("doc_id").as("anchor_id"), col("source").as("a_source"),
+          (expr("(doc_id * 48271 + 7) % 2147483647") % col("b")).as("bucket"))
+      val w = Window.partitionBy("anchor_id")
+        .orderBy(col("ph"), col("doc_id"))
+      anchors.join(cand.select(col("doc_id"), col("source"), col("bucket")), "bucket")
+        .filter(col("source") =!= col("a_source") && col("doc_id") =!= col("anchor_id"))
+        .withColumn("ph", expr("(anchor_id * 48271 + doc_id * 16807) % 2147483647"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 4)
+        .select(col("anchor_id"), col("rank"), col("doc_id").as("neg_id"),
+          col("source").as("neg_source"), col("ph"))
+        .orderBy("anchor_id", "rank")
+    }, Some(
+      """WITH ns_n AS (SELECT count(*) AS n_docs FROM documents),
+        |ns_cand AS (
+        |  SELECT doc_id, source,
+        |         (doc_id * 1103515245 + 12345) % 2147483647
+        |           % greatest(1, n_docs // 256) AS bucket
+        |  FROM documents CROSS JOIN ns_n),
+        |ns_anchor AS (
+        |  SELECT doc_id AS anchor_id, source AS a_source,
+        |         (doc_id * 48271 + 7) % 2147483647
+        |           % greatest(1, n_docs // 256) AS bucket
+        |  FROM documents CROSS JOIN ns_n WHERE doc_id % 17 = 3),
+        |ns_pairs AS (
+        |  SELECT a.anchor_id, c.doc_id AS neg_id, c.source AS neg_source,
+        |         (a.anchor_id * 48271 + c.doc_id * 16807) % 2147483647 AS ph
+        |  FROM ns_anchor a JOIN ns_cand c USING (bucket)
+        |  WHERE c.source <> a.a_source AND c.doc_id <> a.anchor_id),
+        |ns_rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |            ORDER BY ph, neg_id) AS rank
+        |  FROM ns_pairs)
+        |SELECT anchor_id, rank, neg_id, neg_source, ph
+        |FROM ns_rk WHERE rank <= 4 ORDER BY 1, 2""".stripMargin)),
+
+    // DPO-style preference-pair assembly: within each source, rank docs by
+    // the t02 quality score (row-local, SQL-mirrored), pair rank i from
+    // the top half with rank n+1−i from the bottom half (chosen vs
+    // rejected), keep pairs whose score gap clears 0.05. One window per
+    // source + a (source, pair index) EQUI self-join — the a13 rank
+    // posture; no quadratic pairing anywhere.
+    Q("c20_preference_pairs", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          graft.llm.TextAnalysis.qualityScore(col("text")).as("score"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("doc_id"))
+      val ranked = scored
+        .withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      val top = ranked.filter(col("r") <= expr("n div 2"))
+        .select(col("source"), col("r").cast("long").as("pair_idx"),
+          col("doc_id").as("chosen_id"), col("score").as("score_chosen"))
+      val bottom = ranked
+        .withColumn("pair_idx", col("n") + 1 - col("r"))
+        .select(col("source"), col("pair_idx"),
+          col("doc_id").as("rejected_id"), col("score").as("score_rejected"))
+      top.join(bottom, Seq("source", "pair_idx"))
+        .filter(col("score_chosen") - col("score_rejected") > 0.05)
+        .select(col("source"), col("pair_idx"), col("chosen_id"),
+          col("rejected_id"),
+          round(col("score_chosen"), 6).as("score_chosen"),
+          round(col("score_rejected"), 6).as("score_rejected"),
+          round(col("score_chosen") - col("score_rejected"), 6).as("gap"))
+        .orderBy("source", "pair_idx")
+    }, Some(
+      """WITH pp_f AS (SELECT doc_id, source,
+        |  CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)), 1) AS DOUBLE) AS words,
+        |  CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) AS alpha,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b', 0)) AS DOUBLE) AS stops,
+        |  CAST(length(text) AS DOUBLE) AS chars
+        |FROM documents),
+        |pp_s AS (SELECT doc_id, source,
+        |  least(stops / words * 2.0, 1.0) * 0.4 +
+        |  (CASE WHEN alpha / words >= 3.0 AND alpha / words <= 8.0 THEN 0.3 ELSE 0.0 END) +
+        |  least(chars / 500.0, 1.0) * 0.3 AS score
+        |FROM pp_f),
+        |pp_r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |            ORDER BY score DESC, doc_id) AS r,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM pp_s),
+        |pp_top AS (
+        |  SELECT source, r AS pair_idx, doc_id AS chosen_id,
+        |         score AS score_chosen
+        |  FROM pp_r WHERE r <= n // 2),
+        |pp_bot AS (
+        |  SELECT source, n + 1 - r AS pair_idx, doc_id AS rejected_id,
+        |         score AS score_rejected
+        |  FROM pp_r)
+        |SELECT t.source, t.pair_idx, t.chosen_id, b.rejected_id,
+        |       round(t.score_chosen, 6) AS score_chosen,
+        |       round(b.score_rejected, 6) AS score_rejected,
+        |       round(t.score_chosen - b.score_rejected, 6) AS gap
+        |FROM pp_top t JOIN pp_bot b USING (source, pair_idx)
+        |WHERE t.score_chosen - b.score_rejected > 0.05
         |ORDER BY 1, 2""".stripMargin))
   )
 

@@ -1470,6 +1470,54 @@ object QueriesRelational {
         |       round(CAST(se AS DOUBLE) / CAST(ne AS DOUBLE), 6) AS mase
         |FROM a WHERE ne > 0 ORDER BY event_type""".stripMargin)),
 
+    // Classical additive seasonal decomposition over the gap-filled hourly
+    // event series, period 24 (hour-of-day): trend = centered 24h moving
+    // average, seasonal = per-slot mean of the detrended series, remainder
+    // the rest (ops/Timeseries.seasonalDecompose). All sums exact integers
+    // — the per-slot mean is (Σy − ΣS/24)/n over integer aggregates, so
+    // the oracle hash-matches without any float-summation-order risk.
+    Q("w15_seasonal_decompose", (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour_idx"))
+      val dense = graft.ops.Timeseries.gapFillCounts(ev, "event_type", "hour_idx")
+      graft.ops.Timeseries.seasonalDecompose(dense, "event_type", "hour_idx", "n", 24)
+        .select(col("event_type"), col("hour_idx"), col("n").as("y"),
+          round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("remainder"), 6).as("remainder"))
+        .orderBy("event_type", "hour_idx")
+    }, Some(
+      """WITH sd_c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sd_sp AS (SELECT event_type, min(hour_idx) AS lo, max(hour_idx) AS hi
+        |          FROM sd_c GROUP BY 1),
+        |sd_dense AS (
+        |  SELECT g.event_type, g.hour_idx, CAST(coalesce(c.n, 0) AS BIGINT) AS y
+        |  FROM (SELECT event_type, unnest(range(lo, hi + 1)) AS hour_idx FROM sd_sp) g
+        |  LEFT JOIN sd_c c USING (event_type, hour_idx)),
+        |sd_w AS (
+        |  SELECT event_type, hour_idx, y,
+        |         CAST(sum(y) OVER w AS BIGINT) AS s,
+        |         CAST(count(*) OVER w AS BIGINT) AS cnt
+        |  FROM sd_dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+        |               ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+        |sd_full AS (
+        |  SELECT event_type, hour_idx, y, s, hour_idx % 24 AS slot
+        |  FROM sd_w WHERE cnt = 24),
+        |sd_slots AS (
+        |  SELECT event_type, slot,
+        |         (CAST(sum(y) AS DOUBLE) - CAST(sum(s) AS DOUBLE) / 24.0)
+        |           / CAST(count(*) AS DOUBLE) AS seasonal
+        |  FROM sd_full GROUP BY 1, 2)
+        |SELECT f.event_type, f.hour_idx, f.y,
+        |       round(CAST(f.s AS DOUBLE) / 24.0, 6) AS trend,
+        |       round(sl.seasonal, 6) AS seasonal,
+        |       round(CAST(f.y AS DOUBLE) - CAST(f.s AS DOUBLE) / 24.0 - sl.seasonal, 6) AS remainder
+        |FROM sd_full f JOIN sd_slots sl ON sl.event_type = f.event_type AND sl.slot = f.slot
+        |ORDER BY 1, 2""".stripMargin)),
+
     // J14 — keyed interval-overlap join (range × range): urgent orders'
     // 7-day windows × low-priority orders' 7-day windows FOR THE SAME
     // CUSTOMER NATION — the genomic (chromosome, bin) pattern. Each

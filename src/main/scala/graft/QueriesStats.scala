@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
-import graft.ops.{Analytic, Bmiq, Combat, Dmp, Mds, Pca}
+import graft.ops.{Analytic, Bmiq, Combat, Dmp, Mds, Pca, Survival}
 import SqlOracles.ctes
 
 /** Statistical-kernel queries (SURVEY.md §2.9). The DuckDB-expressible
@@ -199,6 +199,42 @@ object QueriesStats {
     * `(probe_id, n, ssb, ssw, df1, df2, f)`; k13_anova_f rounds it for the
     * oracle, k13_anova_inference feeds `f` to `graft_f_sf`.
     */
+  /** Survival subject table for k28: one row per user — cohort (user-key
+    * parity), integer duration in hours from first event to first
+    * 'purchase' (event = 1) or to the last observed event (right-censored,
+    * event = 0). ONE aggregate over events; durations are exact integer
+    * microsecond arithmetic floored to hours.
+    */
+  private[graft] def kmSubjects(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(unix_micros(col("ts"))).as("entry_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("purch_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .select(
+        when(col("user_id") % 2 === 0, "cohort_a").otherwise("cohort_b").as("grp"),
+        expr("(coalesce(purch_us, last_us) - entry_us) div 3600000000")
+          .as("duration_h"),
+        when(col("purch_us").isNotNull, 1L).otherwise(0L).as("event"))
+
+  /** DuckDB mirror of [[kmSubjects]] + per-(grp, duration) counts. */
+  private val kmSubjSql =
+    """km_subj AS (
+      |  SELECT CASE WHEN user_id % 2 = 0 THEN 'cohort_a' ELSE 'cohort_b' END AS grp,
+      |         (coalesce(purch_us, last_us) - entry_us) // 3600000000 AS duration_h,
+      |         CASE WHEN purch_us IS NOT NULL THEN 1 ELSE 0 END AS event
+      |  FROM (
+      |    SELECT user_id, min(epoch_us(ts)) AS entry_us,
+      |           min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS purch_us,
+      |           max(epoch_us(ts)) AS last_us
+      |    FROM events GROUP BY 1)),
+      |km_dur AS (
+      |  SELECT grp, duration_h, CAST(count(*) AS BIGINT) AS n_all,
+      |         CAST(sum(event) AS BIGINT) AS d
+      |  FROM km_subj GROUP BY 1, 2)""".stripMargin
+
   private def anovaF(s: org.apache.spark.sql.SparkSession, d: String) = {
     val bg = Tables.betaLong(s, d)
       .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
@@ -1687,6 +1723,217 @@ object QueriesStats {
         .orderBy("sample_id", "probe_id"),
       Some(ctes +
         """SELECT sample_id, probe_id, detp
-          |FROM idat_detp ORDER BY 1, 2""".stripMargin))
+          |FROM idat_detp ORDER BY 1, 2""".stripMargin)),
+
+    // K27 — χ² test of independence on the lang × source contingency table
+    // (documents): observed counts exact integers, margins via windows over
+    // the CELL table (bounded langs × sources — the window never sees a
+    // document row), expected/contribution row-local doubles, and the
+    // statistic as a DETERMINISTIC ordered running sum (the a31 Benford
+    // pattern). Fully oracle-checked.
+    Q("k27_chisq_independence", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val seen = Tables.table(s, d, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+      // the FULL R×C grid: absent combinations are genuine zero cells and
+      // contribute (0−E)²/E = E to the statistic — dropping them would
+      // understate χ². Grid = distinct-margins cross join (bounded,
+      // broadcast), zero-filled.
+      val cells = seen.select("lang").distinct()
+        .crossJoin(broadcast(seen.select("source").distinct()))
+        .join(seen, Seq("lang", "source"), "left")
+        .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      val wL = Window.partitionBy("lang")
+      val wS = Window.partitionBy("source")
+      val wAll = Window.partitionBy()
+      val wRun = Window.orderBy("lang", "source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val o = col("obs").cast("double")
+      cells
+        .withColumn("row_tot", sum("obs").over(wL))
+        .withColumn("col_tot", sum("obs").over(wS))
+        .withColumn("grand", sum("obs").over(wAll))
+        .withColumn("exp_cnt", col("row_tot").cast("double")
+          * col("col_tot").cast("double") / col("grand").cast("double"))
+        .withColumn("contrib", (o - col("exp_cnt")) * (o - col("exp_cnt")) / col("exp_cnt"))
+        .withColumn("chisq_running", sum("contrib").over(wRun))
+        .select(col("lang"), col("source"), col("obs"),
+          round(col("exp_cnt"), 6).as("exp_cnt"),
+          round(col("contrib"), 6).as("contrib"),
+          round(col("chisq_running"), 6).as("chisq_running"))
+        .orderBy("lang", "source")
+    }, Some(
+      """WITH ci_seen AS (
+        |  SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
+        |ci_cells AS (
+        |  SELECT g.lang, g.source, CAST(coalesce(s.obs, 0) AS BIGINT) AS obs
+        |  FROM (SELECT l.lang, c.source
+        |        FROM (SELECT DISTINCT lang FROM ci_seen) l
+        |        CROSS JOIN (SELECT DISTINCT source FROM ci_seen) c) g
+        |  LEFT JOIN ci_seen s ON s.lang = g.lang AND s.source = g.source),
+        |ci_m AS (
+        |  SELECT lang, source, obs,
+        |         CAST(sum(obs) OVER (PARTITION BY lang) AS DOUBLE) AS row_tot,
+        |         CAST(sum(obs) OVER (PARTITION BY source) AS DOUBLE) AS col_tot,
+        |         CAST(sum(obs) OVER () AS DOUBLE) AS grand
+        |  FROM ci_cells),
+        |ci_e AS (
+        |  SELECT lang, source, obs, row_tot * col_tot / grand AS exp_cnt,
+        |         (CAST(obs AS DOUBLE) - row_tot * col_tot / grand)
+        |           * (CAST(obs AS DOUBLE) - row_tot * col_tot / grand)
+        |           / (row_tot * col_tot / grand) AS contrib
+        |  FROM ci_m)
+        |SELECT lang, source, obs, round(exp_cnt, 6) AS exp_cnt,
+        |       round(contrib, 6) AS contrib,
+        |       round(sum(contrib) OVER (ORDER BY lang, source
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS chisq_running
+        |FROM ci_e ORDER BY 1, 2""".stripMargin)),
+
+    // K27 inferential completion: χ² ~ χ²((R−1)(C−1)) under independence →
+    // p via the codegen chi-square survival function. Rows-only (the CDF
+    // has no SQL analog; the statistic and cells ride k27's oracle).
+    Q("k27_chisq_inference", (s, d) => {
+      GraftExtensions.registerAll(s)
+      val docs = Tables.table(s, d, "documents")
+      val seen = docs.groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+      val cells = seen.select("lang").distinct()
+        .crossJoin(broadcast(seen.select("source").distinct()))
+        .join(seen, Seq("lang", "source"), "left")
+        .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      val agg = cells.agg(
+        countDistinct("lang").as("n_lang"),
+        countDistinct("source").as("n_source"),
+        sum("obs").as("grand"))
+      // statistic recomputed from exact margins (sum-of-squares identity:
+      // chi2 = Σ obs²/E − N, each term row-local after two margin joins on
+      // the bounded cell table)
+      val rows = cells
+        .join(cells.groupBy("lang").agg(sum("obs").as("row_tot")), "lang")
+        .join(cells.groupBy("source").agg(sum("obs").as("col_tot")), "source")
+      val byCell = rows.crossJoin(broadcast(agg))
+        .withColumn("exp_cnt", col("row_tot").cast("double")
+          * col("col_tot").cast("double") / col("grand").cast("double"))
+        .withColumn("contrib",
+          (col("obs").cast("double") - col("exp_cnt"))
+            * (col("obs").cast("double") - col("exp_cnt")) / col("exp_cnt"))
+      import org.apache.spark.sql.expressions.Window
+      val wRun = Window.orderBy("lang", "source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAllRows = Window.orderBy("lang", "source")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      byCell
+        .withColumn("chisq", sum("contrib").over(wRun))
+        .withColumn("n_cells", count(lit(1)).over(wAllRows))
+        .withColumn("rn", row_number().over(Window.orderBy(col("lang").desc, col("source").desc)))
+        .filter(col("rn") === 1)
+        .withColumn("df", ((col("n_lang") - 1) * (col("n_source") - 1)).cast("double"))
+        .select(col("n_lang"), col("n_source"), col("n_cells"),
+          round(col("chisq"), 6).as("chisq"), col("df"),
+          round(expr("graft_chisq_sf(chisq, df)"), 6).as("p_value"))
+    }, None),
+
+    // K28 — Kaplan–Meier survival curves per user cohort: time-to-first-
+    // purchase from first contact, right-censored at last activity
+    // (ops/Survival.kaplanMeier — windows over per-(group, duration)
+    // aggregates; the product-limit estimator as exp of an ORDERED running
+    // sum of log terms, extinction handled without ln(0)). Fully
+    // oracle-checked including the survival doubles.
+    Q("k28_kaplan_meier", (s, d) =>
+      Survival.kaplanMeier(kmSubjects(s, d))
+        .select(col("grp"), col("duration_h"), col("n_risk"),
+          col("d_events"), round(col("survival"), 6).as("survival"))
+        .orderBy("grp", "duration_h"),
+    Some(
+      s"""WITH $kmSubjSql,
+         |km_risk AS (
+         |  SELECT grp, duration_h, d,
+         |         CAST(sum(n_all) OVER (PARTITION BY grp ORDER BY duration_h DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+         |  FROM km_dur),
+         |km_ev AS (SELECT * FROM km_risk WHERE d > 0),
+         |km_s AS (
+         |  SELECT grp, duration_h, n_risk, d,
+         |         max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER wasc AS extinct,
+         |         sum(CASE WHEN d < n_risk
+         |                  THEN ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) END)
+         |           OVER wasc AS lsum
+         |  FROM km_ev
+         |  WINDOW wasc AS (PARTITION BY grp ORDER BY duration_h ASC
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT grp, duration_h, n_risk, d AS d_events,
+         |       round(CASE WHEN extinct = 1 THEN 0.0 ELSE exp(lsum) END, 6) AS survival
+         |FROM km_s ORDER BY 1, 2""".stripMargin)),
+
+    // K28 — two-group log-rank test: observed vs expected cohort-A events
+    // with hypergeometric variance at every pooled event time; n_g at
+    // pooled times via the union-and-running-count trick (the pOOBAH ecdf
+    // shape — no asof machinery, one window). E/V totals are ordered
+    // running sums → the statistic is oracle-checked bit-for-bit.
+    Q("k28_logrank", (s, d) =>
+      Survival.logRank(kmSubjects(s, d), "cohort_a")
+        .select(col("grp_a"), col("n_times"), col("o_a"),
+          round(col("e_a"), 6).as("e_a"), round(col("var_a"), 6).as("var_a"),
+          round(col("chi2"), 6).as("chi2")),
+    Some(
+      s"""WITH $kmSubjSql,
+         |lr_grid AS (SELECT DISTINCT duration_h AS t FROM km_dur WHERE d > 0),
+         |lr_groups AS (SELECT DISTINCT grp FROM km_subj),
+         |lr_u AS (
+         |  SELECT grp, duration_h AS t, n_all AS w, 0 AS is_grid FROM km_dur
+         |  UNION ALL
+         |  SELECT grp, t, CAST(0 AS BIGINT), 1 FROM lr_grid CROSS JOIN lr_groups),
+         |lr_risk AS (
+         |  SELECT grp, t,
+         |         CAST(sum(w) OVER (PARTITION BY grp ORDER BY t DESC, is_grid ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at,
+         |         is_grid
+         |  FROM lr_u),
+         |lr_d AS (
+         |  SELECT r.grp, r.t, r.n_at, coalesce(c.d, 0) AS d
+         |  FROM lr_risk r LEFT JOIN km_dur c ON c.grp = r.grp AND c.duration_h = r.t
+         |  WHERE r.is_grid = 1),
+         |lr_t AS (
+         |  SELECT t,
+         |         CAST(sum(CASE WHEN grp = 'cohort_a' THEN n_at ELSE 0 END) AS BIGINT) AS n_a,
+         |         CAST(sum(CASE WHEN grp <> 'cohort_a' THEN n_at ELSE 0 END) AS BIGINT) AS n_b,
+         |         CAST(sum(CASE WHEN grp = 'cohort_a' THEN d ELSE 0 END) AS BIGINT) AS d_a,
+         |         CAST(sum(CASE WHEN grp <> 'cohort_a' THEN d ELSE 0 END) AS BIGINT) AS d_b
+         |  FROM lr_d GROUP BY 1),
+         |lr_ev AS (
+         |  SELECT t, d_a,
+         |         CAST(d_a + d_b AS DOUBLE)
+         |           * (CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) AS e_a,
+         |         CASE WHEN n_a + n_b > 1 THEN
+         |           CAST(d_a + d_b AS DOUBLE)
+         |             * (CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+         |             * (1.0 - CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+         |             * (CAST(n_a + n_b AS DOUBLE) - CAST(d_a + d_b AS DOUBLE))
+         |             / (CAST(n_a + n_b AS DOUBLE) - 1.0)
+         |         ELSE 0.0 END AS v_a
+         |  FROM lr_t),
+         |lr_run AS (
+         |  SELECT t,
+         |         CAST(sum(d_a) OVER wasc AS BIGINT) AS o_a,
+         |         sum(e_a) OVER wasc AS e_a,
+         |         sum(v_a) OVER wasc AS var_a,
+         |         CAST(count(*) OVER wasc AS BIGINT) AS n_times,
+         |         lead(t, 1) OVER (ORDER BY t ASC) AS nxt
+         |  FROM lr_ev
+         |  WINDOW wasc AS (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT 'cohort_a' AS grp_a, n_times, o_a, round(e_a, 6) AS e_a,
+         |       round(var_a, 6) AS var_a,
+         |       round((CAST(o_a AS DOUBLE) - e_a) * (CAST(o_a AS DOUBLE) - e_a) / var_a, 6) AS chi2
+         |FROM lr_run WHERE nxt IS NULL""".stripMargin)),
+
+    // K28 inferential completion: log-rank χ² ~ χ²(1) under H₀ → p via the
+    // codegen chi-square survival function. Rows-only; the statistic rides
+    // k28_logrank's oracle.
+    Q("k28_logrank_inference", (s, d) => {
+      GraftExtensions.registerAll(s)
+      Survival.logRank(kmSubjects(s, d), "cohort_a")
+        .select(col("grp_a"), col("o_a"), round(col("e_a"), 6).as("e_a"),
+          round(col("chi2"), 6).as("chi2"),
+          round(expr("graft_chisq_sf(chi2, 1.0)"), 6).as("p_value"))
+    }, None)
   )
 }

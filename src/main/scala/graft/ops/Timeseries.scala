@@ -147,4 +147,50 @@ object Timeseries {
         (col("bucket") - col("cohort_bucket")).as("bucket_offset"))
       .agg(count(lit(1)).as("n_users")) // activity is (key, bucket)-distinct
   }
+
+  /** Additive seasonal decomposition y = trend + seasonal + remainder over
+    * a DENSE per-key integer-bucket count series (feed [[gapFillCounts]]
+    * output): trend is the `period`-bucket centered moving average,
+    * seasonal the per-slot (bucket mod period) mean of the detrended
+    * series, remainder the rest — the classical-decomposition recipe
+    * every telemetry/forecast pipeline runs before anomaly scoring.
+    *
+    * Determinism contract (shared with the DuckDB oracle): y and the
+    * moving-window sums S are EXACT integer aggregates, and the per-slot
+    * seasonal mean is computed as (Σy − ΣS/period)/n — every Σ an integer
+    * aggregate — so no float is ever summed in shuffle order; the double
+    * op sequence is fixed. Series edges (incomplete windows) are dropped
+    * via an integer window count, not NaN propagation.
+    *
+    * Scale shape: one keyed window pass over the dense series (bounded by
+    * calendar span, not event volume), one per-(key, slot) aggregate
+    * (keys × period rows), and a broadcast join back. Nothing global.
+    */
+  def seasonalDecompose(series: DataFrame, keyCol: String, bucketCol: String,
+                        valueCol: String, period: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val half = period / 2
+    // centered window of exactly `period` rows: (-half+1 .. +half)
+    val w = Window.partitionBy(keyCol).orderBy(bucketCol)
+      .rowsBetween(-(half - 1), half)
+    val dP = lit(period.toDouble)
+    val full = series
+      .withColumn("__s", sum(valueCol).over(w))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("__cnt") === period)
+      .withColumn("__slot", pmod(col(bucketCol), lit(period)))
+    val slots = full.groupBy(col(keyCol), col("__slot"))
+      .agg(sum(valueCol).as("__sy"), sum("__s").as("__ss"),
+        count(lit(1)).as("__n"))
+      .withColumn("seasonal",
+        (col("__sy").cast("double") - col("__ss").cast("double") / dP)
+          / col("__n").cast("double"))
+      .select(col(keyCol), col("__slot"), col("seasonal"))
+    full.join(broadcast(slots), Seq(keyCol, "__slot"))
+      .withColumn("trend", col("__s").cast("double") / dP)
+      .withColumn("remainder",
+        col(valueCol).cast("double") - col("trend") - col("seasonal"))
+      .select(col(keyCol), col(bucketCol), col(valueCol),
+        col("trend"), col("seasonal"), col("remainder"))
+  }
 }

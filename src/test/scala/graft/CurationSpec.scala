@@ -331,4 +331,43 @@ class CurationSpec extends SparkSpec {
     val covered = d1.flatMap(_._4.split(" ")).toSet
     assert(covered == (1 to 12).map(i => s"w$i").toSet)
   }
+
+  test("c19 negative sampling: cross-source only, ≤4 per anchor, deterministic across runs") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val run1 = SparkEntry.queries("c19_negative_sampling")(spark, sf).collect()
+    val run2 = SparkEntry.queries("c19_negative_sampling")(spark, sf).collect()
+    assert(run1.map(_.toSeq).toSeq == run2.map(_.toSeq).toSeq, "not deterministic")
+    assert(run1.nonEmpty)
+    run1.groupBy(_.getLong(0)).foreach { case (anchor, rows) =>
+      assert(rows.length <= 4)
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq)
+      rows.foreach { r =>
+        val neg = r.getLong(2)
+        assert(neg != anchor)
+        assert(docs(neg) != docs(anchor), s"anchor $anchor drew same-source negative $neg")
+        assert(r.getString(3) == docs(neg))
+      }
+    }
+  }
+
+  test("c20 preference pairs: chosen strictly outscores rejected, same source, gap > 0.05") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("c20_preference_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (chosen, rejected) = (r.getLong(2), r.getLong(3))
+      assert(chosen != rejected)
+      val gap = r.getAs[Double]("gap")
+      assert(gap > 0.05 - 1e-9)
+      assert(math.abs(r.getAs[Double]("score_chosen")
+        - r.getAs[Double]("score_rejected") - gap) < 2e-6)
+    }
+    // a doc appears at most once on each side within its source
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).distinct.length == rs.length)
+      assert(rs.map(_.getLong(3)).distinct.length == rs.length)
+    }
+  }
 }

@@ -361,4 +361,94 @@ class TierStatsSpec extends SparkSpec {
     assert(math.abs(got(1L)._3 - exp1) < 1e-12, s"got ${got(1L)._3} expect $exp1")
     assert(got(2L)._2 == 0L && math.abs(got(2L)._3) < 1e-15)
   }
+
+  test("k28 Kaplan-Meier matches the hand-computed product-limit curve (incl. extinction)") {
+    val sp = spark
+    import sp.implicits._
+    // A: classic textbook set; B: everyone at risk dies at the last time
+    val subj = Seq(
+      ("A", 1L, 1L), ("A", 2L, 1L), ("A", 2L, 0L), ("A", 3L, 1L), ("A", 4L, 0L),
+      ("B", 1L, 1L), ("B", 2L, 1L)).toDF("grp", "duration_h", "event")
+    val got = graft.ops.Survival.kaplanMeier(subj).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // A: t=1 n=5 d=1 S=.8; t=2 n=4 d=1 S=.6 (censored-at-2 still at risk);
+    //    t=3 n=2 d=1 S=.3
+    assert(got(("A", 1L)) == ((5L, 1L, 0.8)))
+    assert(got(("A", 2L))._1 == 4L && math.abs(got(("A", 2L))._3 - 0.6) < 1e-12)
+    assert(got(("A", 3L))._1 == 2L && math.abs(got(("A", 3L))._3 - 0.3) < 1e-12)
+    // B: t=1 n=2 d=1 S=.5; t=2 n=1 d=1 → extinction → S exactly 0 (no ln(0))
+    assert(math.abs(got(("B", 1L))._3 - 0.5) < 1e-12)
+    assert(got(("B", 2L))._3 == 0.0)
+  }
+
+  test("k28 log-rank O/E/V/chi2 match a driver-side per-time loop") {
+    val sp = spark
+    import sp.implicits._
+    val subj = Seq(
+      ("A", 1L, 1L), ("A", 3L, 1L), ("A", 5L, 0L), ("A", 7L, 1L), ("A", 9L, 0L),
+      ("B", 1L, 1L), ("B", 2L, 1L), ("B", 2L, 1L), ("B", 4L, 0L), ("B", 6L, 1L))
+    val got = graft.ops.Survival.logRank(
+      subj.toDF("grp", "duration_h", "event"), "A").head()
+    // reference: loop over pooled event times
+    val times = subj.filter(_._3 == 1L).map(_._2).distinct.sorted
+    var (o, e, v) = (0L, 0.0, 0.0)
+    times.foreach { t =>
+      val nA = subj.count(s => s._1 == "A" && s._2 >= t)
+      val nB = subj.count(s => s._1 == "B" && s._2 >= t)
+      val dA = subj.count(s => s._1 == "A" && s._2 == t && s._3 == 1L)
+      val dB = subj.count(s => s._1 == "B" && s._2 == t && s._3 == 1L)
+      val n = nA + nB; val dd = dA + dB
+      o += dA
+      e += dd.toDouble * nA / n
+      if (n > 1)
+        v += dd.toDouble * nA / n * (1.0 - nA.toDouble / n) * (n - dd).toDouble / (n - 1)
+    }
+    assert(got.getAs[Long]("n_times") == times.length)
+    assert(got.getAs[Long]("o_a") == o)
+    assert(math.abs(got.getAs[Double]("e_a") - e) < 1e-12)
+    assert(math.abs(got.getAs[Double]("var_a") - v) < 1e-12)
+    assert(math.abs(got.getAs[Double]("chi2") - (o - e) * (o - e) / v) < 1e-9)
+  }
+
+  test("k27 chi-square independence matches commons-math on the real contingency table") {
+    val sp = spark
+    GraftExtensions.registerAll(sp)
+    val cells = SparkEntry.queries("k27_chisq_independence")(sp, sf).collect()
+    val langs = cells.map(_.getString(0)).distinct.sorted
+    val sources = cells.map(_.getString(1)).distinct.sorted
+    val m = Array.ofDim[Long](langs.length, sources.length)
+    cells.foreach { r =>
+      m(langs.indexOf(r.getString(0)))(sources.indexOf(r.getString(1))) =
+        r.getAs[Long]("obs")
+    }
+    val cs = new org.apache.commons.math3.stat.inference.ChiSquareTest()
+    val expChi = cs.chiSquare(m)
+    val gotChi = cells.map(_.getAs[Double]("chisq_running")).max
+    assert(math.abs(gotChi - expChi) < 1e-5, s"chi2 $gotChi vs $expChi")
+    val inf = SparkEntry.queries("k27_chisq_inference")(sp, sf).head()
+    assert(math.abs(inf.getAs[Double]("chisq") - expChi) < 1e-5)
+    assert(math.abs(inf.getAs[Double]("p_value") - cs.chiSquareTest(m)) < 1e-5,
+      s"p ${inf.getAs[Double]("p_value")} vs ${cs.chiSquareTest(m)}")
+  }
+
+  test("w15 seasonal decomposition recovers an exactly periodic series (zero remainder)") {
+    val sp = spark
+    import sp.implicits._
+    val pattern = Array.tabulate(24)(i => ((i * 7) % 11 + 1).toLong)
+    val series = (0 until 72).map(b => ("k", b.toLong, pattern(b % 24)))
+      .toDF("key", "bucket", "n")
+    val got = graft.ops.Timeseries
+      .seasonalDecompose(series, "key", "bucket", "n", 24).collect()
+    val mean = pattern.sum.toDouble / 24.0
+    assert(got.nonEmpty)
+    // full windows only: buckets 11..59 inclusive survive (edges dropped)
+    assert(got.map(_.getLong(1)).min == 11 && got.map(_.getLong(1)).max == 59)
+    got.foreach { r =>
+      val b = r.getLong(1)
+      assert(math.abs(r.getAs[Double]("trend") - mean) < 1e-9)
+      assert(math.abs(r.getAs[Double]("seasonal") - (pattern((b % 24).toInt) - mean)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("remainder")) < 1e-9)
+    }
+  }
 }
