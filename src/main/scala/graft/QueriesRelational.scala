@@ -249,6 +249,47 @@ object QueriesRelational {
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.event_id""".stripMargin)),
 
+    // Point-in-time-correct feature join with a staleness TTL (the
+    // feature-store read-path contract): each purchase takes the user's
+    // latest view-value feature AS OF purchase time, but a feature older
+    // than 2 h is DROPPED (NULL), not served stale — training-serving skew
+    // guard. Composition, not a new operator: the as-of payload carries
+    // the feature's own timestamp, so the TTL gate is a row-local CASE
+    // after the one-shuffle asofJoin. Exact integer cents/μs throughout.
+    Q("j15_asof_ttl", (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("ts")).as("feat_us"),
+          round(col("value") * 100).cast("bigint").as("feat_cents"))
+      val ttlUs = 2L * 3600L * 1000000L
+      Relational.asofJoin(purchases, views, "user_id", "ts_us",
+          Seq("feat_us", "feat_cents"))
+        .withColumn("staleness_us", col("ts_us") - col("asof_feat_us"))
+        .select(col("event_id"), col("user_id"),
+          col("ts_us").as("purchase_us"),
+          when(col("staleness_us") <= ttlUs, col("asof_feat_cents"))
+            .as("feature_cents"),
+          when(col("staleness_us") <= ttlUs, col("staleness_us"))
+            .as("staleness_us"),
+          (col("asof_feat_us").isNotNull && col("staleness_us") > ttlUs)
+            .as("dropped_stale"))
+        .orderBy("event_id")
+    }, Some(
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+        |       CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 7200000000
+        |            THEN CAST(round(v.value * 100) AS BIGINT) END AS feature_cents,
+        |       CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 7200000000
+        |            THEN epoch_us(p.ts) - epoch_us(v.ts) END AS staleness_us,
+        |       coalesce(epoch_us(p.ts) - epoch_us(v.ts) > 7200000000, FALSE)
+        |         AS dropped_stale
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin)),
+
     Q("j10_range_join_binned", (s, d) => {
       val ev = Tables.events(s, d)
       val signups = ev.filter(col("event_type") === "signup")

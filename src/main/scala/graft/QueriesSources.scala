@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import graft.ops.Poobah
-import graft.sources.{Idat, SectionedReport, Xlsx}
+import graft.sources.{Idat, SectionedReport, Xlsx, ZipArchive}
 import graft.streaming.QcMonitor
 
 /** Source/sink queries (SURVEY.md §2.1): CSV round-trip, sectioned
@@ -142,6 +142,46 @@ object QueriesSources {
         |  ('b_Red.idat', CAST(7 AS BIGINT))
         |) t(file, length) ORDER BY file""".stripMargin)),
 
+    // ZIP archive ingestion (reference health_check.py:40-63 — EPIC
+    // deliveries arrive zipped and are unpacked before IDAT discovery):
+    // engine-side the unpack is a distributed member SCAN (one parse task
+    // per archive, the xlsx/idat container shape) — no extracted tree is
+    // ever materialized. Fixture archives derive from the nation dim
+    // (bounded, write-once); the oracle recomputes member names and exact
+    // byte sizes from the parquet directly.
+    Q("s12_zip_members", (s, d) => {
+      val dir = s"${Q.scratch}/s12_zip_${Integer.toHexString(d.hashCode)}"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        val rows = Tables.table(s, d, "nation")
+          .select(col("n_nationkey").cast("long"), col("n_name"),
+            col("n_regionkey").cast("long")).collect()
+        Files.createDirectories(Paths.get(dir))
+        rows.groupBy(r => s"arch_${r.getLong(0) % 2}.zip").foreach {
+          case (name, rs) =>
+            val members = rs.sortBy(_.getLong(0)).map { r =>
+              (s"nation_${r.getLong(0)}.txt",
+                s"${r.getString(1)},${r.getLong(2)}\n".getBytes("UTF-8"))
+            }.toSeq
+            Files.write(Paths.get(s"$dir/$name"), ZipArchive.bytes(members))
+        }
+        Files.write(Paths.get(s"$dir/_SUCCESS"), Array.emptyByteArray)
+      }
+      ZipArchive.read(s, dir)
+        .groupBy("archive")
+        .agg(count(lit(1)).as("n_members"), sum("size").as("total_bytes"),
+          min("member").as("first_member"), max("member").as("last_member"))
+        .orderBy("archive")
+    }, Some(
+      """WITH zm AS (
+        |  SELECT 'arch_' || CAST(n_nationkey % 2 AS VARCHAR) || '.zip' AS archive,
+        |         'nation_' || CAST(n_nationkey AS VARCHAR) || '.txt' AS member,
+        |         CAST(length(n_name || ',' || CAST(n_regionkey AS VARCHAR)) + 1 AS BIGINT) AS size
+        |  FROM nation)
+        |SELECT archive, count(*) AS n_members,
+        |       CAST(sum(size) AS BIGINT) AS total_bytes,
+        |       min(member) AS first_member, max(member) AS last_member
+        |FROM zm GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S5 — IDAT round-trip through the dependency-free binary codec
     // (sources/Idat.scala, format per the public illuminaio spec): the
     // long intensity fixture (Tables.idatLong) is serialized to real
@@ -154,7 +194,7 @@ object QueriesSources {
       val dir = s"${Q.scratch}/s05_idat_${Integer.toHexString(d.hashCode)}"
       if (!new java.io.File(s"$dir/_SUCCESS").exists())
         Idat.writeFiles(Tables.idatLong(s, d), dir)
-      Idat.read(s, s"$dir/*.idat")
+      Idat.read(s, dir)
         .groupBy("sample_id", "channel")
         .agg(count(lit(1)).as("n_beads"),
           sum(col("mean").cast("long")).as("sum_mean"),
@@ -184,7 +224,7 @@ object QueriesSources {
       val dir = s"${Q.scratch}/s05_idat_${Integer.toHexString(d.hashCode)}"
       if (!new java.io.File(s"$dir/_SUCCESS").exists())
         Idat.writeFiles(Tables.idatLong(s, d), dir)
-      val dec = Poobah.decodeAddress(Idat.read(s, s"$dir/*.idat"))
+      val dec = Poobah.decodeAddress(Idat.read(s, dir))
       Poobah.betas(dec)
         .join(Poobah.detectionP(dec), Seq("sample_id", "probe_id"))
         .filter(col("detp") <= 0.05)

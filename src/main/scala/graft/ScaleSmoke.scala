@@ -115,7 +115,12 @@ object ScaleSmoke {
       // it: 5.4 s at 1000 samples.
       "s10_xlsx_partitioned", "k23_group_ellipse",
       "k25_bmiq_fit_density", "c17_entity_resolution", "c18_fuzzy_scores",
-      "a35_incremental_agg")
+      "a35_incremental_agg",
+      // S5/K7 reclamation + survival/seasonal/pairs tier
+      "s05_idat_roundtrip", "k26_poobah_detp", "e09_idat_lifecycle",
+      "k27_chisq_independence", "k28_kaplan_meier", "k28_logrank",
+      "w15_seasonal_decompose", "c19_negative_sampling",
+      "c20_preference_pairs", "j15_asof_ttl")
     val timed = only match {
       case Some(subs) => queries.filter(q => subs.exists(q.contains))
       case None => queries

@@ -74,8 +74,9 @@ object SqlOracles {
       |         printf('2052439%05d', sk) AS barcode,
       |         'BeadChip-8x5' AS chip_type,
       |         printf('cg%07d', k) AS probe_id, design_type, in_band, bead
-      |  FROM idat_addr CROSS JOIN
-      |       (SELECT CAST(s_suppkey AS BIGINT) AS sk FROM supplier WHERE s_suppkey % 25 = 3)),
+      |  FROM idat_addr JOIN
+      |       (SELECT CAST(s_suppkey AS BIGINT) AS sk FROM supplier WHERE s_suppkey % 25 = 3)
+      |       ON (k // 1000000) = (sk // 100000)),
       |idat_detp AS (
       |  SELECT sample_id, probe_id,
       |         min(1.0 - CAST(cnt AS DOUBLE) / CAST(noob AS DOUBLE)) AS detp

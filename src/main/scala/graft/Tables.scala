@@ -174,7 +174,14 @@ object Tables {
       val chO = when(col("channel") === "Grn", 0L).otherwise(13L)
       val h = col("addr").cast("long") * 7919L + col("sk") * 104729L + chO
       typeII.unionAll(typeI)
-        .crossJoin(broadcast(samples))
+        // chip-batch pairing, not a full cross join: a sample carries ONLY
+        // its own batch's bead-address universe (replica r = key div
+        // offset; 0 = 0 on the plain testdata, so every pair is kept
+        // there). Physical arrays are fixed-size — the model must grow
+        // LINEARLY in samples, the domain's real growth axis, or a 16×
+        // ScaleSmoke replica (parts AND samples ×16) would grow 256×.
+        .join(broadcast(samples),
+          expr("(k div 1000000) = (sk div 100000)"))
         .select(
           format_string("S%03d", col("sk")).as("sample_id"),
           col("sk"), col("channel"),

@@ -224,9 +224,13 @@ object Idat {
     * (idat.r:38). Returns the long intensity model:
     * `(sample_id, channel, address, mean, sd, nbeads, barcode, chip_type)`.
     */
-  def read(spark: SparkSession, pathGlob: String): DataFrame = {
+  def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(pathGlob)
+    // pathGlobFilter (not a glob inside the path) — the path-glob form
+    // makes the resolver log a spurious FileNotFoundException before its
+    // glob-expansion fallback, and the option form also skips _SUCCESS
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.idat")
+      .load(dir)
       .select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (path, content) =>

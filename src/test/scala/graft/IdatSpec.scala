@@ -90,7 +90,7 @@ class IdatSpec extends SparkSpec {
     Idat.writeFiles(src, d)
     assert(Files.exists(Paths.get(s"$d/_SUCCESS")))
     assert(Files.exists(Paths.get(s"$d/S001_Grn.idat")))
-    val back = Idat.read(spark, s"$d/*.idat")
+    val back = Idat.read(spark, d)
     assert(back.count() == 5)
     val expect = src.collect().map(_.toSeq).toSet
     assert(back.select("sample_id", "channel", "address", "mean", "sd",

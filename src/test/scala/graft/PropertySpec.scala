@@ -173,4 +173,57 @@ class PropertySpec extends SparkSpec {
       assert(a == b)
     }
   }
+
+  test("property: IDAT bytes→parse round-trips arbitrary bead vectors and strings") {
+    import graft.sources.Idat
+    val beadGen = for {
+      addr <- Gen.choose(0, Int.MaxValue)
+      mean <- Gen.choose(0, 0xffff)
+      sd <- Gen.choose(0, 0xffff)
+      nb <- Gen.choose(0, 0xff)
+    } yield Idat.Bead(addr, mean, sd, nb)
+    val strGen = Gen.listOf(Gen.asciiPrintableChar).map(_.mkString)
+    val caseGen = for {
+      beads <- Gen.listOfN(30, beadGen)
+      bc <- strGen
+      ct <- strGen
+    } yield (beads, bc, ct)
+    samples(caseGen, 25).foreach { case (beads, bc, ct) =>
+      // distinct addresses (the container's key) — dedupe collisions
+      val uniq = beads.groupBy(_.address).map(_._2.head).toSeq
+      val (back, gotBc, gotCt) = Idat.parse(Idat.bytes(uniq, bc, ct))
+      assert(gotBc == bc && gotCt == ct)
+      assert(back.sortBy(_.address) == uniq.sortBy(_.address))
+    }
+  }
+
+  test("property: Kaplan-Meier matches a brute-force product-limit reference on random subjects") {
+    import graft.ops.Survival
+    val subjGen = Gen.listOfN(25, for {
+      g <- Gen.oneOf("A", "B")
+      t <- Gen.choose(0L, 6L)
+      e <- Gen.oneOf(0L, 1L)
+    } yield (g, t, e))
+    samples(subjGen, 12).foreach { subj =>
+      val got = Survival.kaplanMeier(subj.toDF("grp", "duration_h", "event"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toMap
+      subj.map(_._1).distinct.foreach { g =>
+        val gs = subj.filter(_._1 == g)
+        val times = gs.filter(_._3 == 1L).map(_._2).distinct.sorted
+        var s = 1.0
+        times.foreach { t =>
+          val nRisk = gs.count(_._2 >= t).toLong
+          val d = gs.count(x => x._2 == t && x._3 == 1L).toLong
+          s = if (d == nRisk) 0.0 else s * (nRisk - d).toDouble / nRisk
+          val (gotN, gotD, gotS) = got((g, t))
+          assert(gotN == nRisk && gotD == d, s"($g,$t): n/d mismatch")
+          assert(math.abs(gotS - s) < 1e-9, s"($g,$t): survival $gotS vs $s")
+        }
+        // every emitted row corresponds to an event time
+        assert(got.keys.count(_._1 == g) == times.length)
+      }
+    }
+  }
 }
