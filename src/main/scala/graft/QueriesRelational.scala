@@ -2398,6 +2398,76 @@ object QueriesRelational {
         |       CAST(sum(c) AS BIGINT) AS sum_cents,
         |       CAST(sum(c * c) AS BIGINT) AS ss_cents,
         |       min(c) AS min_cents, max(c) AS max_cents
-        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Population-stability-index drift audit (the standard ML-ops check
+    // that a serving-time feature distribution still matches training):
+    // the event-value feature, reference = first time half, comparison =
+    // second (exact integer midpoint split, the c16 pattern); 10 equal-
+    // width integer bins from the REFERENCE min/max (broadcast 1-row
+    // range); Laplace-smoothed shares p = (n+1)/(N+10) guard empty bins;
+    // PSI = Σ (p_c − p_r)·ln(p_c/p_r) as a DETERMINISTIC ordered running
+    // sum (the a31 pattern). Two aggregates + a 10-row window — nothing
+    // data-sized is ever sorted.
+    Q("a36_psi_drift", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(
+        unix_micros(col("ts")).as("t"),
+        round(col("value") * 100).cast("bigint").as("c"))
+      val rng = ev.agg(min("t").as("tmin"), max("t").as("tmax"))
+      val half = ev.crossJoin(broadcast(rng))
+        .withColumn("is_ref", expr("((t - tmin) * 2) div (tmax - tmin + 1)") === 0)
+      val refRng = half.filter(col("is_ref"))
+        .agg(min("c").as("cmin"), max("c").as("cmax"))
+      val binned = half.crossJoin(broadcast(refRng))
+        .withColumn("bin",
+          least(greatest(expr("((c - cmin) * 10) div (cmax - cmin + 1)"), lit(0L)), lit(9L)))
+        .groupBy("bin")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cmp"))
+      val tot = binned.agg(sum("n_ref").as("tr"), sum("n_cmp").as("tc"))
+      val wRun = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      binned.crossJoin(broadcast(tot))
+        .withColumn("p_ref", (col("n_ref").cast("double") + 1.0)
+          / (col("tr").cast("double") + 10.0))
+        .withColumn("p_cmp", (col("n_cmp").cast("double") + 1.0)
+          / (col("tc").cast("double") + 10.0))
+        .withColumn("contrib",
+          (col("p_cmp") - col("p_ref")) * log(col("p_cmp") / col("p_ref")))
+        .withColumn("psi_running", sum("contrib").over(wRun))
+        .select(col("bin"), col("n_ref"), col("n_cmp"),
+          round(col("p_ref"), 6).as("p_ref"), round(col("p_cmp"), 6).as("p_cmp"),
+          round(col("contrib"), 6).as("contrib"),
+          round(col("psi_running"), 6).as("psi_running"))
+        .orderBy("bin")
+    }, Some(
+      """WITH ps_e AS (
+        |  SELECT epoch_us(ts) AS t, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |ps_r AS (SELECT min(t) AS tmin, max(t) AS tmax FROM ps_e),
+        |ps_h AS (
+        |  SELECT c, ((t - tmin) * 2) // (tmax - tmin + 1) = 0 AS is_ref
+        |  FROM ps_e CROSS JOIN ps_r),
+        |ps_cr AS (SELECT min(c) AS cmin, max(c) AS cmax FROM ps_h WHERE is_ref),
+        |ps_b AS (
+        |  SELECT least(greatest(((c - cmin) * 10) // (cmax - cmin + 1), 0), 9) AS bin,
+        |         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |         CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cmp
+        |  FROM ps_h CROSS JOIN ps_cr GROUP BY 1),
+        |ps_t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+        |                CAST(sum(n_cmp) AS BIGINT) AS tc FROM ps_b),
+        |ps_p AS (
+        |  SELECT bin, n_ref, n_cmp,
+        |         (CAST(n_ref AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 10.0) AS p_ref,
+        |         (CAST(n_cmp AS DOUBLE) + 1.0) / (CAST(tc AS DOUBLE) + 10.0) AS p_cmp
+        |  FROM ps_b CROSS JOIN ps_t),
+        |ps_c AS (
+        |  SELECT *, (p_cmp - p_ref) * ln(p_cmp / p_ref) AS contrib FROM ps_p)
+        |SELECT bin, n_ref, n_cmp, round(p_ref, 6) AS p_ref,
+        |       round(p_cmp, 6) AS p_cmp, round(contrib, 6) AS contrib,
+        |       round(sum(contrib) OVER (ORDER BY bin
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS psi_running
+        |FROM ps_c ORDER BY 1""".stripMargin))
   )
 }

@@ -432,6 +432,40 @@ class TierStatsSpec extends SparkSpec {
       s"p ${inf.getAs[Double]("p_value")} vs ${cs.chiSquareTest(m)}")
   }
 
+  test("a36 PSI matches a driver-side reference on the real event feature") {
+    val sp = spark
+    import sp.implicits._
+    val rows = SparkEntry.queries("a36_psi_drift")(sp, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // driver-side recomputation from the same parquet
+    val ev = Tables.events(sp, sf)
+      .select(unix_micros(col("ts")).as("t"),
+        round(col("value") * 100).cast("bigint").as("c"))
+      .as[(Long, Long)].collect()
+    val (tmin, tmax) = (ev.map(_._1).min, ev.map(_._1).max)
+    def isRef(t: Long) = (t - tmin) * 2 / (tmax - tmin + 1) == 0
+    val ref = ev.filter(e => isRef(e._1)).map(_._2)
+    val cmp = ev.filterNot(e => isRef(e._1)).map(_._2)
+    val (cmin, cmax) = (ref.min, ref.max)
+    def bin(c: Long) = math.min(math.max((c - cmin) * 10 / (cmax - cmin + 1), 0L), 9L)
+    val nr = ref.groupBy(bin).map { case (b, v) => b -> v.length.toLong }
+    val nc = cmp.groupBy(bin).map { case (b, v) => b -> v.length.toLong }
+    val bins = (nr.keySet ++ nc.keySet).toSeq.sorted
+    var psi = 0.0
+    bins.foreach { b =>
+      val pr = (nr.getOrElse(b, 0L) + 1.0) / (ref.length + 10.0)
+      val pc = (nc.getOrElse(b, 0L) + 1.0) / (cmp.length + 10.0)
+      psi += (pc - pr) * math.log(pc / pr)
+    }
+    assert(rows.length == bins.length)
+    assert(math.abs(rows.last.getAs[Double]("psi_running") - psi) < 1e-5,
+      s"psi ${rows.last.getAs[Double]("psi_running")} vs $psi")
+    rows.foreach { r =>
+      assert(r.getLong(1) == nr.getOrElse(r.getLong(0), 0L))
+      assert(r.getLong(2) == nc.getOrElse(r.getLong(0), 0L))
+    }
+  }
+
   test("w15 seasonal decomposition recovers an exactly periodic series (zero remainder)") {
     val sp = spark
     import sp.implicits._
