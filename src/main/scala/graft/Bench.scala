@@ -31,9 +31,10 @@ object Bench {
     "t05_tfidf", "t10_quality_classifier",
     "c01_dedup_clusters", "c05_sequence_packing",
     "g01_pagerank", "r02_partitioned_write", "r07_upsert_merge",
-    // r6 rotation: s03_final_report / m03_image_pixels (both sub-0.3 s)
-    // out for the idat pair below — line must stay under the 2000-char
-    // stdout tail buffer; all timings remain in BENCH_full.json
+    // r6 rotation: s03_final_report (sub-0.3 s) out for the idat pair
+    // below — the line must stay under the 2000-char stdout tail buffer
+    // (measured 1933 chars with 69 entries; ~2 entries of headroom); all
+    // timings remain in BENCH_full.json
     "m03_image_pixels",
     // round-4 closing tier (line stays well under the 2000-char buffer)
     "a17_expectations", "a19_topk_per_group_agg",

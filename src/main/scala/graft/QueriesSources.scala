@@ -224,7 +224,13 @@ object QueriesSources {
       val dir = s"${Q.scratch}/s05_idat_${Integer.toHexString(d.hashCode)}"
       if (!new java.io.File(s"$dir/_SUCCESS").exists())
         Idat.writeFiles(Tables.idatLong(s, d), dir)
-      val dec = Poobah.decodeAddress(Idat.read(s, dir))
+      // betas + detectionP consume `dec` four ways (oob/sigI/sigII union
+      // branches + the beta aggregate) and Spark does no cross-branch
+      // subexpression reuse — persist the parsed rows so the 2×samples
+      // binary files parse ONCE, released by the harness via Caches
+      val dec = graft.ops.Caches.track(
+        Poobah.decodeAddress(Idat.read(s, dir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       Poobah.betas(dec)
         .join(Poobah.detectionP(dec), Seq("sample_id", "probe_id"))
         .filter(col("detp") <= 0.05)

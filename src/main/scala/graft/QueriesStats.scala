@@ -199,6 +199,20 @@ object QueriesStats {
     * `(probe_id, n, ssb, ssw, df1, df2, f)`; k13_anova_f rounds it for the
     * oracle, k13_anova_inference feeds `f` to `graft_f_sf`.
     */
+  /** Full R×C contingency grid for k27: observed lang × source counts
+    * with absent combinations as GENUINE ZERO CELLS (they contribute
+    * (0−E)²/E = E to the statistic — dropping them would understate χ²).
+    * Grid = distinct-margins cross join (bounded, broadcast), zero-filled.
+    */
+  private def chisqCells(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val seen = Tables.table(s, d, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+    seen.select("lang").distinct()
+      .crossJoin(broadcast(seen.select("source").distinct()))
+      .join(seen, Seq("lang", "source"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+  }
+
   /** Survival subject table for k28: one row per user — cohort (user-key
     * parity), integer duration in hours from first event to first
     * 'purchase' (event = 1) or to the last observed event (right-censored,
@@ -1733,16 +1747,7 @@ object QueriesStats {
     // pattern). Fully oracle-checked.
     Q("k27_chisq_independence", (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val seen = Tables.table(s, d, "documents")
-        .groupBy("lang", "source").agg(count(lit(1)).as("obs"))
-      // the FULL R×C grid: absent combinations are genuine zero cells and
-      // contribute (0−E)²/E = E to the statistic — dropping them would
-      // understate χ². Grid = distinct-margins cross join (bounded,
-      // broadcast), zero-filled.
-      val cells = seen.select("lang").distinct()
-        .crossJoin(broadcast(seen.select("source").distinct()))
-        .join(seen, Seq("lang", "source"), "left")
-        .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      val cells = chisqCells(s, d)
       val wL = Window.partitionBy("lang")
       val wS = Window.partitionBy("source")
       val wAll = Window.partitionBy()
@@ -1794,12 +1799,7 @@ object QueriesStats {
     // has no SQL analog; the statistic and cells ride k27's oracle).
     Q("k27_chisq_inference", (s, d) => {
       GraftExtensions.registerAll(s)
-      val docs = Tables.table(s, d, "documents")
-      val seen = docs.groupBy("lang", "source").agg(count(lit(1)).as("obs"))
-      val cells = seen.select("lang").distinct()
-        .crossJoin(broadcast(seen.select("source").distinct()))
-        .join(seen, Seq("lang", "source"), "left")
-        .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      val cells = chisqCells(s, d)
       val agg = cells.agg(
         countDistinct("lang").as("n_lang"),
         countDistinct("source").as("n_source"),

@@ -169,10 +169,13 @@ object Timeseries {
   def seasonalDecompose(series: DataFrame, keyCol: String, bucketCol: String,
                         valueCol: String, period: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val half = period / 2
-    // centered window of exactly `period` rows: (-half+1 .. +half)
+    require(period >= 1, s"period must be >= 1, got $period")
+    // centered window of EXACTLY `period` rows for any period: floor the
+    // left reach, ceil the right — (-(period-1)/2 .. period/2). An
+    // even-only frame like (-(p/2-1), p/2) spans p-1 rows for odd p and
+    // the cnt==period edge filter would silently drop everything.
     val w = Window.partitionBy(keyCol).orderBy(bucketCol)
-      .rowsBetween(-(half - 1), half)
+      .rowsBetween(-((period - 1) / 2), period / 2)
     val dP = lit(period.toDouble)
     val full = series
       .withColumn("__s", sum(valueCol).over(w))

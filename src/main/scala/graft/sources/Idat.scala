@@ -132,10 +132,18 @@ object Idat {
     * completion — callers guard on the marker).
     */
   def writeFiles(df: DataFrame, dir: String): Unit = {
-    val fs0 = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val hadoopConf = df.sparkSession.sessionState.newHadoopConf()
+    val fs0 = new org.apache.hadoop.fs.Path(dir).getFileSystem(hadoopConf)
     fs0.delete(new org.apache.hadoop.fs.Path(dir), true)
     fs0.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    // ship the SESSION's Hadoop conf to the executors — a bare
+    // `new Configuration()` there would drop spark.hadoop.* settings
+    // (s3a credentials, endpoints) and could resolve a different
+    // fs.defaultFS than the one fs0 just prepared
+    val confProps: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      hadoopConf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    }
     df.select("sample_id", "channel", "address", "mean", "sd", "nbeads",
         "barcode", "chip_type")
       .repartition(col("sample_id"), col("channel"))
@@ -149,10 +157,15 @@ object Idat {
             (mutable.ArrayBuffer.empty[Bead], r.getString(6), r.getString(7)))
           g._1 += Bead(r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
         }
+        lazy val conf = {
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          confProps.foreach { case (k, v) => c.set(k, v) }
+          c
+        }
         groups.foreach { case ((sample, channel), (beads, barcode, chipType)) =>
           val data = bytes(beads.toSeq, barcode, chipType)
           val p = new org.apache.hadoop.fs.Path(s"$dir/${sample}_$channel.idat")
-          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = p.getFileSystem(conf)
           val out = fs.create(p, true)
           out.write(data); out.close()
         }

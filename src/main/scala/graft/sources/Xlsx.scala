@@ -175,18 +175,26 @@ object Xlsx {
     */
   def writePartitioned(df: DataFrame, dir: String, sheet: String = "Sheet1"): Unit = {
     val header = df.columns.toSeq
-    val fs0 = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val hadoopConf = df.sparkSession.sessionState.newHadoopConf()
+    val fs0 = new org.apache.hadoop.fs.Path(dir).getFileSystem(hadoopConf)
     fs0.delete(new org.apache.hadoop.fs.Path(dir), true)
     fs0.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    // ship the SESSION's Hadoop conf to the executors — a bare
+    // `new Configuration()` there would drop spark.hadoop.* settings
+    // (s3a credentials, endpoints) and could resolve a different
+    // fs.defaultFS than the one fs0 just prepared
+    val confProps: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      hadoopConf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    }
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val data = bytes(header, it, sheet)
         val p = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.xlsx")
-        // executor-side: default Configuration resolves file:// and any
-        // cluster-configured DFS from the executor's own core-site
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confProps.foreach { case (k, v) => conf.set(k, v) }
+        val fs = p.getFileSystem(conf)
         val out = fs.create(p, true)
         out.write(data); out.close()
       }

@@ -466,6 +466,20 @@ class TierStatsSpec extends SparkSpec {
     }
   }
 
+  test("seasonalDecompose handles ODD periods (window spans exactly `period` rows)") {
+    val sp = spark
+    import sp.implicits._
+    val pattern = Array.tabulate(7)(i => (i * 3 % 5 + 1).toLong)
+    val series = (0 until 28).map(b => ("k", b.toLong, pattern(b % 7)))
+      .toDF("key", "bucket", "n")
+    val got = graft.ops.Timeseries
+      .seasonalDecompose(series, "key", "bucket", "n", 7).collect()
+    // an even-only frame would span 6 rows and emit NOTHING for period 7
+    assert(got.nonEmpty)
+    assert(got.map(_.getLong(1)).min == 3 && got.map(_.getLong(1)).max == 24)
+    got.foreach(r => assert(math.abs(r.getAs[Double]("remainder")) < 1e-9))
+  }
+
   test("w15 seasonal decomposition recovers an exactly periodic series (zero remainder)") {
     val sp = spark
     import sp.implicits._
