@@ -345,6 +345,79 @@ object QueriesSources {
         |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
         |ORDER BY 1, 3""".stripMargin)),
 
+    // Streaming drift monitor, batch flavor (same transform StreamingSpec
+    // drives live through MemoryStream): training-time reference = first
+    // time half (binning range + Laplace-smoothed bin shares — bounded
+    // 1-row/10-row driver reads, the PQ-codebook literal policy), then
+    // QcMonitor.driftMonitor computes per-hour PSI of the second half in
+    // ONE windowed aggregation (10 conditional-sum bins, PSI row-local as
+    // a fixed left-associative 10-term expression — mirrored by the
+    // oracle's bin-ordered running sum).
+    Q("e10_drift_monitor", (s, d) => {
+      val ev = Tables.events(s, d).select(col("ts"),
+        unix_micros(col("ts")).as("t"),
+        round(col("value") * 100).cast("bigint").as("c"))
+      val rng = ev.agg(min("t").as("a"), max("t").as("b")).head()
+      val (tmin, tmax) = (rng.getLong(0), rng.getLong(1))
+      val isRef = expr(s"((t - ${tmin}L) * 2) div ${tmax - tmin + 1}L") === 0
+      val refC = ev.filter(isRef)
+        .agg(min("c").as("a"), max("c").as("b")).head()
+      val (cmin, cmax) = (refC.getLong(0), refC.getLong(1))
+      val binOf = least(greatest(
+        expr(s"((c - ${cmin}L) * 10) div ${cmax - cmin + 1}L"), lit(0L)), lit(9L))
+      val refCnt = ev.filter(isRef).withColumn("bin", binOf)
+        .groupBy("bin").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nRef = refCnt.values.sum
+      val shares = (0 until 10).map(i =>
+        (refCnt.getOrElse(i.toLong, 0L) + 1.0) / (nRef + 10.0))
+      QcMonitor.driftMonitor(ev.filter(!isRef).select("ts", "c"),
+          cmin, cmax, shares)
+        .orderBy("hour")
+    }, Some(
+      """WITH dm_e AS (
+        |  SELECT ts, epoch_us(ts) AS t, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |dm_r AS (SELECT min(t) AS tmin, max(t) AS tmax FROM dm_e),
+        |dm_h AS (
+        |  SELECT ts, c, ((t - tmin) * 2) // (tmax - tmin + 1) = 0 AS is_ref
+        |  FROM dm_e CROSS JOIN dm_r),
+        |dm_cr AS (SELECT min(c) AS cmin, max(c) AS cmax FROM dm_h WHERE is_ref),
+        |dm_bins AS (SELECT unnest(range(0, 10)) AS bin),
+        |dm_refcnt AS (
+        |  SELECT least(greatest(((c - cmin) * 10) // (cmax - cmin + 1), 0), 9) AS bin,
+        |         count(*) AS n
+        |  FROM dm_h CROSS JOIN dm_cr WHERE is_ref GROUP BY 1),
+        |dm_reftot AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM dm_h WHERE is_ref),
+        |dm_pr AS (
+        |  SELECT b.bin,
+        |         (CAST(coalesce(r.n, 0) AS DOUBLE) + 1.0) / (CAST(t.nr AS DOUBLE) + 10.0) AS pr
+        |  FROM dm_bins b LEFT JOIN dm_refcnt r USING (bin) CROSS JOIN dm_reftot t),
+        |dm_cnt AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |         least(greatest(((c - cmin) * 10) // (cmax - cmin + 1), 0), 9) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM dm_h CROSS JOIN dm_cr WHERE NOT is_ref GROUP BY 1, 2),
+        |dm_grid AS (
+        |  SELECT h.hour, b.bin, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |  FROM (SELECT DISTINCT hour FROM dm_cnt) h
+        |  CROSS JOIN dm_bins b
+        |  LEFT JOIN dm_cnt c ON c.hour = h.hour AND c.bin = b.bin),
+        |dm_tot AS (SELECT hour, CAST(sum(n) AS BIGINT) AS total FROM dm_grid GROUP BY 1),
+        |dm_term AS (
+        |  SELECT g.hour, g.bin,
+        |         ((CAST(g.n AS DOUBLE) + 1.0) / (CAST(t.total AS DOUBLE) + 10.0) - p.pr)
+        |           * ln(((CAST(g.n AS DOUBLE) + 1.0) / (CAST(t.total AS DOUBLE) + 10.0)) / p.pr) AS term
+        |  FROM dm_grid g JOIN dm_tot t USING (hour) JOIN dm_pr p USING (bin)),
+        |dm_run AS (
+        |  SELECT hour, bin,
+        |         sum(term) OVER (PARTITION BY hour ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS psi
+        |  FROM dm_term)
+        |SELECT r.hour, t.total AS n, round(r.psi, 6) AS psi
+        |FROM dm_run r JOIN dm_tot t USING (hour)
+        |WHERE r.bin = 9 ORDER BY 1""".stripMargin)),
+
     Q("e01_streaming_window_qc", (s, d) =>
       QcMonitor.windowedQc(Tables.events(s, d))
         .orderBy("hour", "event_type"),

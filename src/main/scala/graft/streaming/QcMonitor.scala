@@ -296,6 +296,45 @@ object QcMonitor {
       }
   }
 
+  /** Streaming feature-drift monitor: per event-time window, the PSI of
+    * the live feature distribution against a TRAINING-TIME reference
+    * (a36's batch audit as a continuous monitor — the alert that a model's
+    * serving inputs have drifted). Binning parameters and smoothed
+    * reference shares are precomputed constants (broadcast literals), so
+    * the whole monitor is ONE windowed aggregation — 10 fixed
+    * conditional-sum bin columns — with PSI assembled ROW-LOCALLY from
+    * them: chained aggregations are illegal in Structured Streaming, and
+    * this shape needs none. State per window is 10 longs; with a watermark
+    * it is dropped at window close, so the monitor runs forever.
+    *
+    * Input needs `ts` (timestamp) and `c` (integer feature, e.g. cents);
+    * `refShares` must be the 10 ALREADY-SMOOTHED reference shares. The
+    * PSI term sum is a fixed left-associative 10-term expression —
+    * deterministic, and mirrored exactly by the batch oracle.
+    */
+  def driftMonitor(events: DataFrame, cmin: Long, cmax: Long,
+                   refShares: Seq[Double], windowLen: String = "1 hour"): DataFrame = {
+    require(refShares.length == 10, "expect 10 reference shares")
+    val binned = events.withColumn("bin",
+      least(greatest(expr(s"((c - ${cmin}L) * 10) div ${cmax - cmin + 1}L"),
+        lit(0L)), lit(9L)))
+    val aggCols = (0 until 10).map(i =>
+      sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"n$i"))
+    val agged = binned
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val total = (0 until 10).map(i => col(s"n$i")).reduce(_ + _)
+    val psi = (0 until 10).map { i =>
+      val pc = (col(s"n$i").cast("double") + lit(1.0)) /
+        (total.cast("double") + lit(10.0))
+      val pr = lit(refShares(i))
+      (pc - pr) * log(pc / pr)
+    }.reduce(_ + _)
+    agged.select(
+      date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+      total.as("n"), round(psi, 6).as("psi"))
+  }
+
   /** Rolled-up live metrics of one streaming query. */
   final case class Progress(batches: Long, inputRows: Long,
                             maxStateRows: Long, lastWatermark: String)

@@ -31,6 +31,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftMonitor: live per-window PSI against a fixed reference distribution") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val df = ms.toDF().toDF("ts", "c")
+    // reference: uniform over bins (already smoothed) — cmin 0, cmax 99,
+    // so bin = c div 10
+    val refShares = Seq.fill(10)(0.1)
+    val q = QcMonitor.driftMonitor(df, 0L, 99L, refShares).writeStream
+      .format("memory").queryName("drift_out").outputMode("complete").start()
+    try {
+      // window 1: all mass in bin 0 (max drift); window 2: spread evenly
+      ms.addData((0 until 20).map(i =>
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 3L)): _*)
+      ms.addData((0 until 10).map(i =>
+        (Timestamp.valueOf("2024-01-01 11:05:00"), i * 10L + 5L)): _*)
+      q.processAllAvailable()
+      val out = sp.table("drift_out").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // hand PSI, window 1: n0=20 → pc0=21/30, others pc=1/30, pr=0.1
+      val w1 = (21.0 / 30 - 0.1) * math.log(21.0 / 30 / 0.1) +
+        9 * ((1.0 / 30 - 0.1) * math.log(1.0 / 30 / 0.1))
+      assert(out("2024-01-01 10:00:00")._1 == 20L)
+      assert(math.abs(out("2024-01-01 10:00:00")._2 - w1) < 1e-5)
+      // window 2: every bin has 1 of 10 → pc = 2/20 = 0.1 = pr → PSI = 0
+      assert(out("2024-01-01 11:00:00")._1 == 10L)
+      assert(math.abs(out("2024-01-01 11:00:00")._2) < 1e-12)
+    } finally q.stop()
+  }
+
   test("ProgressMonitor rolls up batches, input rows, state and watermark") {
     val sp = spark
     import sp.implicits._
