@@ -1666,6 +1666,37 @@ object QueriesRelational {
         |      FROM r)
         |SELECT probe_id, round(p, 6) AS p, round(fdr, 6) AS fdr FROM m ORDER BY probe_id""".stripMargin)),
 
+    // Benjamini–Yekutieli FDR (dependence-robust BH; p.adjust
+    // method="BY"): the BH step-up quantity scaled by c(m) = Σ 1/i.
+    // Engine computes H_m by an ASCENDING driver loop over the count the
+    // size dispatch already made; the oracle reproduces the identical IEEE
+    // sequence with an i-ordered running sum over range(1, m+1). Same
+    // two-path size dispatch as w03 (scale=1 reproduces BH bit-for-bit).
+    Q("w16_by_adjust", (s, d) => {
+      val p = D(s, d).groupBy("probe_id").agg(min("pval").as("p"))
+      Analytic.byAdjust(p, "p", "probe_id")
+        .select(col("probe_id"), round(col("p"), 6).as("p"),
+          round(col("fdr_by"), 6).as("fdr_by"))
+        .orderBy("probe_id")
+    }, Some(ctes +
+      """, pp AS (SELECT probe_id, min(pval) AS p FROM detp GROUP BY 1),
+        |hh AS (
+        |  SELECT i, sum(1.0 / CAST(i AS DOUBLE))
+        |           OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+        |  FROM (SELECT unnest(range(1, (SELECT count(*) FROM pp) + 1)) AS i)),
+        |hl AS (SELECT h FROM hh ORDER BY i DESC LIMIT 1),
+        |r AS (SELECT probe_id, p, h,
+        |             row_number() OVER (ORDER BY p, probe_id) AS rn,
+        |             count(*) OVER () AS n
+        |      FROM pp CROSS JOIN hl),
+        |m AS (SELECT probe_id, p,
+        |             least(min(p * h * CAST(n AS DOUBLE) / CAST(rn AS DOUBLE))
+        |                   OVER (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |                   1.0) AS fdr_by
+        |      FROM r)
+        |SELECT probe_id, round(p, 6) AS p, round(fdr_by, 6) AS fdr_by
+        |FROM m ORDER BY probe_id""".stripMargin)),
+
     // ------------------------------------------------------------------
     // W4+ — windowed time-series analytics over the events table
     // (beyond-reference scale tier: rolling features, deltas, running

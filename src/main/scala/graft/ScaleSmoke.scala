@@ -121,7 +121,7 @@ object ScaleSmoke {
       "k27_chisq_independence", "k28_kaplan_meier", "k28_logrank",
       "w15_seasonal_decompose", "c19_negative_sampling",
       "c20_preference_pairs", "j15_asof_ttl", "s12_zip_members",
-      "a36_psi_drift")
+      "a36_psi_drift", "e10_drift_monitor")
     val timed = only match {
       case Some(subs) => queries.filter(q => subs.exists(q.contains))
       case None => queries

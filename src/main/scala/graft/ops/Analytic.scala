@@ -64,16 +64,39 @@ object Analytic {
     else bhAdjustRanged(input, pCol, tieBreak, outCol)
   }
 
+  /** Benjamini–Yekutieli FDR — the dependence-robust BH variant: the
+    * step-up quantity is scaled by the harmonic factor c(m) = Σ_{i≤m} 1/i
+    * before the suffix-min + clamp. H_m is an ASCENDING driver loop over
+    * the (already-counted-for-dispatch) row total — the identical IEEE
+    * sequence to the oracle's i-ordered running sum, and O(m) driver time
+    * on a number, not a row set. Same two-path size dispatch as
+    * [[bhAdjust]]; scale=1 reproduces BH bit-for-bit (p·1.0 is exact).
+    */
+  def byAdjust(df: DataFrame, pCol: String, tieBreak: String,
+               outCol: String = "fdr_by", windowMaxRows: Long = 5000000L): DataFrame = {
+    val input =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        Caches.track(df.persist())
+      else df
+    val m = input.count()
+    var h = 0.0
+    var i = 1L
+    while (i <= m) { h += 1.0 / i; i += 1 }
+    if (m <= windowMaxRows) bhAdjustWindowed(input, pCol, tieBreak, outCol, scale = h)
+    else bhAdjustRanged(input, pCol, tieBreak, outCol, scale = h)
+  }
+
   /** Windowed BH — one single-partition sort; right up to ~1e7 result rows. */
   private[graft] def bhAdjustWindowed(df: DataFrame, pCol: String, tieBreak: String,
-                                      outCol: String = "fdr"): DataFrame = {
+                                      outCol: String = "fdr",
+                                      scale: Double = 1.0): DataFrame = {
     val wRank = Window.orderBy(col(pCol).asc, col(tieBreak).asc)
     val wAll = Window.partitionBy()
     val wMin = Window.orderBy(col("__rn").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__rn", row_number().over(wRank))
       .withColumn("__n", count(lit(1)).over(wAll))
-      .withColumn("__bh", col(pCol) * col("__n").cast("double") / col("__rn").cast("double"))
+      .withColumn("__bh", col(pCol) * lit(scale) * col("__n").cast("double") / col("__rn").cast("double"))
       .withColumn(outCol, least(min(col("__bh")).over(wMin), lit(1.0)))
       .drop("__rn", "__n", "__bh")
   }
@@ -86,7 +109,8 @@ object Analytic {
     */
   private[graft] def bhAdjustRanged(df: DataFrame, pCol: String, tieBreak: String,
                                     outCol: String = "fdr",
-                                    numPartitions: Int = 0): DataFrame = {
+                                    numPartitions: Int = 0,
+                                    scale: Double = 1.0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts =
@@ -127,7 +151,7 @@ object Analytic {
       var i = 0L
       val high = bHigh.value.getOrElse(pid, 0L)
       it.foreach { r =>
-        val bh = r.getDouble(pIdx) * totalD / (high - i).toDouble
+        val bh = r.getDouble(pIdx) * scale * totalD / (high - i).toDouble
         i += 1
         if (bh < mn) mn = bh
       }
@@ -147,7 +171,7 @@ object Analytic {
       var run = bSuffix.value.getOrElse(pid, Double.PositiveInfinity)
       var i = 0L
       it.map { r =>
-        val bh = r.getDouble(pIdx) * totalD / (high - i).toDouble
+        val bh = r.getDouble(pIdx) * scale * totalD / (high - i).toDouble
         i += 1
         if (bh < run) run = bh
         Row.fromSeq(r.toSeq :+ math.min(run, 1.0))

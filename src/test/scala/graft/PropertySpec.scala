@@ -57,6 +57,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: BY equals a driver-side reference and dominates BH; ranged path bit-equal") {
+    samples(Gen.listOfN(120, Gen.choose(0.0, 1.0)), 5).foreach { ps =>
+      val df = ps.zipWithIndex.map { case (p, i) => (f"k$i%04d", p) }.toDF("id", "p")
+      val by = Analytic.byAdjust(df, "p", "id")
+        .select("id", "fdr_by").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // driver reference: sort asc, suffix-min of p*H*m/rank, clamp
+      val m = ps.length
+      var h = 0.0; (1 to m).foreach(i => h += 1.0 / i)
+      val sorted = ps.zipWithIndex.map { case (p, i) => (p, f"k$i%04d") }.sorted
+      val raw = sorted.zipWithIndex.map { case ((p, id), r) =>
+        id -> p * h * m.toDouble / (r + 1).toDouble }
+      var run = Double.PositiveInfinity
+      val exp = raw.reverse.map { case (id, v) =>
+        run = math.min(run, v); id -> math.min(run, 1.0) }.toMap
+      exp.foreach { case (id, f) => assert(by(id) == f, s"$id: $f vs ${by(id)}") }
+      // dominance: H_m >= 1 so BY >= BH everywhere
+      val bh = Analytic.bhAdjustWindowed(df, "p", "id")
+        .select("id", "fdr").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      by.foreach { case (id, f) => assert(f >= bh(id) - 1e-15) }
+      // ranged path bit-equality at the same scale factor
+      val g = Analytic.bhAdjustRanged(df, "p", "id", outCol = "fdr_by",
+          numPartitions = 5, scale = h)
+        .select("id", "fdr_by").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      g.foreach { case (id, f) => assert(f == by(id)) }
+    }
+  }
+
   test("property: per-group BH equals global BH run on each slice") {
     samples(Gen.listOfN(60, Gen.zip(Gen.oneOf("c1", "c2", "c3"), Gen.choose(0.0, 1.0))), 5)
       .foreach { rows =>
