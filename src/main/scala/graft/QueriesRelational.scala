@@ -1697,6 +1697,31 @@ object QueriesRelational {
         |SELECT probe_id, round(p, 6) AS p, round(fdr_by, 6) AS fdr_by
         |FROM m ORDER BY probe_id""".stripMargin)),
 
+    // Holm step-down FWER adjustment (p.adjust method="holm") — completes
+    // the multiple-testing family (BH w03, BY w16, Holm here): running MAX
+    // ascending in rank of (m−rank+1)·p, clamped at 1. Same size dispatch
+    // as w03; the ranged path is the bhAdjustRanged mirror with prefix
+    // maxima instead of suffix minima.
+    Q("w17_holm_adjust", (s, d) => {
+      val p = D(s, d).groupBy("probe_id").agg(min("pval").as("p"))
+      Analytic.holmAdjust(p, "p", "probe_id")
+        .select(col("probe_id"), round(col("p"), 6).as("p"),
+          round(col("p_holm"), 6).as("p_holm"))
+        .orderBy("probe_id")
+    }, Some(ctes +
+      """, pp AS (SELECT probe_id, min(pval) AS p FROM detp GROUP BY 1),
+        |r AS (SELECT probe_id, p,
+        |             row_number() OVER (ORDER BY p, probe_id) AS rn,
+        |             count(*) OVER () AS n
+        |      FROM pp),
+        |m AS (SELECT probe_id, p,
+        |             least(max(p * CAST(n - rn + 1 AS DOUBLE))
+        |                   OVER (ORDER BY rn ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |                   1.0) AS p_holm
+        |      FROM r)
+        |SELECT probe_id, round(p, 6) AS p, round(p_holm, 6) AS p_holm
+        |FROM m ORDER BY probe_id""".stripMargin)),
+
     // ------------------------------------------------------------------
     // W4+ — windowed time-series analytics over the events table
     // (beyond-reference scale tier: rolling features, deltas, running

@@ -86,6 +86,95 @@ object Analytic {
     else bhAdjustRanged(input, pCol, tieBreak, outCol, scale = h)
   }
 
+  /** Holm step-DOWN FWER adjustment (p.adjust method="holm" — the
+    * no-assumptions Bonferroni improvement): adjusted p_(i) =
+    * min(1, max_{j≤i} (m−j+1)·p_(j)) — a running MAX ascending in rank
+    * where BH runs a suffix-min descending. Same two-path size dispatch.
+    */
+  def holmAdjust(df: DataFrame, pCol: String, tieBreak: String,
+                 outCol: String = "p_holm", windowMaxRows: Long = 5000000L): DataFrame = {
+    val input =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        Caches.track(df.persist())
+      else df
+    if (input.count() <= windowMaxRows) holmWindowed(input, pCol, tieBreak, outCol)
+    else holmRanged(input, pCol, tieBreak, outCol)
+  }
+
+  private[graft] def holmWindowed(df: DataFrame, pCol: String, tieBreak: String,
+                                  outCol: String = "p_holm"): DataFrame = {
+    val wRank = Window.orderBy(col(pCol).asc, col(tieBreak).asc)
+    val wAll = Window.partitionBy()
+    val wMax = Window.orderBy(col("__rn").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__rn", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__hm",
+        col(pCol) * (col("__n") - col("__rn") + 1L).cast("double"))
+      .withColumn(outCol, least(max(col("__hm")).over(wMax), lit(1.0)))
+      .drop("__rn", "__n", "__hm")
+  }
+
+  /** Range-partitioned two-pass Holm — the bhAdjustRanged mirror with the
+    * directions flipped: ascending iteration, per-partition raw maxima,
+    * PREFIX maxima from earlier partitions seeding each partition's
+    * running max. Driver state is O(partitions).
+    */
+  private[graft] def holmRanged(df: DataFrame, pCol: String, tieBreak: String,
+                                outCol: String = "p_holm",
+                                numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = Caches.track(df
+      .withColumn(pCol, col(pCol).cast("double"))
+      .repartitionByRange(parts, col(pCol).asc, col(tieBreak).asc)
+      .sortWithinPartitions(col(pCol).asc, col(tieBreak).asc)
+      .persist())
+    val pIdx = sorted.schema.fieldIndex(pCol)
+    val cnts = sorted.groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = cnts.values.sum
+    // lowest global rank (1-based) inside each partition
+    val rankLow = (0 until parts).map { pid =>
+      pid -> ((0 until pid).map(q => cnts.getOrElse(q, 0L)).sum + 1L)
+    }.toMap
+    val bLow = spark.sparkContext.broadcast(rankLow)
+    val bTotal = total
+    val maxRaw = sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var mx = Double.NegativeInfinity
+      var rank = bLow.value.getOrElse(pid, 1L)
+      it.foreach { r =>
+        val hm = r.getDouble(pIdx) * (bTotal - rank + 1L).toDouble
+        rank += 1
+        if (hm > mx) mx = hm
+      }
+      Iterator.single((pid, mx))
+    }.collect().toMap
+    // prefix maxima: the largest raw value among all SMALLER p-values
+    val prefix = (0 until parts).map { pid =>
+      val earlier = (0 until pid).map(q => maxRaw.getOrElse(q, Double.NegativeInfinity))
+      pid -> (if (earlier.isEmpty) Double.NegativeInfinity else earlier.max)
+    }.toMap
+    val bPrefix = spark.sparkContext.broadcast(prefix)
+    val outSchema = sorted.schema.add(outCol, DoubleType, nullable = false)
+    sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var rank = bLow.value.getOrElse(pid, 1L)
+      var run = bPrefix.value.getOrElse(pid, Double.NegativeInfinity)
+      it.map { r =>
+        val hm = r.getDouble(pIdx) * (bTotal - rank + 1L).toDouble
+        rank += 1
+        if (hm > run) run = hm
+        Row.fromSeq(r.toSeq :+ math.min(run, 1.0))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Windowed BH — one single-partition sort; right up to ~1e7 result rows. */
   private[graft] def bhAdjustWindowed(df: DataFrame, pCol: String, tieBreak: String,
                                       outCol: String = "fdr",

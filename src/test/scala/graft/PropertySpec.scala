@@ -84,6 +84,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: Holm equals a driver-side step-down reference; ranged path bit-equal") {
+    samples(Gen.listOfN(90, Gen.choose(0.0, 1.0)), 5).foreach { ps =>
+      val df = ps.zipWithIndex.map { case (p, i) => (f"k$i%04d", p) }.toDF("id", "p")
+      val got = Analytic.holmAdjust(df, "p", "id")
+        .select("id", "p_holm").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val m = ps.length
+      val sorted = ps.zipWithIndex.map { case (p, i) => (p, f"k$i%04d") }.sorted
+      var run = Double.NegativeInfinity
+      val exp = sorted.zipWithIndex.map { case ((p, id), r) =>
+        run = math.max(run, p * (m - r).toDouble) // rank r+1 → m−rank+1 = m−r
+        id -> math.min(run, 1.0)
+      }.toMap
+      exp.foreach { case (id, f) => assert(got(id) == f, s"$id: $f vs ${got(id)}") }
+      got.foreach { case (id, f) =>
+        assert(f >= ps(id.drop(1).toInt) - 1e-15) } // adjusted ≥ raw
+      val g = Analytic.holmRanged(df, "p", "id", numPartitions = 6)
+        .select("id", "p_holm").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      g.foreach { case (id, f) => assert(f == got(id)) }
+    }
+  }
+
   test("property: per-group BH equals global BH run on each slice") {
     samples(Gen.listOfN(60, Gen.zip(Gen.oneOf("c1", "c2", "c3"), Gen.choose(0.0, 1.0))), 5)
       .foreach { rows =>
