@@ -225,12 +225,13 @@ object QueriesSources {
       if (!new java.io.File(s"$dir/_SUCCESS").exists())
         Idat.writeFiles(Tables.idatLong(s, d), dir)
       // betas + detectionP consume `dec` four ways (oob/sigI/sigII union
-      // branches + the beta aggregate) and Spark does no cross-branch
-      // subexpression reuse — persist the parsed rows so the 2×samples
-      // binary files parse ONCE, released by the harness via Caches
-      val dec = graft.ops.Caches.track(
-        Poobah.decodeAddress(Idat.read(s, dir))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // branches + the beta aggregate); re-parsing per branch was MEASURED
+      // cheaper than persisting the decoded rows here (16×: 20.3 s
+      // re-parsed vs 23.9 s persisted — local small files, row-local
+      // codegen decode beats a 38M-row cache materialization). On remote
+      // object storage the trade flips: wrap `dec` in Caches.track(
+      // dec.persist(MEMORY_AND_DISK)) there.
+      val dec = Poobah.decodeAddress(Idat.read(s, dir))
       Poobah.betas(dec)
         .join(Poobah.detectionP(dec), Seq("sample_id", "probe_id"))
         .filter(col("detp") <= 0.05)

@@ -1841,7 +1841,8 @@ object QueriesStats {
     Q("k28_kaplan_meier", (s, d) =>
       Survival.kaplanMeier(kmSubjects(s, d))
         .select(col("grp"), col("duration_h"), col("n_risk"),
-          col("d_events"), round(col("survival"), 6).as("survival"))
+          col("d_events"), round(col("survival"), 6).as("survival"),
+          round(col("greenwood_se"), 6).as("greenwood_se"))
         .orderBy("grp", "duration_h"),
     Some(
       s"""WITH $kmSubjSql,
@@ -1856,12 +1857,18 @@ object QueriesStats {
          |         max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER wasc AS extinct,
          |         sum(CASE WHEN d < n_risk
          |                  THEN ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) END)
-         |           OVER wasc AS lsum
+         |           OVER wasc AS lsum,
+         |         sum(CASE WHEN d < n_risk
+         |                  THEN CAST(d AS DOUBLE)
+         |                       / (CAST(n_risk AS DOUBLE) * CAST(n_risk - d AS DOUBLE)) END)
+         |           OVER wasc AS gwsum
          |  FROM km_ev
          |  WINDOW wasc AS (PARTITION BY grp ORDER BY duration_h ASC
          |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          |SELECT grp, duration_h, n_risk, d AS d_events,
-         |       round(CASE WHEN extinct = 1 THEN 0.0 ELSE exp(lsum) END, 6) AS survival
+         |       round(CASE WHEN extinct = 1 THEN 0.0 ELSE exp(lsum) END, 6) AS survival,
+         |       round(CASE WHEN extinct = 1 THEN 0.0
+         |                  ELSE exp(lsum) * sqrt(gwsum) END, 6) AS greenwood_se
          |FROM km_s ORDER BY 1, 2""".stripMargin)),
 
     // K28 — two-group log-rank test: observed vs expected cohort-A events

@@ -49,8 +49,20 @@ object Survival {
         max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wAsc))
       .withColumn("survival",
         when(col("extinct") === 1, lit(0.0)).otherwise(exp(sum("term").over(wAsc))))
+      // Greenwood's variance: Var[S(t)] = S(t)² · Σ_{t_i≤t} d/(n(n−d)),
+      // the standard KM confidence-interval ingredient — one more ordered
+      // running sum over the same window; the d = n_risk terminal term is
+      // excluded (S = 0 exactly there, no CI)
+      .withColumn("gw_term",
+        when(col("d") < col("n_risk"),
+          col("d").cast("double") /
+            (col("n_risk").cast("double")
+              * (col("n_risk") - col("d")).cast("double"))))
+      .withColumn("greenwood_se",
+        when(col("extinct") === 1, lit(0.0))
+          .otherwise(col("survival") * sqrt(sum("gw_term").over(wAsc))))
       .select(col("grp"), col("duration_h"), col("n_risk"),
-        col("d").as("d_events"), col("survival"))
+        col("d").as("d_events"), col("survival"), col("greenwood_se"))
   }
 
   /** Two-group log-rank test from the same subject table. At every pooled

@@ -371,15 +371,21 @@ class TierStatsSpec extends SparkSpec {
       ("B", 1L, 1L), ("B", 2L, 1L)).toDF("grp", "duration_h", "event")
     val got = graft.ops.Survival.kaplanMeier(subj).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
-        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
     // A: t=1 n=5 d=1 S=.8; t=2 n=4 d=1 S=.6 (censored-at-2 still at risk);
     //    t=3 n=2 d=1 S=.3
-    assert(got(("A", 1L)) == ((5L, 1L, 0.8)))
+    assert(got(("A", 1L))._1 == 5L && got(("A", 1L))._2 == 1L)
+    assert(math.abs(got(("A", 1L))._3 - 0.8) < 1e-12)
     assert(got(("A", 2L))._1 == 4L && math.abs(got(("A", 2L))._3 - 0.6) < 1e-12)
     assert(got(("A", 3L))._1 == 2L && math.abs(got(("A", 3L))._3 - 0.3) < 1e-12)
+    // Greenwood: se(t) = S(t)·sqrt(Σ d/(n(n−d)))
+    assert(math.abs(got(("A", 1L))._4 - 0.8 * math.sqrt(1.0 / 20)) < 1e-12)
+    assert(math.abs(got(("A", 2L))._4 - 0.6 * math.sqrt(1.0 / 20 + 1.0 / 12)) < 1e-12)
+    assert(math.abs(got(("A", 3L))._4
+      - 0.3 * math.sqrt(1.0 / 20 + 1.0 / 12 + 1.0 / 2)) < 1e-12)
     // B: t=1 n=2 d=1 S=.5; t=2 n=1 d=1 → extinction → S exactly 0 (no ln(0))
     assert(math.abs(got(("B", 1L))._3 - 0.5) < 1e-12)
-    assert(got(("B", 2L))._3 == 0.0)
+    assert(got(("B", 2L))._3 == 0.0 && got(("B", 2L))._4 == 0.0)
   }
 
   test("k28 log-rank O/E/V/chi2 match a driver-side per-time loop") {
