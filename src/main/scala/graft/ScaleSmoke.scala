@@ -166,6 +166,15 @@ object ScaleSmoke {
       println(f"[scale] bh-10M $tag%-9s ${(System.nanoTime() - t0) / 1e9}%8.2f s  sum=$chk%.6f")
       graft.ops.Caches.releaseAll()
     }
+    // Holm's ranged mirror (prefix-max direction) at the same 10M rows.
+    Seq("windowed" -> ((df: DataFrame) => graft.ops.Analytic.holmWindowed(df, "p", "id")),
+        "ranged" -> ((df: DataFrame) => graft.ops.Analytic.holmRanged(df, "p", "id"))
+    ).foreach { case (tag, f) =>
+      val t0 = System.nanoTime()
+      val chk = f(big).agg(sum("p_holm")).head().getDouble(0)
+      println(f"[scale] holm-10M $tag%-9s ${(System.nanoTime() - t0) / 1e9}%8.2f s  sum=$chk%.6f")
+      graft.ops.Caches.releaseAll()
+    }
     spark.stop()
   }
 }
