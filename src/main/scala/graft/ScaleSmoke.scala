@@ -140,7 +140,11 @@ object ScaleSmoke {
     // MinHash candidates (bounded by true near-dups), components over them
     // — the oracle query c01 instead uses exact-Jaccard edges, which
     // inherit d02's deliberate quadratic-on-duplication behavior.
-    if (only.isDefined) { spark.stop(); return }
+    // `--only=bh10m` / `--only=holm` reach the direct drives below without
+    // the full sweep; any other --only filter skips them.
+    val driveDirect = only.forall(_.exists(s =>
+      "bh10m".contains(s) || "holm".contains(s)))
+    if (!driveDirect) { spark.stop(); return }
     {
       val t0 = System.nanoTime()
       val docs8 = Tables.table(spark, out, "documents")
