@@ -91,6 +91,7 @@ object GraftExtensions {
       ("graft_nearest", 2, es => functions.VecNearestCenter(es.head, es(1))),
       ("graft_digamma", 1, es => functions.DigammaExpr(dbl(es.head))),
       ("graft_trigamma", 1, es => functions.TrigammaExpr(dbl(es.head))),
+      ("graft_lgamma", 1, es => functions.LogGammaExpr(dbl(es.head))),
       ("graft_shingles", 2, es => {
         require(es(1).foldable, "graft_shingles: n must be a literal")
         functions.DistinctShingles(es.head,

@@ -199,6 +199,57 @@ object QueriesStats {
     * `(probe_id, n, ssb, ssw, df1, df2, f)`; k13_anova_f rounds it for the
     * oracle, k13_anova_inference feeds `f` to `graft_f_sf`.
     */
+  /** Shared K32 statistic pass: Cochran–Mantel–Haenszel over the
+    * run-stratified QC-failure × group 2×2 tables. One bounded aggregate
+    * per stratum, hypergeometric E and V per stratum, the continuity-
+    * corrected statistic (R mantelhaen.test correct=TRUE) and the
+    * Mantel–Haenszel common odds ratio assembled from ordered running
+    * sums over the 3-row strata table. Unrounded output
+    * `(n_strata, sum_a, sum_e, sum_v, cmh, or_mh)`.
+    */
+  private[graft] def cmhTest(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val qc = Tables.detpLong(s, d)
+      .withColumn("k", round(col("pval") * 1010).cast("bigint"))
+      .groupBy("sample_id").agg(sum("k").as("sk"), count(lit(1)).as("nn"))
+      .withColumn("fail", col("sk") * 20 >= col("nn") * 1010)
+      .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+      .withColumn("wt", col("group") === "WT")
+    val strata = qc.groupBy("run").agg(
+        sum(when(col("fail") && col("wt"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("fail") && !col("wt"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("fail") && col("wt"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("fail") && !col("wt"), 1L).otherwise(0L)).as("dd"))
+      .withColumn("r1", col("a") + col("b"))
+      .withColumn("r2", col("c") + col("dd"))
+      .withColumn("c1", col("a") + col("c"))
+      .withColumn("c2", col("b") + col("dd"))
+      .withColumn("n", col("r1") + col("r2"))
+      .filter(col("n") > 1)
+    def d2(c: String) = col(c).cast("double")
+    val wRun = Window.orderBy("run")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("run")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    strata
+      .withColumn("e", d2("r1") * d2("c1") / d2("n"))
+      .withColumn("v", d2("r1") * d2("r2") * d2("c1") * d2("c2")
+        / (d2("n") * d2("n") * (d2("n") - 1.0)))
+      .withColumn("sum_a", sum("a").over(wRun))
+      .withColumn("sum_e", sum("e").over(wRun))
+      .withColumn("sum_v", sum("v").over(wRun))
+      .withColumn("or_num", sum(d2("a") * d2("dd") / d2("n")).over(wRun))
+      .withColumn("or_den", sum(d2("b") * d2("c") / d2("n")).over(wRun))
+      .withColumn("n_strata", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(Window.orderBy(col("run").desc)))
+      .filter(col("rn") === 1)
+      .withColumn("adiff", abs(col("sum_a").cast("double") - col("sum_e")))
+      .select(col("n_strata"), col("sum_a"), col("sum_e"), col("sum_v"),
+        when(col("sum_v") > 0.0, greatest(col("adiff") - 0.5, lit(0.0))
+          * greatest(col("adiff") - 0.5, lit(0.0)) / col("sum_v")).as("cmh"),
+        when(col("or_den") > 0.0, col("or_num") / col("or_den")).as("or_mh"))
+  }
+
   /** Full R×C contingency grid for k27: observed lang × source counts
     * with absent combinations as GENUINE ZERO CELLS (they contribute
     * (0−E)²/E = E to the statistic — dropping them would understate χ²).
@@ -1941,6 +1992,456 @@ object QueriesStats {
         .select(col("grp_a"), col("o_a"), round(col("e_a"), 6).as("e_a"),
           round(col("chi2"), 6).as("chi2"),
           round(expr("graft_chisq_sf(chi2, 1.0)"), 6).as("p_value"))
-    }, None)
+    }, None),
+
+    // K29 — Fisher's exact test on the QC-failure × batch 2×2 table (did
+    // run_0 produce more failing samples than chance?): the small-cell
+    // companion of the k27 χ² screen, and the test every enrichment
+    // analysis downstream of a DMP list runs. Sample-level gate = p09's
+    // exact-integer rule, so the 2×2 margins live on the BOUNDED sample
+    // axis — the k-support never grows with data volume, only with sample
+    // count. Shape: one bounded aggregate → 1 row → explode the
+    // hypergeometric support → row-local codegen `graft_lgamma` chain →
+    // one ordered running sum. The two-sided p (sum of all tables no more
+    // probable than observed, R fisher.test's definition, relative slack
+    // 1e-7) is FULLY oracle-checked — DuckDB's C lgamma and commons-math's
+    // Lanczos agree far below the 1e-6 rounding.
+    Q("k29_fisher_exact", (s, d) => {
+      GraftExtensions.registerAll(s)
+      import org.apache.spark.sql.expressions.Window
+      val qc = Tables.detpLong(s, d)
+        .withColumn("k", round(col("pval") * 1010).cast("bigint"))
+        .groupBy("sample_id").agg(sum("k").as("sk"), count(lit(1)).as("nn"))
+        .withColumn("fail", col("sk") * 20 >= col("nn") * 1010)
+        .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+        .withColumn("run0", col("run") === "run_0")
+      val tab = qc.agg(
+          sum(when(col("fail") && col("run0"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("fail") && !col("run0"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("fail") && col("run0"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("fail") && !col("run0"), 1L).otherwise(0L)).as("dd"))
+        .withColumn("r1", col("a") + col("b"))
+        .withColumn("r2", col("c") + col("dd"))
+        .withColumn("c1", col("a") + col("c"))
+        .withColumn("c2", col("b") + col("dd"))
+        .withColumn("n", col("r1") + col("r2"))
+      val sup = tab.withColumn("kk",
+          explode(sequence(greatest(lit(0L), col("r1") + col("c1") - col("n")),
+            least(col("r1"), col("c1")))))
+        .withColumn("logp", expr(
+          """graft_lgamma(CAST(r1 + 1 AS DOUBLE)) - graft_lgamma(CAST(kk + 1 AS DOUBLE))
+            | - graft_lgamma(CAST(r1 - kk + 1 AS DOUBLE))
+            | + graft_lgamma(CAST(r2 + 1 AS DOUBLE)) - graft_lgamma(CAST(c1 - kk + 1 AS DOUBLE))
+            | - graft_lgamma(CAST(r2 - c1 + kk + 1 AS DOUBLE))
+            | + graft_lgamma(CAST(c1 + 1 AS DOUBLE)) + graft_lgamma(CAST(c2 + 1 AS DOUBLE))
+            | - graft_lgamma(CAST(n + 1 AS DOUBLE))""".stripMargin.replace("\n", " ")))
+      val wAll = Window.orderBy("kk")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wRun = Window.orderBy("kk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sup
+        .withColumn("logp_obs", max(when(col("kk") === col("a"), col("logp"))).over(wAll))
+        .withColumn("p_run",
+          sum(when(col("logp") <= col("logp_obs") + 1e-7, exp(col("logp")))
+            .otherwise(0.0)).over(wRun))
+        .withColumn("rn", row_number().over(Window.orderBy(col("kk").desc)))
+        .filter(col("rn") === 1)
+        .select(col("n"), col("r1").as("qc_fail"), col("c1").as("run0_n"),
+          col("a").as("obs_a"),
+          round(when(col("b") * col("c") > 0,
+            (col("a") * col("dd")).cast("double")
+              / (col("b") * col("c")).cast("double")), 6).as("odds_ratio"),
+          round(least(col("p_run"), lit(1.0)), 6).as("p_fisher"))
+    }, Some(ctes +
+      """, fe_qc AS (
+        |  SELECT q.sample_id, (q.sk * 20 >= q.nn * 1010) AS fail,
+        |         (s.run = 'run_0') AS run0
+        |  FROM (SELECT sample_id,
+        |               CAST(sum(CAST(round(pval * 1010) AS BIGINT)) AS BIGINT) AS sk,
+        |               count(*) AS nn
+        |        FROM detp GROUP BY 1) q
+        |  JOIN sheet s USING (sample_id)),
+        |fe_tab AS (
+        |  SELECT CAST(sum(CASE WHEN fail AND run0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |         CAST(sum(CASE WHEN fail AND NOT run0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |         CAST(sum(CASE WHEN NOT fail AND run0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |         CAST(sum(CASE WHEN NOT fail AND NOT run0 THEN 1 ELSE 0 END) AS BIGINT) AS dd
+        |  FROM fe_qc),
+        |fe_m AS (
+        |  SELECT a, b, c, dd, a + b AS r1, c + dd AS r2, a + c AS c1,
+        |         b + dd AS c2, a + b + c + dd AS n
+        |  FROM fe_tab),
+        |fe_sup AS (
+        |  SELECT m.*, unnest(generate_series(greatest(0, m.r1 + m.c1 - m.n),
+        |                                     least(m.r1, m.c1))) AS kk
+        |  FROM fe_m m),
+        |fe_lp AS (
+        |  SELECT *,
+        |         lgamma(CAST(r1 + 1 AS DOUBLE)) - lgamma(CAST(kk + 1 AS DOUBLE))
+        |           - lgamma(CAST(r1 - kk + 1 AS DOUBLE))
+        |           + lgamma(CAST(r2 + 1 AS DOUBLE)) - lgamma(CAST(c1 - kk + 1 AS DOUBLE))
+        |           - lgamma(CAST(r2 - c1 + kk + 1 AS DOUBLE))
+        |           + lgamma(CAST(c1 + 1 AS DOUBLE)) + lgamma(CAST(c2 + 1 AS DOUBLE))
+        |           - lgamma(CAST(n + 1 AS DOUBLE)) AS logp
+        |  FROM fe_sup),
+        |fe_sel AS (
+        |  SELECT *, max(CASE WHEN kk = a THEN logp END) OVER () AS logp_obs
+        |  FROM fe_lp),
+        |fe_run AS (
+        |  SELECT *,
+        |         sum(CASE WHEN logp <= logp_obs + 1e-7 THEN exp(logp) ELSE 0.0 END)
+        |           OVER (ORDER BY kk ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_run,
+        |         row_number() OVER (ORDER BY kk DESC) AS rn
+        |  FROM fe_sel)
+        |SELECT n, r1 AS qc_fail, c1 AS run0_n, a AS obs_a,
+        |       round(CASE WHEN b * c > 0
+        |                  THEN CAST(a * dd AS DOUBLE) / CAST(b * c AS DOUBLE) END, 6) AS odds_ratio,
+        |       round(least(p_run, 1.0), 6) AS p_fisher
+        |FROM fe_run WHERE rn = 1""".stripMargin)),
+
+    // K30 — per-probe PERMUTATION test of the WT−MUT group-mean difference:
+    // the assumption-free companion of the k17 Welch t. B=200 deterministic
+    // pseudo-permutations of the SAMPLE labels (one shared permutation per
+    // rep, as a DMP permutation test requires): samples ranked by an LCG
+    // key ((sidx·2654435761 + rep·40503) mod 104729, ties by sidx), first
+    // n_WT ranks → group A. Everything stays in exact integer units —
+    // the mean-difference comparison |Δ_r| ≥ |Δ_obs| cross-multiplies the
+    // varying per-probe group sizes into bigint products (≤ ~2.5e14 at
+    // 1000 samples, far under 2^63) — so the whole query is hash-exact and
+    // FULLY oracle-checked, the property no asymptotic test can offer.
+    // Shape: grid ⋈ broadcast(permA: n_WT·B rows) → ONE map-side-combined
+    // hash aggregate to (probe, rep) → probe-keyed count aggregate; the
+    // deliberate B× pre-combine amplification IS the cost of permutation
+    // testing, and it rides map-side combine, never a bigger shuffle
+    // (shuffle rows = probes × B).
+    Q("k30_permutation_dmp", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nB = 200L
+      val sheet = Tables.sampleSheet(s, d)
+      val idx = sheet.select("sample_id")
+        .withColumn("sidx", row_number().over(Window.orderBy("sample_id")).cast("long"))
+      val nWt = sheet.agg(
+        sum(when(col("group") === "WT", 1L).otherwise(0L)).as("n_wt"))
+      val permA = idx
+        .withColumn("rep", explode(sequence(lit(1L), lit(nB))))
+        .withColumn("key",
+          (col("sidx") * 2654435761L + col("rep") * 40503L) % 104729L)
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy("rep").orderBy("key", "sidx")).cast("long"))
+        .crossJoin(broadcast(nWt))
+        .filter(col("rnk") <= col("n_wt"))
+        .select("sample_id", "rep")
+      val bk = Tables.betaLong(s, d)
+        .withColumn("k", round(col("beta") * 997).cast("bigint"))
+        .select("probe_id", "sample_id", "k")
+      val obs = bk.join(broadcast(sheet), "sample_id")
+        .groupBy("probe_id").agg(
+          count(lit(1)).as("n"), sum("k").as("stot"),
+          sum(when(col("group") === "WT", 1L).otherwise(0L)).as("n1"),
+          sum(when(col("group") === "WT", col("k")).otherwise(0L)).as("s1"))
+        .filter(col("n1") >= 3 && col("n") - col("n1") >= 3)
+      val pa = bk.join(broadcast(permA), "sample_id")
+        .groupBy("probe_id", "rep")
+        .agg(count(lit(1)).as("na"), sum("k").as("sa"))
+      pa.join(obs, "probe_id")
+        .filter(col("na") >= 1 && col("na") < col("n"))
+        .withColumn("dnum_r", abs(col("sa") * col("n") - col("stot") * col("na")))
+        .withColumn("wr", col("na") * (col("n") - col("na")))
+        .withColumn("dnum_o", abs(col("s1") * col("n") - col("stot") * col("n1")))
+        .withColumn("wo", col("n1") * (col("n") - col("n1")))
+        .groupBy("probe_id").agg(
+          max("n").as("n"), max("n1").as("n1"),
+          count(lit(1)).as("b_valid"),
+          sum(when(col("dnum_r") * col("wo") >= col("dnum_o") * col("wr"), 1L)
+            .otherwise(0L)).as("b_ge"),
+          max(col("s1").cast("double") / col("n1").cast("double")
+            - (col("stot") - col("s1")).cast("double")
+              / (col("n") - col("n1")).cast("double")).as("dmean"))
+        .select(col("probe_id"), col("n"), col("n1"), col("b_valid"), col("b_ge"),
+          round(col("dmean") / 997.0, 6).as("delta_beta"),
+          round((col("b_ge") + 1).cast("double")
+            / (col("b_valid") + 1).cast("double"), 6).as("p_perm"))
+        .orderBy("probe_id")
+    }, Some(ctes +
+      """, pm_idx AS (
+        |  SELECT sample_id, row_number() OVER (ORDER BY sample_id) AS sidx
+        |  FROM sheet),
+        |pm_nwt AS (SELECT count(*) AS n_wt FROM sheet WHERE "group" = 'WT'),
+        |pm_perm AS (
+        |  SELECT sample_id, rep,
+        |         row_number() OVER (PARTITION BY rep
+        |           ORDER BY (sidx * 2654435761 + rep * 40503) % 104729, sidx) AS rnk
+        |  FROM pm_idx CROSS JOIN
+        |       (SELECT unnest(generate_series(1, 200)) AS rep)),
+        |pm_a AS (
+        |  SELECT p.sample_id, p.rep FROM pm_perm p, pm_nwt w WHERE p.rnk <= w.n_wt),
+        |pm_bk AS (
+        |  SELECT probe_id, sample_id,
+        |         CAST(round(beta * 997) AS BIGINT) AS k
+        |  FROM beta),
+        |pm_obs AS (
+        |  SELECT probe_id, count(*) AS n, sum(k) AS stot,
+        |         sum(CASE WHEN g."group" = 'WT' THEN 1 ELSE 0 END) AS n1,
+        |         sum(CASE WHEN g."group" = 'WT' THEN k ELSE 0 END) AS s1
+        |  FROM pm_bk b JOIN sheet g USING (sample_id)
+        |  GROUP BY 1
+        |  HAVING n1 >= 3 AND n - n1 >= 3),
+        |pm_pa AS (
+        |  SELECT probe_id, rep, count(*) AS na, sum(k) AS sa
+        |  FROM pm_bk b JOIN pm_a a USING (sample_id)
+        |  GROUP BY 1, 2),
+        |pm_cmp AS (
+        |  SELECT p.probe_id, o.n, o.n1,
+        |         abs(p.sa * o.n - o.stot * p.na) AS dnum_r,
+        |         p.na * (o.n - p.na) AS wr,
+        |         abs(o.s1 * o.n - o.stot * o.n1) AS dnum_o,
+        |         o.n1 * (o.n - o.n1) AS wo,
+        |         CAST(o.s1 AS DOUBLE) / CAST(o.n1 AS DOUBLE)
+        |           - CAST(o.stot - o.s1 AS DOUBLE) / CAST(o.n - o.n1 AS DOUBLE) AS dmean
+        |  FROM pm_pa p JOIN pm_obs o USING (probe_id)
+        |  WHERE p.na >= 1 AND p.na < o.n)
+        |SELECT probe_id, CAST(max(n) AS BIGINT) AS n, CAST(max(n1) AS BIGINT) AS n1,
+        |       count(*) AS b_valid,
+        |       CAST(sum(CASE WHEN dnum_r * wo >= dnum_o * wr THEN 1 ELSE 0 END) AS BIGINT) AS b_ge,
+        |       round(max(dmean) / 997.0, 6) AS delta_beta,
+        |       round(CAST(sum(CASE WHEN dnum_r * wo >= dnum_o * wr THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+        |             / CAST(count(*) + 1 AS DOUBLE), 6) AS p_perm
+        |FROM pm_cmp GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // K32 — Cochran–Mantel–Haenszel test: does GROUP predict QC failure
+    // CONTROLLING for the instrument run? The stratified companion of k29
+    // (pooling the three runs' 2×2s would hit Simpson's paradox; CMH
+    // combines per-stratum evidence instead — the standard batch-aware
+    // enrichment screen). One bounded aggregate per stratum (3 rows),
+    // hypergeometric E/V per stratum, continuity-corrected statistic and
+    // the Mantel–Haenszel common odds ratio as ordered running sums —
+    // fully oracle-checked. p via χ²(1) rides k32_cmh_inference.
+    Q("k32_cmh_test", (s, d) =>
+      cmhTest(s, d)
+        .select(col("n_strata"), col("sum_a"),
+          round(col("sum_e"), 6).as("sum_e"),
+          round(col("sum_v"), 6).as("sum_v"),
+          round(col("cmh"), 6).as("cmh"),
+          round(col("or_mh"), 6).as("or_mh")),
+    Some(ctes +
+      """, ch_qc AS (
+        |  SELECT q.sample_id, (q.sk * 20 >= q.nn * 1010) AS fail,
+        |         (s."group" = 'WT') AS wt, s.run
+        |  FROM (SELECT sample_id,
+        |               CAST(sum(CAST(round(pval * 1010) AS BIGINT)) AS BIGINT) AS sk,
+        |               count(*) AS nn
+        |        FROM detp GROUP BY 1) q
+        |  JOIN sheet s USING (sample_id)),
+        |ch_tab AS (
+        |  SELECT run,
+        |         CAST(sum(CASE WHEN fail AND wt THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |         CAST(sum(CASE WHEN fail AND NOT wt THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |         CAST(sum(CASE WHEN NOT fail AND wt THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |         CAST(sum(CASE WHEN NOT fail AND NOT wt THEN 1 ELSE 0 END) AS BIGINT) AS dd
+        |  FROM ch_qc GROUP BY 1),
+        |ch_m AS (
+        |  SELECT run, a, b, c, dd, a + b AS r1, c + dd AS r2, a + c AS c1,
+        |         b + dd AS c2, a + b + c + dd AS n
+        |  FROM ch_tab WHERE a + b + c + dd > 1),
+        |ch_ev AS (
+        |  SELECT run, a, b, c, dd, n,
+        |         CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+        |         CAST(r1 AS DOUBLE) * CAST(r2 AS DOUBLE) * CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)
+        |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS v
+        |  FROM ch_m),
+        |ch_run AS (
+        |  SELECT run,
+        |         CAST(sum(a) OVER wr AS BIGINT) AS sum_a,
+        |         sum(e) OVER wr AS sum_e,
+        |         sum(v) OVER wr AS sum_v,
+        |         sum(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE) / CAST(n AS DOUBLE)) OVER wr AS or_num,
+        |         sum(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) OVER wr AS or_den,
+        |         CAST(count(*) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_strata,
+        |         row_number() OVER (ORDER BY run DESC) AS rn
+        |  FROM ch_ev
+        |  WINDOW wr AS (ORDER BY run ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT n_strata, sum_a, round(sum_e, 6) AS sum_e, round(sum_v, 6) AS sum_v,
+        |       round(CASE WHEN sum_v > 0.0
+        |                  THEN greatest(abs(CAST(sum_a AS DOUBLE) - sum_e) - 0.5, 0.0)
+        |                       * greatest(abs(CAST(sum_a AS DOUBLE) - sum_e) - 0.5, 0.0) / sum_v
+        |             END, 6) AS cmh,
+        |       round(CASE WHEN or_den > 0.0 THEN or_num / or_den END, 6) AS or_mh
+        |FROM ch_run WHERE rn = 1""".stripMargin)),
+
+    // K32 inferential completion: CMH ~ χ²(1) under conditional
+    // independence → p via the codegen chi-square survival function.
+    // Rows-only; the statistic rides k32_cmh_test's oracle.
+    Q("k32_cmh_inference", (s, d) => {
+      GraftExtensions.registerAll(s)
+      cmhTest(s, d)
+        .select(col("n_strata"), round(col("cmh"), 6).as("cmh"),
+          round(col("or_mh"), 6).as("or_mh"),
+          round(expr("graft_chisq_sf(cmh, 1.0)"), 6).as("p_value"))
+    }, None),
+
+    // K31 — per-probe WT-vs-MUT effect sizes beside the k17 p-values
+    // (a DMP list without effect sizes invites p-hacking): Cohen's d and
+    // its small-sample Hedges' g correction from the SAME one-aggregate
+    // exact-moment pass as welchT, plus the nonparametric Cliff's δ from
+    // the k10 tie-cell machinery — #(x>y) − #(x<y) over the n1·n2 WT×MUT
+    // pairs as exact integers via one ordered tie-cell running sum (gt
+    // counts pair cells against the running MUT mass below, δ needs no
+    // tie half-credit because gt/lt both exclude equal cells). Two probe-
+    // keyed aggregates over the same input, one join — fully oracle-checked.
+    Q("k31_effect_sizes", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bg = Tables.betaLong(s, d)
+        .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+        .withColumn("k", round(col("beta") * 997).cast("bigint"))
+        .select("probe_id", "group", "k")
+      def gi(g: String, e: org.apache.spark.sql.Column) =
+        sum(when(col("group") === g, e).otherwise(0L))
+      val m = bg.groupBy("probe_id").agg(
+          gi("WT", lit(1L)).as("n1"), gi("WT", col("k")).as("s1"),
+          gi("WT", col("k") * col("k")).as("ss1"),
+          gi("MUT", lit(1L)).as("n2"), gi("MUT", col("k")).as("s2"),
+          gi("MUT", col("k") * col("k")).as("ss2"))
+        .filter(col("n1") >= 3 && col("n2") >= 3)
+      def d2(c: String) = col(c).cast("double")
+      val v1 = (d2("ss1") - d2("s1") * d2("s1") / d2("n1")) / (d2("n1") - 1.0)
+      val v2 = (d2("ss2") - d2("s2") * d2("s2") / d2("n2")) / (d2("n2") - 1.0)
+      val sp2 = ((d2("n1") - 1.0) * v1 + (d2("n2") - 1.0) * v2) /
+        (d2("n1") + d2("n2") - 2.0)
+      val dCol = (d2("s1") / d2("n1") - d2("s2") / d2("n2")) / sqrt(sp2)
+      val moments = m.filter(
+          (d2("ss1") - d2("s1") * d2("s1") / d2("n1"))
+            + (d2("ss2") - d2("s2") * d2("s2") / d2("n2")) > 0.0)
+        .withColumn("cohens_d", dCol)
+        .withColumn("hedges_g",
+          col("cohens_d") * (lit(1.0) - lit(3.0)
+            / (lit(4.0) * (d2("n1") + d2("n2")) - 9.0)))
+        .select("probe_id", "n1", "n2", "cohens_d", "hedges_g")
+      // Cliff's δ: tie cells on (probe, k) with WT/MUT counts; running MUT
+      // mass strictly below each cell gives gt; lt by symmetry from totals.
+      val cells = bg.groupBy("probe_id", "k").agg(
+        sum(when(col("group") === "WT", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("group") === "MUT", 1L).otherwise(0L)).as("c2"))
+      val w = Window.partitionBy("probe_id").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cliff = cells
+        .withColumn("cum2", sum("c2").over(w))
+        .groupBy("probe_id").agg(
+          sum(col("c1") * (col("cum2") - col("c2"))).as("gt"),
+          sum(col("c1") * col("c2")).as("eq"),
+          sum("c1").as("t1"), sum("c2").as("t2"))
+        .withColumn("lt", col("t1") * col("t2") - col("gt") - col("eq"))
+      moments.join(cliff, "probe_id")
+        .select(col("probe_id"), col("n1"), col("n2"),
+          round(col("cohens_d"), 6).as("cohens_d"),
+          round(col("hedges_g"), 6).as("hedges_g"),
+          round((col("gt") - col("lt")).cast("double")
+            / (col("t1") * col("t2")).cast("double"), 6).as("cliffs_delta"))
+        .orderBy("probe_id")
+    }, Some(ctes +
+      """, es_bg AS (
+        |  SELECT b.probe_id, g."group" AS grp,
+        |         CAST(round(b.beta * 997) AS BIGINT) AS k
+        |  FROM beta b JOIN sheet g USING (sample_id)),
+        |es_m AS (
+        |  SELECT probe_id,
+        |         sum(CASE WHEN grp = 'WT' THEN 1 ELSE 0 END) AS n1,
+        |         sum(CASE WHEN grp = 'WT' THEN k ELSE 0 END) AS s1,
+        |         sum(CASE WHEN grp = 'WT' THEN k * k ELSE 0 END) AS ss1,
+        |         sum(CASE WHEN grp = 'MUT' THEN 1 ELSE 0 END) AS n2,
+        |         sum(CASE WHEN grp = 'MUT' THEN k ELSE 0 END) AS s2,
+        |         sum(CASE WHEN grp = 'MUT' THEN k * k ELSE 0 END) AS ss2
+        |  FROM es_bg GROUP BY 1
+        |  HAVING n1 >= 3 AND n2 >= 3
+        |     AND (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |       + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) > 0.0),
+        |es_d AS (
+        |  SELECT probe_id, n1, n2,
+        |         (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |           / sqrt(((CAST(n1 AS DOUBLE) - 1.0)
+        |                     * ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+        |                   + (CAST(n2 AS DOUBLE) - 1.0)
+        |                     * ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)))
+        |                  / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)) AS cohens_d
+        |  FROM es_m),
+        |es_cells AS (
+        |  SELECT probe_id, k,
+        |         sum(CASE WHEN grp = 'WT' THEN 1 ELSE 0 END) AS c1,
+        |         sum(CASE WHEN grp = 'MUT' THEN 1 ELSE 0 END) AS c2
+        |  FROM es_bg GROUP BY 1, 2),
+        |es_run AS (
+        |  SELECT *, sum(c2) OVER (PARTITION BY probe_id ORDER BY k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        |  FROM es_cells),
+        |es_cliff AS (
+        |  SELECT probe_id,
+        |         sum(c1 * (cum2 - c2)) AS gt, sum(c1 * c2) AS eq,
+        |         sum(c1) AS t1, sum(c2) AS t2
+        |  FROM es_run GROUP BY 1)
+        |SELECT d.probe_id, CAST(d.n1 AS BIGINT) AS n1, CAST(d.n2 AS BIGINT) AS n2,
+        |       round(d.cohens_d, 6) AS cohens_d,
+        |       round(d.cohens_d * (1.0 - 3.0 / (4.0 * (CAST(d.n1 AS DOUBLE) + CAST(d.n2 AS DOUBLE)) - 9.0)), 6) AS hedges_g,
+        |       round(CAST(c.gt - (c.t1 * c.t2 - c.gt - c.eq) AS DOUBLE)
+        |             / CAST(c.t1 * c.t2 AS DOUBLE), 6) AS cliffs_delta
+        |FROM es_d d JOIN es_cliff c USING (probe_id) ORDER BY 1""".stripMargin)),
+
+    // K33 — Theil–Sen robust slope per probe over collection order: the
+    // estimator companion of the k22 Mann–Kendall TEST (MK says "is there
+    // a trend", Sen says "how steep") — median of all pairwise slopes
+    // (k_j−k_i)/(t_j−t_i) on the bounded samples² pair join k22 already
+    // uses. The median deliberately avoids percentile()'s interpolation
+    // kernels (Spark and DuckDB round (a+(b−a)f vs lerp) differently in
+    // the last ulp): pairs are ranked by (slope, i, j) and the lower and
+    // upper median ELEMENTS are selected and averaged with the identical
+    // (lo+hi)/2 expression on both sides — element selection is exact, so
+    // the query is fully oracle-checked. Slope doubles are identical in
+    // both engines (IEEE division of the same integer pairs).
+    Q("k33_theil_sen", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sidx = Tables.sampleSheet(s, d).select("sample_id")
+        .withColumn("t", row_number().over(Window.orderBy("sample_id")).cast("long"))
+      val bk = Tables.betaLong(s, d)
+        .withColumn("k", round(col("beta") * 997).cast("bigint"))
+        .join(broadcast(sidx), "sample_id")
+        .select("probe_id", "t", "k")
+      val pairs = bk.as("a").join(bk.as("b"),
+          col("a.probe_id") === col("b.probe_id") && col("a.t") < col("b.t"))
+        .select(col("a.probe_id").as("probe_id"), col("a.t").as("ti"),
+          col("b.t").as("tj"),
+          ((col("b.k") - col("a.k")).cast("double")
+            / (col("b.t") - col("a.t")).cast("double")).as("slope"))
+      val wRank = Window.partitionBy("probe_id").orderBy("slope", "ti", "tj")
+      val wCnt = Window.partitionBy("probe_id")
+      val ranked = pairs
+        .withColumn("rn", row_number().over(wRank).cast("long"))
+        .withColumn("m", count(lit(1)).over(wCnt))
+      ranked
+        .filter(expr("rn = (m + 1) div 2 OR rn = m div 2 + 1"))
+        .groupBy("probe_id").agg(
+          max("m").as("m_pairs"),
+          round((min("slope") + max("slope")) / 2.0, 6).as("sen_slope"))
+        .filter(col("m_pairs") >= 28)
+        .orderBy("probe_id")
+    }, Some(ctes +
+      """, ts_idx AS (
+        |  SELECT sample_id, row_number() OVER (ORDER BY sample_id) AS t
+        |  FROM sheet),
+        |ts_bk AS (
+        |  SELECT b.probe_id, i.t, CAST(round(b.beta * 997) AS BIGINT) AS k
+        |  FROM beta b JOIN ts_idx i USING (sample_id)),
+        |ts_pairs AS (
+        |  SELECT a.probe_id, a.t AS ti, b.t AS tj,
+        |         CAST(b.k - a.k AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+        |  FROM ts_bk a JOIN ts_bk b
+        |    ON a.probe_id = b.probe_id AND a.t < b.t),
+        |ts_rank AS (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |           ORDER BY slope, ti, tj) AS rn,
+        |         count(*) OVER (PARTITION BY probe_id) AS m
+        |  FROM ts_pairs)
+        |SELECT probe_id, CAST(max(m) AS BIGINT) AS m_pairs,
+        |       round((min(slope) + max(slope)) / 2.0, 6) AS sen_slope
+        |FROM ts_rank
+        |WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+        |GROUP BY 1 HAVING max(m) >= 28 ORDER BY 1""".stripMargin))
   )
 }

@@ -121,7 +121,11 @@ object ScaleSmoke {
       "k27_chisq_independence", "k28_kaplan_meier", "k28_logrank",
       "w15_seasonal_decompose", "c19_negative_sampling",
       "c20_preference_pairs", "j15_asof_ttl", "s12_zip_members",
-      "a36_psi_drift", "e10_drift_monitor")
+      "a36_psi_drift", "e10_drift_monitor",
+      // exact-inference tier (k29 margins / k30 B reps are sample-bounded:
+      // the replicated axis is probes, so these must stay flat-ish)
+      "k29_fisher_exact", "k30_permutation_dmp", "k31_effect_sizes",
+      "k32_cmh_test", "k33_theil_sen")
     val timed = only match {
       case Some(subs) => queries.filter(q => subs.exists(q.contains))
       case None => queries

@@ -16,6 +16,9 @@ object GammaFns {
   def trigamma(x: Double): Double =
     if (x.isNaN) Double.NaN
     else org.apache.commons.math3.special.Gamma.trigamma(x)
+  def logGamma(x: Double): Double =
+    if (x.isNaN || x <= 0.0) Double.NaN
+    else org.apache.commons.math3.special.Gamma.logGamma(x)
 }
 
 private[functions] trait GammaUnary extends UnaryExpression {
@@ -38,6 +41,23 @@ case class DigammaExpr(child: Expression) extends GammaUnary {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, x => s"graft.functions.GammaFns.digamma($x)")
   override protected def withNewChildInternal(newChild: Expression): DigammaExpr =
+    copy(child = newChild)
+}
+
+/** ln Γ(x) — the log-factorial workhorse behind exact combinatorial
+  * tests (hypergeometric terms of Fisher's exact test are differences of
+  * six lgammas, each row-local over the k-support). Delegates to
+  * commons-math's Lanczos fit (≈1e-15 relative — DuckDB's C `lgamma`
+  * agrees far below the 1e-6 oracle rounding). NaN outside x > 0.
+  * Registered as `graft_lgamma`.
+  */
+case class LogGammaExpr(child: Expression) extends GammaUnary {
+  override def prettyName: String = "graft_lgamma"
+  override protected def nullSafeEval(x: Any): Any =
+    GammaFns.logGamma(x.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.GammaFns.logGamma($x)")
+  override protected def withNewChildInternal(newChild: Expression): LogGammaExpr =
     copy(child = newChild)
 }
 

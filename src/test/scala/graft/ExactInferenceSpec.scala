@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.commons.math3.distribution.HypergeometricDistribution
+
+/** Round-6 exact-inference tier: `graft_lgamma`, Fisher's exact test (k29)
+  * against commons-math's independent hypergeometric pmf, the deterministic
+  * permutation test (k30) against a driver-side BigInt replay of the same
+  * 200 pseudo-permutations, and the k31 effect sizes against brute-force
+  * pair loops.
+  */
+class ExactInferenceSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("graft_lgamma matches exact log-factorials and guards its domain") {
+    val sp = spark
+    GraftExtensions.registerAll(sp)
+    // lgamma(n+1) = ln(n!) — checked against an exact running log sum
+    var logFact = 0.0
+    (1 to 170).foreach { n =>
+      logFact += math.log(n.toDouble)
+      val got = sp.sql(s"SELECT graft_lgamma(CAST(${n + 1} AS DOUBLE)) AS v")
+        .head().getDouble(0)
+      assert(math.abs(got - logFact) <= 1e-9 * math.max(1.0, logFact),
+        s"lgamma(${n + 1}) = $got, expect $logFact")
+    }
+    // half-integer anchor: lgamma(0.5) = ln(sqrt(pi))
+    val half = sp.sql("SELECT graft_lgamma(0.5) AS v").head().getDouble(0)
+    assert(math.abs(half - 0.5 * math.log(math.Pi)) < 1e-12)
+    // domain: x <= 0 and NaN -> NaN (never throws inside codegen)
+    Seq("0.0", "-1.0", "CAST('NaN' AS DOUBLE)").foreach { x =>
+      assert(sp.sql(s"SELECT graft_lgamma($x) AS v").head().getDouble(0).isNaN)
+    }
+  }
+
+  test("k29 Fisher exact p matches commons-math hypergeometric recompute") {
+    val sp = spark
+    val r = SparkEntry.queries("k29_fisher_exact")(sp, sf01).head()
+    val n = r.getAs[Long]("n").toInt
+    val r1 = r.getAs[Long]("qc_fail").toInt
+    val c1 = r.getAs[Long]("run0_n").toInt
+    val a = r.getAs[Long]("obs_a").toInt
+    assert(r1 > 0, "sf0.01 table should have failing samples")
+    // independent two-sided p: sum of all k with pmf(k) <= pmf(a)*(1+1e-7)
+    val hg = new HypergeometricDistribution(n, r1, c1)
+    val pObs = hg.probability(a)
+    val klo = math.max(0, r1 + c1 - n)
+    val khi = math.min(r1, c1)
+    val expect = (klo to khi).map(hg.probability)
+      .filter(_ <= pObs * (1 + 1e-7)).sum
+    assert(math.abs(r.getAs[Double]("p_fisher") - math.min(expect, 1.0)) < 1e-6,
+      s"p_fisher ${r.getAs[Double]("p_fisher")} vs commons-math $expect")
+    // degenerate margin (sf0.001 has zero failing samples): p = 1 exactly
+    val r0 = SparkEntry.queries("k29_fisher_exact")(sp, sf).head()
+    if (r0.getAs[Long]("qc_fail") == 0L)
+      assert(r0.getAs[Double]("p_fisher") == 1.0)
+  }
+
+  test("k30 permutation p matches a driver-side BigInt replay on real probes") {
+    val sp = spark
+    import sp.implicits._
+    val got = SparkEntry.queries("k30_permutation_dmp")(sp, sf)
+      .orderBy("probe_id").limit(4).collect()
+    assert(got.nonEmpty)
+    // replay the LCG permutations driver-side
+    val sheet = Tables.sampleSheet(sp, sf)
+      .select("sample_id", "group").as[(String, String)].collect().sortBy(_._1)
+    val sidx = sheet.map(_._1).zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap
+    val nWt = sheet.count(_._2 == "WT")
+    val permA: Map[Long, Set[String]] = (1L to 200L).map { rep =>
+      val ranked = sheet.map(_._1).sortBy(s =>
+        ((sidx(s) * 2654435761L + rep * 40503L) % 104729L, sidx(s)))
+      rep -> ranked.take(nWt).toSet
+    }.toMap
+    val bk = Tables.betaLong(sp, sf)
+      .select(col("probe_id"), col("sample_id"),
+        round(col("beta") * 997).cast("bigint").as("k"))
+      .as[(String, String, Long)].collect().groupBy(_._1)
+    val grp = sheet.toMap
+    got.foreach { r =>
+      val probe = r.getAs[String]("probe_id")
+      val rows = bk(probe).map(t => (t._2, t._3))
+      val n = rows.length
+      val stot = rows.map(_._2).sum
+      val wt = rows.filter(t => grp(t._1) == "WT")
+      val (n1, s1) = (wt.length.toLong, wt.map(_._2).sum)
+      val dnumO = BigInt((s1 * n - stot * n1).abs)
+      val wo = BigInt(n1 * (n - n1))
+      var bValid = 0L
+      var bGe = 0L
+      (1L to 200L).foreach { rep =>
+        val inA = rows.filter(t => permA(rep)(t._1))
+        val na = inA.length.toLong
+        if (na >= 1 && na < n) {
+          bValid += 1
+          val sa = inA.map(_._2).sum
+          val dnumR = BigInt((sa * n - stot * na).abs)
+          val wr = BigInt(na * (n - na))
+          if (dnumR * wo >= dnumO * wr) bGe += 1
+        }
+      }
+      assert(r.getAs[Long]("b_valid") == bValid, s"$probe b_valid")
+      assert(r.getAs[Long]("b_ge") == bGe, s"$probe b_ge: got ${r.getAs[Long]("b_ge")} expect $bGe")
+      val p = (bGe + 1).toDouble / (bValid + 1).toDouble
+      assert(math.abs(r.getAs[Double]("p_perm") - p) < 5e-7, s"$probe p_perm")
+    }
+  }
+
+  test("k32 CMH statistic and MH odds ratio match a driver-side recompute") {
+    val sp = spark
+    import sp.implicits._
+    val r = SparkEntry.queries("k32_cmh_test")(sp, sf01).head()
+    // independent per-stratum recompute from the same long views
+    val failBySample = Tables.detpLong(sp, sf01)
+      .select(col("sample_id"), round(col("pval") * 1010).cast("bigint").as("k"))
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (s, rows) =>
+        s -> (rows.map(_._2).sum * 20 >= rows.length.toLong * 1010)
+      }
+    val sheet = Tables.sampleSheet(sp, sf01)
+      .select("sample_id", "run", "group").as[(String, String, String)].collect()
+    var sumA = 0.0; var sumE = 0.0; var sumV = 0.0
+    var orNum = 0.0; var orDen = 0.0
+    sheet.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+      val a = rows.count(t => failBySample(t._1) && t._3 == "WT").toDouble
+      val b = rows.count(t => failBySample(t._1) && t._3 == "MUT").toDouble
+      val c = rows.count(t => !failBySample(t._1) && t._3 == "WT").toDouble
+      val dd = rows.count(t => !failBySample(t._1) && t._3 == "MUT").toDouble
+      val n = a + b + c + dd
+      if (n > 1) {
+        sumA += a
+        sumE += (a + b) * (a + c) / n
+        sumV += (a + b) * (c + dd) * (a + c) * (b + dd) / (n * n * (n - 1))
+        orNum += a * dd / n
+        orDen += b * c / n
+      }
+    }
+    val adiff = math.max(math.abs(sumA - sumE) - 0.5, 0.0)
+    val cmh = adiff * adiff / sumV
+    assert(r.getAs[Long]("sum_a") == sumA.toLong)
+    assert(math.abs(r.getAs[Double]("cmh") - cmh) < 1e-6,
+      s"cmh ${r.getAs[Double]("cmh")} vs $cmh")
+    assert(math.abs(r.getAs[Double]("or_mh") - orNum / orDen) < 1e-6)
+    // inference companion: p consistent with commons-math chi2(1)
+    val pi = SparkEntry.queries("k32_cmh_inference")(sp, sf01).head()
+    val chi = new org.apache.commons.math3.distribution.ChiSquaredDistribution(1.0)
+    assert(math.abs(pi.getAs[Double]("p_value")
+      - (1.0 - chi.cumulativeProbability(cmh))) < 1e-6)
+  }
+
+  test("k33 Theil-Sen slope matches a brute-force pair median on real probes") {
+    val sp = spark
+    import sp.implicits._
+    val got = SparkEntry.queries("k33_theil_sen")(sp, sf)
+      .orderBy("probe_id").limit(5).collect()
+    assert(got.nonEmpty)
+    val sidx = Tables.sampleSheet(sp, sf).select("sample_id")
+      .as[String].collect().sorted.zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap
+    val bk = Tables.betaLong(sp, sf)
+      .select(col("probe_id"), col("sample_id"),
+        round(col("beta") * 997).cast("bigint").as("k"))
+      .as[(String, String, Long)].collect().groupBy(_._1)
+    got.foreach { r =>
+      val probe = r.getAs[String]("probe_id")
+      val pts = bk(probe).map(t => (sidx(t._2), t._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield (pts(j)._2 - pts(i)._2).toDouble / (pts(j)._1 - pts(i)._1)).sorted
+      val m = slopes.length
+      assert(r.getAs[Long]("m_pairs") == m.toLong, s"$probe m")
+      val med = (slopes((m - 1) / 2) + slopes(m / 2)) / 2.0
+      assert(math.abs(r.getAs[Double]("sen_slope") - med) < 5e-7,
+        s"$probe slope ${r.getAs[Double]("sen_slope")} vs $med")
+    }
+  }
+
+  test("k31 effect sizes match brute-force pair loops on real probes") {
+    val sp = spark
+    import sp.implicits._
+    val got = SparkEntry.queries("k31_effect_sizes")(sp, sf)
+      .orderBy("probe_id").limit(4).collect()
+    assert(got.nonEmpty)
+    val bg = Tables.betaLong(sp, sf)
+      .join(Tables.sampleSheet(sp, sf), "sample_id")
+      .select(col("probe_id"), col("group"),
+        round(col("beta") * 997).cast("bigint").as("k"))
+      .as[(String, String, Long)].collect().groupBy(_._1)
+    got.foreach { r =>
+      val probe = r.getAs[String]("probe_id")
+      val wt = bg(probe).filter(_._2 == "WT").map(_._3.toDouble)
+      val mut = bg(probe).filter(_._2 == "MUT").map(_._3.toDouble)
+      def varS(xs: Array[Double]) = {
+        val m = xs.sum / xs.length
+        xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+      }
+      val sp2 = ((wt.length - 1) * varS(wt) + (mut.length - 1) * varS(mut)) /
+        (wt.length + mut.length - 2.0)
+      val d = (wt.sum / wt.length - mut.sum / mut.length) / math.sqrt(sp2)
+      val g = d * (1.0 - 3.0 / (4.0 * (wt.length + mut.length) - 9.0))
+      assert(math.abs(r.getAs[Double]("cohens_d") - d) < 5e-7, s"$probe d")
+      assert(math.abs(r.getAs[Double]("hedges_g") - g) < 5e-7, s"$probe g")
+      var gt = 0L; var lt = 0L
+      for (x <- wt; y <- mut) {
+        if (x > y) gt += 1 else if (x < y) lt += 1
+      }
+      val delta = (gt - lt).toDouble / (wt.length.toLong * mut.length)
+      assert(math.abs(r.getAs[Double]("cliffs_delta") - delta) < 5e-7,
+        s"$probe cliffs: got ${r.getAs[Double]("cliffs_delta")} expect $delta")
+    }
+  }
+}
