@@ -2140,23 +2140,38 @@ object QueriesStats {
           sum(when(col("group") === "WT", 1L).otherwise(0L)).as("n1"),
           sum(when(col("group") === "WT", col("k")).otherwise(0L)).as("s1"))
         .filter(col("n1") >= 3 && col("n") - col("n1") >= 3)
-      val pa = bk.join(broadcast(permA), "sample_id")
-        .groupBy("probe_id", "rep")
-        .agg(count(lit(1)).as("na"), sum("k").as("sa"))
-      pa.join(obs, "probe_id")
-        .filter(col("na") >= 1 && col("na") < col("n"))
-        .withColumn("dnum_r", abs(col("sa") * col("n") - col("stot") * col("na")))
-        .withColumn("wr", col("na") * (col("n") - col("na")))
+      // one-pass permutation sufficient statistics: each sample carries the
+      // list of reps that put it in group A (a ~B/2-int array on a bounded
+      // dim, broadcast); a typed Aggregator accumulates all B (na, sa)
+      // pairs per probe in ONE hash aggregate — no row × B expansion, and
+      // the shuffle carries probes × 2B longs of mergeable state. The
+      // DuckDB oracle checks the same result through its independent
+      // join+groupBy plan.
+      val mask = permA.groupBy("sample_id")
+        .agg(collect_list(col("rep").cast("int")).as("reps"))
+      val permAgg = udaf(new graft.functions.PermSumAgg(nB.toInt))
+      val state = bk.join(broadcast(mask), "sample_id")
+        .groupBy("probe_id")
+        .agg(permAgg(col("k"), col("reps")).as("st"))
+      // the rep-level compare never leaves the row: na(r)/sa(r) are array
+      // slots, so b_valid/b_ge are row-local folds over the 2B-long state
+      // (probes rows total) instead of a probes×B explode→join→re-aggregate
+      val naE = s"element_at(st, cast(r + ${nB}L as int))"
+      val saE = "element_at(st, cast(r as int))"
+      val validE = s"$naE >= 1 AND $naE < n"
+      state.join(obs, "probe_id")
         .withColumn("dnum_o", abs(col("s1") * col("n") - col("stot") * col("n1")))
         .withColumn("wo", col("n1") * (col("n") - col("n1")))
-        .groupBy("probe_id").agg(
-          max("n").as("n"), max("n1").as("n1"),
-          count(lit(1)).as("b_valid"),
-          sum(when(col("dnum_r") * col("wo") >= col("dnum_o") * col("wr"), 1L)
-            .otherwise(0L)).as("b_ge"),
-          max(col("s1").cast("double") / col("n1").cast("double")
-            - (col("stot") - col("s1")).cast("double")
-              / (col("n") - col("n1")).cast("double")).as("dmean"))
+        .withColumn("b_valid",
+          expr(s"size(filter(sequence(1, ${nB}L), r -> $validE))").cast("bigint"))
+        .withColumn("b_ge",
+          expr(s"""size(filter(sequence(1, ${nB}L), r -> $validE
+                  | AND abs($saE * n - stot * $naE) * wo
+                  |     >= dnum_o * ($naE * (n - $naE))))"""
+            .stripMargin.replace("\n", " ")).cast("bigint"))
+        .withColumn("dmean", col("s1").cast("double") / col("n1").cast("double")
+          - (col("stot") - col("s1")).cast("double")
+            / (col("n") - col("n1")).cast("double"))
         .select(col("probe_id"), col("n"), col("n1"), col("b_valid"), col("b_ge"),
           round(col("dmean") / 997.0, 6).as("delta_beta"),
           round((col("b_ge") + 1).cast("double")
