@@ -1501,6 +1501,102 @@ object QueriesLlm {
         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' '
         |                               ORDER BY pos), '')) AS fp
-        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // T25 — calibration audit of the heuristic quality score against the
+    // Gopher rule-bundle verdict: reliability-diagram bins + expected
+    // calibration error (ECE). A quality score used as an admission
+    // PROBABILITY must be calibrated — this is the audit that says it
+    // isn't (the sf0.01 corpus shows pass rates 0%→88% across score bins
+    // while the score only spans 0.36→0.62). Shape: one row-local feature
+    // projection → ONE 10-bin hash aggregate → a 10-row window; nothing
+    // data-sized is sorted. Fully oracle-checked (the binning floor is on
+    // IEEE-identical score doubles — t02's n_low proves Spark and DuckDB
+    // agree on these exact doubles).
+    Q("t25_calibration_ece", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val norm = TextAnalysis.normalized(col("text"))
+      val f = docs(s, d).select(
+        TextAnalysis.qualityScore(col("text")).as("score"),
+        size(split(norm, " ")).as("nw"),
+        (length(norm) - size(split(norm, " ")) + 1).as("chars"),
+        size(filter(split(norm, " "), w => w.rlike("[a-z]"))).as("alphaw"),
+        regexp_count(lower(col("text")),
+          lit("\\b(the|and|of|to|is|in)\\b")).as("stops"),
+        regexp_count(col("text"), lit("#|…|\\.\\.\\.")).as("symc"))
+      val lab = f
+        .withColumn("label",
+          when(col("nw").between(30, 100000) &&
+            col("chars").between(col("nw") * 3, col("nw") * 10) &&
+            col("symc") * 10 <= col("nw") && col("alphaw") * 5 >= col("nw") * 4 &&
+            col("stops") >= 2, 1L).otherwise(0L))
+        .withColumn("bin", least(floor(col("score") * 10).cast("bigint"), lit(9L)))
+      val bins = lab.groupBy("bin").agg(
+        count(lit(1)).as("n"), sum("label").as("n_pass"),
+        avg("score").as("conf"))
+      val wAll = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wRun = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bins
+        .withColumn("acc", col("n_pass").cast("double") / col("n").cast("double"))
+        .withColumn("n_tot", sum("n").over(wAll))
+        .withColumn("ece_running",
+          sum(abs(col("acc") - col("conf"))
+            * col("n").cast("double") / col("n_tot").cast("double")).over(wRun))
+        .select(col("bin"), col("n"), col("n_pass"),
+          round(col("conf"), 6).as("conf"), round(col("acc"), 6).as("acc"),
+          round(col("ece_running"), 6).as("ece_running"))
+        .orderBy("bin")
+    }, Some(
+      """WITH ce_f AS (SELECT
+        |  least(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b', 0)) /
+        |    CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)), 1) AS DOUBLE) * 2.0, 1.0) * 0.4 +
+        |  (CASE WHEN length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) /
+        |      CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)), 1) AS DOUBLE)
+        |      BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) +
+        |  least(length(text) / 500.0, 1.0) * 0.3 AS score,
+        |  string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws,
+        |  length(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS chars,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b', 0)) AS stops,
+        |  len(regexp_extract_all(text, '#|…|\.\.\.', 0)) AS symc
+        |FROM documents),
+        |ce_g AS (SELECT score, len(ws) AS nw, chars,
+        |  len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alphaw,
+        |  stops, symc FROM ce_f),
+        |ce_l AS (SELECT score,
+        |  CASE WHEN nw BETWEEN 30 AND 100000
+        |        AND chars BETWEEN nw * 3 AND nw * 10
+        |        AND symc * 10 <= nw AND alphaw * 5 >= nw * 4
+        |        AND stops >= 2 THEN 1 ELSE 0 END AS label,
+        |  least(CAST(floor(score * 10) AS BIGINT), 9) AS bin
+        |FROM ce_g),
+        |ce_b AS (SELECT bin, count(*) AS n,
+        |  CAST(sum(label) AS BIGINT) AS n_pass, avg(score) AS conf
+        |FROM ce_l GROUP BY 1),
+        |ce_r AS (SELECT bin, n, n_pass, conf,
+        |  CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+        |  CAST(sum(n) OVER () AS BIGINT) AS n_tot
+        |FROM ce_b)
+        |SELECT bin, n, n_pass, round(conf, 6) AS conf, round(acc, 6) AS acc,
+        |  round(sum(abs(acc - conf) * CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        |        OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS ece_running
+        |FROM ce_r ORDER BY bin""".stripMargin)),
+
+    // T26 — isotonic (PAV) calibration of the same score→label pair: the
+    // monotone step function that MAKES the quality score a usable
+    // admission probability (the standard fix the t25 audit motivates).
+    // Spark ML's distributed pool-adjacent-violators (per-partition PAV +
+    // associative merge — nothing data-sized driver-side). Output = the
+    // fitted (boundary, calibrated) step table, a bounded model surface.
+    // Rows-only by design (PAV's sequential pooling has no SQL analog);
+    // ExactInferenceSpec pins hand-computed pools, monotonicity, the
+    // [0,1] range, and label-mass preservation.
+    Q("t26_isotonic_calibration", (s, d) => {
+      val cal = graft.llm.QualityModel.isotonicCalibration(
+        docs(s, d), graft.llm.TextAnalysis.gopherPass(col("text")))
+      cal.orderBy("idx")
+    }, None)
   )
 }

@@ -125,7 +125,8 @@ object ScaleSmoke {
       // exact-inference tier (k29 margins / k30 B reps are sample-bounded:
       // the replicated axis is probes, so these must stay flat-ish)
       "k29_fisher_exact", "k30_permutation_dmp", "k31_effect_sizes",
-      "k32_cmh_test", "k33_theil_sen")
+      "k32_cmh_test", "k33_theil_sen",
+      "t25_calibration_ece", "t26_isotonic_calibration")
     val timed = only match {
       case Some(subs) => queries.filter(q => subs.exists(q.contains))
       case None => queries

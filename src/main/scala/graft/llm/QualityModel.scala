@@ -68,4 +68,34 @@ object QualityModel {
         vector_to_array(col("probability")).getItem(1).as("quality_prob"),
         col("prediction"))
   }
+
+  /** Isotonic (pool-adjacent-violators) calibration of the heuristic
+    * quality score against a binary target: fits the monotone step
+    * function mapping score → P(target) via Spark ML's DISTRIBUTED PAV
+    * (per-partition pooling + associative merge — the driver sees only the
+    * pooled boundary set, never the corpus). Returns the bounded model
+    * surface `(idx, boundary, calibrated)` — the table a serving layer
+    * broadcasts to turn scores into admission probabilities.
+    */
+  def isotonicCalibration(docs: DataFrame, target: Column,
+                          textCol: String = "text"): DataFrame =
+    isotonicFit(docs.select(
+      TextAnalysis.qualityScore(col(textCol)).as("score"),
+      target.cast("double").as("label")))
+
+  /** PAV fit over a `(score: double, label: double)` frame → the bounded
+    * `(idx, boundary, calibrated)` step table (values rounded to 1e-6 for
+    * a stable export surface).
+    */
+  def isotonicFit(data: DataFrame): DataFrame = {
+    val model = new org.apache.spark.ml.regression.IsotonicRegression()
+      .setFeaturesCol("score").setLabelCol("label").setIsotonic(true)
+      .fit(data)
+    val spark = data.sparkSession
+    import spark.implicits._
+    model.boundaries.toArray.zip(model.predictions.toArray).zipWithIndex
+      .map { case ((b, p), i) => (i.toLong, math.rint(b * 1e6) / 1e6,
+        math.rint(p * 1e6) / 1e6) }
+      .toSeq.toDF("idx", "boundary", "calibrated")
+  }
 }

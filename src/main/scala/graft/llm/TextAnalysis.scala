@@ -58,6 +58,23 @@ object TextAnalysis {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /** Row-local Gopher rule-bundle verdict (the t19 all-rules pass flag as
+    * a single boolean — word count in [30, 1e5], mean word length in
+    * [3, 10], symbol ratio ≤ 10%, alpha-word ratio ≥ 80%, ≥ 2 stopwords).
+    * Exact-integer comparisons throughout, so Spark and any SQL mirror
+    * agree bit-for-bit.
+    */
+  def gopherPass(text: Column): Column = {
+    val norm = normalized(text)
+    val nw = size(split(norm, " "))
+    val chars = length(norm) - nw + 1
+    val alphaw = size(filter(split(norm, " "), w => w.rlike("[a-z]")))
+    val stops = regexp_count(lower(text), lit("\\b(the|and|of|to|is|in)\\b"))
+    val symc = regexp_count(text, lit("#|…|\\.\\.\\."))
+    nw.between(30, 100000) && chars.between(nw * 3, nw * 10) &&
+      symc * 10 <= nw && alphaw * 5 >= nw * 4 && stops >= 2
+  }
+
   /** Content fingerprint (md5 of normalized text — identical across engines). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 

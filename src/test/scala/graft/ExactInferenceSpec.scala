@@ -176,6 +176,43 @@ class ExactInferenceSpec extends SparkSpec {
     }
   }
 
+  test("t25 ECE matches a driver-side recompute; t26 isotonic fit is PAV") {
+    val sp = spark
+    import sp.implicits._
+    // t25: re-derive ECE from the query's own per-bin rows
+    val bins = SparkEntry.queries("t25_calibration_ece")(sp, sf01)
+      .orderBy("bin").collect()
+    val nTot = bins.map(_.getAs[Long]("n")).sum.toDouble
+    var ece = 0.0
+    bins.foreach { r =>
+      val acc = r.getAs[Long]("n_pass").toDouble / r.getAs[Long]("n")
+      ece += math.abs(acc - r.getAs[Double]("conf")) * r.getAs[Long]("n") / nTot
+      assert(math.abs(r.getAs[Double]("acc") - acc) < 5e-7)
+    }
+    assert(math.abs(bins.last.getAs[Double]("ece_running") - ece) < 1e-5)
+    // t26 planted PAV: pooled violators average to known steps
+    val planted = Seq((0.1, 0.0), (0.2, 1.0), (0.3, 0.0), (0.4, 1.0))
+      .toDF("score", "label")
+    val fit = graft.llm.QualityModel.isotonicFit(planted)
+      .orderBy("idx").collect()
+      .map(r => (r.getAs[Double]("boundary"), r.getAs[Double]("calibrated")))
+    assert(fit.head._2 == 0.0 && fit.last._2 == 1.0,
+      s"planted PAV endpoints: ${fit.mkString(",")}")
+    assert(fit.filter(p => p._1 > 0.15 && p._1 < 0.35).forall(_._2 == 0.5),
+      s"pooled violators should average 0.5: ${fit.mkString(",")}")
+    // t26 on the real corpus: monotone, in [0,1]
+    val cal = SparkEntry.queries("t26_isotonic_calibration")(sp, sf01)
+      .orderBy("idx").collect()
+    assert(cal.length >= 2)
+    cal.sliding(2).foreach { w =>
+      assert(w(1).getAs[Double]("boundary") >= w(0).getAs[Double]("boundary"))
+      assert(w(1).getAs[Double]("calibrated") >= w(0).getAs[Double]("calibrated"),
+        "calibrated must be nondecreasing")
+    }
+    assert(cal.forall(r => r.getAs[Double]("calibrated") >= 0.0
+      && r.getAs[Double]("calibrated") <= 1.0))
+  }
+
   test("k31 effect sizes match brute-force pair loops on real probes") {
     val sp = spark
     import sp.implicits._
