@@ -2457,6 +2457,86 @@ object QueriesStats {
         |       round((min(slope) + max(slope)) / 2.0, 6) AS sen_slope
         |FROM ts_rank
         |WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
-        |GROUP BY 1 HAVING max(m) >= 28 ORDER BY 1""".stripMargin))
+        |GROUP BY 1 HAVING max(m) >= 28 ORDER BY 1""".stripMargin)),
+
+    // K34 — split-conformal prediction intervals for the k15 clock
+    // predictor (Vovk/Papadopoulos split-conformal, public): calibration
+    // half's nonconformity scores |age_true − age_pred| ranked, q̂ = the
+    // ⌈(n_cal+1)(1−α)⌉-th smallest (α = 0.1) by EXACT element selection
+    // (the k33 move — no interpolation kernel, so Spark and DuckDB pick
+    // the identical double), intervals pred ± q̂ on the held-out half with
+    // distribution-free ~90% marginal coverage. ⌈·⌉ in pure integer
+    // arithmetic ((9n+18) div 10), clamped to n_cal when the calibration
+    // set is tiny (documented guarantee break at n_cal < 9). Everything
+    // rides the bounded sample axis — one broadcast panel join, one
+    // sample-level aggregate, windows over samples rows. Fully
+    // oracle-checked.
+    Q("k34_conformal_clock", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val coef = Tables.table(s, d, "part")
+        .filter(col("p_partkey") % 17 === 3)
+        .select(format_string("cg%07d", col("p_partkey")).as("probe_id"),
+          (col("p_partkey") % 13 - 6).cast("long").as("coef_num"))
+      val pred = Tables.betaLong(s, d)
+        .withColumn("k", round(col("beta") * 997).cast("long"))
+        .join(broadcast(coef), "probe_id")
+        .groupBy("sample_id")
+        .agg(sum(col("k") * col("coef_num")).as("dot"))
+        .select(col("sample_id"),
+          (lit(20.0) + col("dot").cast("double") / 9970.0).as("age_pred"))
+      val truth = Tables.table(s, d, "supplier").select(
+        format_string("S%03d", col("s_suppkey")).as("sample_id"),
+        (col("s_suppkey") % 2 === 0).as("is_cal"),
+        (lit(20.0) + (col("s_suppkey") * 13 % 41).cast("double")).as("age_true"))
+      val j = pred.join(truth, "sample_id")
+      val wR = Window.orderBy("score", "sample_id")
+      val wAll = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val qhat = j.filter(col("is_cal"))
+        .withColumn("score", abs(col("age_true") - col("age_pred")))
+        .withColumn("rn", row_number().over(wR).cast("long"))
+        .withColumn("ncal", count(lit(1)).over(wAll))
+        .filter(col("rn") === least(expr("(ncal * 9 + 18) div 10"), col("ncal")))
+        .select(col("score").as("qhat"), col("ncal"))
+      j.filter(!col("is_cal"))
+        .crossJoin(broadcast(qhat))
+        .select(col("sample_id"), col("ncal").as("n_cal"),
+          round(col("age_pred"), 6).as("age_pred"),
+          round(col("age_pred") - col("qhat"), 6).as("lo"),
+          round(col("age_pred") + col("qhat"), 6).as("hi"),
+          (col("age_true") >= col("age_pred") - col("qhat") &&
+            col("age_true") <= col("age_pred") + col("qhat")).as("covered"))
+        .orderBy("sample_id")
+    }, Some(ctes +
+      """, cc_coef AS (
+        |  SELECT printf('cg%07d', p_partkey) AS probe_id,
+        |         p_partkey % 13 - 6 AS coef_num
+        |  FROM part WHERE p_partkey % 17 = 3),
+        |cc_pred AS (
+        |  SELECT sample_id,
+        |         20.0 + CAST(sum(CAST(round(beta * 997) AS BIGINT) * coef_num) AS DOUBLE) / 9970.0 AS age_pred
+        |  FROM beta JOIN cc_coef USING (probe_id) GROUP BY 1),
+        |cc_truth AS (
+        |  SELECT printf('S%03d', s_suppkey) AS sample_id,
+        |         s_suppkey % 2 = 0 AS is_cal,
+        |         20.0 + CAST(s_suppkey * 13 % 41 AS DOUBLE) AS age_true
+        |  FROM supplier),
+        |cc_j AS (SELECT * FROM cc_pred JOIN cc_truth USING (sample_id)),
+        |cc_cal AS (
+        |  SELECT abs(age_true - age_pred) AS score, sample_id FROM cc_j WHERE is_cal),
+        |cc_rank AS (
+        |  SELECT score, row_number() OVER (ORDER BY score, sample_id) AS rn,
+        |         count(*) OVER () AS ncal
+        |  FROM cc_cal),
+        |cc_q AS (
+        |  SELECT score AS qhat, CAST(ncal AS BIGINT) AS ncal FROM cc_rank
+        |  WHERE rn = least((ncal * 9 + 18) // 10, ncal))
+        |SELECT j.sample_id, q.ncal AS n_cal,
+        |       round(j.age_pred, 6) AS age_pred,
+        |       round(j.age_pred - q.qhat, 6) AS lo,
+        |       round(j.age_pred + q.qhat, 6) AS hi,
+        |       (j.age_true >= j.age_pred - q.qhat
+        |        AND j.age_true <= j.age_pred + q.qhat) AS covered
+        |FROM cc_j j CROSS JOIN cc_q q WHERE NOT is_cal ORDER BY 1""".stripMargin))
   )
 }

@@ -213,6 +213,45 @@ class ExactInferenceSpec extends SparkSpec {
       && r.getAs[Double]("calibrated") <= 1.0))
   }
 
+  test("k34 conformal q-hat is the exact order statistic; intervals cover") {
+    val sp = spark
+    import sp.implicits._
+    val out = SparkEntry.queries("k34_conformal_clock")(sp, sf01)
+      .orderBy("sample_id").collect()
+    assert(out.nonEmpty)
+    // every interval has the same width 2*qhat; qhat equals the
+    // ceil(0.9*(ncal+1))-th smallest calibration score recomputed here
+    // lo/hi are rounded to 1e-6 independently, so widths may spread 2e-6
+    val widths = out.map(r => r.getAs[Double]("hi") - r.getAs[Double]("lo"))
+    assert(widths.max - widths.min < 2.5e-6, s"width spread ${widths.max - widths.min}")
+    val ncal = out.head.getAs[Long]("n_cal").toInt
+    val coef = Tables.table(sp, sf01, "part")
+      .filter(col("p_partkey") % 17 === 3)
+      .select(format_string("cg%07d", col("p_partkey")).as("probe_id"),
+        (col("p_partkey") % 13 - 6).cast("long").as("coef_num"))
+    val pred = Tables.betaLong(sp, sf01)
+      .withColumn("k", round(col("beta") * 997).cast("long"))
+      .join(coef, "probe_id").groupBy("sample_id")
+      .agg(sum(col("k") * col("coef_num")).as("dot"))
+      .select(col("sample_id"), (lit(20.0) + col("dot").cast("double") / 9970.0).as("p"))
+      .as[(String, Double)].collect().toMap
+    val scores = Tables.table(sp, sf01, "supplier")
+      .select(col("s_suppkey").cast("long")).as[Long].collect()
+      .filter(_ % 2 == 0)
+      .flatMap { sk =>
+        pred.get(f"S$sk%03d").map(p => math.abs(20.0 + sk * 13 % 41 - p))
+      }.sorted
+    assert(scores.length == ncal)
+    val rank = math.min((9 * ncal + 18) / 10, ncal)
+    val qhat = scores(rank - 1)
+    assert(math.abs(widths.head / 2.0 - qhat) < 1.5e-6,
+      s"qhat ${widths.head / 2.0} vs $qhat")
+    // distribution-free marginal coverage is ~1-alpha by construction on
+    // exchangeable splits; on this deterministic fixture it lands at 90%
+    val cov = out.count(_.getAs[Boolean]("covered")).toDouble / out.length
+    assert(cov >= 0.8, s"coverage $cov")
+  }
+
   test("k31 effect sizes match brute-force pair loops on real probes") {
     val sp = spark
     import sp.implicits._
