@@ -2459,6 +2459,21 @@ object QueriesStats {
         |WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
         |GROUP BY 1 HAVING max(m) >= 28 ORDER BY 1""".stripMargin)),
 
+    // K35 — one-covariate Cox proportional-hazards fit over the SAME
+    // subject table as the k28 Kaplan–Meier/log-rank family (time to first
+    // purchase, cohort A vs rest): the model every survival analysis
+    // reaches for after the log-rank screen. Distributed part = the k28
+    // per-event-time risk aggregate; Newton runs driver-side on the
+    // bounded time histogram (ops/Survival.coxPh). Rows-only (iterative);
+    // the risk-table inputs ride k28_logrank's oracle, and the score
+    // numerator U(0) = O_A − E_A ties this row to k28's oracle-checked
+    // o_a/e_a EXACTLY. p via the codegen χ²(1) survival function.
+    Q("k35_cox_ph", (s, d) => {
+      GraftExtensions.registerAll(s)
+      Survival.coxPh(kmSubjects(s, d), "cohort_a")
+        .withColumn("p_value", round(expr("graft_chisq_sf(wald_chi2, 1.0)"), 6))
+    }, None),
+
     // K34 — split-conformal prediction intervals for the k15 clock
     // predictor (Vovk/Papadopoulos split-conformal, public): calibration
     // half's nonconformity scores |age_true − age_pred| ranked, q̂ = the

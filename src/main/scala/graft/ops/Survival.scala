@@ -77,7 +77,14 @@ object Survival {
     * time, so a grid row's running sum is exactly #{duration ≥ t}. One
     * shuffle; window input is per-(group, duration) aggregates.
     */
-  def logRank(subjects: DataFrame, grpA: String): DataFrame = {
+  def logRank(subjects: DataFrame, grpA: String): DataFrame =
+    logRankFrom(riskTable(subjects, grpA), grpA)
+
+  /** Per-pooled-event-time risk table `(t, n_a, n_b, d_a, d_b)` — the
+    * sufficient statistics BOTH the log-rank test and the Cox fit consume.
+    * Shape as documented on [[logRank]].
+    */
+  private[graft] def riskTable(subjects: DataFrame, grpA: String): DataFrame = {
     val durcnt = subjects.groupBy("grp", "duration_h")
       .agg(count(lit(1)).cast("long").as("n_all"), sum("event").as("d"))
     // pooled event-time grid × the two groups (grid is an aggregate of an
@@ -104,11 +111,14 @@ object Survival {
     // the caller names group A (keeps the plan action-free — no driver
     // peek at construction time)
     val gName = grpA
-    val byT = withD.groupBy("t").agg(
+    withD.groupBy("t").agg(
       sum(when(col("grp") === gName, col("n_at")).otherwise(0L)).as("n_a"),
       sum(when(col("grp") =!= gName, col("n_at")).otherwise(0L)).as("n_b"),
       sum(when(col("grp") === gName, col("d")).otherwise(0L)).as("d_a"),
       sum(when(col("grp") =!= gName, col("d")).otherwise(0L)).as("d_b"))
+  }
+
+  private def logRankFrom(byT: DataFrame, gName: String): DataFrame = {
     val n = (col("n_a") + col("n_b")).cast("double")
     val dd = (col("d_a") + col("d_b")).cast("double")
     val pA = col("n_a").cast("double") / n
@@ -135,4 +145,70 @@ object Survival {
           * (col("o_a_cum").cast("double") - col("e_a_cum"))
           / col("v_a_cum")).as("chi2"))
   }
+
+  /** One-covariate Cox proportional-hazards fit (binary x = 1[grp = grpA],
+    * Breslow tie handling — the partial-likelihood Newton iteration every
+    * survival package runs, restated on the SAME per-event-time risk table
+    * as the log-rank test). Distributed part = the [[riskTable]] aggregate;
+    * the Newton loop runs driver-side over the collected per-TIME rows —
+    * an event-time histogram bounded by the calendar axis (the a30/k22
+    * bounded-axis collect, NOT a data-sized one), sorted ascending so the
+    * score/information sums are a fixed double sequence. U(0) is EXACTLY
+    * the log-rank numerator O_A − E_A; I(0) differs from the log-rank
+    * variance only by the hypergeometric tie factor (n−d)/(n−1), so
+    * score_chi2 ≈ log-rank χ² (equal when all d = 1) — the spec pins the
+    * exact numerator identity and the fit itself.
+    *
+    * Returns one row: (grp_a, n_times, beta, hr, se, z, wald_chi2,
+    * score_chi2, iters, converged).
+    */
+  def coxPh(subjects: DataFrame, grpA: String, maxIter: Int = 25,
+            tol: Double = 1e-12): DataFrame = {
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    val rows = riskTable(subjects, grpA)
+      .filter(col("d_a") + col("d_b") > 0)
+      .select(col("t"), col("n_a").cast("double"), col("n_b").cast("double"),
+        col("d_a").cast("double"), col("d_b").cast("double"))
+      .as[(Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    def scoreInfo(b: Double): (Double, Double) = {
+      val eb = math.exp(b)
+      var u = 0.0
+      var inf = 0.0
+      rows.foreach { case (_, na, nb, da, db) =>
+        val d = da + db
+        if (na + nb > 0) {
+          val w = na * eb
+          val p = w / (w + nb)
+          u += da - d * p
+          inf += d * p * (1.0 - p)
+        }
+      }
+      (u, inf)
+    }
+    val (u0, i0) = scoreInfo(0.0)
+    var b = 0.0
+    var iters = 0
+    var converged = false
+    while (iters < maxIter && !converged) {
+      val (u, inf) = scoreInfo(b)
+      if (inf <= 0.0) { converged = true }
+      else {
+        val step = u / inf
+        b += step
+        if (math.abs(step) < tol) converged = true
+      }
+      iters += 1
+    }
+    val (_, iHat) = scoreInfo(b)
+    val se = 1.0 / math.sqrt(iHat)
+    val z = b / se
+    Seq((grpA, rows.length.toLong, r6(b), r6(math.exp(b)), r6(se), r6(z),
+      r6(z * z), r6(u0), r6(u0 * u0 / i0), iters.toLong, converged))
+      .toDF("grp_a", "n_times", "beta", "hr", "se", "z", "wald_chi2",
+        "score_u0", "score_chi2", "iters", "converged")
+  }
+
+  private def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
 }

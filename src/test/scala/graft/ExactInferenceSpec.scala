@@ -252,6 +252,36 @@ class ExactInferenceSpec extends SparkSpec {
     assert(cov >= 0.8, s"coverage $cov")
   }
 
+  test("k35 Cox fit: score numerator equals log-rank O-E; Newton solves U(b)=0") {
+    val sp = spark
+    val cox = SparkEntry.queries("k35_cox_ph")(sp, sf01).head()
+    assert(cox.getAs[Boolean]("converged"))
+    // U(0) must equal the log-rank numerator O_A - E_A exactly (both are
+    // sums of the same per-time terms in the same ascending-time order)
+    val lr = SparkEntry.queries("k28_logrank")(sp, sf01).head()
+    val oMinusE = lr.getAs[Long]("o_a").toDouble - lr.getAs[Double]("e_a")
+    assert(math.abs(cox.getAs[Double]("score_u0") - oMinusE) < 2e-6,
+      s"U(0) ${cox.getAs[Double]("score_u0")} vs O-E $oMinusE")
+    // replay the Newton solve driver-side from the risk table
+    import sp.implicits._
+    val rows = graft.ops.Survival.riskTable(
+        QueriesStats.kmSubjects(sp, sf01), "cohort_a")
+      .filter(col("d_a") + col("d_b") > 0)
+      .select(col("t"), col("n_a").cast("double"), col("n_b").cast("double"),
+        col("d_a").cast("double"), col("d_b").cast("double"))
+      .as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    def u(b: Double): Double = rows.map { case (_, na, nb, da, db) =>
+      val p = na * math.exp(b) / (na * math.exp(b) + nb)
+      da - (da + db) * p
+    }.sum
+    val bHat = cox.getAs[Double]("beta")
+    assert(math.abs(u(bHat)) < 1e-3, s"U(beta_hat) = ${u(bHat)}")
+    // hr/se/z consistency
+    assert(math.abs(cox.getAs[Double]("hr") - math.exp(bHat)) < 2e-6)
+    assert(math.abs(cox.getAs[Double]("z")
+      - bHat / cox.getAs[Double]("se")) < 1e-4)
+  }
+
   test("k31 effect sizes match brute-force pair loops on real probes") {
     val sp = spark
     import sp.implicits._
