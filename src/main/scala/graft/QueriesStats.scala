@@ -284,6 +284,33 @@ object QueriesStats {
           .as("duration_h"),
         when(col("purch_us").isNotNull, 1L).otherwise(0L).as("event"))
 
+  /** Competing-risks subject table for k36: per user, first PURCHASE
+    * (cause 1, conversion) races first ERROR (cause 2, failure); whichever
+    * strikes first is the event (tie → cause 1, deterministic), neither →
+    * censored (cause 0) at last activity. ONE events aggregate; exact
+    * integer hour durations.
+    */
+  private[graft] def cifSubjects(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(unix_micros(col("ts"))).as("entry_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("p_us"),
+        min(when(col("event_type") === "error", unix_micros(col("ts"))))
+          .as("e_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .select(
+        when(col("user_id") % 2 === 0, "cohort_a").otherwise("cohort_b").as("grp"),
+        expr("""(coalesce(CASE WHEN p_us IS NOT NULL AND (e_us IS NULL OR p_us <= e_us)
+               |              THEN p_us
+               |              WHEN e_us IS NOT NULL THEN e_us END, last_us)
+               | - entry_us) div 3600000000""".stripMargin.replace("\n", " "))
+          .as("duration_h"),
+        when(col("p_us").isNotNull &&
+          (col("e_us").isNull || col("p_us") <= col("e_us")), 1L)
+          .when(col("e_us").isNotNull, 2L).otherwise(0L).as("cause"))
+
   /** DuckDB mirror of [[kmSubjects]] + per-(grp, duration) counts. */
   private val kmSubjSql =
     """km_subj AS (
@@ -2458,6 +2485,72 @@ object QueriesStats {
         |FROM ts_rank
         |WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
         |GROUP BY 1 HAVING max(m) >= 28 ORDER BY 1""".stripMargin)),
+
+    // K36 — competing-risks cumulative incidence (Aalen–Johansen): time to
+    // CONVERSION with FAILURE as a competing risk (first purchase races
+    // first error per user; 1 − per-cause-KM overstates both — the CIF is
+    // the correct decomposition, and S + CIF₁ + CIF₂ telescopes to 1 at
+    // every event time). ops/Survival.cumulativeIncidence — the k28
+    // aggregate + window shape with an exclusive-frame S(s−). Fully
+    // oracle-checked including the survival/CIF doubles.
+    Q("k36_cumulative_incidence", (s, d) =>
+      Survival.cumulativeIncidence(cifSubjects(s, d))
+        .select(col("grp"), col("duration_h"), col("n_risk"),
+          col("d1").as("d_conv"), col("d2").as("d_fail"),
+          round(col("surv"), 6).as("surv"),
+          round(col("cif1"), 6).as("cif_conv"),
+          round(col("cif2"), 6).as("cif_fail"))
+        .orderBy("grp", "duration_h"),
+    Some(
+      """WITH ci_subj AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'cohort_a' ELSE 'cohort_b' END AS grp,
+        |         (coalesce(CASE WHEN p_us IS NOT NULL AND (e_us IS NULL OR p_us <= e_us)
+        |                        THEN p_us
+        |                        WHEN e_us IS NOT NULL THEN e_us END, last_us)
+        |          - entry_us) // 3600000000 AS duration_h,
+        |         CASE WHEN p_us IS NOT NULL AND (e_us IS NULL OR p_us <= e_us) THEN 1
+        |              WHEN e_us IS NOT NULL THEN 2 ELSE 0 END AS cause
+        |  FROM (
+        |    SELECT user_id, min(epoch_us(ts)) AS entry_us,
+        |           min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us,
+        |           min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS e_us,
+        |           max(epoch_us(ts)) AS last_us
+        |    FROM events GROUP BY 1)),
+        |ci_dur AS (
+        |  SELECT grp, duration_h, CAST(count(*) AS BIGINT) AS n_all,
+        |         CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |         CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+        |  FROM ci_subj GROUP BY 1, 2),
+        |ci_risk AS (
+        |  SELECT grp, duration_h, d1, d2,
+        |         CAST(sum(n_all) OVER (PARTITION BY grp ORDER BY duration_h DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+        |  FROM ci_dur),
+        |ci_ev AS (SELECT * FROM ci_risk WHERE d1 + d2 > 0),
+        |ci_s AS (
+        |  SELECT grp, duration_h, n_risk, d1, d2,
+        |         max(CASE WHEN d1 + d2 = n_risk THEN 1 ELSE 0 END) OVER wasc AS extinct,
+        |         sum(CASE WHEN d1 + d2 < n_risk
+        |                  THEN ln(CAST(n_risk - d1 - d2 AS DOUBLE) / CAST(n_risk AS DOUBLE)) END)
+        |           OVER wasc AS lsum,
+        |         exp(coalesce(sum(CASE WHEN d1 + d2 < n_risk
+        |                  THEN ln(CAST(n_risk - d1 - d2 AS DOUBLE) / CAST(n_risk AS DOUBLE)) END)
+        |           OVER wprev, 0.0)) AS s_prev
+        |  FROM ci_ev
+        |  WINDOW wasc AS (PARTITION BY grp ORDER BY duration_h ASC
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wprev AS (PARTITION BY grp ORDER BY duration_h ASC
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT grp, duration_h, n_risk, d1 AS d_conv, d2 AS d_fail,
+        |       round(CASE WHEN extinct = 1 THEN 0.0 ELSE exp(lsum) END, 6) AS surv,
+        |       round(sum(s_prev * CAST(d1 AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |             OVER wasc2, 6) AS cif_conv,
+        |       round(sum(s_prev * CAST(d2 AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |             OVER wasc2, 6) AS cif_fail
+        |FROM ci_s
+        |WINDOW wasc2 AS (PARTITION BY grp ORDER BY duration_h ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY 1, 2""".stripMargin)),
 
     // K35 — one-covariate Cox proportional-hazards fit over the SAME
     // subject table as the k28 Kaplan–Meier/log-rank family (time to first

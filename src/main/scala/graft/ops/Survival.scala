@@ -146,6 +146,51 @@ object Survival {
           / col("v_a_cum")).as("chi2"))
   }
 
+  /** Competing-risks cumulative incidence (Aalen–Johansen, two causes):
+    * from a subject table `(grp, duration_h, cause)` with cause 1/2 =
+    * competing first events and 0 = right-censored, computes per group at
+    * every event time the overall KM survival S(t) and
+    * CIF_k(t) = Σ_{s≤t} S(s−)·d_k(s)/n(s) — the correct "probability of
+    * cause k by t" that 1−KM-per-cause overstates when the other cause
+    * removes subjects. Same one-aggregate + descending-running-count
+    * shape as [[kaplanMeier]]; S(s−) is the SAME exp-of-ordered-log-sum
+    * with an exclusive frame (1 PRECEDING). Identity S + CIF₁ + CIF₂ = 1
+    * holds by telescoping at every t (spec-pinned); every column is an
+    * ordered deterministic double sequence, so the whole surface is
+    * oracle-checkable.
+    */
+  def cumulativeIncidence(subjects: DataFrame): DataFrame = {
+    val durcnt = subjects.groupBy("grp", "duration_h")
+      .agg(count(lit(1)).cast("long").as("n_all"),
+        sum(when(col("cause") === 1, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("cause") === 2, 1L).otherwise(0L)).as("d2"))
+    val wDesc = Window.partitionBy("grp").orderBy(col("duration_h").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = durcnt
+      .withColumn("n_risk", sum("n_all").over(wDesc))
+      .filter(col("d1") + col("d2") > 0)
+    val wAsc = Window.partitionBy("grp").orderBy(col("duration_h").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy("grp").orderBy(col("duration_h").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d = col("d1") + col("d2")
+    val nD = col("n_risk").cast("double")
+    risk
+      .withColumn("term",
+        when(d < col("n_risk"),
+          log((col("n_risk") - d).cast("double") / nD)))
+      .withColumn("extinct", max(when(d === col("n_risk"), 1).otherwise(0)).over(wAsc))
+      .withColumn("s_prev", exp(coalesce(sum("term").over(wPrev), lit(0.0))))
+      .withColumn("surv",
+        when(col("extinct") === 1, lit(0.0)).otherwise(exp(sum("term").over(wAsc))))
+      .withColumn("cif1",
+        sum(col("s_prev") * col("d1").cast("double") / nD).over(wAsc))
+      .withColumn("cif2",
+        sum(col("s_prev") * col("d2").cast("double") / nD).over(wAsc))
+      .select(col("grp"), col("duration_h"), col("n_risk"),
+        col("d1"), col("d2"), col("surv"), col("cif1"), col("cif2"))
+  }
+
   /** One-covariate Cox proportional-hazards fit (binary x = 1[grp = grpA],
     * Breslow tie handling — the partial-likelihood Newton iteration every
     * survival package runs, restated on the SAME per-event-time risk table

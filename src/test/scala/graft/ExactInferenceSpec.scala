@@ -282,6 +282,28 @@ class ExactInferenceSpec extends SparkSpec {
       - bHat / cox.getAs[Double]("se")) < 1e-4)
   }
 
+  test("k36 CIF decomposition: S + CIF1 + CIF2 telescopes to 1 at every time") {
+    val sp = spark
+    val out = SparkEntry.queries("k36_cumulative_incidence")(sp, sf01).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val s = r.getAs[Double]("surv")
+      val tot = s + r.getAs[Double]("cif_conv") + r.getAs[Double]("cif_fail")
+      assert(math.abs(tot - 1.0) < 5e-6,
+        s"${r.getAs[String]("grp")}@${r.getAs[Long]("duration_h")}: $tot")
+      // CIFs are nondecreasing within group and bounded by 1 - handled by
+      // the identity plus nonnegativity:
+      assert(s >= 0.0 && r.getAs[Double]("cif_conv") >= 0.0
+        && r.getAs[Double]("cif_fail") >= 0.0)
+    }
+    // competing-risks correction is real: 1 - all-cause KM >= each CIF
+    val byGrp = out.groupBy(_.getAs[String]("grp"))
+    byGrp.values.foreach { rows =>
+      val last = rows.maxBy(_.getAs[Long]("duration_h"))
+      assert(last.getAs[Double]("cif_conv") <= 1.0 - last.getAs[Double]("surv") + 5e-6)
+    }
+  }
+
   test("k31 effect sizes match brute-force pair loops on real probes") {
     val sp = spark
     import sp.implicits._
