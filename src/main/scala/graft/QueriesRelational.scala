@@ -1559,6 +1559,94 @@ object QueriesRelational {
         |FROM sd_full f JOIN sd_slots sl ON sl.event_type = f.event_type AND sl.slot = f.slot
         |ORDER BY 1, 2""".stripMargin)),
 
+    // W18 — seasonal anomaly detection: the w15 decomposition's REMAINDER
+    // gated by a per-series robust MAD threshold (the "seasonal-hybrid"
+    // composition every ops anomaly detector runs — detrend+deseasonalize
+    // FIRST so a daily peak isn't an alert, then flag |r − med| >
+    // 3·1.4826·MAD). Both medians use exact element selection
+    // (Timeseries.exactMedian, the k33 move), and the remainders are the
+    // SAME IEEE doubles w15's oracle already hash-matches — so an ENTIRE
+    // anomaly pipeline, decomposition through flags, is oracle-checked.
+    // Shape: everything after the w15 chain is windows/joins over the
+    // bounded (series × hours) decomposed table.
+    Q("w18_seasonal_outliers", (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour_idx"))
+      val dense = graft.ops.Timeseries.gapFillCounts(ev, "event_type", "hour_idx")
+      val dec = graft.ops.Timeseries
+        .seasonalDecompose(dense, "event_type", "hour_idx", "n", 24)
+      val med = graft.ops.Timeseries
+        .exactMedian(dec, "event_type", "remainder", "hour_idx", "med")
+      val dev = dec.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("remainder") - col("med")))
+      val mad = graft.ops.Timeseries
+        .exactMedian(dev, "event_type", "adev", "hour_idx", "mad")
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("mad") > 0.0)
+        .withColumn("score", col("adev") / (lit(1.4826) * col("mad")))
+        .filter(col("score") > 3.0)
+        .select(col("event_type"), col("hour_idx"), col("n").as("y"),
+          round(col("remainder"), 6).as("remainder"),
+          round(col("score"), 6).as("score"))
+        .orderBy("event_type", "hour_idx")
+    }, Some(
+      """WITH sd_c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sd_sp AS (SELECT event_type, min(hour_idx) AS lo, max(hour_idx) AS hi
+        |          FROM sd_c GROUP BY 1),
+        |sd_dense AS (
+        |  SELECT g.event_type, g.hour_idx, CAST(coalesce(c.n, 0) AS BIGINT) AS y
+        |  FROM (SELECT event_type, unnest(range(lo, hi + 1)) AS hour_idx FROM sd_sp) g
+        |  LEFT JOIN sd_c c USING (event_type, hour_idx)),
+        |sd_w AS (
+        |  SELECT event_type, hour_idx, y,
+        |         CAST(sum(y) OVER w AS BIGINT) AS s,
+        |         CAST(count(*) OVER w AS BIGINT) AS cnt
+        |  FROM sd_dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+        |               ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+        |sd_full AS (
+        |  SELECT event_type, hour_idx, y, s, hour_idx % 24 AS slot
+        |  FROM sd_w WHERE cnt = 24),
+        |sd_slots AS (
+        |  SELECT event_type, slot,
+        |         (CAST(sum(y) AS DOUBLE) - CAST(sum(s) AS DOUBLE) / 24.0)
+        |           / CAST(count(*) AS DOUBLE) AS seasonal
+        |  FROM sd_full GROUP BY 1, 2),
+        |so_dec AS (
+        |  SELECT f.event_type, f.hour_idx, f.y,
+        |         CAST(f.y AS DOUBLE) - CAST(f.s AS DOUBLE) / 24.0 - sl.seasonal AS remainder
+        |  FROM sd_full f JOIN sd_slots sl
+        |    ON sl.event_type = f.event_type AND sl.slot = f.slot),
+        |so_mrank AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |           ORDER BY remainder, hour_idx) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM so_dec),
+        |so_med AS (
+        |  SELECT event_type, (min(remainder) + max(remainder)) / 2.0 AS med
+        |  FROM so_mrank WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+        |  GROUP BY 1),
+        |so_dev AS (
+        |  SELECT d.*, abs(d.remainder - m.med) AS adev
+        |  FROM so_dec d JOIN so_med m USING (event_type)),
+        |so_arank AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |           ORDER BY adev, hour_idx) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM so_dev),
+        |so_mad AS (
+        |  SELECT event_type, (min(adev) + max(adev)) / 2.0 AS mad
+        |  FROM so_arank WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+        |  GROUP BY 1)
+        |SELECT d.event_type, d.hour_idx, d.y,
+        |       round(d.remainder, 6) AS remainder,
+        |       round(d.adev / (1.4826 * md.mad), 6) AS score
+        |FROM so_dev d JOIN so_mad md USING (event_type)
+        |WHERE md.mad > 0.0 AND d.adev / (1.4826 * md.mad) > 3.0
+        |ORDER BY 1, 2""".stripMargin)),
+
     // J14 — keyed interval-overlap join (range × range): urgent orders'
     // 7-day windows × low-priority orders' 7-day windows FOR THE SAME
     // CUSTOMER NATION — the genomic (chromosome, bin) pattern. Each

@@ -127,7 +127,8 @@ object ScaleSmoke {
       "k29_fisher_exact", "k30_permutation_dmp", "k31_effect_sizes",
       "k32_cmh_test", "k33_theil_sen",
       "t25_calibration_ece", "t26_isotonic_calibration",
-      "k34_conformal_clock", "k35_cox_ph", "k36_cumulative_incidence")
+      "k34_conformal_clock", "k35_cox_ph", "k36_cumulative_incidence",
+      "w18_seasonal_outliers")
     val timed = only match {
       case Some(subs) => queries.filter(q => subs.exists(q.contains))
       case None => queries

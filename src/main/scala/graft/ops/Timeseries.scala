@@ -196,4 +196,21 @@ object Timeseries {
       .select(col(keyCol), col(bucketCol), col(valueCol),
         col("trend"), col("seasonal"), col("remainder"))
   }
+
+  /** Per-key exact median by lower/upper ELEMENT selection (+ identical
+    * (lo+hi)/2 on both engines) — the k33 move that keeps a median
+    * oracle-checkable where percentile-interpolation kernels differ in
+    * the last ulp. `tieCol` makes the rank deterministic under value ties.
+    */
+  def exactMedian(df: DataFrame, keyCol: String, valCol: String,
+                  tieCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wR = Window.partitionBy(keyCol).orderBy(col(valCol).asc, col(tieCol).asc)
+    val wC = Window.partitionBy(keyCol)
+    df.withColumn("__rn", row_number().over(wR).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wC))
+      .filter(expr("__rn = (__m + 1) div 2 OR __rn = __m div 2 + 1"))
+      .groupBy(keyCol)
+      .agg(((min(col(valCol)) + max(col(valCol))) / 2.0).as(outCol))
+  }
 }
