@@ -354,6 +354,34 @@ object QueriesSources {
     // ONE windowed aggregation (10 conditional-sum bins, PSI row-local as
     // a fixed left-associative 10-term expression — mirrored by the
     // oracle's bin-ordered running sum).
+    // E11 — streaming watchlist monitor, batch flavor (the e10 pattern):
+    // per event-time hour, a count-min sketch of the user stream with the
+    // watch keys' estimates read off the finalized sketch. State per
+    // window = depth×width longs regardless of user cardinality — the
+    // sketch-state-in-streaming shape; estimates are collision-free at
+    // this width (4×4096 vs ~10² active users/window), so the oracle
+    // checks them against EXACT per-hour counts. Live MemoryStream drive
+    // in StreamingSpec.
+    Q("e11_watchlist_monitor", (s, d) => {
+      val ev = Tables.events(s, d).select(col("ts"),
+        format_string("U%05d", col("user_id")).as("uid"))
+      val watch = (1 to 5).map(i => f"U$i%05d")
+      QcMonitor.watchlistMonitor(ev, watch, "1 hour")
+        .orderBy("hour", "watch_key")
+    }, Some(
+      """WITH wm_e AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |         printf('U%05d', user_id) AS uid
+        |  FROM events),
+        |wm_h AS (SELECT DISTINCT hour FROM wm_e),
+        |wm_w AS (SELECT printf('U%05d', unnest(range(1, 6))) AS watch_key),
+        |wm_c AS (SELECT hour, uid, CAST(count(*) AS BIGINT) AS n
+        |         FROM wm_e GROUP BY 1, 2)
+        |SELECT h.hour, w.watch_key, CAST(coalesce(c.n, 0) AS BIGINT) AS est_count
+        |FROM wm_h h CROSS JOIN wm_w w
+        |LEFT JOIN wm_c c ON c.hour = h.hour AND c.uid = w.watch_key
+        |ORDER BY 1, 2""".stripMargin)),
+
     Q("e10_drift_monitor", (s, d) => {
       val ev = Tables.events(s, d).select(col("ts"),
         unix_micros(col("ts")).as("t"),

@@ -335,6 +335,38 @@ object QcMonitor {
       total.as("n"), round(psi, 6).as("psi"))
   }
 
+  /** Streaming heavy-hitter watchlist monitor: per event-time window, a
+    * count-min sketch of the key stream with watchlist estimates read off
+    * the finalized sketch. The window state is the sketch buffer —
+    * depth×width longs REGARDLESS of key cardinality (the property that
+    * matters when the keyed alternative would hold one state row per user)
+    * — and CMS merge is elementwise addition, so partial sketches combine
+    * associatively across partitions and triggers. ONE windowed
+    * aggregation; the watchlist explode and estimate lookup are row-local
+    * projections after it (chained aggregations stay illegal in
+    * streaming; this shape needs none). With the default width the
+    * watch-key estimates are collision-free at realistic per-window
+    * cardinalities — the t13 posture — which is what the batch oracle
+    * asserts against exact counts.
+    *
+    * Input needs `ts` (timestamp) and `uid` (string key).
+    */
+  def watchlistMonitor(events: DataFrame, watch: Seq[String],
+                       windowLen: String = "1 hour",
+                       depth: Int = 4, width: Int = 4096): DataFrame = {
+    val cms = udaf(new graft.functions.CountMinAgg(depth, width))
+    val est = udf((counts: Seq[Long], key: String) =>
+      graft.functions.CountMinSketch(depth, width, counts.toArray).estimate(key))
+    events.select(col("ts"), col("uid"))
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(cms(col("uid")).as("sk"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("sk.counts").as("counts"),
+        explode(typedlit(watch)).as("watch_key"))
+      .select(col("hour"), col("watch_key"),
+        est(col("counts"), col("watch_key")).as("est_count"))
+  }
+
   /** Rolled-up live metrics of one streaming query. */
   final case class Progress(batches: Long, inputRows: Long,
                             maxStateRows: Long, lastWatermark: String)

@@ -62,6 +62,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watchlistMonitor: live per-window CMS estimates equal exact counts") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val df = ms.toDF().toDF("ts", "uid")
+    val q = QcMonitor.watchlistMonitor(df, Seq("U1", "U2", "U3")).writeStream
+      .format("memory").queryName("watch_out").outputMode("complete").start()
+    try {
+      // window 1: U1×3, U2×1, noise from 50 other users; window 2: U3×2
+      val w1 = Timestamp.valueOf("2024-01-01 10:10:00")
+      val w2 = Timestamp.valueOf("2024-01-01 11:10:00")
+      ms.addData(Seq.fill(3)((w1, "U1")) ++ Seq((w1, "U2")) ++
+        (0 until 50).map(i => (w1, s"noise$i")): _*)
+      ms.addData(Seq((w2, "U3"), (w2, "U3")): _*)
+      q.processAllAvailable()
+      val out = sp.table("watch_out").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(out(("2024-01-01 10:00:00", "U1")) == 3L)
+      assert(out(("2024-01-01 10:00:00", "U2")) == 1L)
+      assert(out(("2024-01-01 10:00:00", "U3")) == 0L)
+      assert(out(("2024-01-01 11:00:00", "U3")) == 2L)
+      assert(out(("2024-01-01 11:00:00", "U1")) == 0L)
+      // sketch merge across triggers: more U1 arriving in window 1 later
+      ms.addData((w1, "U1"))
+      q.processAllAvailable()
+      assert(sp.table("watch_out").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        .apply(("2024-01-01 10:00:00", "U1")) == 4L)
+    } finally q.stop()
+  }
+
   test("ProgressMonitor rolls up batches, input rows, state and watermark") {
     val sp = spark
     import sp.implicits._
