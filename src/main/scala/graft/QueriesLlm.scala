@@ -328,6 +328,96 @@ object QueriesLlm {
         candidates = 20, lambda = 0.7),
       None),
 
+    // N08 — hybrid retrieval via reciprocal-rank fusion (the pattern every
+    // vector store ships beside its ANN index, public: Cormack et al.
+    // 2009): the t21 BM25 lexical list and the n01 embedding-cosine
+    // semantic list (vec_id ≡ doc_id in the testdata), each ranked on its
+    // OWN rounded score with a doc-id tie-break (so both engines agree on
+    // every rank), fused by Σ 1/(60 + rank) over the lists a doc appears
+    // in (full-outer — a doc in one list still scores). Scale shape: each
+    // list is its own bounded top-K (the n01/t21 plans unchanged); the
+    // fusion is a K-row outer join. Fully oracle-checked.
+    Q("n08_hybrid_rrf", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sem = Similarity.cosineTopK(emb(s, d), queryId = 0L, k = 20)
+        .withColumn("rank_sem",
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc))
+            .cast("long"))
+        .select(col("vec_id").as("id"), col("rank_sem"))
+      val lex = TextAnalysis.bm25(docs(s, d), Seq("hash", "join", "stream"))
+        .withColumn("score", round(col("score"), 6))
+        .filter(col("score") > 0.0)
+        .withColumn("rank_lex",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
+            .cast("long"))
+        .filter(col("rank_lex") <= 20)
+        .select(col("doc_id").as("id"), col("rank_lex"))
+      sem.join(lex, Seq("id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_sem").cast("double")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60.0) + col("rank_lex").cast("double")), lit(0.0)))
+        .orderBy(col("rrf").desc, col("id").asc)
+        .limit(10)
+        .select(col("id").as("doc_id"), col("rank_lex"), col("rank_sem"),
+          round(col("rrf"), 6).as("rrf"))
+    }, Some(
+      """WITH hq AS (SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+        |            FROM embeddings WHERE vec_id = 0),
+        |he AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        |       FROM embeddings WHERE vec_id != 0),
+        |hdots AS (SELECT he.vec_id,
+        |                 sum(CAST(he.v AS DOUBLE) * CAST(hq.qv AS DOUBLE)) AS dot,
+        |                 sum(CAST(he.v AS DOUBLE) * CAST(he.v AS DOUBLE)) AS nrm
+        |          FROM he JOIN hq USING (i) GROUP BY 1),
+        |hqn AS (SELECT sqrt(sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE))) AS qnrm FROM hq),
+        |hsem AS (
+        |  SELECT vec_id AS id,
+        |         row_number() OVER (ORDER BY round(dot / sqrt(nrm) / qnrm, 6) DESC, vec_id) AS rank_sem
+        |  FROM hdots, hqn
+        |  ORDER BY round(dot / sqrt(nrm) / qnrm, 6) DESC, vec_id LIMIT 20),
+        |hwords AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |hperdoc AS (
+        |  SELECT doc_id, count(*) AS dl,
+        |         CAST(sum(CASE WHEN w = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf_hash,
+        |         CAST(sum(CASE WHEN w = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf_join,
+        |         CAST(sum(CASE WHEN w = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS tf_stream
+        |  FROM hwords WHERE w != '' GROUP BY 1),
+        |hcorpus AS (
+        |  SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS sdl,
+        |         CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+        |         CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+        |         CAST(sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_stream
+        |  FROM hperdoc),
+        |hscored AS (
+        |  SELECT doc_id,
+        |    round(
+        |      ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5))
+        |        * (CAST(tf_hash AS DOUBLE) * 2.2)
+        |        / (CAST(tf_hash AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(nd AS DOUBLE))))
+        |      + ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_join AS DOUBLE) + 0.5) / (CAST(df_join AS DOUBLE) + 0.5))
+        |        * (CAST(tf_join AS DOUBLE) * 2.2)
+        |        / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(nd AS DOUBLE))))
+        |      + ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df_stream AS DOUBLE) + 0.5) / (CAST(df_stream AS DOUBLE) + 0.5))
+        |        * (CAST(tf_stream AS DOUBLE) * 2.2)
+        |        / (CAST(tf_stream AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(nd AS DOUBLE)))),
+        |      6) AS score
+        |  FROM hperdoc CROSS JOIN hcorpus),
+        |hlex AS (
+        |  SELECT doc_id AS id,
+        |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+        |  FROM hscored WHERE score > 0.0
+        |  ORDER BY score DESC, doc_id LIMIT 20),
+        |hfuse AS (
+        |  SELECT coalesce(s.id, l.id) AS doc_id, l.rank_lex, s.rank_sem,
+        |         coalesce(1.0 / (60.0 + CAST(s.rank_sem AS DOUBLE)), 0.0)
+        |           + coalesce(1.0 / (60.0 + CAST(l.rank_lex AS DOUBLE)), 0.0) AS rrf
+        |  FROM hsem s FULL OUTER JOIN hlex l ON s.id = l.id)
+        |SELECT doc_id, rank_lex, rank_sem, round(rrf, 6) AS rrf
+        |FROM hfuse ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
     Q("n02_ann_lsh_bucketed", (s, d) =>
       Similarity.lshTopK(emb(s, d), queryId = 0L, k = 5, bits = 4),
       Some(

@@ -2553,6 +2553,73 @@ object QueriesRelational {
     // PSI = Σ (p_c − p_r)·ln(p_c/p_r) as a DETERMINISTIC ordered running
     // sum (the a31 pattern). Two aggregates + a 10-row window — nothing
     // data-sized is ever sorted.
+    // A37 — Cohen's kappa between two label sources (the agreement audit
+    // behind every weak-supervision pipeline: raw accuracy overstates
+    // agreement when both labelers mostly say "pass"; kappa removes the
+    // chance floor). Labelers: the Gopher rule-bundle verdict vs the
+    // heuristic-score ≥ 0.5 gate, both row-local exact predicates on the
+    // same corpus. ONE hash aggregate → a 1-row confusion table → kappa
+    // from exact integer counts. Fully oracle-checked.
+    Q("a37_cohens_kappa", (s, d) => {
+      import graft.llm.TextAnalysis
+      val f = Tables.table(s, d, "documents").select(
+        TextAnalysis.gopherPass(col("text")).as("la"),
+        (TextAnalysis.qualityScore(col("text")) >= 0.5).as("lb"))
+      val m = f.agg(
+        sum(when(col("la") && col("lb"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("la") && !col("lb"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("la") && col("lb"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("la") && !col("lb"), 1L).otherwise(0L)).as("n00"))
+      def d2(c: String) = col(c).cast("double")
+      val n = d2("n11") + d2("n10") + d2("n01") + d2("n00")
+      val po = (d2("n11") + d2("n00")) / n
+      val pe = ((d2("n11") + d2("n10")) / n) * ((d2("n11") + d2("n01")) / n) +
+        ((d2("n01") + d2("n00")) / n) * ((d2("n10") + d2("n00")) / n)
+      m.select(col("n11"), col("n10"), col("n01"), col("n00"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    }, Some(
+      """WITH ck_f AS (SELECT
+        |  (len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) BETWEEN 30 AND 100000
+        |   AND length(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
+        |       BETWEEN len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) * 3
+        |           AND len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) * 10
+        |   AND len(regexp_extract_all(text, '#|…|\.\.\.', 0)) * 10
+        |       <= len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))
+        |   AND len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                       w -> regexp_matches(w, '[a-z]'))) * 5
+        |       >= len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) * 4
+        |   AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b', 0)) >= 2) AS la,
+        |  (least(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b', 0)) /
+        |     CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)), 1) AS DOUBLE) * 2.0, 1.0) * 0.4 +
+        |   (CASE WHEN length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) /
+        |       CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)), 1) AS DOUBLE)
+        |       BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) +
+        |   least(length(text) / 500.0, 1.0) * 0.3 >= 0.5) AS lb
+        |FROM documents),
+        |ck_m AS (
+        |  SELECT CAST(sum(CASE WHEN la AND lb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |         CAST(sum(CASE WHEN la AND NOT lb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |         CAST(sum(CASE WHEN NOT la AND lb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |         CAST(sum(CASE WHEN NOT la AND NOT lb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |  FROM ck_f)
+        |SELECT n11, n10, n01, n00,
+        |  round(CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE), 6) AS po,
+        |  round((CAST(n11 + n10 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+        |          * (CAST(n11 + n01 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+        |        + (CAST(n01 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+        |          * (CAST(n10 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE)), 6) AS pe,
+        |  round(((CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+        |         - ((CAST(n11 + n10 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+        |             * (CAST(n11 + n01 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+        |            + (CAST(n01 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+        |              * (CAST(n10 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))))
+        |        / (1.0 - ((CAST(n11 + n10 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+        |                   * (CAST(n11 + n01 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+        |                  + (CAST(n01 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+        |                    * (CAST(n10 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE)))), 6) AS kappa
+        |FROM ck_m""".stripMargin)),
+
     Q("a36_psi_drift", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, d).select(

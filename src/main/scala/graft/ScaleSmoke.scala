@@ -128,7 +128,8 @@ object ScaleSmoke {
       "k32_cmh_test", "k33_theil_sen",
       "t25_calibration_ece", "t26_isotonic_calibration",
       "k34_conformal_clock", "k35_cox_ph", "k36_cumulative_incidence",
-      "w18_seasonal_outliers", "e11_watchlist_monitor")
+      "w18_seasonal_outliers", "e11_watchlist_monitor",
+      "n08_hybrid_rrf", "a37_cohens_kappa")
     val timed = only match {
       case Some(subs) => queries.filter(q => subs.exists(q.contains))
       case None => queries
