@@ -245,6 +245,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: exactMedian equals the sorted-array median on random groups") {
+    val gen = Gen.listOfN(200,
+      Gen.zip(Gen.choose(0, 4), Gen.choose(-1000, 1000)))
+    samples(gen, 3).zipWithIndex.foreach { case (rows, _) =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (s"g$g", v.toDouble, i.toLong) }
+        .toDF("key", "v", "tie")
+      val got = graft.ops.Timeseries.exactMedian(df, "key", "v", "tie", "med")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      rows.groupBy(_._1).foreach { case (g, grp) =>
+        val sorted = grp.map(_._2.toDouble).sorted
+        val m = sorted.length
+        val expect = (sorted((m - 1) / 2) + sorted(m / 2)) / 2.0
+        assert(got(s"g$g") == expect, s"g$g: ${got(s"g$g")} vs $expect")
+      }
+    }
+  }
+
+  test("property: PermSumAgg equals the join-expansion restatement on random grids") {
+    val nB = 16
+    val gen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0, 9), Gen.choose(0, 7), Gen.choose(0L, 996L)))
+    samples(gen, 2).foreach { rows =>
+      // (probe, sample, k) grid with duplicates collapsed
+      val grid = rows.map { case (p, s, k) => (s"p$p", s"s$s", k) }
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      // deterministic membership: sample s in rep r iff hash parity
+      val reps: Map[String, Seq[Int]] = grid.map(_._2).distinct.map { s =>
+        s -> (1 to nB).filter(r => (s.hashCode * 31 + r * 17) % 3 == 0)
+      }.toMap
+      val df = grid.toDF("probe", "sample", "k")
+        .join(reps.toSeq.map { case (s, rs) => (s, rs) }.toDF("sample", "reps"),
+          "sample")
+      val agg = udaf(new graft.functions.PermSumAgg(nB))
+      val got = df.groupBy("probe").agg(agg(col("k"), col("reps")).as("st"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      // reference: explicit expansion
+      grid.groupBy(_._1).foreach { case (p, g) =>
+        val st = got(p)
+        (1 to nB).foreach { r =>
+          val members = g.filter(t => reps(t._2).contains(r))
+          assert(st(r - 1) == members.map(_._3).sum, s"$p sa rep $r")
+          assert(st(nB + r - 1) == members.length.toLong, s"$p na rep $r")
+        }
+      }
+    }
+  }
+
   test("property: Kaplan-Meier matches a brute-force product-limit reference on random subjects") {
     import graft.ops.Survival
     val subjGen = Gen.listOfN(25, for {
