@@ -95,7 +95,11 @@ object QueriesStats {
     * 3/(N(N+1))·ΣRi_2²/ni. Tie correction 1 − Σ(t³−t)/(N³−N). Unrounded
     * output `(probe_id, n, n0, n1, n2, h)`.
     */
-  private[graft] def kruskalWallis(s: org.apache.spark.sql.SparkSession, d: String) = {
+  /** Tie-cell rank moments shared by K20 (omnibus) and K37 (post-hoc):
+    * `(probe_id, ncells, n0..n2, r0_2..r2_2, ties)` with ri_2 = the
+    * group's DOUBLED pooled rank sum (exact bigint) and ties = Σ(t³−t).
+    */
+  private[graft] def kwMoments(s: org.apache.spark.sql.SparkSession, d: String) = {
     import org.apache.spark.sql.expressions.Window
     val bg = Tables.betaLong(s, d)
       .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
@@ -109,13 +113,17 @@ object QueriesStats {
     val ranked = cells.withColumn("cum", sum("t").over(w))
       // doubled average rank of every member of this tie cell
       .withColumn("dr", col("cum") * 2 - (col("t") - 1))
-    val a = ranked.groupBy("probe_id").agg(
+    ranked.groupBy("probe_id").agg(
       count(lit(1)).as("ncells"),
       sum("c0").as("n0"), sum("c1").as("n1"), sum("c2").as("n2"),
       sum(col("c0") * col("dr")).as("r0_2"),
       sum(col("c1") * col("dr")).as("r1_2"),
       sum(col("c2") * col("dr")).as("r2_2"),
       sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+  }
+
+  private[graft] def kruskalWallis(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val a = kwMoments(s, d)
     def d2(c: String) = col(c).cast("double")
     val n = d2("n0") + d2("n1") + d2("n2")
     val hRaw = lit(3.0) / (n * (n + 1.0)) *
@@ -128,6 +136,43 @@ object QueriesStats {
       .select(col("probe_id"),
         (col("n0") + col("n1") + col("n2")).as("n"),
         col("n0"), col("n1"), col("n2"), (hRaw / tieC).as("h"))
+  }
+
+  /** Shared K37 statistic pass: Dunn's post-hoc pairwise z for every run
+    * pair, from the SAME tie-cell rank moments as the k20 omnibus —
+    * z_ij = (R̄_i − R̄_j) / √((N(N+1)/12 − Σ(t³−t)/(12(N−1)))·(1/n_i+1/n_j))
+    * with mean ranks read off the exact doubled rank sums. Pairs arrive by
+    * a 3-row broadcast cross join with CASE picks (row-local; the moment
+    * aggregate runs ONCE). Unrounded `(probe_id, pair, n, ni, nj, z)`.
+    */
+  private[graft] def dunnPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    val pairs = Seq((0, 1), (0, 2), (1, 2)).toDF("gi", "gj")
+    val a = kwMoments(s, d)
+      .filter(col("n0") >= 2 && col("n1") >= 2 && col("n2") >= 2 &&
+        col("ncells") > 1)
+    def pick(idx: org.apache.spark.sql.Column, c0: String, c1: String, c2: String) =
+      when(idx === 0, col(c0)).when(idx === 1, col(c1)).otherwise(col(c2))
+    def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+    val j = a.crossJoin(broadcast(pairs))
+      .withColumn("ni", pick(col("gi"), "n0", "n1", "n2"))
+      .withColumn("nj", pick(col("gj"), "n0", "n1", "n2"))
+      .withColumn("ri", pick(col("gi"), "r0_2", "r1_2", "r2_2"))
+      .withColumn("rj", pick(col("gj"), "r0_2", "r1_2", "r2_2"))
+    val n = d2(col("n0") + col("n1") + col("n2"))
+    val sigma2 = (n * (n + lit(1.0)) / lit(12.0)
+      - d2(col("ties")) / (lit(12.0) * (n - lit(1.0)))) *
+      (lit(1.0) / d2(col("ni")) + lit(1.0) / d2(col("nj")))
+    j.withColumn("sigma2", sigma2)
+      .filter(col("sigma2") > 0.0)
+      .withColumn("z",
+        (d2(col("ri")) / (lit(2.0) * d2(col("ni")))
+          - d2(col("rj")) / (lit(2.0) * d2(col("nj")))) / sqrt(col("sigma2")))
+      .select(col("probe_id"),
+        concat(lit("run_"), col("gi").cast("string"),
+          lit(" vs run_"), col("gj").cast("string")).as("pair"),
+        (col("n0") + col("n1") + col("n2")).as("n"),
+        col("ni"), col("nj"), col("z"))
   }
 
   /** Shared K21 statistic pass: per-probe Jarque–Bera from exact integer
@@ -1565,6 +1610,76 @@ object QueriesStats {
         .select(col("probe_id"), col("n"), round(col("h"), 6).as("h"),
           round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id")
+    }, None),
+
+    // K37 — Dunn's post-hoc pairwise comparisons after the k20 omnibus
+    // (public: Dunn 1964): WHICH run pair drives a significant H? Three z
+    // rows per probe from the same one-aggregate tie-cell moments, exact
+    // integers until the final double sequence — fully oracle-checked.
+    Q("k37_dunn_posthoc", (s, d) =>
+      dunnPairs(s, d)
+        .select(col("probe_id"), col("pair"), col("n"), col("ni"), col("nj"),
+          round(col("z"), 6).as("z"))
+        .orderBy("probe_id", "pair"),
+    Some(ctes +
+      """, bg AS (
+        |  SELECT b.probe_id, b.beta, s.run
+        |  FROM beta b JOIN sheet s USING (sample_id)),
+        |cells AS (
+        |  SELECT probe_id, beta,
+        |         CAST(sum(CASE WHEN run = 'run_0' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |         CAST(sum(CASE WHEN run = 'run_1' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN run = 'run_2' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM bg GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, c0 + c1 + c2 AS t,
+        |         sum(c0 + c1 + c2) OVER (PARTITION BY probe_id ORDER BY beta
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM cells),
+        |du_a AS (
+        |  SELECT probe_id, count(*) AS ncells,
+        |         CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+        |         CAST(sum(c2) AS BIGINT) AS n2,
+        |         CAST(sum(c0 * (2 * cum - (t - 1))) AS BIGINT) AS r0_2,
+        |         CAST(sum(c1 * (2 * cum - (t - 1))) AS BIGINT) AS r1_2,
+        |         CAST(sum(c2 * (2 * cum - (t - 1))) AS BIGINT) AS r2_2,
+        |         CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        |  FROM r GROUP BY 1
+        |  HAVING n0 >= 2 AND n1 >= 2 AND n2 >= 2 AND count(*) > 1),
+        |du_p AS (SELECT * FROM (VALUES (0, 1), (0, 2), (1, 2)) p(gi, gj)),
+        |du_j AS (
+        |  SELECT probe_id, gi, gj, n0 + n1 + n2 AS n, ties,
+        |         CASE gi WHEN 0 THEN n0 WHEN 1 THEN n1 ELSE n2 END AS ni,
+        |         CASE gj WHEN 0 THEN n0 WHEN 1 THEN n1 ELSE n2 END AS nj,
+        |         CASE gi WHEN 0 THEN r0_2 WHEN 1 THEN r1_2 ELSE r2_2 END AS ri,
+        |         CASE gj WHEN 0 THEN r0_2 WHEN 1 THEN r1_2 ELSE r2_2 END AS rj
+        |  FROM du_a CROSS JOIN du_p),
+        |du_s AS (
+        |  SELECT *,
+        |         (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
+        |          - CAST(ties AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1.0)))
+        |         * (1.0 / CAST(ni AS DOUBLE) + 1.0 / CAST(nj AS DOUBLE)) AS sigma2
+        |  FROM du_j)
+        |SELECT probe_id,
+        |       'run_' || CAST(gi AS VARCHAR) || ' vs run_' || CAST(gj AS VARCHAR) AS pair,
+        |       n, ni, nj,
+        |       round((CAST(ri AS DOUBLE) / (2.0 * CAST(ni AS DOUBLE))
+        |              - CAST(rj AS DOUBLE) / (2.0 * CAST(nj AS DOUBLE))) / sqrt(sigma2), 6) AS z
+        |FROM du_s WHERE sigma2 > 0.0
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // K37 inferential completion: two-sided p per pair via χ²(1) on z²,
+    // BH across ALL (probe, pair) hypotheses — the full screen → omnibus
+    // → post-hoc → adjust chain. Rows-only; z rides k37's oracle.
+    Q("k37_dunn_inference", (s, d) => {
+      GraftExtensions.registerAll(s)
+      val stats = dunnPairs(s, d)
+        .withColumn("p_value", expr("graft_chisq_sf(z * z, 1.0)"))
+        .withColumn("key", concat(col("probe_id"), lit("|"), col("pair")))
+      Analytic.bhAdjust(stats, "p_value", "key")
+        .select(col("probe_id"), col("pair"), round(col("z"), 6).as("z"),
+          round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
+        .orderBy("probe_id", "pair")
     }, None),
 
     // K21 — Jarque–Bera normality screen: per-probe sample skewness and

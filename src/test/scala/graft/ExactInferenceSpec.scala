@@ -304,6 +304,40 @@ class ExactInferenceSpec extends SparkSpec {
     }
   }
 
+  test("k37 Dunn z matches a driver-side midrank recompute on real probes") {
+    val sp = spark
+    import sp.implicits._
+    val got = SparkEntry.queries("k37_dunn_posthoc")(sp, sf)
+      .orderBy("probe_id", "pair").limit(9).collect()
+    assert(got.nonEmpty)
+    val bg = Tables.betaLong(sp, sf)
+      .join(Tables.sampleSheet(sp, sf), "sample_id")
+      .select(col("probe_id"), col("run"), col("beta"))
+      .as[(String, String, Double)].collect().groupBy(_._1)
+    got.groupBy(_.getAs[String]("probe_id")).foreach { case (probe, rows) =>
+      val vals = bg(probe)
+      // pooled midranks with ties
+      val sorted = vals.map(_._3).sorted
+      val rankOf = sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, xs) => v -> xs.map(_._2 + 1.0).sum / xs.length }
+      val byRun = vals.groupBy(_._2).map { case (r, xs) =>
+        r -> xs.map(t => rankOf(t._3))
+      }
+      val n = vals.length.toDouble
+      val ties = vals.groupBy(_._3).values
+        .map(g => math.pow(g.length, 3) - g.length).sum
+      rows.foreach { r =>
+        val Array(gi, gj) = r.getAs[String]("pair").split(" vs ")
+        val (ri, rj) = (byRun(gi), byRun(gj))
+        val s2 = (n * (n + 1) / 12.0 - ties / (12.0 * (n - 1))) *
+          (1.0 / ri.length + 1.0 / rj.length)
+        val z = (ri.sum / ri.length - rj.sum / rj.length) / math.sqrt(s2)
+        assert(math.abs(r.getAs[Double]("z") - z) < 5e-7,
+          s"$probe ${r.getAs[String]("pair")}: ${r.getAs[Double]("z")} vs $z")
+      }
+    }
+  }
+
   test("k31 effect sizes match brute-force pair loops on real probes") {
     val sp = spark
     import sp.implicits._
