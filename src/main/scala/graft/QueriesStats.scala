@@ -396,6 +396,70 @@ object QueriesStats {
         ((col("ssb") / 2.0) / (col("ssw") / (d2("n") - 3.0))).as("f"))
   }
 
+  /** Shared K38 statistic pass: DerSimonian–Laird random-effects
+    * meta-analysis of the WT−MUT effect ACROSS the three instrument runs
+    * (the multi-site/batch pattern, public: DerSimonian & Laird 1986):
+    * per-run Welch effect y_r = Δ group means and its SE² from ONE hash
+    * aggregate of 12 run×group conditional integer moments; Q, τ², and
+    * the re-weighted pooled estimate as a FIXED pivoted double sequence
+    * (runs are explicit columns — no data-dependent summation anywhere,
+    * the k13 move). Unrounded
+    * `(probe_id, y_fe, q, tau2, y_re, se_re)` in 0..996 grid units.
+    */
+  private[graft] def randomEffects(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val bg = Tables.betaLong(s, d)
+      .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+      .withColumn("k", round(col("beta") * 997).cast("bigint"))
+    def cs(r: Int, g: String, e: org.apache.spark.sql.Column) =
+      sum(when(col("run") === s"run_$r" && col("group") === g, e).otherwise(0L))
+    val aggs = (0 to 2).flatMap { r =>
+      Seq(cs(r, "WT", lit(1L)).as(s"n1_$r"), cs(r, "WT", col("k")).as(s"s1_$r"),
+        cs(r, "WT", col("k") * col("k")).as(s"ss1_$r"),
+        cs(r, "MUT", lit(1L)).as(s"n2_$r"), cs(r, "MUT", col("k")).as(s"s2_$r"),
+        cs(r, "MUT", col("k") * col("k")).as(s"ss2_$r"))
+    }
+    val m = bg.groupBy("probe_id").agg(aggs.head, aggs.tail: _*)
+      .filter((0 to 2).map(r =>
+        col(s"n1_$r") >= 2 && col(s"n2_$r") >= 2).reduce(_ && _))
+    def d2(c: String) = col(c).cast("double")
+    def y(r: Int) = d2(s"s1_$r") / d2(s"n1_$r") - d2(s"s2_$r") / d2(s"n2_$r")
+    def v(r: Int) = {
+      val v1 = (d2(s"ss1_$r") - d2(s"s1_$r") * d2(s"s1_$r") / d2(s"n1_$r")) /
+        (d2(s"n1_$r") - 1.0)
+      val v2 = (d2(s"ss2_$r") - d2(s"s2_$r") * d2(s"s2_$r") / d2(s"n2_$r")) /
+        (d2(s"n2_$r") - 1.0)
+      v1 / d2(s"n1_$r") + v2 / d2(s"n2_$r")
+    }
+    val withYV = m
+      .withColumn("y0", y(0)).withColumn("y1", y(1)).withColumn("y2", y(2))
+      .withColumn("v0", v(0)).withColumn("v1", v(1)).withColumn("v2", v(2))
+      .filter(col("v0") > 0.0 && col("v1") > 0.0 && col("v2") > 0.0)
+      .withColumn("w0", lit(1.0) / col("v0"))
+      .withColumn("w1", lit(1.0) / col("v1"))
+      .withColumn("w2", lit(1.0) / col("v2"))
+      .withColumn("sw", col("w0") + col("w1") + col("w2"))
+      .withColumn("swy",
+        col("w0") * col("y0") + col("w1") * col("y1") + col("w2") * col("y2"))
+      .withColumn("swy2",
+        col("w0") * col("y0") * col("y0") + col("w1") * col("y1") * col("y1")
+          + col("w2") * col("y2") * col("y2"))
+      .withColumn("sw2",
+        col("w0") * col("w0") + col("w1") * col("w1") + col("w2") * col("w2"))
+      .withColumn("q", col("swy2") - col("swy") * col("swy") / col("sw"))
+      .withColumn("tau2",
+        greatest((col("q") - lit(2.0)) / (col("sw") - col("sw2") / col("sw")),
+          lit(0.0)))
+      .withColumn("u0", lit(1.0) / (col("v0") + col("tau2")))
+      .withColumn("u1", lit(1.0) / (col("v1") + col("tau2")))
+      .withColumn("u2", lit(1.0) / (col("v2") + col("tau2")))
+      .withColumn("su", col("u0") + col("u1") + col("u2"))
+    withYV.select(col("probe_id"),
+      (col("swy") / col("sw")).as("y_fe"), col("q"), col("tau2"),
+      ((col("u0") * col("y0") + col("u1") * col("y1") + col("u2") * col("y2"))
+        / col("su")).as("y_re"),
+      (lit(1.0) / sqrt(col("su"))).as("se_re"))
+  }
+
   def all: Seq[Q] = Seq(
 
     // K3 pass 1 — per-probe two-group M-value moments, pooled variance,
@@ -1681,6 +1745,156 @@ object QueriesStats {
           round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id", "pair")
     }, None),
+
+    // K38 — random-effects meta-analysis (DerSimonian–Laird) of the
+    // WT−MUT effect across the three instrument runs: the multi-site
+    // answer to "what is the effect, letting each batch have its own
+    // truth". Per-run Welch effects + SE² from ONE 12-column conditional
+    // aggregate, Q/τ²/pooled estimate as a fixed pivoted sequence —
+    // fully oracle-checked.
+    Q("k38_random_effects", (s, d) =>
+      randomEffects(s, d)
+        .select(col("probe_id"),
+          round(col("y_fe") / 997.0, 6).as("delta_fe"),
+          round(col("q"), 6).as("q"), round(col("tau2"), 6).as("tau2"),
+          round(col("y_re") / 997.0, 6).as("delta_re"),
+          round(col("se_re") / 997.0, 6).as("se_re"))
+        .orderBy("probe_id"),
+    Some(ctes +
+      """, re_bg AS (
+        |  SELECT b.probe_id, s.run, s."group" AS grp,
+        |         CAST(round(b.beta * 997) AS BIGINT) AS k
+        |  FROM beta b JOIN sheet s USING (sample_id)),
+        |re_m AS (
+        |  SELECT probe_id,
+        |         CAST(sum(CASE WHEN run='run_0' AND grp='WT' THEN 1 ELSE 0 END) AS BIGINT) AS n1_0,
+        |         CAST(sum(CASE WHEN run='run_0' AND grp='WT' THEN k ELSE 0 END) AS BIGINT) AS s1_0,
+        |         CAST(sum(CASE WHEN run='run_0' AND grp='WT' THEN k*k ELSE 0 END) AS BIGINT) AS ss1_0,
+        |         CAST(sum(CASE WHEN run='run_0' AND grp='MUT' THEN 1 ELSE 0 END) AS BIGINT) AS n2_0,
+        |         CAST(sum(CASE WHEN run='run_0' AND grp='MUT' THEN k ELSE 0 END) AS BIGINT) AS s2_0,
+        |         CAST(sum(CASE WHEN run='run_0' AND grp='MUT' THEN k*k ELSE 0 END) AS BIGINT) AS ss2_0,
+        |         CAST(sum(CASE WHEN run='run_1' AND grp='WT' THEN 1 ELSE 0 END) AS BIGINT) AS n1_1,
+        |         CAST(sum(CASE WHEN run='run_1' AND grp='WT' THEN k ELSE 0 END) AS BIGINT) AS s1_1,
+        |         CAST(sum(CASE WHEN run='run_1' AND grp='WT' THEN k*k ELSE 0 END) AS BIGINT) AS ss1_1,
+        |         CAST(sum(CASE WHEN run='run_1' AND grp='MUT' THEN 1 ELSE 0 END) AS BIGINT) AS n2_1,
+        |         CAST(sum(CASE WHEN run='run_1' AND grp='MUT' THEN k ELSE 0 END) AS BIGINT) AS s2_1,
+        |         CAST(sum(CASE WHEN run='run_1' AND grp='MUT' THEN k*k ELSE 0 END) AS BIGINT) AS ss2_1,
+        |         CAST(sum(CASE WHEN run='run_2' AND grp='WT' THEN 1 ELSE 0 END) AS BIGINT) AS n1_2,
+        |         CAST(sum(CASE WHEN run='run_2' AND grp='WT' THEN k ELSE 0 END) AS BIGINT) AS s1_2,
+        |         CAST(sum(CASE WHEN run='run_2' AND grp='WT' THEN k*k ELSE 0 END) AS BIGINT) AS ss1_2,
+        |         CAST(sum(CASE WHEN run='run_2' AND grp='MUT' THEN 1 ELSE 0 END) AS BIGINT) AS n2_2,
+        |         CAST(sum(CASE WHEN run='run_2' AND grp='MUT' THEN k ELSE 0 END) AS BIGINT) AS s2_2,
+        |         CAST(sum(CASE WHEN run='run_2' AND grp='MUT' THEN k*k ELSE 0 END) AS BIGINT) AS ss2_2
+        |  FROM re_bg GROUP BY 1
+        |  HAVING n1_0 >= 2 AND n2_0 >= 2 AND n1_1 >= 2 AND n2_1 >= 2
+        |     AND n1_2 >= 2 AND n2_2 >= 2),
+        |re_yv AS (
+        |  SELECT probe_id,
+        |    CAST(s1_0 AS DOUBLE)/CAST(n1_0 AS DOUBLE) - CAST(s2_0 AS DOUBLE)/CAST(n2_0 AS DOUBLE) AS y0,
+        |    CAST(s1_1 AS DOUBLE)/CAST(n1_1 AS DOUBLE) - CAST(s2_1 AS DOUBLE)/CAST(n2_1 AS DOUBLE) AS y1,
+        |    CAST(s1_2 AS DOUBLE)/CAST(n1_2 AS DOUBLE) - CAST(s2_2 AS DOUBLE)/CAST(n2_2 AS DOUBLE) AS y2,
+        |    ((CAST(ss1_0 AS DOUBLE) - CAST(s1_0 AS DOUBLE)*CAST(s1_0 AS DOUBLE)/CAST(n1_0 AS DOUBLE)) / (CAST(n1_0 AS DOUBLE) - 1.0)) / CAST(n1_0 AS DOUBLE)
+        |      + ((CAST(ss2_0 AS DOUBLE) - CAST(s2_0 AS DOUBLE)*CAST(s2_0 AS DOUBLE)/CAST(n2_0 AS DOUBLE)) / (CAST(n2_0 AS DOUBLE) - 1.0)) / CAST(n2_0 AS DOUBLE) AS v0,
+        |    ((CAST(ss1_1 AS DOUBLE) - CAST(s1_1 AS DOUBLE)*CAST(s1_1 AS DOUBLE)/CAST(n1_1 AS DOUBLE)) / (CAST(n1_1 AS DOUBLE) - 1.0)) / CAST(n1_1 AS DOUBLE)
+        |      + ((CAST(ss2_1 AS DOUBLE) - CAST(s2_1 AS DOUBLE)*CAST(s2_1 AS DOUBLE)/CAST(n2_1 AS DOUBLE)) / (CAST(n2_1 AS DOUBLE) - 1.0)) / CAST(n2_1 AS DOUBLE) AS v1,
+        |    ((CAST(ss1_2 AS DOUBLE) - CAST(s1_2 AS DOUBLE)*CAST(s1_2 AS DOUBLE)/CAST(n1_2 AS DOUBLE)) / (CAST(n1_2 AS DOUBLE) - 1.0)) / CAST(n1_2 AS DOUBLE)
+        |      + ((CAST(ss2_2 AS DOUBLE) - CAST(s2_2 AS DOUBLE)*CAST(s2_2 AS DOUBLE)/CAST(n2_2 AS DOUBLE)) / (CAST(n2_2 AS DOUBLE) - 1.0)) / CAST(n2_2 AS DOUBLE) AS v2
+        |  FROM re_m),
+        |re_w AS (
+        |  SELECT *, 1.0/v0 AS w0, 1.0/v1 AS w1, 1.0/v2 AS w2
+        |  FROM re_yv WHERE v0 > 0.0 AND v1 > 0.0 AND v2 > 0.0),
+        |re_s AS (
+        |  SELECT *, w0 + w1 + w2 AS sw,
+        |         w0*y0 + w1*y1 + w2*y2 AS swy,
+        |         w0*y0*y0 + w1*y1*y1 + w2*y2*y2 AS swy2,
+        |         w0*w0 + w1*w1 + w2*w2 AS sw2
+        |  FROM re_w),
+        |re_q AS (
+        |  SELECT *, swy2 - swy*swy/sw AS q,
+        |         greatest((swy2 - swy*swy/sw - 2.0) / (sw - sw2/sw), 0.0) AS tau2
+        |  FROM re_s),
+        |re_u AS (
+        |  SELECT *, 1.0/(v0 + tau2) AS u0, 1.0/(v1 + tau2) AS u1,
+        |         1.0/(v2 + tau2) AS u2
+        |  FROM re_q)
+        |SELECT probe_id,
+        |       round((swy/sw) / 997.0, 6) AS delta_fe,
+        |       round(q, 6) AS q, round(tau2, 6) AS tau2,
+        |       round(((u0*y0 + u1*y1 + u2*y2) / (u0 + u1 + u2)) / 997.0, 6) AS delta_re,
+        |       round((1.0 / sqrt(u0 + u1 + u2)) / 997.0, 6) AS se_re
+        |FROM re_u ORDER BY 1""".stripMargin)),
+
+    // K39 — intraclass correlation ICC(1,1) per probe across the runs:
+    // the effect-size companion of the k13 batch-effect screen ("how much
+    // of the variance IS the batch") and the number a ComBat run should
+    // shrink. One-way random-effects ANOVA moments with the unbalanced
+    // n̄₀ correction — one aggregate, fully oracle-checked.
+    Q("k39_icc", (s, d) => {
+      val bg = Tables.betaLong(s, d)
+        .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
+        .withColumn("k", round(col("beta") * 997).cast("bigint"))
+      def ni(r: Int) = sum(when(col("run") === s"run_$r", 1L).otherwise(0L))
+      def si(r: Int) = sum(when(col("run") === s"run_$r", col("k")).otherwise(0L))
+      val m = bg.groupBy("probe_id").agg(
+        count(lit(1)).as("n"), sum("k").as("s"),
+        sum(col("k") * col("k")).as("ss"),
+        ni(0).as("n0"), ni(1).as("n1"), ni(2).as("n2"),
+        si(0).as("s0"), si(1).as("s1"), si(2).as("s2"))
+      def d2(c: String) = col(c).cast("double")
+      val grand = d2("s") * d2("s") / d2("n")
+      val ssb = (d2("s0") * d2("s0") / d2("n0")
+        + d2("s1") * d2("s1") / d2("n1")
+        + d2("s2") * d2("s2") / d2("n2")) - grand
+      val sst = d2("ss") - grand
+      val sumNi2 = d2("n0") * d2("n0") + d2("n1") * d2("n1") + d2("n2") * d2("n2")
+      m.filter(col("n0") >= 2 && col("n1") >= 2 && col("n2") >= 2)
+        .withColumn("ssb", ssb).withColumn("ssw", sst - col("ssb"))
+        .filter(col("ssw") > 0.0)
+        .withColumn("msb", col("ssb") / 2.0)
+        .withColumn("msw", col("ssw") / (d2("n") - 3.0))
+        .withColumn("nbar0", (d2("n") - sumNi2 / d2("n")) / 2.0)
+        .select(col("probe_id"), col("n"),
+          round(col("msb"), 6).as("msb"), round(col("msw"), 6).as("msw"),
+          round(col("nbar0"), 6).as("nbar0"),
+          round((col("msb") - col("msw"))
+            / (col("msb") + (col("nbar0") - 1.0) * col("msw")), 6).as("icc"))
+        .orderBy("probe_id")
+    }, Some(ctes +
+      """, ic_bg AS (
+        |  SELECT b.probe_id, s.run, CAST(round(b.beta * 997) AS BIGINT) AS k
+        |  FROM beta b JOIN sheet s USING (sample_id)),
+        |ic_m AS (
+        |  SELECT probe_id, count(*) AS n,
+        |         CAST(sum(k) AS BIGINT) AS s, CAST(sum(k*k) AS BIGINT) AS ss,
+        |         CAST(sum(CASE WHEN run='run_0' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |         CAST(sum(CASE WHEN run='run_1' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN run='run_2' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |         CAST(sum(CASE WHEN run='run_0' THEN k ELSE 0 END) AS BIGINT) AS s0,
+        |         CAST(sum(CASE WHEN run='run_1' THEN k ELSE 0 END) AS BIGINT) AS s1,
+        |         CAST(sum(CASE WHEN run='run_2' THEN k ELSE 0 END) AS BIGINT) AS s2
+        |  FROM ic_bg GROUP BY 1
+        |  HAVING n0 >= 2 AND n1 >= 2 AND n2 >= 2),
+        |ic_e AS (
+        |  SELECT probe_id, n,
+        |    (CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE)
+        |     + CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+        |     + CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE))
+        |      - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE) AS ssb,
+        |    CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE) AS sst,
+        |    (CAST(n AS DOUBLE)
+        |     - (CAST(n0 AS DOUBLE)*CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)*CAST(n1 AS DOUBLE)
+        |        + CAST(n2 AS DOUBLE)*CAST(n2 AS DOUBLE)) / CAST(n AS DOUBLE)) / 2.0 AS nbar0
+        |  FROM ic_m),
+        |ic_f AS (
+        |  SELECT probe_id, n, ssb, sst - ssb AS ssw, nbar0 FROM ic_e
+        |  WHERE sst - ssb > 0.0)
+        |SELECT probe_id, n,
+        |       round(ssb / 2.0, 6) AS msb,
+        |       round(ssw / (CAST(n AS DOUBLE) - 3.0), 6) AS msw,
+        |       round(nbar0, 6) AS nbar0,
+        |       round((ssb / 2.0 - ssw / (CAST(n AS DOUBLE) - 3.0))
+        |             / (ssb / 2.0 + (nbar0 - 1.0) * (ssw / (CAST(n AS DOUBLE) - 3.0))), 6) AS icc
+        |FROM ic_f ORDER BY 1""".stripMargin)),
 
     // K21 — Jarque–Bera normality screen: per-probe sample skewness and
     // (Pearson) kurtosis from EXACT integer moments up to order 4 on the

@@ -338,6 +338,56 @@ class ExactInferenceSpec extends SparkSpec {
     }
   }
 
+  test("k38 DerSimonian-Laird matches a driver recompute; k39 ICC = (F-1)/(F+n0-1)") {
+    val sp = spark
+    import sp.implicits._
+    // sf0.01: the every-run ≥2-per-group gate filters everything at
+    // sf0.001's 10 samples
+    val got = SparkEntry.queries("k38_random_effects")(sp, sf01)
+      .orderBy("probe_id").limit(4).collect()
+    assert(got.nonEmpty)
+    val bg = Tables.betaLong(sp, sf01)
+      .join(Tables.sampleSheet(sp, sf01), "sample_id")
+      .select(col("probe_id"), col("run"), col("group"),
+        round(col("beta") * 997).cast("bigint").as("k"))
+      .as[(String, String, String, Long)].collect().groupBy(_._1)
+    got.foreach { r =>
+      val probe = r.getAs[String]("probe_id")
+      val runs = (0 to 2).map { ri =>
+        val g = bg(probe).filter(_._2 == s"run_$ri")
+        val wt = g.filter(_._3 == "WT").map(_._4.toDouble)
+        val mut = g.filter(_._3 == "MUT").map(_._4.toDouble)
+        def varS(xs: Seq[Double]) = {
+          val m = xs.sum / xs.length
+          xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+        }
+        val y = wt.sum / wt.length - mut.sum / mut.length
+        val v = varS(wt) / wt.length + varS(mut) / mut.length
+        (y, v)
+      }
+      val w = runs.map(t => 1.0 / t._2)
+      val sw = w.sum
+      val swy = runs.zip(w).map { case ((y, _), wi) => wi * y }.sum
+      val q = runs.zip(w).map { case ((y, _), wi) => wi * y * y }.sum - swy * swy / sw
+      val c = sw - w.map(x => x * x).sum / sw
+      val tau2 = math.max((q - 2.0) / c, 0.0)
+      val u = runs.map(t => 1.0 / (t._2 + tau2))
+      val yRe = runs.zip(u).map { case ((y, _), ui) => ui * y }.sum / u.sum
+      assert(math.abs(r.getAs[Double]("q") - q) < 1e-4, s"$probe q")
+      assert(math.abs(r.getAs[Double]("tau2") - tau2) < 1e-3, s"$probe tau2")
+      assert(math.abs(r.getAs[Double]("delta_re") - yRe / 997.0) < 5e-6, s"$probe y_re")
+    }
+    // k39: ICC identity against the F-statistic form
+    SparkEntry.queries("k39_icc")(sp, sf01).limit(50).collect().foreach { r =>
+      val f = r.getAs[Double]("msb") / r.getAs[Double]("msw")
+      val n0 = r.getAs[Double]("nbar0")
+      val expect = (f - 1.0) / (f + n0 - 1.0)
+      assert(math.abs(r.getAs[Double]("icc") - expect) < 1e-4,
+        s"${r.getAs[String]("probe_id")}: ${r.getAs[Double]("icc")} vs $expect")
+      assert(r.getAs[Double]("icc") <= 1.0)
+    }
+  }
+
   test("k31 effect sizes match brute-force pair loops on real probes") {
     val sp = spark
     import sp.implicits._
