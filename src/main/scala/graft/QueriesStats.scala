@@ -1746,6 +1746,41 @@ object QueriesStats {
         .orderBy("probe_id", "pair")
     }, None),
 
+    // K40 — TOST equivalence testing (two one-sided tests, public:
+    // Schuirmann 1987): the question significance testing cannot answer —
+    // "is the WT−MUT effect WITHIN ±δ?" (absence of evidence ≠ evidence
+    // of absence; TOST gives the latter). Rides the k17 Welch pass:
+    // t₁ = (Δ−δ)/se against H₀: Δ ≥ δ and t₂ = (Δ+δ)/se against
+    // H₀: Δ ≤ −δ, p_tost = max of the one-sided p's through the codegen
+    // Student-t (one-sided from the symmetric two-sided survival
+    // function, row-local). Rows-only — (Δ, t, df) ride k17_welch_dmp's
+    // oracle; ExactInferenceSpec pins both one-sided p's against
+    // commons-math's TDistribution cdf.
+    Q("k40_tost_equivalence", (s, d) => {
+      GraftExtensions.registerAll(s)
+      val delta = 0.20 // equivalence margin in beta units — wide enough
+      // that ~11% of sf0.01 probes DEMONSTRATE equivalence at these n (the
+      // gate binds both ways; at 0.1 the per-group SEs swamp every margin)
+      welchT(s, d)
+        .withColumn("se_beta", abs(col("delta_beta") / col("t")))
+        .filter(col("se_beta") > 0.0)
+        .withColumn("t1", (col("delta_beta") - lit(delta)) / col("se_beta"))
+        .withColumn("t2", (col("delta_beta") + lit(delta)) / col("se_beta"))
+        // p_upper = P(T < t1) (reject Δ ≥ δ), p_lower = P(T > t2)
+        .withColumn("p_upper",
+          when(col("t1") >= 0, lit(1.0) - expr("graft_t_pvalue(t1, df)") / 2.0)
+            .otherwise(expr("graft_t_pvalue(-t1, df)") / 2.0))
+        .withColumn("p_lower",
+          when(col("t2") >= 0, expr("graft_t_pvalue(t2, df)") / 2.0)
+            .otherwise(lit(1.0) - expr("graft_t_pvalue(-t2, df)") / 2.0))
+        .withColumn("p_tost", greatest(col("p_upper"), col("p_lower")))
+        .select(col("probe_id"), round(col("delta_beta"), 6).as("delta_beta"),
+          round(col("se_beta"), 6).as("se_beta"),
+          round(col("p_tost"), 6).as("p_tost"),
+          (col("p_tost") < 0.05).as("equivalent"))
+        .orderBy("probe_id")
+    }, None),
+
     // K38 — random-effects meta-analysis (DerSimonian–Laird) of the
     // WT−MUT effect across the three instrument runs: the multi-site
     // answer to "what is the effect, letting each batch have its own

@@ -388,6 +388,31 @@ class ExactInferenceSpec extends SparkSpec {
     }
   }
 
+  test("k40 TOST one-sided p's match commons-math T cdf on real probes") {
+    val sp = spark
+    val got = SparkEntry.queries("k40_tost_equivalence")(sp, sf)
+      .orderBy("probe_id").limit(6).collect()
+    assert(got.nonEmpty)
+    // recompute from the shared Welch pass
+    GraftExtensions.registerAll(sp)
+    val base = QueriesStats.welchT(sp, sf)
+      .orderBy("probe_id").limit(6).collect()
+      .map(r => r.getAs[String]("probe_id") ->
+        (r.getAs[Double]("delta_beta"), r.getAs[Double]("t"), r.getAs[Double]("df")))
+      .toMap
+    got.foreach { r =>
+      val (db, t, df) = base(r.getAs[String]("probe_id"))
+      val se = math.abs(db / t)
+      val dist = new org.apache.commons.math3.distribution.TDistribution(df)
+      val pUpper = dist.cumulativeProbability((db - 0.20) / se)
+      val pLower = 1.0 - dist.cumulativeProbability((db + 0.20) / se)
+      val pTost = math.max(pUpper, pLower)
+      assert(math.abs(r.getAs[Double]("p_tost") - pTost) < 1e-6,
+        s"${r.getAs[String]("probe_id")}: ${r.getAs[Double]("p_tost")} vs $pTost")
+      assert(r.getAs[Boolean]("equivalent") == (pTost < 0.05))
+    }
+  }
+
   test("k31 effect sizes match brute-force pair loops on real probes") {
     val sp = spark
     import sp.implicits._
