@@ -1746,6 +1746,132 @@ object QueriesStats {
         .orderBy("probe_id", "pair")
     }, None),
 
+    // K41 — percentile BOOTSTRAP confidence interval for the per-probe
+    // WT−MUT effect: the CI companion of the k30 permutation test (k30
+    // answers "could this difference be chance", k41 answers "how big is
+    // it, with what uncertainty"). B=200 deterministic within-group
+    // resamples drawn by the same LCG device (draw j of group g in rep r
+    // picks member ((j·2654435761 + r·97561) mod 104729) mod n_g + 1), so
+    // each sample carries a DENSE length-B multiplicity vector
+    // (broadcast); BootSumAgg accumulates all B weighted (sum, count)
+    // pairs per probe per group in ONE pass of mergeable bigint state —
+    // no row×B expansion — and the percentile CI is a row-local
+    // array_sort + element pick (ranks 5/196 of 200 = 2.5% trimmed).
+    // Probes must have all 200 reps valid (≥1 draw observed per group) —
+    // exact-integer state end to end, so the whole CI surface
+    // hash-matches the DuckDB oracle's independent join+groupBy plan.
+    Q("k41_bootstrap_ci", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nB = 200
+      val sheet = Tables.sampleSheet(s, d)
+      val gsize = sheet.groupBy("group").agg(count(lit(1)).as("ng"))
+      val members = sheet
+        .withColumn("j", row_number()
+          .over(Window.partitionBy("group").orderBy("sample_id")).cast("long"))
+        .select("group", "j", "sample_id")
+      val draws = members.select("group", "j").join(broadcast(gsize), "group")
+        .withColumn("rep", explode(sequence(lit(1L), lit(nB.toLong))))
+        .withColumn("picked",
+          ((col("j") * 2654435761L + col("rep") * 97561L) % 104729L) % col("ng") + 1L)
+      val weights = draws
+        .groupBy(col("group"), col("rep"), col("picked"))
+        .agg(count(lit(1)).as("w"))
+        .join(members.withColumnRenamed("j", "picked"), Seq("group", "picked"))
+      val zeros = typedlit(Seq.fill(nB)(0))
+      val wvg = weights.groupBy("sample_id", "group")
+        .agg(map_from_entries(
+          collect_list(struct(col("rep").cast("int"), col("w").cast("int"))))
+          .as("wm"))
+        .withColumn("wv", expr(
+          s"transform(sequence(1, $nB), r -> coalesce(element_at(wm, cast(r as int)), 0))"))
+        .withColumn("wv_wt",
+          when(col("group") === "WT", col("wv")).otherwise(zeros))
+        .withColumn("wv_mut",
+          when(col("group") === "MUT", col("wv")).otherwise(zeros))
+        .select("sample_id", "wv_wt", "wv_mut")
+      val bk = Tables.betaLong(s, d)
+        .withColumn("k", round(col("beta") * 997).cast("bigint"))
+        .select("probe_id", "sample_id", "k")
+      val obs = bk.join(broadcast(sheet), "sample_id")
+        .groupBy("probe_id").agg(
+          sum(when(col("group") === "WT", 1L).otherwise(0L)).as("n1"),
+          sum(when(col("group") === "WT", col("k")).otherwise(0L)).as("s1"),
+          sum(when(col("group") === "MUT", 1L).otherwise(0L)).as("n2"),
+          sum(when(col("group") === "MUT", col("k")).otherwise(0L)).as("s2"))
+        .filter(col("n1") >= 3 && col("n2") >= 3)
+      val boot = udaf(new graft.functions.BootSumAgg(nB))
+      val st = bk.join(broadcast(wvg), "sample_id")
+        .groupBy("probe_id")
+        .agg(boot(col("k"), col("wv_wt")).as("st_wt"),
+          boot(col("k"), col("wv_mut")).as("st_mut"))
+      def naE(side: String) = s"element_at(st_$side, cast(r + $nB as int))"
+      def saE(side: String) = s"element_at(st_$side, cast(r as int))"
+      st.join(obs, "probe_id")
+        .withColumn("deltas", expr(
+          s"""transform(sequence(1, $nB), r ->
+             | CASE WHEN ${naE("wt")} >= 1 AND ${naE("mut")} >= 1
+             |      THEN (CAST(${saE("wt")} AS DOUBLE) / CAST(${naE("wt")} AS DOUBLE)
+             |            - CAST(${saE("mut")} AS DOUBLE) / CAST(${naE("mut")} AS DOUBLE)) / 997.0
+             | END)""".stripMargin.replace("\n", " ")))
+        .filter(expr(s"size(filter(deltas, x -> x IS NOT NULL)) = $nB"))
+        .withColumn("ds", array_sort(col("deltas")))
+        .select(col("probe_id"), col("n1"), col("n2"),
+          round((col("s1").cast("double") / col("n1").cast("double")
+            - col("s2").cast("double") / col("n2").cast("double")) / 997.0, 6)
+            .as("delta_obs"),
+          round(element_at(col("ds"), 5), 6).as("ci_lo"),
+          round(element_at(col("ds"), 196), 6).as("ci_hi"))
+        .orderBy("probe_id")
+    }, Some(ctes +
+      """, bc_gs AS (SELECT "group" AS grp, count(*) AS ng FROM sheet GROUP BY 1),
+        |bc_mem AS (
+        |  SELECT "group" AS grp, sample_id,
+        |         row_number() OVER (PARTITION BY "group" ORDER BY sample_id) AS j
+        |  FROM sheet),
+        |bc_draws AS (
+        |  SELECT m.grp, r.rep,
+        |         ((m.j * 2654435761 + r.rep * 97561) % 104729) % g.ng + 1 AS picked
+        |  FROM bc_mem m
+        |  JOIN bc_gs g USING (grp)
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS rep) r),
+        |bc_w AS (
+        |  SELECT d.grp, d.rep, m.sample_id, count(*) AS w
+        |  FROM bc_draws d JOIN bc_mem m ON m.grp = d.grp AND m.j = d.picked
+        |  GROUP BY 1, 2, 3),
+        |bc_bk AS (
+        |  SELECT probe_id, sample_id, CAST(round(beta * 997) AS BIGINT) AS k
+        |  FROM beta),
+        |bc_obs AS (
+        |  SELECT b.probe_id,
+        |         sum(CASE WHEN g."group" = 'WT' THEN 1 ELSE 0 END) AS n1,
+        |         sum(CASE WHEN g."group" = 'WT' THEN k ELSE 0 END) AS s1,
+        |         sum(CASE WHEN g."group" = 'MUT' THEN 1 ELSE 0 END) AS n2,
+        |         sum(CASE WHEN g."group" = 'MUT' THEN k ELSE 0 END) AS s2
+        |  FROM bc_bk b JOIN sheet g USING (sample_id)
+        |  GROUP BY 1 HAVING n1 >= 3 AND n2 >= 3),
+        |bc_rs AS (
+        |  SELECT b.probe_id, w.rep,
+        |         sum(CASE WHEN w.grp = 'WT' THEN w.w ELSE 0 END) AS nwt,
+        |         sum(CASE WHEN w.grp = 'WT' THEN w.w * b.k ELSE 0 END) AS swt,
+        |         sum(CASE WHEN w.grp = 'MUT' THEN w.w ELSE 0 END) AS nmut,
+        |         sum(CASE WHEN w.grp = 'MUT' THEN w.w * b.k ELSE 0 END) AS smut
+        |  FROM bc_bk b JOIN bc_w w USING (sample_id)
+        |  GROUP BY 1, 2),
+        |bc_d AS (
+        |  SELECT probe_id, rep,
+        |         (CAST(swt AS DOUBLE) / CAST(nwt AS DOUBLE)
+        |          - CAST(smut AS DOUBLE) / CAST(nmut AS DOUBLE)) / 997.0 AS delta
+        |  FROM bc_rs WHERE nwt >= 1 AND nmut >= 1),
+        |bc_ok AS (
+        |  SELECT probe_id, list_sort(list(delta)) AS ds
+        |  FROM bc_d GROUP BY 1 HAVING count(*) = 200)
+        |SELECT o.probe_id, CAST(o.n1 AS BIGINT) AS n1, CAST(o.n2 AS BIGINT) AS n2,
+        |       round((CAST(o.s1 AS DOUBLE) / CAST(o.n1 AS DOUBLE)
+        |              - CAST(o.s2 AS DOUBLE) / CAST(o.n2 AS DOUBLE)) / 997.0, 6) AS delta_obs,
+        |       round(k.ds[5], 6) AS ci_lo,
+        |       round(k.ds[196], 6) AS ci_hi
+        |FROM bc_obs o JOIN bc_ok k USING (probe_id) ORDER BY 1""".stripMargin)),
+
     // K40 — TOST equivalence testing (two one-sided tests, public:
     // Schuirmann 1987): the question significance testing cannot answer —
     // "is the WT−MUT effect WITHIN ±δ?" (absence of evidence ≠ evidence

@@ -130,7 +130,8 @@ object ScaleSmoke {
       "k34_conformal_clock", "k35_cox_ph", "k36_cumulative_incidence",
       "w18_seasonal_outliers", "e11_watchlist_monitor",
       "n08_hybrid_rrf", "a37_cohens_kappa", "k37_dunn_posthoc",
-      "k38_random_effects", "k39_icc", "k40_tost_equivalence")
+      "k38_random_effects", "k39_icc", "k40_tost_equivalence",
+      "k41_bootstrap_ci")
     val timed = only match {
       case Some(subs) => queries.filter(q => subs.exists(q.contains))
       case None => queries

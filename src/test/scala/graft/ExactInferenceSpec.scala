@@ -413,6 +413,55 @@ class ExactInferenceSpec extends SparkSpec {
     }
   }
 
+  test("k41 bootstrap CI matches a driver-side resample replay on real probes") {
+    val sp = spark
+    import sp.implicits._
+    val got = SparkEntry.queries("k41_bootstrap_ci")(sp, sf)
+      .orderBy("probe_id").limit(3).collect()
+    assert(got.nonEmpty)
+    val sheet = Tables.sampleSheet(sp, sf)
+      .select("sample_id", "group").as[(String, String)].collect()
+    // per group: members ordered by sample_id; weights per (rep, member)
+    val byGrp = sheet.groupBy(_._2).map { case (g, xs) =>
+      g -> xs.map(_._1).sorted
+    }
+    // NB: .toSeq first — flatMap on a Map of pair elements would rebuild a
+    // Map and silently deduplicate by key
+    val weights: Map[(Long, String), Long] = byGrp.toSeq.flatMap { case (_, mem) =>
+      val ng = mem.length
+      (1L to 200L).flatMap { rep =>
+        (1 to ng).map { j =>
+          val picked = (((j * 2654435761L + rep * 97561L) % 104729L) % ng).toInt
+          (rep, mem(picked)) // 0-based pick == (…% ng) + 1 in 1-based j
+        }
+      }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val grp = sheet.toMap
+    val bk = Tables.betaLong(sp, sf)
+      .select(col("probe_id"), col("sample_id"),
+        round(col("beta") * 997).cast("bigint").as("k"))
+      .as[(String, String, Long)].collect().groupBy(_._1)
+    got.foreach { r =>
+      val probe = r.getAs[String]("probe_id")
+      val rows = bk(probe)
+      val deltas = (1L to 200L).map { rep =>
+        def side(g: String) = {
+          val obs = rows.filter(t => grp(t._2) == g)
+          val ws = obs.map(t => weights.getOrElse((rep, t._2), 0L))
+          (obs.zip(ws).map { case (t, w) => t._3 * w }.sum, ws.sum)
+        }
+        val (swt, nwt) = side("WT")
+        val (smut, nmut) = side("MUT")
+        assert(nwt >= 1 && nmut >= 1, s"$probe rep $rep degenerate")
+        (swt.toDouble / nwt - smut.toDouble / nmut) / 997.0
+      }.sorted
+      assert(math.abs(r.getAs[Double]("ci_lo") - deltas(4)) < 5e-7,
+        s"$probe lo ${r.getAs[Double]("ci_lo")} vs ${deltas(4)}")
+      assert(math.abs(r.getAs[Double]("ci_hi") - deltas(195)) < 5e-7,
+        s"$probe hi ${r.getAs[Double]("ci_hi")} vs ${deltas(195)}")
+    }
+  }
+
   test("k31 effect sizes match brute-force pair loops on real probes") {
     val sp = spark
     import sp.implicits._
