@@ -43,6 +43,7 @@ object QueriesStats {
       .filter(col("se") > 0.0)
       .select(col("probe_id"), col("n1"), col("n2"),
         ((d2("s1") / d2("n1") - d2("s2") / d2("n2")) / 997.0).as("delta_beta"),
+        (sqrt(col("se")) / 997.0).as("se_beta"),
         ((d2("s1") / d2("n1") - d2("s2") / d2("n2")) / sqrt(col("se"))).as("t"),
         ((col("se") * col("se"))
           / (col("se1") * col("se1") / (d2("n1") - 1.0)
@@ -1777,18 +1778,19 @@ object QueriesStats {
         .groupBy(col("group"), col("rep"), col("picked"))
         .agg(count(lit(1)).as("w"))
         .join(members.withColumnRenamed("j", "picked"), Seq("group", "picked"))
-      val zeros = typedlit(Seq.fill(nB)(0))
+      // weights ride as a dense smallint vector and BOTH groups share one
+      // aggregator call — see BootSumAgg's scaladoc: the sort-based
+      // aggregation fallback pays for every input-row byte, so the
+      // payload is kept to ~400 B/row
       val wvg = weights.groupBy("sample_id", "group")
         .agg(map_from_entries(
           collect_list(struct(col("rep").cast("int"), col("w").cast("int"))))
           .as("wm"))
         .withColumn("wv", expr(
-          s"transform(sequence(1, $nB), r -> coalesce(element_at(wm, cast(r as int)), 0))"))
-        .withColumn("wv_wt",
-          when(col("group") === "WT", col("wv")).otherwise(zeros))
-        .withColumn("wv_mut",
-          when(col("group") === "MUT", col("wv")).otherwise(zeros))
-        .select("sample_id", "wv_wt", "wv_mut")
+          s"transform(sequence(1, $nB), r -> " +
+            "cast(coalesce(element_at(wm, cast(r as int)), 0) as smallint))"))
+        .withColumn("is_wt", col("group") === "WT")
+        .select("sample_id", "is_wt", "wv")
       val bk = Tables.betaLong(s, d)
         .withColumn("k", round(col("beta") * 997).cast("bigint"))
         .select("probe_id", "sample_id", "k")
@@ -1802,16 +1804,15 @@ object QueriesStats {
       val boot = udaf(new graft.functions.BootSumAgg(nB))
       val st = bk.join(broadcast(wvg), "sample_id")
         .groupBy("probe_id")
-        .agg(boot(col("k"), col("wv_wt")).as("st_wt"),
-          boot(col("k"), col("wv_mut")).as("st_mut"))
-      def naE(side: String) = s"element_at(st_$side, cast(r + $nB as int))"
-      def saE(side: String) = s"element_at(st_$side, cast(r as int))"
+        .agg(boot(col("k"), col("is_wt"), col("wv")).as("st"))
+      // state layout: sa_wt 1..B, na_wt B+1..2B, sa_mut 2B+1..3B, na_mut 3B+1..4B
+      def sl(off: Int) = s"element_at(st, cast(r + ${off * nB} as int))"
       st.join(obs, "probe_id")
         .withColumn("deltas", expr(
           s"""transform(sequence(1, $nB), r ->
-             | CASE WHEN ${naE("wt")} >= 1 AND ${naE("mut")} >= 1
-             |      THEN (CAST(${saE("wt")} AS DOUBLE) / CAST(${naE("wt")} AS DOUBLE)
-             |            - CAST(${saE("mut")} AS DOUBLE) / CAST(${naE("mut")} AS DOUBLE)) / 997.0
+             | CASE WHEN ${sl(1)} >= 1 AND ${sl(3)} >= 1
+             |      THEN (CAST(${sl(0)} AS DOUBLE) / CAST(${sl(1)} AS DOUBLE)
+             |            - CAST(${sl(2)} AS DOUBLE) / CAST(${sl(3)} AS DOUBLE)) / 997.0
              | END)""".stripMargin.replace("\n", " ")))
         .filter(expr(s"size(filter(deltas, x -> x IS NOT NULL)) = $nB"))
         .withColumn("ds", array_sort(col("deltas")))
@@ -1888,7 +1889,6 @@ object QueriesStats {
       // that ~11% of sf0.01 probes DEMONSTRATE equivalence at these n (the
       // gate binds both ways; at 0.1 the per-group SEs swamp every margin)
       welchT(s, d)
-        .withColumn("se_beta", abs(col("delta_beta") / col("t")))
         .filter(col("se_beta") > 0.0)
         .withColumn("t1", (col("delta_beta") - lit(delta)) / col("se_beta"))
         .withColumn("t2", (col("delta_beta") + lit(delta)) / col("se_beta"))

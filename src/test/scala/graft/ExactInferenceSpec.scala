@@ -398,11 +398,10 @@ class ExactInferenceSpec extends SparkSpec {
     val base = QueriesStats.welchT(sp, sf)
       .orderBy("probe_id").limit(6).collect()
       .map(r => r.getAs[String]("probe_id") ->
-        (r.getAs[Double]("delta_beta"), r.getAs[Double]("t"), r.getAs[Double]("df")))
+        (r.getAs[Double]("delta_beta"), r.getAs[Double]("se_beta"), r.getAs[Double]("df")))
       .toMap
     got.foreach { r =>
-      val (db, t, df) = base(r.getAs[String]("probe_id"))
-      val se = math.abs(db / t)
+      val (db, se, df) = base(r.getAs[String]("probe_id"))
       val dist = new org.apache.commons.math3.distribution.TDistribution(df)
       val pUpper = dist.cumulativeProbability((db - 0.20) / se)
       val pLower = 1.0 - dist.cumulativeProbability((db + 0.20) / se)
