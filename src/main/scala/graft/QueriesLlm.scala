@@ -1600,35 +1600,28 @@ object QueriesLlm {
     // isn't (the sf0.01 corpus shows pass rates 0%→88% across score bins
     // while the score only spans 0.36→0.62). Shape: one row-local feature
     // projection → ONE 10-bin hash aggregate → a 10-row window; nothing
-    // data-sized is sorted. Fully oracle-checked (the binning floor is on
-    // IEEE-identical score doubles — t02's n_low proves Spark and DuckDB
-    // agree on these exact doubles).
+    // data-sized is sorted. Fully oracle-checked: the binning floor is on
+    // IEEE-identical score doubles (t02's n_low proves Spark and DuckDB
+    // agree on these exact doubles), and the per-bin mean confidence sums
+    // floor(score·1e9) as an exact decimal — order-independent across
+    // partitions AND engines, unlike a raw double avg whose partial-
+    // aggregation order would differ from DuckDB's sequential sum.
     Q("t25_calibration_ece", (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val norm = TextAnalysis.normalized(col("text"))
-      val f = docs(s, d).select(
-        TextAnalysis.qualityScore(col("text")).as("score"),
-        size(split(norm, " ")).as("nw"),
-        (length(norm) - size(split(norm, " ")) + 1).as("chars"),
-        size(filter(split(norm, " "), w => w.rlike("[a-z]"))).as("alphaw"),
-        regexp_count(lower(col("text")),
-          lit("\\b(the|and|of|to|is|in)\\b")).as("stops"),
-        regexp_count(col("text"), lit("#|…|\\.\\.\\.")).as("symc"))
-      val lab = f
-        .withColumn("label",
-          when(col("nw").between(30, 100000) &&
-            col("chars").between(col("nw") * 3, col("nw") * 10) &&
-            col("symc") * 10 <= col("nw") && col("alphaw") * 5 >= col("nw") * 4 &&
-            col("stops") >= 2, 1L).otherwise(0L))
+      val lab = docs(s, d).select(
+          TextAnalysis.qualityScore(col("text")).as("score"),
+          TextAnalysis.gopherPass(col("text")).cast("long").as("label"))
         .withColumn("bin", least(floor(col("score") * 10).cast("bigint"), lit(9L)))
       val bins = lab.groupBy("bin").agg(
         count(lit(1)).as("n"), sum("label").as("n_pass"),
-        avg("score").as("conf"))
+        sum(floor(col("score") * 1e9).cast("decimal(38,0)")).as("s9"))
       val wAll = Window.orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val wRun = Window.orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       bins
+        .withColumn("conf",
+          col("s9").cast("double") / 1e9 / col("n").cast("double"))
         .withColumn("acc", col("n_pass").cast("double") / col("n").cast("double"))
         .withColumn("n_tot", sum("n").over(wAll))
         .withColumn("ece_running",
@@ -1662,7 +1655,9 @@ object QueriesLlm {
         |  least(CAST(floor(score * 10) AS BIGINT), 9) AS bin
         |FROM ce_g),
         |ce_b AS (SELECT bin, count(*) AS n,
-        |  CAST(sum(label) AS BIGINT) AS n_pass, avg(score) AS conf
+        |  CAST(sum(label) AS BIGINT) AS n_pass,
+        |  CAST(sum(CAST(floor(score * 1e9) AS HUGEINT)) AS DOUBLE) / 1e9
+        |    / CAST(count(*) AS DOUBLE) AS conf
         |FROM ce_l GROUP BY 1),
         |ce_r AS (SELECT bin, n, n_pass, conf,
         |  CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE) AS acc,

@@ -1573,8 +1573,11 @@ object QueriesRelational {
       val ev = Tables.events(s, d).select(col("event_type"),
         expr("unix_micros(ts) div 3600000000").as("hour_idx"))
       val dense = graft.ops.Timeseries.gapFillCounts(ev, "event_type", "hour_idx")
-      val dec = graft.ops.Timeseries
-        .seasonalDecompose(dense, "event_type", "hour_idx", "n", 24)
+      // dec feeds THREE consumers (med, the dev join, and mad-via-dev) in
+      // one action; unpersisted, the events-scan → gap-fill → decompose
+      // subtree would replay ~4x (the e09 cross-branch-no-reuse cost).
+      val dec = graft.ops.Caches.track(graft.ops.Timeseries
+        .seasonalDecompose(dense, "event_type", "hour_idx", "n", 24).persist())
       val med = graft.ops.Timeseries
         .exactMedian(dec, "event_type", "remainder", "hour_idx", "med")
       val dev = dec.join(broadcast(med), "event_type")

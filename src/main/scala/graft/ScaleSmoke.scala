@@ -152,8 +152,7 @@ object ScaleSmoke {
     // inherit d02's deliberate quadratic-on-duplication behavior.
     // `--only=bh10m` / `--only=holm` reach the direct drives below without
     // the full sweep; any other --only filter skips them.
-    val driveDirect = only.forall(_.exists(s =>
-      "bh10m".contains(s) || "holm".contains(s)))
+    val driveDirect = only.forall(_.exists(s => s == "bh10m" || s == "holm"))
     if (!driveDirect) { spark.stop(); return }
     {
       val t0 = System.nanoTime()

@@ -236,21 +236,31 @@ object Survival {
     var b = 0.0
     var iters = 0
     var converged = false
-    while (iters < maxIter && !converged) {
+    // Non-identifiable fits must NOT report converged=true: a flat partial
+    // likelihood (information 0 — e.g. only one cohort ever at risk when
+    // events occur) gives Newton no direction, and a monotone likelihood
+    // (complete separation) sends beta to ±infinity — detected by a bound
+    // on |beta| well before exp(beta) degrades the p = w/(w+nb) terms.
+    var identifiable = i0 > 0.0
+    while (iters < maxIter && !converged && identifiable) {
       val (u, inf) = scoreInfo(b)
-      if (inf <= 0.0) { converged = true }
+      if (inf <= 0.0 || inf.isNaN) identifiable = false
       else {
         val step = u / inf
         b += step
         if (math.abs(step) < tol) converged = true
+        else if (math.abs(b) > 35.0) identifiable = false
       }
       iters += 1
     }
+    if (!identifiable) converged = false
     val (_, iHat) = scoreInfo(b)
-    val se = 1.0 / math.sqrt(iHat)
-    val z = b / se
+    val se =
+      if (identifiable && iHat > 0.0) 1.0 / math.sqrt(iHat) else Double.NaN
+    val z = if (se.isNaN) Double.NaN else b / se
+    val scoreChi2 = if (i0 > 0.0) u0 * u0 / i0 else Double.NaN
     Seq((grpA, rows.length.toLong, r6(b), r6(math.exp(b)), r6(se), r6(z),
-      r6(z * z), r6(u0), r6(u0 * u0 / i0), iters.toLong, converged))
+      r6(z * z), r6(u0), r6(scoreChi2), iters.toLong, converged))
       .toDF("grp_a", "n_times", "beta", "hr", "se", "z", "wald_chi2",
         "score_u0", "score_chi2", "iters", "converged")
   }

@@ -282,6 +282,28 @@ class ExactInferenceSpec extends SparkSpec {
       - bHat / cox.getAs[Double]("se")) < 1e-4)
   }
 
+  test("k35 Cox fit refuses to report convergence on non-identifiable data") {
+    val sp = spark
+    import sp.implicits._
+    // Flat likelihood: every B subject is censored before any A event, so
+    // only A is ever at risk when events occur -> information is 0 at every
+    // iterate and Newton has no direction.
+    val flat = Seq(("a", 5L, 1L), ("a", 7L, 1L), ("a", 9L, 0L),
+      ("b", 1L, 0L), ("b", 2L, 0L)).toDF("grp", "duration_h", "event")
+    val rFlat = graft.ops.Survival.coxPh(flat, "a").head()
+    assert(!rFlat.getAs[Boolean]("converged"), "flat likelihood: converged")
+    assert(rFlat.getAs[Double]("se").isNaN, "flat likelihood: se not NaN")
+    // Monotone likelihood (complete separation): all events in A while B
+    // stays at risk throughout -> the MLE is at +infinity; the bound on
+    // |beta| must stop the runaway and flag the fit, not report a number.
+    val sep = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 1L),
+      ("b", 10L, 0L), ("b", 11L, 0L), ("b", 12L, 0L))
+      .toDF("grp", "duration_h", "event")
+    val rSep = graft.ops.Survival.coxPh(sep, "a").head()
+    assert(!rSep.getAs[Boolean]("converged"), "separation: converged")
+    assert(!rSep.getAs[Double]("beta").isNaN, "separation: beta NaN")
+  }
+
   test("k36 CIF decomposition: S + CIF1 + CIF2 telescopes to 1 at every time") {
     val sp = spark
     val out = SparkEntry.queries("k36_cumulative_incidence")(sp, sf01).collect()
