@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import graft.ops.Poobah
-import graft.sources.{Idat, SectionedReport, Xlsx, ZipArchive}
+import graft.sources.{Idat, SectionedReport, Warc, Xlsx, ZipArchive}
 import graft.streaming.QcMonitor
 
 /** Source/sink queries (SURVEY.md §2.1): CSV round-trip, sectioned
@@ -181,6 +181,51 @@ object QueriesSources {
         |       CAST(sum(size) AS BIGINT) AS total_bytes,
         |       min(member) AS first_member, max(member) AS last_member
         |FROM zm GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // WARC round-trip (sources/Warc.scala — the Common Crawl container,
+    // per-record gzip members): the documents corpus is serialized once as
+    // HTTP-response records across 4 .warc.gz files (commit-marker
+    // guarded), then the distributed scan — gzip-member decode, WARC
+    // framing, HTTP status/header/body split included — must reproduce
+    // every payload byte-for-byte: per doc_id-bucket counts, body byte
+    // totals, the parsed HTTP status (a 200 literal in the oracle — a
+    // mis-split would surface it), and an order-canonical md5-of-md5s
+    // against DuckDB computing straight from the parquet text.
+    Q("s13_warc_roundtrip", (s, d) => {
+      val dir = s"${Q.scratch}/s13_docs_warc_${Integer.toHexString(d.hashCode)}"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        val recs = Tables.table(s, d, "documents").select(
+          concat(lit("https://corpus.example/doc/"), col("doc_id")).as("target_uri"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          concat(lit("urn:uuid:doc-"), col("doc_id")).as("record_id"),
+          lit("text/plain; charset=utf-8").as("http_content_type"),
+          encode(col("text"), "UTF-8").as("body"))
+        Warc.writeFiles(recs.repartition(4, col("target_uri")), dir)
+      }
+      Warc.read(s, dir)
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+            .cast("bigint").as("doc_id"),
+          col("http_status"), length(col("body")).as("nbytes"),
+          md5(col("body")).as("doc_fp"))
+        .groupBy((col("doc_id") % 8).as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("nbytes").cast("long")).as("total_bytes"),
+          min("http_status").as("min_status"),
+          max("http_status").as("max_status"),
+          md5(concat_ws(" ", array_sort(collect_list("doc_fp")))).as("fp"))
+        .orderBy("g")
+    }, Some(
+      """WITH wr AS (
+        |  SELECT doc_id % 8 AS g, octet_length(encode(text)) AS nbytes,
+        |         md5(text) AS doc_fp
+        |  FROM documents)
+        |SELECT g, count(*) AS n, CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+        |       CAST(200 AS INTEGER) AS min_status,
+        |       CAST(200 AS INTEGER) AS max_status,
+        |       md5(string_agg(doc_fp, ' ' ORDER BY doc_fp)) AS fp
+        |FROM wr GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // S5 — IDAT round-trip through the dependency-free binary codec
     // (sources/Idat.scala, format per the public illuminaio spec): the
