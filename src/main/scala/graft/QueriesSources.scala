@@ -492,6 +492,27 @@ object QueriesSources {
         |FROM dm_run r JOIN dm_tot t USING (hour)
         |WHERE r.bin = 9 ORDER BY 1""".stripMargin)),
 
+    // Streaming near-dup monitor, batch flavor (StreamingSpec drives the
+    // live flatMapGroupsWithState form through MemoryStream and asserts it
+    // emits exactly these pairs on the same fixture): per-(band, bucket)
+    // LSH candidates with ESTIMATED similarity (matching MinHash
+    // components / numPerm — the decision a stream can afford; no shingle
+    // re-join), ordered older→newer on a synthetic doc_id-minute
+    // event-time axis. Rows-only: the xxhash64 signature family has no
+    // DuckDB analog (same reason d03 is rows-only); DedupSpec pins
+    // planted-duplicate recall and the signature/banding lockstep with
+    // the batch minhashSignatures path.
+    Q("e12_neardup_monitor", (s, d) => {
+      val docsTs = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          timestamp_millis(col("doc_id") * 60000L).as("ts"))
+      graft.llm.Dedup.estimatedNearDupPairs(docsTs, numPerm = 16, bands = 4,
+          minSim = 0.5)
+        .select(col("doc_a"), col("doc_b"), col("band"),
+          round(col("est_sim"), 6).as("est_sim"))
+        .orderBy("doc_a", "doc_b", "band")
+    }, None),
+
     Q("e01_streaming_window_qc", (s, d) =>
       QcMonitor.windowedQc(Tables.events(s, d))
         .orderBy("hour", "event_type"),

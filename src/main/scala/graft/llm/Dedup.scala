@@ -102,6 +102,81 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
   }
 
+  /** Row-local MinHash signature as ONE array column — value-identical to
+    * [[minhashSignatures]] (same per-shingle `perm#i`-seeded xxhash64,
+    * same per-permutation minimum over the doc's distinct shingles) but
+    * computed without the shingle explode/groupBy: the shape a per-row
+    * STREAMING transform needs (a stream can't re-aggregate a doc's
+    * shingles without a stateful shuffle per doc). NULL when the text has
+    * fewer than `n` words (no shingles — such docs have no signature rows
+    * in the batch path either).
+    */
+  def minhashSignatureArray(text: org.apache.spark.sql.Column, numPerm: Int,
+                            n: Int = 3): org.apache.spark.sql.Column = {
+    val arr = call_function("graft_shingles", TextAnalysis.normalized(text), lit(n))
+    when(size(arr) > 0,
+      array((0 until numPerm).map { i =>
+        array_min(transform(arr,
+          s => xxhash64(concat_ws("#", lit(s"perm$i"), s))))
+      }: _*))
+  }
+
+  /** Per-(band, bucket) rows with the full signature carried along:
+    * `(doc_id, <passthrough cols>, band, sig, sigv)` — the row-local
+    * analog of [[bandTable]] (same per-band murmur3 over the same
+    * signature slice), shared by the streaming near-dup monitor and its
+    * batch flavor so the two can never drift.
+    */
+  def bandedSignatureRows(docs: DataFrame, numPerm: Int, bands: Int,
+                          passthrough: Seq[String] = Nil): DataFrame = {
+    require(bands >= 1 && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm)")
+    graft.GraftExtensions.registerAll(docs.sparkSession)
+    val rowsPerBand = numPerm / bands
+    val withSig = docs
+      .withColumn("sigv", minhashSignatureArray(col("text"), numPerm))
+      .filter(col("sigv").isNotNull)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => element_at(col("sigv"), i + 1)): _*).as("sig"))
+    }
+    withSig.select((col("doc_id") +: passthrough.map(col) :+ col("sigv") :+
+        explode(array(bandCols: _*)).as("bk")): _*)
+      .select((col("doc_id") +: passthrough.map(col) :+
+        col("bk.band").as("band") :+ col("bk.sig").as("sig") :+
+        col("sigv")): _*)
+  }
+
+  /** Batch flavor of the streaming near-dup monitor: per-(band, bucket)
+    * candidate pairs with the ESTIMATED similarity (matching signature
+    * components / numPerm — no shingle re-join, the decision a stream can
+    * afford), ordered older→newer by the `ts` column and gated at
+    * `ttlMs` of event time — exactly the pairs the monitor's bucket state
+    * would emit. One shuffle on (band, sig); fan-out bounded by bucket
+    * collisions.
+    */
+  def estimatedNearDupPairs(docs: DataFrame, numPerm: Int = 16,
+      bands: Int = 4, minSim: Double = 0.5,
+      ttlMs: Long = Long.MaxValue): DataFrame = {
+    // persist: the self-join consumes the signature subtree twice, and the
+    // 16-permutation row-local hashing is the expensive part of the plan
+    val banded = graft.ops.Caches.track(
+      bandedSignatureRows(docs, numPerm, bands, Seq("ts")).persist())
+    val matches = aggregate(
+      zip_with(col("x.sigv"), col("y.sigv"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    banded.as("x").join(banded.as("y"), Seq("band", "sig"))
+      .filter(col("x.doc_id") =!= col("y.doc_id") &&
+        (col("x.ts") < col("y.ts") ||
+          (col("x.ts") === col("y.ts") && col("x.doc_id") < col("y.doc_id"))))
+      .filter(unix_millis(col("y.ts")) - unix_millis(col("x.ts")) <= ttlMs)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("band"), (matches.cast("double") / numPerm).as("est_sim"))
+      .filter(col("est_sim") >= minSim)
+  }
+
   /** LSH banding: split the signature into `bands`, hash each band, and
     * self-join on (band, bandHash) — candidate pairs are docs agreeing on
     * at least one full band. This is the 100 TB path: the join fan-out is

@@ -367,6 +367,78 @@ object QcMonitor {
         est(col("counts"), col("watch_key")).as("est_count"))
   }
 
+  /** Streaming NEAR-dup monitor — the LSH-banded complement of
+    * [[dedupStreamTtl]]'s exact-hash dedup: each arriving document's
+    * row-local MinHash signature ([[graft.llm.Dedup.minhashSignatureArray]]
+    * — no per-doc shuffle) lands in its `bands` (band, bucket) groups, and
+    * per-bucket state holds the recent entries' (doc_id, ts, signature)
+    * so a newcomer is compared against exactly its bucket collisions —
+    * work ∝ collisions, the batch LSH contract carried into streaming.
+    * Emits one row per (older, newer, band) whose estimated similarity
+    * (matching signature components / numPerm) clears `minSim`; a pair
+    * caught by k bands appears k times (downstream dedups if it cares —
+    * chaining a second stateful op here would be the wrong default).
+    *
+    * State bound, twice over: entries expire after `ttlMs` of EVENT time
+    * (GroupStateTimeout.EventTimeTimeout + in-state pruning against the
+    * bucket's newest ts), and `maxPerBucket` caps a pathological bucket
+    * (the full-band mass-collision residual the batch path documents —
+    * here it degrades to keep-most-recent instead of OOM).
+    *
+    * Input needs `doc_id` (long), `ts` (timestamp), `text` (string).
+    * Batch flavor (e12): [[graft.llm.Dedup.estimatedNearDupPairs]] — same
+    * signatures, same banding, same gate, so the live drive and the
+    * oracle-able batch restatement can never drift.
+    */
+  def nearDupMonitor(docs: DataFrame, numPerm: Int = 16, bands: Int = 4,
+      minSim: Double = 0.5, ttlMs: Long = 3600000L, maxPerBucket: Int = 64,
+      watermarkDelay: String = "10 seconds"):
+      org.apache.spark.sql.Dataset[(Long, Long, Int, Double)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    graft.llm.Dedup
+      .bandedSignatureRows(docs, numPerm, bands, passthrough = Seq("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .select("doc_id", "ts", "band", "sig", "sigv")
+      .as[(Long, java.sql.Timestamp, Int, Long, Seq[Long])]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[List[(Long, Long, Seq[Long])],
+        (Long, Long, Int, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long),
+         it: Iterator[(Long, java.sql.Timestamp, Int, Long, Seq[Long])],
+         state: GroupState[List[(Long, Long, Seq[Long])]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // event-time order within the batch (id tie-break) so the
+            // older→newer pair orientation is deterministic
+            val incoming = it.toSeq.sortBy(r => (r._2.getTime, r._1))
+            var entries = state.getOption.getOrElse(Nil) // newest first
+            val out = List.newBuilder[(Long, Long, Int, Double)]
+            incoming.foreach { case (id, ts, band, _, sv) =>
+              val tMs = ts.getTime
+              entries.foreach { case (oid, oms, osv) =>
+                if (oid != id && tMs - oms <= ttlMs) {
+                  var m = 0
+                  var i = 0
+                  while (i < numPerm) { if (sv(i) == osv(i)) m += 1; i += 1 }
+                  val est = m.toDouble / numPerm
+                  if (est >= minSim) out += ((oid, id, band, est))
+                }
+              }
+              entries = ((id, tMs, sv) :: entries).take(maxPerBucket)
+            }
+            val newest = math.max(incoming.map(_._2.getTime).max,
+              entries.headOption.map(_._2).getOrElse(Long.MinValue))
+            entries = entries.filter(newest - _._2 <= ttlMs)
+            state.update(entries)
+            state.setTimeoutTimestamp(
+              math.max(newest + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Rolled-up live metrics of one streaming query. */
   final case class Progress(batches: Long, inputRows: Long,
                             maxStateRows: Long, lastWatermark: String)

@@ -53,6 +53,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs.size == 1)
   }
 
+  test("row-local signature array is in lockstep with the batch signature path") {
+    // the streaming monitor's per-row signature must equal the batch
+    // explode/groupBy signature component-for-component — same seeded
+    // hashes, same minima — or the stream and its batch flavor drift
+    val rowLocal = docs
+      .select(col("doc_id"), Dedup.minhashSignatureArray(col("text"), 8).as("sigv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val batch = Dedup.minhashSignatures(Dedup.shingles(docs), 8)
+      .collect()
+      .map(r => r.getLong(0) -> (0 until 8).map(i => r.getLong(i + 1)))
+      .toMap
+    assert(rowLocal == batch)
+    // short text (< 3 words): no shingles → NULL signature, matching the
+    // batch path's absence of signature rows
+    val short = Seq((9L, "two words")).toDF("doc_id", "text")
+      .select(Dedup.minhashSignatureArray(col("text"), 8).as("sigv")).head()
+    assert(short.isNullAt(0))
+    // estimated pairs: identical docs 1/4 at est 1.0 in every band;
+    // unrelated doc 3 pairs with nothing
+    val est = Dedup.estimatedNearDupPairs(
+        docs.withColumn("ts", timestamp_millis(col("doc_id") * 1000L)),
+        numPerm = 8, bands = 4, minSim = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(est.count(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0) == 4)
+    assert(!est.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("exactDedup keeps the lowest doc_id per content hash") {
     val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 3L))

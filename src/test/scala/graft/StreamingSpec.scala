@@ -230,6 +230,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupMonitor pairs LSH bucket collisions across triggers, expires by TTL") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val base = "the quick brown fox jumps over the lazy dog near the river " +
+      "bank while morning light settles on the quiet water and nothing moves"
+    val other = "completely unrelated text about distributed query engines " +
+      "optimizing shuffle topology under adaptive execution with skew handling"
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val q = QcMonitor.nearDupMonitor(
+        ms.toDF().toDF("doc_id", "ts", "text"),
+        numPerm = 16, bands = 4, minSim = 0.5, ttlMs = 20000L)
+      .toDF("doc_a", "doc_b", "band", "est_sim")
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, ts(10), base), (2L, ts(10), other))
+      q.processAllAvailable()
+      // near-identical doc in a LATER trigger: bucket state from trigger 1
+      // must produce the (1, 3) pair; unrelated doc 2 never pairs
+      ms.addData((3L, ts(12), base))
+      q.processAllAvailable()
+      val mid = sp.table("neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      assert(mid.forall(p => p._1 == 1L && p._2 == 3L), s"pairs: ${mid.toSeq}")
+      assert(mid.length == 4 && mid.forall(_._4 == 1.0),
+        s"identical docs must collide in all 4 bands at est 1.0: ${mid.toSeq}")
+      // advance the watermark past expiry (90-10s delay = 80s watermark >
+      // 12s+20s TTL), let the timeout fire, then replay the same text: the
+      // bucket state is gone, so NO pair against doc 1/3 appears
+      ms.addData((8L, ts(90), other + " trailing churn"))
+      q.processAllAvailable()
+      ms.addData((9L, ts(95), other + " more churn"))
+      q.processAllAvailable()
+      ms.addData((4L, ts(100), base))
+      q.processAllAvailable()
+      val fin = sp.table("neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(!fin.exists(_._2 == 4L), s"expired state must not pair: ${fin.toSeq}")
+      // the live drive emitted exactly what the batch flavor computes on
+      // the same fixture (pairs within TTL only — (1,4)/(3,4) are outside)
+      val batch = graft.llm.Dedup.estimatedNearDupPairs(
+          Seq((1L, ts(10), base), (2L, ts(10), other), (3L, ts(12), base),
+            (8L, ts(90), other + " trailing churn"),
+            (9L, ts(95), other + " more churn"), (4L, ts(100), base))
+            .toDF("doc_id", "ts", "text"),
+          numPerm = 16, bands = 4, minSim = 0.5, ttlMs = 20000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      assert(batch.toSet == sp.table("neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet,
+        s"batch flavor diverged: batch=${batch.toSeq}")
+    } finally q.stop()
+  }
+
   test("funnelStream advances the chained stage across micro-batches, monotonically") {
     val sp = spark
     import sp.implicits._
