@@ -131,7 +131,8 @@ object ScaleSmoke {
       "w18_seasonal_outliers", "e11_watchlist_monitor",
       "n08_hybrid_rrf", "a37_cohens_kappa", "k37_dunn_posthoc",
       "k38_random_effects", "k39_icc", "k40_tost_equivalence",
-      "k41_bootstrap_ci")
+      "k41_bootstrap_ci",
+      "s13_warc_roundtrip", "e12_neardup_monitor")
     val timed = only match {
       case Some(subs) => queries.filter(q => subs.exists(q.contains))
       case None => queries
