@@ -839,7 +839,59 @@ object QueriesCuration {
         |       round(t.score_chosen - b.score_rejected, 6) AS gap
         |FROM pp_top t JOIN pp_bot b USING (source, pair_idx)
         |WHERE t.score_chosen - b.score_rejected > 0.05
-        |ORDER BY 1, 2""".stripMargin))
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // C21 — greedy token-budget selection: fill a fixed token budget (25%
+    // of the corpus here) with the best-scored documents first — the step
+    // that turns a scored corpus into a pretraining mix of a target size
+    // ("take the top documents until 1T tokens"). Order is (quality desc,
+    // doc_id) — both engines compute the identical score double, and the
+    // prefix sum is EXACT INTEGER tokens, so the boundary document is
+    // never a float-order accident. Curation.tokenBudgetSelect carries the
+    // bhAdjust two-path dispatch: one global window at this size, a
+    // range-partitioned two-pass prefix sum (one range shuffle,
+    // O(partitions) driver state) at 100 TB. Reported per source: how many
+    // documents/tokens each source contributes and its selected-quality
+    // floor (min is order-independent — avg of a double is not, the t25
+    // lesson).
+    Q("c21_token_budget", (s, d) => {
+      val scored = docs(s, d).select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("score"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+      val input = graft.ops.Caches.track(scored.persist())
+      val budget = input.agg(sum("tokens").as("t")).head().getLong(0) / 4L
+      Curation.tokenBudgetSelect(input, "score", "tokens", "doc_id", budget)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("tokens").as("tok_total"),
+          sum(when(col("selected"), 1L).otherwise(0L)).as("n_sel"),
+          sum(when(col("selected"), col("tokens")).otherwise(0L)).as("tok_sel"),
+          round(min(when(col("selected"), col("score"))), 6).as("min_sel_score"))
+        .orderBy("source")
+    }, Some(
+      """WITH tb_f AS (SELECT doc_id, source,
+        |  CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)), 1) AS DOUBLE) AS words,
+        |  CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) AS alpha,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b', 0)) AS DOUBLE) AS stops,
+        |  CAST(length(text) AS DOUBLE) AS chars,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS BIGINT) AS tokens
+        |FROM documents),
+        |tb_s AS (SELECT doc_id, source, tokens,
+        |  least(stops / words * 2.0, 1.0) * 0.4 +
+        |  (CASE WHEN alpha / words >= 3.0 AND alpha / words <= 8.0 THEN 0.3 ELSE 0.0 END) +
+        |  least(chars / 500.0, 1.0) * 0.3 AS score
+        |FROM tb_f),
+        |tb_tot AS (SELECT CAST(sum(tokens) // 4 AS BIGINT) AS budget FROM tb_s),
+        |tb_c AS (
+        |  SELECT *, CAST(coalesce(sum(tokens) OVER (ORDER BY score DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM tb_s)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(tokens) AS BIGINT) AS tok_total,
+        |       CAST(sum(CASE WHEN cum_before < budget THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+        |       CAST(sum(CASE WHEN cum_before < budget THEN tokens ELSE 0 END) AS BIGINT) AS tok_sel,
+        |       round(min(CASE WHEN cum_before < budget THEN score END), 6) AS min_sel_score
+        |FROM tb_c CROSS JOIN tb_tot GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Deterministic two-source entity mentions for c17/c18 (the r12

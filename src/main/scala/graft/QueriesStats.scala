@@ -3135,6 +3135,185 @@ object QueriesStats {
         |       round(j.age_pred + q.qhat, 6) AS hi,
         |       (j.age_true >= j.age_pred - q.qhat
         |        AND j.age_true <= j.age_pred + q.qhat) AS covered
-        |FROM cc_j j CROSS JOIN cc_q q WHERE NOT is_cal ORDER BY 1""".stripMargin))
+        |FROM cc_j j CROSS JOIN cc_q q WHERE NOT is_cal ORDER BY 1""".stripMargin)),
+
+    // K42 — per-probe MULTIPLE regression: beta ~ group + age. The
+    // covariate-adjusted EWAS model (limma's model.matrix takes arbitrary
+    // covariate columns; the reference's design is group-only at
+    // /root/reference/workflow.R:158-166, but published EWAS practice
+    // always adjusts for age/sex — this is the missing half of that
+    // surface, with k34's age panel as the covariate so the two queries
+    // share one truth). ONE hash aggregate per probe collects the nine
+    // exact integer moments of X = [1, g, a] and y = beta's 0..996 grid;
+    // the 3×3 normal equations solve by Cramer as a fixed double
+    // sequence. Rank/d.f. GATING is exact-integer: det(XᵀX) and the
+    // variance cofactors are bigint products of bigint sums in BOTH
+    // engines, so "which probes survive" can never disagree at a double
+    // boundary. Coefficient SEs from σ̂²·(XᵀX)⁻¹ⱼⱼ = σ̂²·cofⱼⱼ/det.
+    // Scale: one shuffle on probe_id with map-side combine; the covariate
+    // join is a broadcast of the bounded sample axis. (Moment magnitudes:
+    // |det terms| < n³·a²·... — bigint-safe to ~1e5 samples/probe; the
+    // sample axis here is ≤ suppliers, orders of magnitude below that.)
+    Q("k42_probe_ols", (s, d) =>
+      probeOls(s, d)
+        .select(col("probe_id"), col("n"),
+          round(col("b_group") / 997.0, 6).as("b_group"),
+          round(col("se_group") / 997.0, 6).as("se_group"),
+          round(col("t_group"), 6).as("t_group"),
+          round(col("b_age") / 997.0, 6).as("b_age"),
+          round(col("se_age") / 997.0, 6).as("se_age"),
+          round(col("t_age"), 6).as("t_age"),
+          col("df"))
+        .orderBy("probe_id"),
+    Some(ctes +
+      """, ols_cov AS (
+        |  SELECT printf('S%03d', s_suppkey) AS sample_id,
+        |         CAST(s_suppkey % 2 AS BIGINT) AS g,
+        |         CAST(s_suppkey * 13 % 41 AS BIGINT) AS a
+        |  FROM supplier),
+        |ols_m AS (
+        |  SELECT b.probe_id, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(c.g) AS BIGINT) AS sg,
+        |         CAST(sum(c.a) AS BIGINT) AS sa,
+        |         CAST(sum(c.a * c.a) AS BIGINT) AS saa,
+        |         CAST(sum(c.g * c.a) AS BIGINT) AS sga,
+        |         CAST(sum(k) AS BIGINT) AS sy,
+        |         CAST(sum(c.g * k) AS BIGINT) AS sgy,
+        |         CAST(sum(c.a * k) AS BIGINT) AS say,
+        |         CAST(sum(k * k) AS BIGINT) AS syy
+        |  FROM (SELECT probe_id, sample_id,
+        |               CAST(round(beta * 997) AS BIGINT) AS k FROM beta) b
+        |  JOIN ols_cov c USING (sample_id)
+        |  GROUP BY 1 HAVING count(*) >= 8),
+        |ols_d AS (
+        |  SELECT *,
+        |         n * (sg * saa - sga * sga) - sg * (sg * saa - sga * sa)
+        |           + sa * (sg * sga - sg * sa) AS det,
+        |         sg * saa - sga * sga AS cof00,
+        |         n * saa - sa * sa AS cof11,
+        |         n * sg - sg * sg AS cof22
+        |  FROM ols_m),
+        |ols_b AS (
+        |  SELECT *,
+        |         (CAST(sy AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(sga AS DOUBLE))
+        |          - CAST(sg AS DOUBLE) * (CAST(sgy AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(say AS DOUBLE))
+        |          + CAST(sa AS DOUBLE) * (CAST(sgy AS DOUBLE) * CAST(sga AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(say AS DOUBLE)))
+        |         / CAST(det AS DOUBLE) AS b0,
+        |         (CAST(n AS DOUBLE) * (CAST(sgy AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(say AS DOUBLE))
+        |          - CAST(sy AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(sa AS DOUBLE))
+        |          + CAST(sa AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(say AS DOUBLE) - CAST(sgy AS DOUBLE) * CAST(sa AS DOUBLE)))
+        |         / CAST(det AS DOUBLE) AS b1,
+        |         (CAST(n AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(say AS DOUBLE) - CAST(sgy AS DOUBLE) * CAST(sga AS DOUBLE))
+        |          - CAST(sg AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(say AS DOUBLE) - CAST(sgy AS DOUBLE) * CAST(sa AS DOUBLE))
+        |          + CAST(sy AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(sga AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sa AS DOUBLE)))
+        |         / CAST(det AS DOUBLE) AS b2
+        |  FROM ols_d WHERE det > 0),
+        |ols_s AS (
+        |  SELECT *,
+        |         (CAST(syy AS DOUBLE)
+        |          - (b0 * CAST(sy AS DOUBLE) + b1 * CAST(sgy AS DOUBLE) + b2 * CAST(say AS DOUBLE)))
+        |         / (CAST(n AS DOUBLE) - 3.0) AS sigma2
+        |  FROM ols_b)
+        |SELECT probe_id, n,
+        |       round(b1 / 997.0, 6) AS b_group,
+        |       round(sqrt(sigma2 * CAST(cof11 AS DOUBLE) / CAST(det AS DOUBLE)) / 997.0, 6) AS se_group,
+        |       round(b1 / sqrt(sigma2 * CAST(cof11 AS DOUBLE) / CAST(det AS DOUBLE)), 6) AS t_group,
+        |       round(b2 / 997.0, 6) AS b_age,
+        |       round(sqrt(sigma2 * CAST(cof22 AS DOUBLE) / CAST(det AS DOUBLE)) / 997.0, 6) AS se_age,
+        |       round(b2 / sqrt(sigma2 * CAST(cof22 AS DOUBLE) / CAST(det AS DOUBLE)), 6) AS t_age,
+        |       n - 3 AS df
+        |FROM ols_s WHERE sigma2 > 0.0
+        |ORDER BY probe_id""".stripMargin)),
+
+    // K42 inferential completion: two-sided p per (probe, coefficient)
+    // through the codegen Student-t survival chain, BH across ALL
+    // hypotheses (probe × {group, age} — the k37 "adjust over everything
+    // you tested" convention). Rows-only — the t CDF has no SQL analog;
+    // (b, se, t, df) ride k42_probe_ols's oracle.
+    Q("k42_ols_inference", (s, d) => {
+      GraftExtensions.registerAll(s)
+      val base = probeOls(s, d)
+      val long = base.select(col("probe_id"), lit("group").as("coef"),
+          (col("b_group") / 997.0).as("b"), col("t_group").as("t_stat"),
+          col("df"))
+        .unionAll(base.select(col("probe_id"), lit("age").as("coef"),
+          (col("b_age") / 997.0).as("b"), col("t_age").as("t_stat"),
+          col("df")))
+        .withColumn("p_value",
+          expr("graft_t_pvalue(t_stat, CAST(df AS DOUBLE))"))
+        .withColumn("key", concat(col("probe_id"), lit("|"), col("coef")))
+      Analytic.bhAdjust(long, "p_value", "key")
+        .select(col("probe_id"), col("coef"), round(col("b"), 6).as("b"),
+          round(col("t_stat"), 6).as("t_stat"),
+          round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
+        .orderBy("probe_id", "coef")
+    }, None)
   )
+
+  /** Shared K42 statistic pass: per-probe OLS of beta (0..996 grid units)
+    * on X = [1, group, age] from nine exact integer moments in ONE hash
+    * aggregate; 3×3 normal equations by Cramer's rule as a fixed double
+    * sequence. det(XᵀX) and the variance cofactors stay EXACT BIGINT so
+    * the rank gate (det > 0 ⇔ full column rank, XᵀX being PSD) is
+    * boundary-proof. Unrounded `(probe_id, n, b_group, se_group, t_group,
+    * b_age, se_age, t_age, df)` in grid units (callers rescale by /997).
+    * Age is k34's panel (`20 + s_suppkey*13 % 41`, the constant 20 folded
+    * into the intercept); group is the sheet's WT/MUT indicator (1=MUT).
+    */
+  private[graft] def probeOls(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val cov = Tables.table(s, d, "supplier").select(
+      format_string("S%03d", col("s_suppkey")).as("sample_id"),
+      (col("s_suppkey") % 2).cast("long").as("g"),
+      (col("s_suppkey") * 13 % 41).cast("long").as("a"))
+    val m = Tables.betaLong(s, d)
+      .withColumn("k", round(col("beta") * 997).cast("bigint"))
+      .join(broadcast(cov), "sample_id")
+      .groupBy("probe_id").agg(
+        count(lit(1L)).as("n"),
+        sum("g").as("sg"), sum("a").as("sa"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("g") * col("a")).as("sga"),
+        sum("k").as("sy"), sum(col("g") * col("k")).as("sgy"),
+        sum(col("a") * col("k")).as("say"),
+        sum(col("k") * col("k")).as("syy"))
+      .filter(col("n") >= 8)
+      .withColumn("det",
+        col("n") * (col("sg") * col("saa") - col("sga") * col("sga"))
+          - col("sg") * (col("sg") * col("saa") - col("sga") * col("sa"))
+          + col("sa") * (col("sg") * col("sga") - col("sg") * col("sa")))
+      .withColumn("cof11", col("n") * col("saa") - col("sa") * col("sa"))
+      .withColumn("cof22", col("n") * col("sg") - col("sg") * col("sg"))
+      .filter(col("det") > 0L)
+    def d2(c: String) = col(c).cast("double")
+    val b = m
+      .withColumn("b0",
+        (d2("sy") * (d2("sg") * d2("saa") - d2("sga") * d2("sga"))
+          - d2("sg") * (d2("sgy") * d2("saa") - d2("sga") * d2("say"))
+          + d2("sa") * (d2("sgy") * d2("sga") - d2("sg") * d2("say")))
+          / d2("det"))
+      .withColumn("b1",
+        (d2("n") * (d2("sgy") * d2("saa") - d2("sga") * d2("say"))
+          - d2("sy") * (d2("sg") * d2("saa") - d2("sga") * d2("sa"))
+          + d2("sa") * (d2("sg") * d2("say") - d2("sgy") * d2("sa")))
+          / d2("det"))
+      .withColumn("b2",
+        (d2("n") * (d2("sg") * d2("say") - d2("sgy") * d2("sga"))
+          - d2("sg") * (d2("sg") * d2("say") - d2("sgy") * d2("sa"))
+          + d2("sy") * (d2("sg") * d2("sga") - d2("sg") * d2("sa")))
+          / d2("det"))
+      .withColumn("sigma2",
+        (d2("syy")
+          - (col("b0") * d2("sy") + col("b1") * d2("sgy")
+            + col("b2") * d2("say")))
+          / (d2("n") - lit(3.0)))
+      .filter(col("sigma2") > 0.0)
+    b.select(col("probe_id"), col("n"),
+      col("b1").as("b_group"),
+      sqrt(col("sigma2") * d2("cof11") / d2("det")).as("se_group"),
+      (col("b1") / sqrt(col("sigma2") * d2("cof11") / d2("det"))).as("t_group"),
+      col("b2").as("b_age"),
+      sqrt(col("sigma2") * d2("cof22") / d2("det")).as("se_age"),
+      (col("b2") / sqrt(col("sigma2") * d2("cof22") / d2("det"))).as("t_age"),
+      (col("n") - 3L).as("df"))
+  }
 }

@@ -497,4 +497,86 @@ object Curation {
           log((col("cr") + 1L).cast("double") / (col("nr") + col("v"))))
           .as("log_ratio"))
   }
+
+  /** Greedy TOKEN-BUDGET selection: order documents by (score desc, id
+    * asc) and keep every document that STARTS before the budget boundary —
+    * the "fill a 1T-token training mix with the best documents first" step
+    * that turns a scored corpus into a pretraining set of a fixed size.
+    * Appends `cum_before` (exact exclusive prefix sum of `tokenCol` in the
+    * greedy order — integer, so no float-order hazard) and `selected`
+    * (`cum_before < budget`).
+    *
+    * Same two-path size dispatch as `Analytic.bhAdjust`: one global window
+    * up to `windowMaxRows`, and above that a range-partitioned two-pass
+    * prefix sum — ONE range shuffle on (score, id), per-partition token
+    * totals reduced to O(partitions) driver state, then a partition-local
+    * running sum seeded by the earlier partitions' offsets. Exact-integer
+    * both ways, so the paths are bit-equal (PropertySpec).
+    */
+  def tokenBudgetSelect(docs: DataFrame, scoreCol: String, tokenCol: String,
+                        idCol: String, budget: Long,
+                        windowMaxRows: Long = 5000000L): DataFrame = {
+    val input =
+      if (docs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        graft.ops.Caches.track(docs.persist())
+      else docs
+    if (input.count() <= windowMaxRows)
+      tokenBudgetWindowed(input, scoreCol, tokenCol, idCol, budget)
+    else tokenBudgetRanged(input, scoreCol, tokenCol, idCol, budget)
+  }
+
+  private[graft] def tokenBudgetWindowed(df: DataFrame, scoreCol: String,
+      tokenCol: String, idCol: String, budget: Long): DataFrame = {
+    val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("cum_before",
+        coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
+      .withColumn("selected", col("cum_before") < budget)
+  }
+
+  /** Range-partitioned two-pass prefix sum — the 100 TB path (the
+    * bhAdjustRanged shape with min-fold replaced by integer addition).
+    * Driver state is O(partitions), never O(rows).
+    */
+  private[graft] def tokenBudgetRanged(df: DataFrame, scoreCol: String,
+      tokenCol: String, idCol: String, budget: Long,
+      numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.TaskContext
+    import org.apache.spark.sql.Row
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // normalize the token column to long up front: pass 2/3 decode rows
+    // with getLong, and the windowed sibling casts too — the dispatch must
+    // not change accepted inputs at the size threshold
+    val sorted = graft.ops.Caches.track(df
+      .withColumn(tokenCol, col(tokenCol).cast("long"))
+      .repartitionByRange(parts, col(scoreCol).desc, col(idCol).asc)
+      .sortWithinPartitions(col(scoreCol).desc, col(idCol).asc)
+      .persist())
+    val tIdx = sorted.schema.fieldIndex(tokenCol)
+    // Pass 1 (O(partitions) to driver): token total per range partition.
+    val sums = sorted
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(sum(col(tokenCol)).as("__tok"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // exclusive prefix offsets: tokens in all EARLIER partitions
+    val offs = (0 until parts).map { pid =>
+      pid -> (0 until pid).map(q => sums.getOrElse(q, 0L)).sum
+    }.toMap
+    val bOffs = spark.sparkContext.broadcast(offs)
+    val outSchema = sorted.schema
+      .add("cum_before", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("selected", org.apache.spark.sql.types.BooleanType, nullable = false)
+    sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var run = bOffs.value.getOrElse(pid, 0L)
+      it.map { r =>
+        val before = run
+        run += r.getLong(tIdx)
+        Row.fromSeq(r.toSeq :+ before :+ (before < budget))
+      }
+    }(Encoders.row(outSchema))
+  }
 }

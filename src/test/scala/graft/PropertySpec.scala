@@ -322,4 +322,29 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: ranged token-budget select is bit-equal to the windowed path") {
+    import graft.llm.Curation
+    val gen = Gen.listOfN(150, for {
+      sc <- Gen.choose(0.0, 1.0)
+      tk <- Gen.choose(1L, 500L)
+    } yield (sc, tk))
+    samples(gen, 6).foreach { rows =>
+      val df = rows.zipWithIndex.map { case ((sc, tk), i) =>
+        (f"d$i%04d", sc, tk)
+      }.toDF("id", "score", "tokens")
+      val budget = rows.map(_._2).sum / 3
+      def m(d: org.apache.spark.sql.DataFrame) = d
+        .select("id", "cum_before", "selected").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      val w = m(Curation.tokenBudgetWindowed(df, "score", "tokens", "id", budget))
+      val g = m(Curation.tokenBudgetRanged(df, "score", "tokens", "id", budget,
+        numPartitions = 7))
+      assert(g.keySet == w.keySet)
+      g.foreach { case (k, v) => assert(v == w(k), s"$k: ranged $v != windowed ${w(k)}") }
+      // the greedy invariant: selected docs' cum_before all precede the budget
+      w.values.foreach { case (cb, sel) => assert(sel == (cb < budget)) }
+      graft.ops.Caches.releaseAll()
+    }
+  }
 }

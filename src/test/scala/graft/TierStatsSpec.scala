@@ -505,4 +505,41 @@ class TierStatsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("remainder")) < 1e-9)
     }
   }
+
+  test("k42 per-probe OLS matches commons-math OLSMultipleLinearRegression") {
+    val sp = spark
+    import sp.implicits._
+    val got = QueriesStats.probeOls(sp, sf)
+      .orderBy("probe_id").limit(8).collect()
+    assert(got.nonEmpty, "no probes survived the n>=8/det>0 gates at sf0.001")
+    // reconstruct (k, g, a) per probe driver-side from the same views
+    val cov = Tables.table(sp, sf, "supplier").select(
+      format_string("S%03d", col("s_suppkey")).as("sample_id"),
+      (col("s_suppkey") % 2).cast("long").as("g"),
+      (col("s_suppkey") * 13 % 41).cast("long").as("a"))
+    val rows = Tables.betaLong(sp, sf).join(cov, "sample_id")
+      .select(col("probe_id"), round(col("beta") * 997).cast("long").as("k"),
+        col("g"), col("a"))
+      .as[(String, Long, Long, Long)].collect().groupBy(_._1)
+    got.foreach { r =>
+      val probe = r.getAs[String]("probe_id")
+      val data = rows(probe)
+      val reg = new org.apache.commons.math3.stat.regression
+        .OLSMultipleLinearRegression()
+      reg.newSampleData(data.map(_._2.toDouble),
+        data.map(t => Array(t._3.toDouble, t._4.toDouble)))
+      val beta = reg.estimateRegressionParameters() // [b0, b_group, b_age]
+      val se = reg.estimateRegressionParametersStandardErrors()
+      assert(math.abs(r.getAs[Double]("b_group") - beta(1)) < 1e-7,
+        s"$probe b_group: got ${r.getAs[Double]("b_group")} expect ${beta(1)}")
+      assert(math.abs(r.getAs[Double]("b_age") - beta(2)) < 1e-7,
+        s"$probe b_age: got ${r.getAs[Double]("b_age")} expect ${beta(2)}")
+      assert(math.abs(r.getAs[Double]("se_group") - se(1)) < 1e-7,
+        s"$probe se_group: got ${r.getAs[Double]("se_group")} expect ${se(1)}")
+      assert(math.abs(r.getAs[Double]("se_age") - se(2)) < 1e-7)
+      assert(r.getAs[Long]("df") == data.length - 3)
+      assert(math.abs(r.getAs[Double]("t_group")
+        - r.getAs[Double]("b_group") / r.getAs[Double]("se_group")) < 1e-9)
+    }
+  }
 }
