@@ -821,6 +821,37 @@ object QueriesRelational {
           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
+    // GROUPING SETS — the general lattice a11's rollup and a21's cube are
+    // special cases of: an explicit mixed set list ((flag, status),
+    // (ship_year), ()) that neither rollup nor cube can express — "the
+    // flag×status detail, a yearly summary, and the grand total" in ONE
+    // hash aggregate / one scan (Catalyst expands the sets exactly like
+    // cube, so the 100 TB cost is one shuffle regardless of set count).
+    // Exact-integer measures; set-null labels order NULLS FIRST like a11/
+    // a21, and the three null-patterns are mutually distinct so no
+    // grouping_id disambiguation is needed (all source dims non-null).
+    Q("a38_grouping_sets", (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .withColumn("c", cents(col("l_extendedprice")))
+        .withColumn("ship_year", year(col("l_shipdate")).cast("bigint"))
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("ship_year")), Seq()),
+          col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+        .agg(count(lit(1)).as("n"), sum("c").as("sum_cents"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first,
+          col("ship_year").asc_nulls_first),
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(year(l_shipdate) AS BIGINT) AS ship_year, count(*) AS n,
+          |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |                        (CAST(year(l_shipdate) AS BIGINT)), ())
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+          |         ship_year NULLS FIRST""".stripMargin)),
+
     // Per-group OLS (price-on-quantity): slope/intercept/R² from the five
     // sufficient moments in ONE hash aggregate — the 100 TB shape for any
     // per-segment regression (no per-group iteration, no second pass).

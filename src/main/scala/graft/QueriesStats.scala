@@ -3247,7 +3247,97 @@ object QueriesStats {
           round(col("t_stat"), 6).as("t_stat"),
           round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id", "coef")
-    }, None)
+    }, None),
+
+    // K43 — partial F-test: does age add explanatory power BEYOND group?
+    // The nested-model comparison (reduced: beta ~ group; full: beta ~
+    // group + age) that justifies or rejects a covariate in the k42
+    // design — F = (RSS_red − RSS_full)/(RSS_full/(n−3)), df (1, n−3).
+    // BOTH models come from the SAME nine integer moments (the reduced
+    // model is the group-conditional-means decomposition RSS_red =
+    // Syy − S_wt²/n_wt − S_mut²/n_mut — closed form, no second aggregate,
+    // no second scan). The F CDF has no SQL analog, so the oracle-checked
+    // surface is statistic + dfs (the k13/a23 convention); a p/BH
+    // completion is one `graft_f_sf(f, 1, df2)` away via the k13 pattern.
+    // RSS columns are rescaled to beta² units (/997²); F is scale-free.
+    Q("k43_partial_f", (s, d) =>
+      probeOlsMoments(s, d)
+        .withColumn("rss_full",
+          col("syyd") - (col("b0") * col("syd") + col("b1") * col("sgyd")
+            + col("b2") * col("sayd")))
+        // reduced model beta ~ group: group-conditional means; RSS_red =
+        // Syy − s_wt²/n_wt − s_mut²/n_mut in grid units (exact moments)
+        .withColumn("rss_red",
+          col("syyd")
+            - (col("syd") - col("sgyd")) * (col("syd") - col("sgyd"))
+              / (col("nd") - col("sgd"))
+            - col("sgyd") * col("sgyd") / col("sgd"))
+        .filter(col("sgd") > 0.0 && col("nd") - col("sgd") > 0.0 &&
+          col("rss_full") > 0.0)
+        .select(col("probe_id"), col("n"),
+          round(col("rss_red") / 994009.0, 6).as("rss_red"),
+          round(col("rss_full") / 994009.0, 6).as("rss_full"),
+          lit(1L).as("df1"), (col("n") - 3L).as("df2"),
+          round((col("rss_red") - col("rss_full"))
+            / (col("rss_full") / (col("nd") - lit(3.0))), 6).as("f"))
+        .orderBy("probe_id"),
+    Some(ctes +
+      """, pf_cov AS (
+        |  SELECT printf('S%03d', s_suppkey) AS sample_id,
+        |         CAST(s_suppkey % 2 AS BIGINT) AS g,
+        |         CAST(s_suppkey * 13 % 41 AS BIGINT) AS a
+        |  FROM supplier),
+        |pf_m AS (
+        |  SELECT b.probe_id, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(c.g) AS BIGINT) AS sg,
+        |         CAST(sum(c.a) AS BIGINT) AS sa,
+        |         CAST(sum(c.a * c.a) AS BIGINT) AS saa,
+        |         CAST(sum(c.g * c.a) AS BIGINT) AS sga,
+        |         CAST(sum(k) AS BIGINT) AS sy,
+        |         CAST(sum(c.g * k) AS BIGINT) AS sgy,
+        |         CAST(sum(c.a * k) AS BIGINT) AS say,
+        |         CAST(sum(k * k) AS BIGINT) AS syy
+        |  FROM (SELECT probe_id, sample_id,
+        |               CAST(round(beta * 997) AS BIGINT) AS k FROM beta) b
+        |  JOIN pf_cov c USING (sample_id)
+        |  GROUP BY 1 HAVING count(*) >= 8),
+        |pf_d AS (
+        |  SELECT *,
+        |         n * (sg * saa - sga * sga) - sg * (sg * saa - sga * sa)
+        |           + sa * (sg * sga - sg * sa) AS det
+        |  FROM pf_m),
+        |pf_b AS (
+        |  SELECT *,
+        |         (CAST(sy AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(sga AS DOUBLE))
+        |          - CAST(sg AS DOUBLE) * (CAST(sgy AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(say AS DOUBLE))
+        |          + CAST(sa AS DOUBLE) * (CAST(sgy AS DOUBLE) * CAST(sga AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(say AS DOUBLE)))
+        |         / CAST(det AS DOUBLE) AS b0,
+        |         (CAST(n AS DOUBLE) * (CAST(sgy AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(say AS DOUBLE))
+        |          - CAST(sy AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(sa AS DOUBLE))
+        |          + CAST(sa AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(say AS DOUBLE) - CAST(sgy AS DOUBLE) * CAST(sa AS DOUBLE)))
+        |         / CAST(det AS DOUBLE) AS b1,
+        |         (CAST(n AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(say AS DOUBLE) - CAST(sgy AS DOUBLE) * CAST(sga AS DOUBLE))
+        |          - CAST(sg AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(say AS DOUBLE) - CAST(sgy AS DOUBLE) * CAST(sa AS DOUBLE))
+        |          + CAST(sy AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(sga AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sa AS DOUBLE)))
+        |         / CAST(det AS DOUBLE) AS b2
+        |  FROM pf_d WHERE det > 0),
+        |pf_r AS (
+        |  SELECT *,
+        |         CAST(syy AS DOUBLE)
+        |         - (b0 * CAST(sy AS DOUBLE) + b1 * CAST(sgy AS DOUBLE) + b2 * CAST(say AS DOUBLE)) AS rss_full,
+        |         CAST(syy AS DOUBLE)
+        |         - (CAST(sy AS DOUBLE) - CAST(sgy AS DOUBLE)) * (CAST(sy AS DOUBLE) - CAST(sgy AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) - CAST(sg AS DOUBLE))
+        |         - CAST(sgy AS DOUBLE) * CAST(sgy AS DOUBLE) / CAST(sg AS DOUBLE) AS rss_red
+        |  FROM pf_b)
+        |SELECT probe_id, n,
+        |       round(rss_red / 994009.0, 6) AS rss_red,
+        |       round(rss_full / 994009.0, 6) AS rss_full,
+        |       CAST(1 AS BIGINT) AS df1, n - 3 AS df2,
+        |       round((rss_red - rss_full) / (rss_full / (CAST(n AS DOUBLE) - 3.0)), 6) AS f
+        |FROM pf_r
+        |WHERE sg > 0 AND n - sg > 0 AND rss_full > 0.0
+        |ORDER BY probe_id""".stripMargin))
   )
 
   /** Shared K42 statistic pass: per-probe OLS of beta (0..996 grid units)
@@ -3255,12 +3345,14 @@ object QueriesStats {
     * aggregate; 3×3 normal equations by Cramer's rule as a fixed double
     * sequence. det(XᵀX) and the variance cofactors stay EXACT BIGINT so
     * the rank gate (det > 0 ⇔ full column rank, XᵀX being PSD) is
-    * boundary-proof. Unrounded `(probe_id, n, b_group, se_group, t_group,
-    * b_age, se_age, t_age, df)` in grid units (callers rescale by /997).
+    * boundary-proof. Emits the raw integer moments, det/cofactors, the
+    * solved coefficients b0/b1/b2, and double mirrors (`nd`,`sgd`,…) for
+    * downstream fixed-sequence arithmetic — [[probeOls]] builds the k42
+    * SE/t surface on top, k43 the nested-model RSS decomposition.
     * Age is k34's panel (`20 + s_suppkey*13 % 41`, the constant 20 folded
     * into the intercept); group is the sheet's WT/MUT indicator (1=MUT).
     */
-  private[graft] def probeOls(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[graft] def probeOlsMoments(s: org.apache.spark.sql.SparkSession, d: String) = {
     val cov = Tables.table(s, d, "supplier").select(
       format_string("S%03d", col("s_suppkey")).as("sample_id"),
       (col("s_suppkey") % 2).cast("long").as("g"),
@@ -3285,8 +3377,7 @@ object QueriesStats {
       .withColumn("cof22", col("n") * col("sg") - col("sg") * col("sg"))
       .filter(col("det") > 0L)
     def d2(c: String) = col(c).cast("double")
-    val b = m
-      .withColumn("b0",
+    m.withColumn("b0",
         (d2("sy") * (d2("sg") * d2("saa") - d2("sga") * d2("sga"))
           - d2("sg") * (d2("sgy") * d2("saa") - d2("sga") * d2("say"))
           + d2("sa") * (d2("sgy") * d2("sga") - d2("sg") * d2("say")))
@@ -3301,11 +3392,24 @@ object QueriesStats {
           - d2("sg") * (d2("sg") * d2("say") - d2("sgy") * d2("sa"))
           + d2("sy") * (d2("sg") * d2("sga") - d2("sg") * d2("sa")))
           / d2("det"))
+      // double mirrors for downstream fixed-sequence arithmetic (k42 SEs,
+      // k43 RSS decomposition) — one cast site, identical on both engines
+      .withColumn("nd", d2("n")).withColumn("sgd", d2("sg"))
+      .withColumn("syd", d2("sy")).withColumn("sgyd", d2("sgy"))
+      .withColumn("sayd", d2("say")).withColumn("syyd", d2("syy"))
+  }
+
+  /** K42 coefficient surface on top of [[probeOlsMoments]]: residual
+    * variance σ̂² = RSS_full/(n−3), SEs from σ̂²·cofⱼⱼ/det, t = b/se.
+    */
+  private[graft] def probeOls(s: org.apache.spark.sql.SparkSession, d: String) = {
+    def d2(c: String) = col(c).cast("double")
+    val b = probeOlsMoments(s, d)
       .withColumn("sigma2",
-        (d2("syy")
-          - (col("b0") * d2("sy") + col("b1") * d2("sgy")
-            + col("b2") * d2("say")))
-          / (d2("n") - lit(3.0)))
+        (col("syyd")
+          - (col("b0") * col("syd") + col("b1") * col("sgyd")
+            + col("b2") * col("sayd")))
+          / (col("nd") - lit(3.0)))
       .filter(col("sigma2") > 0.0)
     b.select(col("probe_id"), col("n"),
       col("b1").as("b_group"),

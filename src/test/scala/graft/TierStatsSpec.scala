@@ -542,4 +542,21 @@ class TierStatsSpec extends SparkSpec {
         - r.getAs[Double]("b_group") / r.getAs[Double]("se_group")) < 1e-9)
     }
   }
+
+  test("k43 partial F equals t_age squared (the df1=1 nested-model identity)") {
+    val sp = spark
+    val ols = SparkEntry.queries("k42_probe_ols")(sp, sf)
+      .select("probe_id", "t_age").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val pf = SparkEntry.queries("k43_partial_f")(sp, sf)
+      .select("probe_id", "f", "df2").collect()
+    assert(pf.nonEmpty)
+    pf.foreach { r =>
+      val t = ols(r.getString(0))
+      // both sides rounded to 6dp independently → compare at 1e-3
+      assert(math.abs(r.getDouble(1) - t * t) < 1e-3 * math.max(1.0, t * t),
+        s"${r.getString(0)}: F ${r.getDouble(1)} vs t_age^2 ${t * t}")
+    }
+    graft.ops.Caches.releaseAll()
+  }
 }
