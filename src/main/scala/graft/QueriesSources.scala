@@ -391,6 +391,33 @@ object QueriesSources {
         |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
         |ORDER BY 1, 3""".stripMargin)),
 
+    // E13 — attribution, LEFT-OUTER flavor: every purchase comes out, the
+    // unattributed ones with view_id NULL ("how much revenue has no
+    // preceding view" — the first attribution question). Batch flavor of
+    // QcMonitor.attributionJoinOuter (StreamingSpec drives the live form:
+    // the null row is held until both watermarks close the purchase's
+    // match window, late by one delay but never wrong). The view filter
+    // rides the JOIN condition, not a WHERE — a WHERE on the right side
+    // would silently turn the join inner (the classic outer-join bug,
+    // asserted here by the oracle's unmatched rows).
+    Q("e13_attribution_outer", (s, d) => {
+      val ev = Tables.events(s, d)
+      QcMonitor.attributionJoinOuter(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"))
+        .select(col("purchase_id"), col("user_id"), col("view_id"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          unix_micros(col("view_ts")).as("view_us"))
+        .orderBy(col("purchase_id").asc, col("view_id").asc_nulls_first)
+    }, Some(
+      """SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
+        |       epoch_us(p.ts) AS purchase_us, epoch_us(v.ts) AS view_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON v.user_id = p.user_id AND v.ts <= p.ts
+        | AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY 1, 3 NULLS FIRST""".stripMargin)),
+
     // Streaming drift monitor, batch flavor (same transform StreamingSpec
     // drives live through MemoryStream): training-time reference = first
     // time half (binning range + Laplace-smoothed bin shares — bounded

@@ -89,6 +89,33 @@ object QcMonitor {
         col("view_id"), col("ts").as("purchase_ts"), col("v_ts").as("view_ts"))
   }
 
+  /** LEFT-OUTER watermarked stream-stream attribution — the semantic
+    * [[attributionJoin]] cannot give: purchases with NO qualifying view
+    * must still come out (as `view_id = NULL`), because "how much revenue
+    * is unattributed" is usually the first question asked of an
+    * attribution pipeline. In streaming, Spark holds the purchase in join
+    * state until BOTH watermarks pass the end of its match window and only
+    * then emits the null row — so unmatched results are late by one
+    * watermark delay but never wrong (a purchase can't be declared
+    * unattributed while a matching view could still arrive). Same state
+    * bound as the inner form: both sides' state expire by the watermark +
+    * the 1-hour range condition.
+    */
+  def attributionJoinOuter(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "30 minutes")
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "30 minutes")
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("ts") &&
+        col("v_ts") >= col("ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("view_id"), col("ts").as("purchase_ts"), col("v_ts").as("view_ts"))
+  }
+
   /** Streaming incremental dedup: the streaming flavor of
     * llm/Curation.incrementalDedup — an incoming document stream is
     * fingerprinted, anti-joined against the STATIC corpus fingerprint set

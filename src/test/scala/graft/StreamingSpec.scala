@@ -362,6 +362,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoinOuter emits unattributed purchases after the watermark closes the window") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val q = QcMonitor.attributionJoinOuter(
+        purchases.toDF().toDF("event_id", "ts", "user_id"),
+        views.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode("append").start()
+    try {
+      views.addData((11L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L))
+      purchases.addData(
+        (21L, Timestamp.valueOf("2024-01-01 10:30:00"), 1L), // attributed
+        (22L, Timestamp.valueOf("2024-01-01 10:30:00"), 2L)) // no view ever
+      q.processAllAvailable()
+      def got() = sp.table("attr_outer_out")
+        .select("purchase_id", "view_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+      // matched row emits immediately; the null row must NOT yet (a view
+      // for user 2 could still arrive inside 22's match window)
+      assert(got() == Set((21L, Some(11L))))
+      // advance both watermarks far past 10:30 + delay → window closed
+      views.addData((99L, Timestamp.valueOf("2024-01-01 14:00:00"), 9L))
+      purchases.addData((98L, Timestamp.valueOf("2024-01-01 14:00:00"), 9L))
+      q.processAllAvailable()
+      assert(got().contains((22L, None)),
+        s"unattributed purchase never emitted: ${got()}")
+    } finally q.stop()
+  }
+
   test("upsertSink applies I/U/D micro-batches to the parquet table, idempotent per batch") {
     val sp = spark
     import sp.implicits._
