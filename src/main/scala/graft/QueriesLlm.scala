@@ -418,6 +418,71 @@ object QueriesLlm {
         |SELECT doc_id, rank_lex, rank_sem, round(rrf, 6) AS rrf
         |FROM hfuse ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // N09 — ANN quality evaluation: recall@10 / MRR / nDCG@10 of the n02
+    // sign-bit LSH index against n01's brute-force ground truth over the
+    // first 20 vectors as query points (the bounded-query-sample protocol
+    // every index shipping decision runs; see Similarity.annEvalMetrics
+    // for why the metrics derive from integer state + a rank bitmask —
+    // hash-exact, no float-order hazard).
+    Q("n09_ann_eval", (s, d) =>
+      Similarity.annEvalMetrics(emb(s, d), nQueries = 20, k = 10, bits = 4),
+      Some {
+        val dcg = (1 to 10).map(r =>
+          s"(CASE WHEN (mask // ${1L << (r - 1)}) % 2 = 1 " +
+            s"THEN 1.0 / log2(${r + 1}.0) ELSE 0.0 END)").mkString(" + ")
+        val idcg = (1 to 10).map(r => s"(1.0 / log2(${r + 1}.0))").mkString(" + ")
+        s"""WITH ae_b AS (SELECT vec_id, embedding,
+          |                  (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END) +
+          |                  (CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END) +
+          |                  (CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END) +
+          |                  (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+          |           FROM embeddings),
+          |ae_ev AS (SELECT vec_id, bucket, unnest(embedding) AS v,
+          |                 generate_subscripts(embedding, 1) AS i FROM ae_b),
+          |ae_qv AS (SELECT vec_id AS qid, bucket AS qbucket, unnest(embedding) AS qv,
+          |                 generate_subscripts(embedding, 1) AS i
+          |          FROM ae_b WHERE vec_id < 20),
+          |ae_d AS (SELECT q.qid, e.vec_id, e.bucket, q.qbucket,
+          |                sum(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS dot,
+          |                sum(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS nrm,
+          |                sum(CAST(q.qv AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS qnrm
+          |         FROM ae_ev e JOIN ae_qv q USING (i)
+          |         WHERE e.vec_id != q.qid GROUP BY 1, 2, 3, 4),
+          |ae_c AS (SELECT qid, vec_id, bucket, qbucket,
+          |                CASE WHEN nrm > 0 AND qnrm > 0
+          |                     THEN round(dot / sqrt(nrm) / sqrt(qnrm), 6)
+          |                     ELSE -1.0 END AS cos
+          |         FROM ae_d),
+          |ae_t AS (SELECT qid, vec_id FROM (
+          |           SELECT qid, vec_id, row_number() OVER (
+          |             PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank_t
+          |           FROM ae_c) WHERE rank_t <= 10),
+          |ae_s AS (SELECT qid, vec_id, rank_s FROM (
+          |           SELECT qid, vec_id, row_number() OVER (
+          |             PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank_s
+          |           FROM ae_c WHERE bucket = qbucket) WHERE rank_s <= 10),
+          |ae_h AS (SELECT s.qid, s.rank_s,
+          |                CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+          |         FROM ae_s s LEFT JOIN ae_t t USING (qid, vec_id)),
+          |ae_m AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_sys,
+          |                CAST(sum(hit) AS BIGINT) AS n_hits,
+          |                min(CASE WHEN hit = 1 THEN rank_s END) AS first_rank,
+          |                CAST(sum(CASE WHEN hit = 1
+          |                  THEN CAST(power(2, rank_s - 1) AS BIGINT)
+          |                  ELSE 0 END) AS BIGINT) AS mask
+          |         FROM ae_h GROUP BY 1),
+          |ae_f AS (SELECT q.qid, coalesce(m.n_sys, 0) AS n_sys,
+          |                coalesce(m.n_hits, 0) AS n_hits, m.first_rank,
+          |                coalesce(m.mask, 0) AS mask
+          |         FROM (SELECT DISTINCT qid FROM ae_qv) q
+          |         LEFT JOIN ae_m m USING (qid))
+          |SELECT qid, n_sys, n_hits,
+          |       round(CAST(n_hits AS DOUBLE) / 10.0, 6) AS recall,
+          |       round(coalesce(1.0 / CAST(first_rank AS DOUBLE), 0.0), 6) AS mrr,
+          |       round(($dcg) / ($idcg), 6) AS ndcg
+          |FROM ae_f ORDER BY qid""".stripMargin
+      }),
+
     Q("n02_ann_lsh_bucketed", (s, d) =>
       Similarity.lshTopK(emb(s, d), queryId = 0L, k = 5, bits = 4),
       Some(

@@ -404,4 +404,70 @@ object Similarity {
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         col("block"), col("cos"))
   }
+
+  /** ANN index-quality evaluation harness: recall@k, MRR, and nDCG@k of
+    * the sign-bit LSH index ([[lshTopK]]'s retrieval rule) against
+    * brute-force cosine ground truth, over the first `nQueries` vectors as
+    * query points — the measurement that decides whether an approximate
+    * index is good enough to ship. Scale shape: ground truth on a BOUNDED
+    * query sample (the standard protocol — nobody brute-forces every
+    * query), computed as one broadcast(sample)×corpus scan with the
+    * codegen `graft_dot` loop; ranks per query point via a window keyed on
+    * the sample.
+    *
+    * Hash-exact by construction: per-query metrics derive from INTEGER
+    * state only — hit count, first-hit rank (min), and a rank BITMASK —
+    * and the nDCG fold expands the bitmask in fixed ascending-rank order
+    * (Σ bit_r·1/log2(r+1) as a literal left-associated chain), so no
+    * float accumulates in engine-dependent order (the t25 rule applied to
+    * ranking metrics).
+    */
+  def annEvalMetrics(emb: DataFrame, nQueries: Int, k: Int,
+                     bits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withVec(emb).withColumn("bucket", signBucket("v", bits))
+      .select("vec_id", "v", "bucket")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("bucket").as("qbucket"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("dot", dotC(col("v"), col("qv")))
+      .withColumn("nrm", dotC(col("v"), col("v")))
+      .withColumn("qnrm", dotC(col("qv"), col("qv")))
+      .withColumn("cos",
+        when(col("nrm") > 0 && col("qnrm") > 0,
+          round(col("dot") / sqrt(col("nrm")) / sqrt(col("qnrm")), 6))
+          .otherwise(lit(-1.0)))
+      .select("qid", "vec_id", "bucket", "qbucket", "cos")
+    val wQ = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    val truth = pairs.withColumn("rank_t", row_number().over(wQ))
+      .filter(col("rank_t") <= k).select("qid", "vec_id")
+    val sys = pairs.filter(col("bucket") === col("qbucket"))
+      .withColumn("rank_s", row_number().over(wQ))
+      .filter(col("rank_s") <= k)
+      .select("qid", "vec_id", "rank_s")
+    val hits = sys.join(truth.withColumn("hit", lit(1)),
+      Seq("qid", "vec_id"), "left")
+    val m = hits.groupBy("qid").agg(
+      count(lit(1)).as("n_sys"),
+      sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"),
+      min(when(col("hit") === 1, col("rank_s"))).as("first_rank"),
+      sum(when(col("hit") === 1,
+        expr("CAST(power(2, rank_s - 1) AS BIGINT)")).otherwise(0L)).as("mask"))
+    val filled = q.select("qid").join(m, Seq("qid"), "left")
+      .withColumn("n_sys", coalesce(col("n_sys"), lit(0L)))
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("mask", coalesce(col("mask"), lit(0L)))
+    val dcg = (1 to k).map(r =>
+      s"(CASE WHEN (mask DIV ${1L << (r - 1)}) % 2 = 1 " +
+        s"THEN 1.0 / log2(${r + 1}.0) ELSE 0.0 END)").mkString(" + ")
+    val idcg = (1 to k).map(r => s"(1.0 / log2(${r + 1}.0))").mkString(" + ")
+    filled
+      .withColumn("recall", round(col("n_hits").cast("double") / k, 6))
+      .withColumn("mrr", round(coalesce(
+        lit(1.0) / col("first_rank").cast("double"), lit(0.0)), 6))
+      .withColumn("ndcg", round(expr(s"($dcg) / ($idcg)"), 6))
+      .select("qid", "n_sys", "n_hits", "recall", "mrr", "ndcg")
+      .orderBy("qid")
+  }
 }
