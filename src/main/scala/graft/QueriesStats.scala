@@ -461,6 +461,55 @@ object QueriesStats {
       (lit(1.0) / sqrt(col("su"))).as("se_re"))
   }
 
+  /** Shared oracle CTE prefix for the k42/k43/k44 regression family:
+    * covariate panel, the nine exact integer moments (HAVING n ≥ 8),
+    * exact-bigint det/cofactors (det > 0 rank gate), and the Cramer
+    * coefficient solve — the SQL mirror of [[probeOlsMoments]].
+    */
+  private val olsCte: String =
+    """, ols_cov AS (
+      |  SELECT printf('S%03d', s_suppkey) AS sample_id,
+      |         CAST(s_suppkey % 2 AS BIGINT) AS g,
+      |         CAST(s_suppkey * 13 % 41 AS BIGINT) AS a
+      |  FROM supplier),
+      |ols_m AS (
+      |  SELECT b.probe_id, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(c.g) AS BIGINT) AS sg,
+      |         CAST(sum(c.a) AS BIGINT) AS sa,
+      |         CAST(sum(c.a * c.a) AS BIGINT) AS saa,
+      |         CAST(sum(c.g * c.a) AS BIGINT) AS sga,
+      |         CAST(sum(k) AS BIGINT) AS sy,
+      |         CAST(sum(c.g * k) AS BIGINT) AS sgy,
+      |         CAST(sum(c.a * k) AS BIGINT) AS say,
+      |         CAST(sum(k * k) AS BIGINT) AS syy
+      |  FROM (SELECT probe_id, sample_id,
+      |               CAST(round(beta * 997) AS BIGINT) AS k FROM beta) b
+      |  JOIN ols_cov c USING (sample_id)
+      |  GROUP BY 1 HAVING count(*) >= 8),
+      |ols_d AS (
+      |  SELECT *,
+      |         n * (sg * saa - sga * sga) - sg * (sg * saa - sga * sa)
+      |           + sa * (sg * sga - sg * sa) AS det,
+      |         sg * saa - sga * sga AS cof00,
+      |         n * saa - sa * sa AS cof11,
+      |         n * sg - sg * sg AS cof22
+      |  FROM ols_m),
+      |ols_b AS (
+      |  SELECT *,
+      |         (CAST(sy AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(sga AS DOUBLE))
+      |          - CAST(sg AS DOUBLE) * (CAST(sgy AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(say AS DOUBLE))
+      |          + CAST(sa AS DOUBLE) * (CAST(sgy AS DOUBLE) * CAST(sga AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(say AS DOUBLE)))
+      |         / CAST(det AS DOUBLE) AS b0,
+      |         (CAST(n AS DOUBLE) * (CAST(sgy AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(say AS DOUBLE))
+      |          - CAST(sy AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(sa AS DOUBLE))
+      |          + CAST(sa AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(say AS DOUBLE) - CAST(sgy AS DOUBLE) * CAST(sa AS DOUBLE)))
+      |         / CAST(det AS DOUBLE) AS b1,
+      |         (CAST(n AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(say AS DOUBLE) - CAST(sgy AS DOUBLE) * CAST(sga AS DOUBLE))
+      |          - CAST(sg AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(say AS DOUBLE) - CAST(sgy AS DOUBLE) * CAST(sa AS DOUBLE))
+      |          + CAST(sy AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(sga AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sa AS DOUBLE)))
+      |         / CAST(det AS DOUBLE) AS b2
+      |  FROM ols_d WHERE det > 0)""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // K3 pass 1 — per-probe two-group M-value moments, pooled variance,
@@ -3165,50 +3214,8 @@ object QueriesStats {
           round(col("t_age"), 6).as("t_age"),
           col("df"))
         .orderBy("probe_id"),
-    Some(ctes +
-      """, ols_cov AS (
-        |  SELECT printf('S%03d', s_suppkey) AS sample_id,
-        |         CAST(s_suppkey % 2 AS BIGINT) AS g,
-        |         CAST(s_suppkey * 13 % 41 AS BIGINT) AS a
-        |  FROM supplier),
-        |ols_m AS (
-        |  SELECT b.probe_id, CAST(count(*) AS BIGINT) AS n,
-        |         CAST(sum(c.g) AS BIGINT) AS sg,
-        |         CAST(sum(c.a) AS BIGINT) AS sa,
-        |         CAST(sum(c.a * c.a) AS BIGINT) AS saa,
-        |         CAST(sum(c.g * c.a) AS BIGINT) AS sga,
-        |         CAST(sum(k) AS BIGINT) AS sy,
-        |         CAST(sum(c.g * k) AS BIGINT) AS sgy,
-        |         CAST(sum(c.a * k) AS BIGINT) AS say,
-        |         CAST(sum(k * k) AS BIGINT) AS syy
-        |  FROM (SELECT probe_id, sample_id,
-        |               CAST(round(beta * 997) AS BIGINT) AS k FROM beta) b
-        |  JOIN ols_cov c USING (sample_id)
-        |  GROUP BY 1 HAVING count(*) >= 8),
-        |ols_d AS (
-        |  SELECT *,
-        |         n * (sg * saa - sga * sga) - sg * (sg * saa - sga * sa)
-        |           + sa * (sg * sga - sg * sa) AS det,
-        |         sg * saa - sga * sga AS cof00,
-        |         n * saa - sa * sa AS cof11,
-        |         n * sg - sg * sg AS cof22
-        |  FROM ols_m),
-        |ols_b AS (
-        |  SELECT *,
-        |         (CAST(sy AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(sga AS DOUBLE))
-        |          - CAST(sg AS DOUBLE) * (CAST(sgy AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(say AS DOUBLE))
-        |          + CAST(sa AS DOUBLE) * (CAST(sgy AS DOUBLE) * CAST(sga AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(say AS DOUBLE)))
-        |         / CAST(det AS DOUBLE) AS b0,
-        |         (CAST(n AS DOUBLE) * (CAST(sgy AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(say AS DOUBLE))
-        |          - CAST(sy AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(sa AS DOUBLE))
-        |          + CAST(sa AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(say AS DOUBLE) - CAST(sgy AS DOUBLE) * CAST(sa AS DOUBLE)))
-        |         / CAST(det AS DOUBLE) AS b1,
-        |         (CAST(n AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(say AS DOUBLE) - CAST(sgy AS DOUBLE) * CAST(sga AS DOUBLE))
-        |          - CAST(sg AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(say AS DOUBLE) - CAST(sgy AS DOUBLE) * CAST(sa AS DOUBLE))
-        |          + CAST(sy AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(sga AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sa AS DOUBLE)))
-        |         / CAST(det AS DOUBLE) AS b2
-        |  FROM ols_d WHERE det > 0),
-        |ols_s AS (
+    Some(ctes + olsCte +
+      """, ols_s AS (
         |  SELECT *,
         |         (CAST(syy AS DOUBLE)
         |          - (b0 * CAST(sy AS DOUBLE) + b1 * CAST(sgy AS DOUBLE) + b2 * CAST(say AS DOUBLE)))
@@ -3281,47 +3288,8 @@ object QueriesStats {
           round((col("rss_red") - col("rss_full"))
             / (col("rss_full") / (col("nd") - lit(3.0))), 6).as("f"))
         .orderBy("probe_id"),
-    Some(ctes +
-      """, pf_cov AS (
-        |  SELECT printf('S%03d', s_suppkey) AS sample_id,
-        |         CAST(s_suppkey % 2 AS BIGINT) AS g,
-        |         CAST(s_suppkey * 13 % 41 AS BIGINT) AS a
-        |  FROM supplier),
-        |pf_m AS (
-        |  SELECT b.probe_id, CAST(count(*) AS BIGINT) AS n,
-        |         CAST(sum(c.g) AS BIGINT) AS sg,
-        |         CAST(sum(c.a) AS BIGINT) AS sa,
-        |         CAST(sum(c.a * c.a) AS BIGINT) AS saa,
-        |         CAST(sum(c.g * c.a) AS BIGINT) AS sga,
-        |         CAST(sum(k) AS BIGINT) AS sy,
-        |         CAST(sum(c.g * k) AS BIGINT) AS sgy,
-        |         CAST(sum(c.a * k) AS BIGINT) AS say,
-        |         CAST(sum(k * k) AS BIGINT) AS syy
-        |  FROM (SELECT probe_id, sample_id,
-        |               CAST(round(beta * 997) AS BIGINT) AS k FROM beta) b
-        |  JOIN pf_cov c USING (sample_id)
-        |  GROUP BY 1 HAVING count(*) >= 8),
-        |pf_d AS (
-        |  SELECT *,
-        |         n * (sg * saa - sga * sga) - sg * (sg * saa - sga * sa)
-        |           + sa * (sg * sga - sg * sa) AS det
-        |  FROM pf_m),
-        |pf_b AS (
-        |  SELECT *,
-        |         (CAST(sy AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(sga AS DOUBLE))
-        |          - CAST(sg AS DOUBLE) * (CAST(sgy AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(say AS DOUBLE))
-        |          + CAST(sa AS DOUBLE) * (CAST(sgy AS DOUBLE) * CAST(sga AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(say AS DOUBLE)))
-        |         / CAST(det AS DOUBLE) AS b0,
-        |         (CAST(n AS DOUBLE) * (CAST(sgy AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(say AS DOUBLE))
-        |          - CAST(sy AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sga AS DOUBLE) * CAST(sa AS DOUBLE))
-        |          + CAST(sa AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(say AS DOUBLE) - CAST(sgy AS DOUBLE) * CAST(sa AS DOUBLE)))
-        |         / CAST(det AS DOUBLE) AS b1,
-        |         (CAST(n AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(say AS DOUBLE) - CAST(sgy AS DOUBLE) * CAST(sga AS DOUBLE))
-        |          - CAST(sg AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(say AS DOUBLE) - CAST(sgy AS DOUBLE) * CAST(sa AS DOUBLE))
-        |          + CAST(sy AS DOUBLE) * (CAST(sg AS DOUBLE) * CAST(sga AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sa AS DOUBLE)))
-        |         / CAST(det AS DOUBLE) AS b2
-        |  FROM pf_d WHERE det > 0),
-        |pf_r AS (
+    Some(ctes + olsCte +
+      """, pf_r AS (
         |  SELECT *,
         |         CAST(syy AS DOUBLE)
         |         - (b0 * CAST(sy AS DOUBLE) + b1 * CAST(sgy AS DOUBLE) + b2 * CAST(say AS DOUBLE)) AS rss_full,
@@ -3329,7 +3297,7 @@ object QueriesStats {
         |         - (CAST(sy AS DOUBLE) - CAST(sgy AS DOUBLE)) * (CAST(sy AS DOUBLE) - CAST(sgy AS DOUBLE))
         |           / (CAST(n AS DOUBLE) - CAST(sg AS DOUBLE))
         |         - CAST(sgy AS DOUBLE) * CAST(sgy AS DOUBLE) / CAST(sg AS DOUBLE) AS rss_red
-        |  FROM pf_b)
+        |  FROM ols_b)
         |SELECT probe_id, n,
         |       round(rss_red / 994009.0, 6) AS rss_red,
         |       round(rss_full / 994009.0, 6) AS rss_full,
@@ -3337,6 +3305,90 @@ object QueriesStats {
         |       round((rss_red - rss_full) / (rss_full / (CAST(n AS DOUBLE) - 3.0)), 6) AS f
         |FROM pf_r
         |WHERE sg > 0 AND n - sg > 0 AND rss_full > 0.0
+        |ORDER BY probe_id""".stripMargin)),
+
+    // K44 — heteroskedasticity-ROBUST (HC1 sandwich, White 1980 with the
+    // n/(n−p) small-sample factor) standard errors for the k42 design:
+    // when the two groups (or age strata) have unequal residual variance,
+    // k42's homoskedastic σ̂²(XᵀX)⁻¹ is wrong and the sandwich
+    // (XᵀX)⁻¹ (Σeᵢ²xᵢxᵢᵀ) (XᵀX)⁻¹ is the fix every applied EWAS reports.
+    // Two passes by construction (the meat needs residuals, residuals
+    // need b̂): pass 1 = probeOlsMoments; pass 2 joins b̂ back to the rows
+    // co-keyed on probe_id and aggregates the five meat entries. Residuals
+    // are DETERMINISTICALLY quantized to 1e-3 grid units (1e-6 beta units)
+    // before squaring, so the meat sums are exact BIGINTs in both engines
+    // — the hash gate holds with zero float-accumulation-order risk (the
+    // t25 rule; bias of the quantization is ~1e-6 relative, orders below
+    // the SE's own sampling noise). Sandwich diagonals from the exact
+    // integer adjugate in one fixed double sequence.
+    Q("k44_robust_se", (s, d) =>
+      probeOlsRobust(s, d)
+        .select(col("probe_id"), col("n"),
+          round(col("b_group") / 997.0, 6).as("b_group"),
+          round(col("se_group_hc1") / 997.0, 6).as("se_group_hc1"),
+          round(col("t_group_hc1"), 6).as("t_group_hc1"),
+          round(col("b_age") / 997.0, 6).as("b_age"),
+          round(col("se_age_hc1") / 997.0, 6).as("se_age_hc1"),
+          round(col("t_age_hc1"), 6).as("t_age_hc1"))
+        .orderBy("probe_id"),
+    Some(ctes + olsCte +
+      """, hc_adj AS (
+        |  SELECT *,
+        |         sg * saa - sga * sga AS a00,
+        |         -(sg * saa - sga * sa) AS a01,
+        |         sg * sga - sg * sa AS a02,
+        |         n * saa - sa * sa AS a11,
+        |         -(n * sga - sg * sa) AS a12,
+        |         n * sg - sg * sg AS a22
+        |  FROM ols_b),
+        |hc_e AS (
+        |  SELECT b.probe_id, c.g, c.a,
+        |         CAST(round((CAST(b.k AS DOUBLE) - o.b0
+        |           - o.b1 * CAST(c.g AS DOUBLE)
+        |           - o.b2 * CAST(c.a AS DOUBLE)) * 1000) AS BIGINT) AS er
+        |  FROM (SELECT probe_id, sample_id,
+        |               CAST(round(beta * 997) AS BIGINT) AS k FROM beta) b
+        |  JOIN ols_cov c USING (sample_id)
+        |  JOIN ols_b o USING (probe_id)),
+        |hc_w AS (
+        |  SELECT probe_id,
+        |         CAST(sum(er * er) AS BIGINT) AS w00,
+        |         CAST(sum(er * er * g) AS BIGINT) AS w01,
+        |         CAST(sum(er * er * a) AS BIGINT) AS w02,
+        |         CAST(sum(er * er * g * a) AS BIGINT) AS w12,
+        |         CAST(sum(er * er * a * a) AS BIGINT) AS w22
+        |  FROM hc_e GROUP BY 1),
+        |hc_s AS (
+        |  SELECT j.probe_id, j.n, j.b1, j.b2,
+        |         CAST(j.det AS DOUBLE) AS dd,
+        |         CAST(j.a01 AS DOUBLE) AS a01d, CAST(j.a02 AS DOUBLE) AS a02d,
+        |         CAST(j.a11 AS DOUBLE) AS a11d, CAST(j.a12 AS DOUBLE) AS a12d,
+        |         CAST(j.a22 AS DOUBLE) AS a22d,
+        |         CAST(w.w00 AS DOUBLE) / 1000000.0 AS m00,
+        |         CAST(w.w01 AS DOUBLE) / 1000000.0 AS m01,
+        |         CAST(w.w02 AS DOUBLE) / 1000000.0 AS m02,
+        |         CAST(w.w12 AS DOUBLE) / 1000000.0 AS m12,
+        |         CAST(w.w22 AS DOUBLE) / 1000000.0 AS m22
+        |  FROM hc_adj j JOIN hc_w w USING (probe_id)),
+        |hc_v AS (
+        |  SELECT *,
+        |         (a01d * (a01d * m00 + a11d * m01 + a12d * m02)
+        |          + a11d * (a01d * m01 + a11d * m01 + a12d * m12)
+        |          + a12d * (a01d * m02 + a11d * m12 + a12d * m22))
+        |         / (dd * dd) AS v1,
+        |         (a02d * (a02d * m00 + a12d * m01 + a22d * m02)
+        |          + a12d * (a02d * m01 + a12d * m01 + a22d * m12)
+        |          + a22d * (a02d * m02 + a12d * m12 + a22d * m22))
+        |         / (dd * dd) AS v2
+        |  FROM hc_s)
+        |SELECT probe_id, n,
+        |       round(b1 / 997.0, 6) AS b_group,
+        |       round(sqrt(v1 * (CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 3.0))) / 997.0, 6) AS se_group_hc1,
+        |       round(b1 / sqrt(v1 * (CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 3.0))), 6) AS t_group_hc1,
+        |       round(b2 / 997.0, 6) AS b_age,
+        |       round(sqrt(v2 * (CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 3.0))) / 997.0, 6) AS se_age_hc1,
+        |       round(b2 / sqrt(v2 * (CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 3.0))), 6) AS t_age_hc1
+        |FROM hc_v WHERE v1 > 0.0 AND v2 > 0.0
         |ORDER BY probe_id""".stripMargin))
   )
 
@@ -3419,5 +3471,75 @@ object QueriesStats {
       sqrt(col("sigma2") * d2("cof22") / d2("det")).as("se_age"),
       (col("b2") / sqrt(col("sigma2") * d2("cof22") / d2("det"))).as("t_age"),
       (col("n") - 3L).as("df"))
+  }
+
+  /** K44 HC1 sandwich pass on top of [[probeOlsMoments]]: pass 2 joins b̂
+    * back to the observation rows co-keyed on probe_id, quantizes the
+    * residual to 1e-3 grid units (exact BIGINT meat sums — the
+    * determinism device, see the k44 registration comment), and folds the
+    * sandwich diagonals (XᵀX)⁻¹M(XᵀX)⁻¹ from the exact integer adjugate
+    * in one fixed double sequence. Unrounded grid units.
+    */
+  private[graft] def probeOlsRobust(s: org.apache.spark.sql.SparkSession, d: String) = {
+    def d2(c: String) = col(c).cast("double")
+    val mo = probeOlsMoments(s, d)
+      .withColumn("a01", -(col("sg") * col("saa") - col("sga") * col("sa")))
+      .withColumn("a02", col("sg") * col("sga") - col("sg") * col("sa"))
+      .withColumn("a11", col("cof11"))
+      .withColumn("a12", -(col("n") * col("sga") - col("sg") * col("sa")))
+      .withColumn("a22", col("cof22"))
+    val cov = Tables.table(s, d, "supplier").select(
+      format_string("S%03d", col("s_suppkey")).as("sample_id"),
+      (col("s_suppkey") % 2).cast("long").as("g"),
+      (col("s_suppkey") * 13 % 41).cast("long").as("a"))
+    val meat = Tables.betaLong(s, d)
+      .withColumn("k", round(col("beta") * 997).cast("bigint"))
+      .join(broadcast(cov), "sample_id")
+      .join(mo.select("probe_id", "b0", "b1", "b2"), "probe_id")
+      .withColumn("er", round((col("k").cast("double") - col("b0")
+        - col("b1") * col("g").cast("double")
+        - col("b2") * col("a").cast("double")) * 1000).cast("bigint"))
+      .groupBy("probe_id").agg(
+        sum(col("er") * col("er")).as("w00"),
+        sum(col("er") * col("er") * col("g")).as("w01"),
+        sum(col("er") * col("er") * col("a")).as("w02"),
+        sum(col("er") * col("er") * col("g") * col("a")).as("w12"),
+        sum(col("er") * col("er") * col("a") * col("a")).as("w22"))
+    val j = mo.join(meat, "probe_id")
+      .withColumn("dd", d2("det"))
+      .withColumn("a01d", d2("a01")).withColumn("a02d", d2("a02"))
+      .withColumn("a11d", d2("a11")).withColumn("a12d", d2("a12"))
+      .withColumn("a22d", d2("a22"))
+      .withColumn("m00", d2("w00") / 1000000.0)
+      .withColumn("m01", d2("w01") / 1000000.0)
+      .withColumn("m02", d2("w02") / 1000000.0)
+      .withColumn("m12", d2("w12") / 1000000.0)
+      .withColumn("m22", d2("w22") / 1000000.0)
+      // M11 = M01 because g is binary (g² = g) — same identity in the SQL
+      .withColumn("v1",
+        (col("a01d") * (col("a01d") * col("m00") + col("a11d") * col("m01")
+            + col("a12d") * col("m02"))
+          + col("a11d") * (col("a01d") * col("m01") + col("a11d") * col("m01")
+            + col("a12d") * col("m12"))
+          + col("a12d") * (col("a01d") * col("m02") + col("a11d") * col("m12")
+            + col("a12d") * col("m22")))
+          / (col("dd") * col("dd")))
+      .withColumn("v2",
+        (col("a02d") * (col("a02d") * col("m00") + col("a12d") * col("m01")
+            + col("a22d") * col("m02"))
+          + col("a12d") * (col("a02d") * col("m01") + col("a12d") * col("m01")
+            + col("a22d") * col("m12"))
+          + col("a22d") * (col("a02d") * col("m02") + col("a12d") * col("m12")
+            + col("a22d") * col("m22")))
+          / (col("dd") * col("dd")))
+      .filter(col("v1") > 0.0 && col("v2") > 0.0)
+      .withColumn("hc1", col("n").cast("double") / (col("n").cast("double") - lit(3.0)))
+    j.select(col("probe_id"), col("n"),
+      col("b1").as("b_group"),
+      sqrt(col("v1") * col("hc1")).as("se_group_hc1"),
+      (col("b1") / sqrt(col("v1") * col("hc1"))).as("t_group_hc1"),
+      col("b2").as("b_age"),
+      sqrt(col("v2") * col("hc1")).as("se_age_hc1"),
+      (col("b2") / sqrt(col("v2") * col("hc1"))).as("t_age_hc1"))
   }
 }

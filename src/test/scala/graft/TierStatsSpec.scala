@@ -559,4 +559,53 @@ class TierStatsSpec extends SparkSpec {
     }
     graft.ops.Caches.releaseAll()
   }
+
+  test("k44 HC1 sandwich SEs match a driver-side matrix recompute") {
+    val sp = spark
+    import sp.implicits._
+    val got = QueriesStats.probeOlsRobust(sp, sf)
+      .orderBy("probe_id").limit(6).collect()
+    assert(got.nonEmpty)
+    val cov = Tables.table(sp, sf, "supplier").select(
+      format_string("S%03d", col("s_suppkey")).as("sample_id"),
+      (col("s_suppkey") % 2).cast("long").as("g"),
+      (col("s_suppkey") * 13 % 41).cast("long").as("a"))
+    val rows = Tables.betaLong(sp, sf).join(cov, "sample_id")
+      .select(col("probe_id"), round(col("beta") * 997).cast("long").as("k"),
+        col("g"), col("a"))
+      .as[(String, Long, Long, Long)].collect().groupBy(_._1)
+    got.foreach { r =>
+      val data = rows(r.getAs[String]("probe_id"))
+      val y = data.map(_._2.toDouble)
+      val x = data.map(t => Array(1.0, t._3.toDouble, t._4.toDouble))
+      // X'X inverse via commons-math, b via OLS
+      val xtx = Array.ofDim[Double](3, 3)
+      val xty = Array.ofDim[Double](3)
+      for (i <- x.indices; p <- 0 until 3) {
+        xty(p) += x(i)(p) * y(i)
+        for (q <- 0 until 3) xtx(p)(q) += x(i)(p) * x(i)(q)
+      }
+      val inv = new org.apache.commons.math3.linear.LUDecomposition(
+        new org.apache.commons.math3.linear.Array2DRowRealMatrix(xtx))
+        .getSolver.getInverse
+      val b = inv.operate(new org.apache.commons.math3.linear.ArrayRealVector(xty))
+      // meat with the SAME 1e-3 quantization as the engine
+      val meat = Array.ofDim[Double](3, 3)
+      for (i <- x.indices) {
+        val e = math.round((y(i) - b.dotProduct(
+          new org.apache.commons.math3.linear.ArrayRealVector(x(i)))) * 1000) / 1000.0
+        for (p <- 0 until 3; q <- 0 until 3)
+          meat(p)(q) += e * e * x(i)(p) * x(i)(q)
+      }
+      val mm = new org.apache.commons.math3.linear.Array2DRowRealMatrix(meat)
+      val sand = inv.multiply(mm).multiply(inv)
+      val hc1 = data.length.toDouble / (data.length - 3.0)
+      val seG = math.sqrt(sand.getEntry(1, 1) * hc1)
+      val seA = math.sqrt(sand.getEntry(2, 2) * hc1)
+      assert(math.abs(r.getAs[Double]("se_group_hc1") - seG) < 1e-6 * seG,
+        s"se_group_hc1 ${r.getAs[Double]("se_group_hc1")} vs $seG")
+      assert(math.abs(r.getAs[Double]("se_age_hc1") - seA) < 1e-6 * seA,
+        s"se_age_hc1 ${r.getAs[Double]("se_age_hc1")} vs $seA")
+    }
+  }
 }
