@@ -3404,11 +3404,17 @@ object QueriesStats {
     * Age is k34's panel (`20 + s_suppkey*13 % 41`, the constant 20 folded
     * into the intercept); group is the sheet's WT/MUT indicator (1=MUT).
     */
-  private[graft] def probeOlsMoments(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val cov = Tables.table(s, d, "supplier").select(
+  /** The k42-family covariate panel: group indicator (1 = MUT, the
+    * sheet's parity rule) and the k34 age covariate, one row per sample.
+    */
+  private[graft] def olsCov(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.table(s, d, "supplier").select(
       format_string("S%03d", col("s_suppkey")).as("sample_id"),
       (col("s_suppkey") % 2).cast("long").as("g"),
       (col("s_suppkey") * 13 % 41).cast("long").as("a"))
+
+  private[graft] def probeOlsMoments(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val cov = olsCov(s, d)
     val m = Tables.betaLong(s, d)
       .withColumn("k", round(col("beta") * 997).cast("bigint"))
       .join(broadcast(cov), "sample_id")
@@ -3482,16 +3488,17 @@ object QueriesStats {
     */
   private[graft] def probeOlsRobust(s: org.apache.spark.sql.SparkSession, d: String) = {
     def d2(c: String) = col(c).cast("double")
-    val mo = probeOlsMoments(s, d)
+    // persisted: consumed twice (the meat pass joins b̂ to the rows, the
+    // sandwich pass joins the adjugate) — without this the nine-moment
+    // aggregate and the betaLong scan behind it run twice (the w18 rule)
+    val mo = graft.ops.Caches.track(probeOlsMoments(s, d)
       .withColumn("a01", -(col("sg") * col("saa") - col("sga") * col("sa")))
       .withColumn("a02", col("sg") * col("sga") - col("sg") * col("sa"))
       .withColumn("a11", col("cof11"))
       .withColumn("a12", -(col("n") * col("sga") - col("sg") * col("sa")))
       .withColumn("a22", col("cof22"))
-    val cov = Tables.table(s, d, "supplier").select(
-      format_string("S%03d", col("s_suppkey")).as("sample_id"),
-      (col("s_suppkey") % 2).cast("long").as("g"),
-      (col("s_suppkey") * 13 % 41).cast("long").as("a"))
+      .persist())
+    val cov = olsCov(s, d)
     val meat = Tables.betaLong(s, d)
       .withColumn("k", round(col("beta") * 997).cast("bigint"))
       .join(broadcast(cov), "sample_id")

@@ -132,7 +132,9 @@ object ScaleSmoke {
       "n08_hybrid_rrf", "a37_cohens_kappa", "k37_dunn_posthoc",
       "k38_random_effects", "k39_icc", "k40_tost_equivalence",
       "k41_bootstrap_ci",
-      "s13_warc_roundtrip", "e12_neardup_monitor")
+      "s13_warc_roundtrip", "e12_neardup_monitor",
+      "k42_probe_ols", "k44_robust_se", "c21_token_budget",
+      "n09_ann_eval", "e13_attribution_outer", "a38_grouping_sets")
     val timed = only match {
       case Some(subs) => queries.filter(q => subs.exists(q.contains))
       case None => queries
