@@ -891,7 +891,72 @@ object QueriesCuration {
         |       CAST(sum(CASE WHEN cum_before < budget THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
         |       CAST(sum(CASE WHEN cum_before < budget THEN tokens ELSE 0 END) AS BIGINT) AS tok_sel,
         |       round(min(CASE WHEN cum_before < budget THEN score END), 6) AS min_sel_score
-        |FROM tb_c CROSS JOIN tb_tot GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM tb_c CROSS JOIN tb_tot GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // C22 — epoch-budget mixing table: c13 gives each source a
+    // temperature weight and a ≤1 sampling rate; this is the OTHER half
+    // every published mixture uses (Llama/DoReMi-style): when a source's
+    // allocation exceeds its corpus, it REPEATS — up to a max-epoch cap
+    // (quality data degrades past ~4 epochs, so the cap is policy, and
+    // the capped flag says which sources can't fill their allocation).
+    // alloc = weight × budget (identical double product both engines,
+    // floored to exact integer tokens); epochs = alloc/tokens capped.
+    // One hash aggregate + a 1-row broadcast normalizer — the c13 shape.
+    Q("c22_epoch_mixing", (s, d) => {
+      val budgetMult = 1.0 // budget = total corpus tokens, re-allocated
+      val maxEpochs = 4.0
+      // planted tiny source (one doc): its temperature weight exceeds its
+      // token share by ~20×, driving epochs past the cap — the testdata's
+      // sources are near-uniform, and a mixing policy whose repeat/cap
+      // branch never fires is unchecked (the e06 planted-language lesson)
+      val base = docs(s, d).select(col("source"), col("text"))
+        .unionByName(docs(s, d).filter(col("doc_id") === 0)
+          .select(lit("wiki_tiny").as("source"), col("text")))
+      val per = base
+        .select(col("source"),
+          size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
+            .cast("long").as("tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("n_tokens"))
+        .withColumn("w_raw", sqrt(col("n_tokens").cast("double")))
+      val tot = per.agg(sum("w_raw").as("w_tot"),
+        sum("n_tokens").as("tok_tot"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("weight", col("w_raw") / col("w_tot"))
+        .withColumn("alloc_tokens",
+          floor(col("weight") * (col("tok_tot").cast("double") * budgetMult))
+            .cast("bigint"))
+        .withColumn("epochs_raw",
+          col("alloc_tokens").cast("double") / col("n_tokens").cast("double"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("weight"), 6).as("weight"),
+          col("alloc_tokens"),
+          round(least(col("epochs_raw"), lit(maxEpochs)), 6).as("epochs"),
+          (col("epochs_raw") > maxEpochs).as("capped"))
+        .orderBy("source")
+    }, Some(
+      """WITH em_base AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'wiki_tiny' AS source, text FROM documents WHERE doc_id = 0),
+        |em_sized AS (
+        |  SELECT source,
+        |         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS BIGINT) AS tokens
+        |  FROM em_base),
+        |em_per AS (SELECT source, count(*) AS n_docs,
+        |                  CAST(sum(tokens) AS BIGINT) AS n_tokens,
+        |                  sqrt(CAST(sum(tokens) AS DOUBLE)) AS w_raw
+        |           FROM em_sized GROUP BY 1),
+        |em_tot AS (SELECT sum(w_raw) AS w_tot,
+        |                  CAST(sum(n_tokens) AS BIGINT) AS tok_tot FROM em_per)
+        |SELECT source, n_docs, n_tokens,
+        |       round(w_raw / w_tot, 6) AS weight,
+        |       CAST(floor(w_raw / w_tot * (CAST(tok_tot AS DOUBLE) * 1.0)) AS BIGINT) AS alloc_tokens,
+        |       round(least(CAST(CAST(floor(w_raw / w_tot * (CAST(tok_tot AS DOUBLE) * 1.0)) AS BIGINT) AS DOUBLE)
+        |                   / CAST(n_tokens AS DOUBLE), 4.0), 6) AS epochs,
+        |       CAST(CAST(floor(w_raw / w_tot * (CAST(tok_tot AS DOUBLE) * 1.0)) AS BIGINT) AS DOUBLE)
+        |         / CAST(n_tokens AS DOUBLE) > 4.0 AS capped
+        |FROM em_per CROSS JOIN em_tot ORDER BY source""".stripMargin))
   )
 
   /** Deterministic two-source entity mentions for c17/c18 (the r12
