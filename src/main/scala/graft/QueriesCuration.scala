@@ -899,9 +899,15 @@ object QueriesCuration {
     // allocation exceeds its corpus, it REPEATS — up to a max-epoch cap
     // (quality data degrades past ~4 epochs, so the cap is policy, and
     // the capped flag says which sources can't fill their allocation).
-    // alloc = weight × budget (identical double product both engines,
-    // floored to exact integer tokens); epochs = alloc/tokens capped.
     // One hash aggregate + a 1-row broadcast normalizer — the c13 shape.
+    // DETERMINISM: because alloc_tokens floors to an exact-compare
+    // integer, the weight's NORMALIZER must not be an order-dependent
+    // double sum (c13 exports only rounded doubles and may sum w_raw
+    // freely; flooring may not). The temperature weight here is therefore
+    // w = ⌊√tokens⌋ — an exact integer for any tokens < 1e12 (double
+    // sqrt is correctly rounded and the nearest integer boundary is
+    // ≥ 1/(2√x) away, orders above one ulp) — so Σw is an exact bigint
+    // and weight = w/Σw is ONE double division both engines share.
     Q("c22_epoch_mixing", (s, d) => {
       val budgetMult = 1.0 // budget = total corpus tokens, re-allocated
       val maxEpochs = 4.0
@@ -918,11 +924,11 @@ object QueriesCuration {
             .cast("long").as("tokens"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("tokens").as("n_tokens"))
-        .withColumn("w_raw", sqrt(col("n_tokens").cast("double")))
+        .withColumn("w_raw", floor(sqrt(col("n_tokens").cast("double"))).cast("bigint"))
       val tot = per.agg(sum("w_raw").as("w_tot"),
         sum("n_tokens").as("tok_tot"))
       per.crossJoin(broadcast(tot))
-        .withColumn("weight", col("w_raw") / col("w_tot"))
+        .withColumn("weight", col("w_raw").cast("double") / col("w_tot").cast("double"))
         .withColumn("alloc_tokens",
           floor(col("weight") * (col("tok_tot").cast("double") * budgetMult))
             .cast("bigint"))
@@ -945,16 +951,16 @@ object QueriesCuration {
         |  FROM em_base),
         |em_per AS (SELECT source, count(*) AS n_docs,
         |                  CAST(sum(tokens) AS BIGINT) AS n_tokens,
-        |                  sqrt(CAST(sum(tokens) AS DOUBLE)) AS w_raw
+        |                  CAST(floor(sqrt(CAST(sum(tokens) AS DOUBLE))) AS BIGINT) AS w_raw
         |           FROM em_sized GROUP BY 1),
-        |em_tot AS (SELECT sum(w_raw) AS w_tot,
+        |em_tot AS (SELECT CAST(sum(w_raw) AS BIGINT) AS w_tot,
         |                  CAST(sum(n_tokens) AS BIGINT) AS tok_tot FROM em_per)
         |SELECT source, n_docs, n_tokens,
-        |       round(w_raw / w_tot, 6) AS weight,
-        |       CAST(floor(w_raw / w_tot * (CAST(tok_tot AS DOUBLE) * 1.0)) AS BIGINT) AS alloc_tokens,
-        |       round(least(CAST(CAST(floor(w_raw / w_tot * (CAST(tok_tot AS DOUBLE) * 1.0)) AS BIGINT) AS DOUBLE)
+        |       round(CAST(w_raw AS DOUBLE) / CAST(w_tot AS DOUBLE), 6) AS weight,
+        |       CAST(floor(CAST(w_raw AS DOUBLE) / CAST(w_tot AS DOUBLE) * (CAST(tok_tot AS DOUBLE) * 1.0)) AS BIGINT) AS alloc_tokens,
+        |       round(least(CAST(CAST(floor(CAST(w_raw AS DOUBLE) / CAST(w_tot AS DOUBLE) * (CAST(tok_tot AS DOUBLE) * 1.0)) AS BIGINT) AS DOUBLE)
         |                   / CAST(n_tokens AS DOUBLE), 4.0), 6) AS epochs,
-        |       CAST(CAST(floor(w_raw / w_tot * (CAST(tok_tot AS DOUBLE) * 1.0)) AS BIGINT) AS DOUBLE)
+        |       CAST(CAST(floor(CAST(w_raw AS DOUBLE) / CAST(w_tot AS DOUBLE) * (CAST(tok_tot AS DOUBLE) * 1.0)) AS BIGINT) AS DOUBLE)
         |         / CAST(n_tokens AS DOUBLE) > 4.0 AS capped
         |FROM em_per CROSS JOIN em_tot ORDER BY source""".stripMargin))
   )

@@ -3239,7 +3239,9 @@ object QueriesStats {
     // (b, se, t, df) ride k42_probe_ols's oracle.
     Q("k42_ols_inference", (s, d) => {
       GraftExtensions.registerAll(s)
-      val base = probeOls(s, d)
+      // persisted: consumed twice by the unionAll below (the w18 rule —
+      // without this the nine-moment aggregate runs once per branch)
+      val base = graft.ops.Caches.track(probeOls(s, d).persist())
       val long = base.select(col("probe_id"), lit("group").as("coef"),
           (col("b_group") / 997.0).as("b"), col("t_group").as("t_stat"),
           col("df"))
@@ -3315,12 +3317,16 @@ object QueriesStats {
     // Two passes by construction (the meat needs residuals, residuals
     // need b̂): pass 1 = probeOlsMoments; pass 2 joins b̂ back to the rows
     // co-keyed on probe_id and aggregates the five meat entries. Residuals
-    // are DETERMINISTICALLY quantized to 1e-3 grid units (1e-6 beta units)
+    // are DETERMINISTICALLY quantized to 1e-2 grid units (1e-5 beta units)
     // before squaring, so the meat sums are exact BIGINTs in both engines
     // — the hash gate holds with zero float-accumulation-order risk (the
-    // t25 rule; bias of the quantization is ~1e-6 relative, orders below
-    // the SE's own sampling noise). Sandwich diagonals from the exact
-    // integer adjugate in one fixed double sequence.
+    // t25 rule; quantization bias is ~1e-5 relative, orders below the
+    // SE's own sampling noise). Worst-case meat magnitude er²·a² ≤
+    // 1.6e11/row ⇒ BIGINT-safe to ~5×10⁷ rows/probe, comfortably past
+    // the det terms' own ~1e5-samples envelope (at 1e-3 quantization the
+    // meat would overflow 20× BELOW that envelope — the reason for 1e-2).
+    // Sandwich diagonals from the exact integer adjugate in one fixed
+    // double sequence.
     Q("k44_robust_se", (s, d) =>
       probeOlsRobust(s, d)
         .select(col("probe_id"), col("n"),
@@ -3345,7 +3351,7 @@ object QueriesStats {
         |  SELECT b.probe_id, c.g, c.a,
         |         CAST(round((CAST(b.k AS DOUBLE) - o.b0
         |           - o.b1 * CAST(c.g AS DOUBLE)
-        |           - o.b2 * CAST(c.a AS DOUBLE)) * 1000) AS BIGINT) AS er
+        |           - o.b2 * CAST(c.a AS DOUBLE)) * 100) AS BIGINT) AS er
         |  FROM (SELECT probe_id, sample_id,
         |               CAST(round(beta * 997) AS BIGINT) AS k FROM beta) b
         |  JOIN ols_cov c USING (sample_id)
@@ -3364,11 +3370,11 @@ object QueriesStats {
         |         CAST(j.a01 AS DOUBLE) AS a01d, CAST(j.a02 AS DOUBLE) AS a02d,
         |         CAST(j.a11 AS DOUBLE) AS a11d, CAST(j.a12 AS DOUBLE) AS a12d,
         |         CAST(j.a22 AS DOUBLE) AS a22d,
-        |         CAST(w.w00 AS DOUBLE) / 1000000.0 AS m00,
-        |         CAST(w.w01 AS DOUBLE) / 1000000.0 AS m01,
-        |         CAST(w.w02 AS DOUBLE) / 1000000.0 AS m02,
-        |         CAST(w.w12 AS DOUBLE) / 1000000.0 AS m12,
-        |         CAST(w.w22 AS DOUBLE) / 1000000.0 AS m22
+        |         CAST(w.w00 AS DOUBLE) / 10000.0 AS m00,
+        |         CAST(w.w01 AS DOUBLE) / 10000.0 AS m01,
+        |         CAST(w.w02 AS DOUBLE) / 10000.0 AS m02,
+        |         CAST(w.w12 AS DOUBLE) / 10000.0 AS m12,
+        |         CAST(w.w22 AS DOUBLE) / 10000.0 AS m22
         |  FROM hc_adj j JOIN hc_w w USING (probe_id)),
         |hc_v AS (
         |  SELECT *,
@@ -3481,7 +3487,7 @@ object QueriesStats {
 
   /** K44 HC1 sandwich pass on top of [[probeOlsMoments]]: pass 2 joins b̂
     * back to the observation rows co-keyed on probe_id, quantizes the
-    * residual to 1e-3 grid units (exact BIGINT meat sums — the
+    * residual to 1e-2 grid units (exact BIGINT meat sums — the
     * determinism device, see the k44 registration comment), and folds the
     * sandwich diagonals (XᵀX)⁻¹M(XᵀX)⁻¹ from the exact integer adjugate
     * in one fixed double sequence. Unrounded grid units.
@@ -3505,7 +3511,7 @@ object QueriesStats {
       .join(mo.select("probe_id", "b0", "b1", "b2"), "probe_id")
       .withColumn("er", round((col("k").cast("double") - col("b0")
         - col("b1") * col("g").cast("double")
-        - col("b2") * col("a").cast("double")) * 1000).cast("bigint"))
+        - col("b2") * col("a").cast("double")) * 100).cast("bigint"))
       .groupBy("probe_id").agg(
         sum(col("er") * col("er")).as("w00"),
         sum(col("er") * col("er") * col("g")).as("w01"),
@@ -3517,11 +3523,11 @@ object QueriesStats {
       .withColumn("a01d", d2("a01")).withColumn("a02d", d2("a02"))
       .withColumn("a11d", d2("a11")).withColumn("a12d", d2("a12"))
       .withColumn("a22d", d2("a22"))
-      .withColumn("m00", d2("w00") / 1000000.0)
-      .withColumn("m01", d2("w01") / 1000000.0)
-      .withColumn("m02", d2("w02") / 1000000.0)
-      .withColumn("m12", d2("w12") / 1000000.0)
-      .withColumn("m22", d2("w22") / 1000000.0)
+      .withColumn("m00", d2("w00") / 10000.0)
+      .withColumn("m01", d2("w01") / 10000.0)
+      .withColumn("m02", d2("w02") / 10000.0)
+      .withColumn("m12", d2("w12") / 10000.0)
+      .withColumn("m22", d2("w22") / 10000.0)
       // M11 = M01 because g is binary (g² = g) — same identity in the SQL
       .withColumn("v1",
         (col("a01d") * (col("a01d") * col("m00") + col("a11d") * col("m01")

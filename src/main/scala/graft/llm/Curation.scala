@@ -516,10 +516,15 @@ object Curation {
   def tokenBudgetSelect(docs: DataFrame, scoreCol: String, tokenCol: String,
                         idCol: String, budget: Long,
                         windowMaxRows: Long = 5000000L): DataFrame = {
+    // normalize the token column to long BEFORE the dispatch so both paths
+    // return the identical schema (the ranged pass decodes with getLong;
+    // a dispatch that changes output types at the size threshold would be
+    // a downstream-breaking discontinuity)
+    val normalized = docs.withColumn(tokenCol, col(tokenCol).cast("long"))
     val input =
       if (docs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        graft.ops.Caches.track(docs.persist())
-      else docs
+        graft.ops.Caches.track(normalized.persist())
+      else normalized
     if (input.count() <= windowMaxRows)
       tokenBudgetWindowed(input, scoreCol, tokenCol, idCol, budget)
     else tokenBudgetRanged(input, scoreCol, tokenCol, idCol, budget)
@@ -529,8 +534,9 @@ object Curation {
       tokenCol: String, idCol: String, budget: Long): DataFrame = {
     val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("cum_before",
-        coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
+    df.withColumn(tokenCol, col(tokenCol).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)))
       .withColumn("selected", col("cum_before") < budget)
   }
 

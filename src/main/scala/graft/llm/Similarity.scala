@@ -425,20 +425,27 @@ object Similarity {
   def annEvalMetrics(emb: DataFrame, nQueries: Int, k: Int,
                      bits: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // norms once per VECTOR (not per pair — nQueries× less norm work)
     val e = withVec(emb).withColumn("bucket", signBucket("v", bits))
-      .select("vec_id", "v", "bucket")
+      .withColumn("nrm", dotC(col("v"), col("v")))
+      .select("vec_id", "v", "bucket", "nrm")
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("bucket").as("qbucket"))
-    val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("dot", dotC(col("v"), col("qv")))
-      .withColumn("nrm", dotC(col("v"), col("v")))
-      .withColumn("qnrm", dotC(col("qv"), col("qv")))
-      .withColumn("cos",
-        when(col("nrm") > 0 && col("qnrm") > 0,
-          round(col("dot") / sqrt(col("nrm")) / sqrt(col("qnrm")), 6))
-          .otherwise(lit(-1.0)))
-      .select("qid", "vec_id", "bucket", "qbucket", "cos")
+        col("bucket").as("qbucket"), col("nrm").as("qnrm"))
+    // persisted: the truth and system rankings below are two separate
+    // window consumers of this scan, and the system side's bucket filter
+    // sits under its exchange so ReuseExchange can't dedupe them — without
+    // the persist the broadcast(sample)×corpus dot scan runs twice (the
+    // w18 rule)
+    val pairs = graft.ops.Caches.track(
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("dot", dotC(col("v"), col("qv")))
+        .withColumn("cos",
+          when(col("nrm") > 0 && col("qnrm") > 0,
+            round(col("dot") / sqrt(col("nrm")) / sqrt(col("qnrm")), 6))
+            .otherwise(lit(-1.0)))
+        .select("qid", "vec_id", "bucket", "qbucket", "cos")
+        .persist())
     val wQ = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     val truth = pairs.withColumn("rank_t", row_number().over(wQ))
       .filter(col("rank_t") <= k).select("qid", "vec_id")

