@@ -418,14 +418,20 @@ object QueriesLlm {
         |SELECT doc_id, rank_lex, rank_sem, round(rrf, 6) AS rrf
         |FROM hfuse ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
 
-    // N09 — ANN quality evaluation: recall@10 / MRR / nDCG@10 of the n02
-    // sign-bit LSH index against n01's brute-force ground truth over the
-    // first 20 vectors as query points (the bounded-query-sample protocol
-    // every index shipping decision runs; see Similarity.annEvalMetrics
-    // for why the metrics derive from integer state + a rank bitmask —
-    // hash-exact, no float-order hazard).
+    // N09 — ANN quality evaluation panel: recall@10 / MRR / nDCG@10 of
+    // THREE retrieval rules (lsh sign-bucket / ivf cell-probe / pq ADC)
+    // against n01's brute-force ground truth over the first 20 vectors as
+    // query points (the bounded-query-sample protocol every index shipping
+    // decision runs). The ivf/pq quantizers are pinned at deterministic
+    // seed centers (ids 20..27) so the whole panel is SQL-expressible and
+    // FULLY oracle-checked; the Lloyd-trained production codebooks (n03,
+    // n06) are recall-graded in SimilaritySpec. See
+    // Similarity.annEvalMetrics for why the metrics derive from integer
+    // state + a shiftleft rank bitmask — hash-exact, no float-order
+    // hazard.
     Q("n09_ann_eval", (s, d) =>
-      Similarity.annEvalMetrics(emb(s, d), nQueries = 20, k = 10, bits = 4),
+      Similarity.annEvalMetrics(emb(s, d), nQueries = 20, k = 10, bits = 4,
+        nlist = 8, nprobe = 2, m = 4, codebookSize = 8),
       Some {
         val dcg = (1 to 10).map(r =>
           s"(CASE WHEN (mask // ${1L << (r - 1)}) % 2 = 1 " +
@@ -437,50 +443,109 @@ object QueriesLlm {
           |                  (CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END) +
           |                  (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
           |           FROM embeddings),
-          |ae_ev AS (SELECT vec_id, bucket, unnest(embedding) AS v,
+          |ae_el AS (SELECT vec_id, bucket, CAST(unnest(embedding) AS DOUBLE) AS v,
           |                 generate_subscripts(embedding, 1) AS i FROM ae_b),
-          |ae_qv AS (SELECT vec_id AS qid, bucket AS qbucket, unnest(embedding) AS qv,
-          |                 generate_subscripts(embedding, 1) AS i
-          |          FROM ae_b WHERE vec_id < 20),
-          |ae_d AS (SELECT q.qid, e.vec_id, e.bucket, q.qbucket,
-          |                sum(CAST(e.v AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS dot,
-          |                sum(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS nrm,
-          |                sum(CAST(q.qv AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS qnrm
-          |         FROM ae_ev e JOIN ae_qv q USING (i)
-          |         WHERE e.vec_id != q.qid GROUP BY 1, 2, 3, 4),
-          |ae_c AS (SELECT qid, vec_id, bucket, qbucket,
-          |                CASE WHEN nrm > 0 AND qnrm > 0
-          |                     THEN round(dot / sqrt(nrm) / sqrt(qnrm), 6)
+          |ae_n AS (SELECT vec_id, sum(v * v) AS nrm FROM ae_el GROUP BY 1),
+          |ae_d AS (SELECT q.vec_id AS qid, e.vec_id, e.bucket,
+          |                q.bucket AS qbucket, sum(e.v * q.v) AS dot
+          |         FROM ae_el e JOIN ae_el q USING (i)
+          |         WHERE q.vec_id < 20 AND e.vec_id != q.vec_id
+          |         GROUP BY 1, 2, 3, 4),
+          |ae_c AS (SELECT d.qid, d.vec_id, d.bucket, d.qbucket,
+          |                CASE WHEN ne.nrm > 0 AND nq.nrm > 0
+          |                     THEN round(d.dot / sqrt(ne.nrm) / sqrt(nq.nrm), 6)
           |                     ELSE -1.0 END AS cos
-          |         FROM ae_d),
+          |         FROM ae_d d JOIN ae_n ne ON d.vec_id = ne.vec_id
+          |                     JOIN ae_n nq ON d.qid = nq.vec_id),
           |ae_t AS (SELECT qid, vec_id FROM (
           |           SELECT qid, vec_id, row_number() OVER (
           |             PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank_t
           |           FROM ae_c) WHERE rank_t <= 10),
-          |ae_s AS (SELECT qid, vec_id, rank_s FROM (
+          |ae_lsh AS (SELECT qid, vec_id, rank_s FROM (
           |           SELECT qid, vec_id, row_number() OVER (
           |             PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank_s
           |           FROM ae_c WHERE bucket = qbucket) WHERE rank_s <= 10),
-          |ae_h AS (SELECT s.qid, s.rank_s,
+          |ae_cd AS (SELECT e.vec_id, c.vec_id - 20 AS cid,
+          |                 round(any_value(ne.nrm) - 2 * sum(e.v * c.v)
+          |                       + any_value(nc.nrm), 6) AS cdist
+          |          FROM ae_el e JOIN ae_el c USING (i)
+          |          JOIN ae_n ne ON ne.vec_id = e.vec_id
+          |          JOIN ae_n nc ON nc.vec_id = c.vec_id
+          |          WHERE c.vec_id >= 20 AND c.vec_id < 28
+          |          GROUP BY 1, 2),
+          |ae_cell AS (SELECT vec_id, cid FROM (
+          |             SELECT vec_id, cid, row_number() OVER (
+          |               PARTITION BY vec_id ORDER BY cdist, cid) AS rk
+          |             FROM ae_cd) WHERE rk = 1),
+          |ae_probe AS (SELECT qid, cid FROM (
+          |             SELECT vec_id AS qid, cid, row_number() OVER (
+          |               PARTITION BY vec_id ORDER BY cdist, cid) AS rk
+          |             FROM ae_cd WHERE vec_id < 20) WHERE rk <= 2),
+          |ae_ivf AS (SELECT qid, vec_id, rank_s FROM (
+          |             SELECT c.qid, c.vec_id, row_number() OVER (
+          |               PARTITION BY c.qid ORDER BY c.cos DESC, c.vec_id) AS rank_s
+          |             FROM ae_c c JOIN ae_cell ce ON ce.vec_id = c.vec_id
+          |                         JOIN ae_probe p ON p.qid = c.qid AND p.cid = ce.cid)
+          |           WHERE rank_s <= 10),
+          |ae_u AS (SELECT e.vec_id,
+          |                CASE WHEN n.nrm > 0 THEN e.v / sqrt(n.nrm) ELSE e.v END AS vn,
+          |                CAST((e.i - 1) // 16 AS INT) AS s,
+          |                ((e.i - 1) % 16) + 1 AS j
+          |         FROM ae_el e JOIN ae_n n ON n.vec_id = e.vec_id),
+          |ae_svv AS (SELECT vec_id, s, sum(vn * vn) AS svv
+          |           FROM ae_u GROUP BY 1, 2),
+          |ae_sd AS (SELECT v.vec_id, v.s, c.vec_id - 20 AS cid,
+          |                 round(any_value(sv.svv) - 2 * sum(v.vn * c.vn)
+          |                       + any_value(sc.svv), 6) AS dsub
+          |          FROM ae_u v JOIN ae_u c ON v.s = c.s AND v.j = c.j
+          |          JOIN ae_svv sv ON sv.vec_id = v.vec_id AND sv.s = v.s
+          |          JOIN ae_svv sc ON sc.vec_id = c.vec_id AND sc.s = c.s
+          |          WHERE c.vec_id >= 20 AND c.vec_id < 28
+          |          GROUP BY 1, 2, 3),
+          |ae_code AS (SELECT vec_id, s, cid FROM (
+          |             SELECT vec_id, s, cid, row_number() OVER (
+          |               PARTITION BY vec_id, s ORDER BY dsub, cid) AS rk
+          |             FROM ae_sd) WHERE rk = 1),
+          |ae_ad AS (SELECT q.vec_id AS qid, co.vec_id,
+          |                 round(sum(CASE WHEN co.s = 0 THEN q.dsub END)
+          |                     + sum(CASE WHEN co.s = 1 THEN q.dsub END)
+          |                     + sum(CASE WHEN co.s = 2 THEN q.dsub END)
+          |                     + sum(CASE WHEN co.s = 3 THEN q.dsub END), 6) AS adist
+          |          FROM ae_code co JOIN ae_sd q ON q.s = co.s AND q.cid = co.cid
+          |          WHERE q.vec_id < 20 AND co.vec_id != q.vec_id
+          |          GROUP BY 1, 2),
+          |ae_pq AS (SELECT qid, vec_id, rank_s FROM (
+          |            SELECT qid, vec_id, row_number() OVER (
+          |              PARTITION BY qid ORDER BY adist, vec_id) AS rank_s
+          |            FROM ae_ad) WHERE rank_s <= 10),
+          |ae_sys AS (SELECT 'lsh' AS index_kind, qid, vec_id, rank_s FROM ae_lsh
+          |           UNION ALL SELECT 'ivf', qid, vec_id, rank_s FROM ae_ivf
+          |           UNION ALL SELECT 'pq', qid, vec_id, rank_s FROM ae_pq),
+          |ae_h AS (SELECT s.index_kind, s.qid, s.rank_s,
           |                CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
-          |         FROM ae_s s LEFT JOIN ae_t t USING (qid, vec_id)),
-          |ae_m AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_sys,
+          |         FROM ae_sys s LEFT JOIN ae_t t
+          |           ON t.qid = s.qid AND t.vec_id = s.vec_id),
+          |ae_m AS (SELECT index_kind, qid, CAST(count(*) AS BIGINT) AS n_sys,
           |                CAST(sum(hit) AS BIGINT) AS n_hits,
           |                min(CASE WHEN hit = 1 THEN rank_s END) AS first_rank,
           |                CAST(sum(CASE WHEN hit = 1
-          |                  THEN CAST(power(2, rank_s - 1) AS BIGINT)
+          |                  THEN (CAST(1 AS BIGINT) << (rank_s - 1))
           |                  ELSE 0 END) AS BIGINT) AS mask
-          |         FROM ae_h GROUP BY 1),
-          |ae_f AS (SELECT q.qid, coalesce(m.n_sys, 0) AS n_sys,
+          |         FROM ae_h GROUP BY 1, 2),
+          |ae_f AS (SELECT g.index_kind, g.qid, coalesce(m.n_sys, 0) AS n_sys,
           |                coalesce(m.n_hits, 0) AS n_hits, m.first_rank,
           |                coalesce(m.mask, 0) AS mask
-          |         FROM (SELECT DISTINCT qid FROM ae_qv) q
-          |         LEFT JOIN ae_m m USING (qid))
-          |SELECT qid, n_sys, n_hits,
+          |         FROM (SELECT k.index_kind, q.qid
+          |               FROM (SELECT DISTINCT vec_id AS qid FROM ae_b
+          |                     WHERE vec_id < 20) q
+          |               CROSS JOIN (VALUES ('lsh'), ('ivf'), ('pq'))
+          |                 AS k(index_kind)) g
+          |         LEFT JOIN ae_m m USING (index_kind, qid))
+          |SELECT index_kind, qid, n_sys, n_hits,
           |       round(CAST(n_hits AS DOUBLE) / 10.0, 6) AS recall,
           |       round(coalesce(1.0 / CAST(first_rank AS DOUBLE), 0.0), 6) AS mrr,
           |       round(($dcg) / ($idcg), 6) AS ndcg
-          |FROM ae_f ORDER BY qid""".stripMargin
+          |FROM ae_f ORDER BY index_kind, qid""".stripMargin
       }),
 
     Q("n02_ann_lsh_bucketed", (s, d) =>

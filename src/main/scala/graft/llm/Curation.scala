@@ -516,11 +516,13 @@ object Curation {
   def tokenBudgetSelect(docs: DataFrame, scoreCol: String, tokenCol: String,
                         idCol: String, budget: Long,
                         windowMaxRows: Long = 5000000L): DataFrame = {
-    // normalize the token column to long BEFORE the dispatch so both paths
-    // return the identical schema (the ranged pass decodes with getLong;
-    // a dispatch that changes output types at the size threshold would be
-    // a downstream-breaking discontinuity)
-    val normalized = docs.withColumn(tokenCol, col(tokenCol).cast("long"))
+    // normalize the token column to non-null long BEFORE the dispatch so
+    // both paths accept identical inputs and return the identical schema
+    // (the ranged pass decodes with getLong, which NPEs on null; the
+    // windowed sum would silently skip nulls — either divergence would be
+    // a downstream-breaking discontinuity at the size threshold)
+    val normalized =
+      docs.withColumn(tokenCol, coalesce(col(tokenCol).cast("long"), lit(0L)))
     val input =
       if (docs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         graft.ops.Caches.track(normalized.persist())
@@ -534,7 +536,7 @@ object Curation {
       tokenCol: String, idCol: String, budget: Long): DataFrame = {
     val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn(tokenCol, col(tokenCol).cast("long"))
+    df.withColumn(tokenCol, coalesce(col(tokenCol).cast("long"), lit(0L)))
       .withColumn("cum_before",
         coalesce(sum(col(tokenCol)).over(w), lit(0L)))
       .withColumn("selected", col("cum_before") < budget)
@@ -553,11 +555,12 @@ object Curation {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // normalize the token column to long up front: pass 2/3 decode rows
-    // with getLong, and the windowed sibling casts too — the dispatch must
-    // not change accepted inputs at the size threshold
+    // normalize the token column to non-null long up front: pass 2/3
+    // decode rows with getLong (NPE on null), and the windowed sibling
+    // coalesces too — the dispatch must not change accepted inputs at the
+    // size threshold
     val sorted = graft.ops.Caches.track(df
-      .withColumn(tokenCol, col(tokenCol).cast("long"))
+      .withColumn(tokenCol, coalesce(col(tokenCol).cast("long"), lit(0L)))
       .repartitionByRange(parts, col(scoreCol).desc, col(idCol).asc)
       .sortWithinPartitions(col(scoreCol).desc, col(idCol).asc)
       .persist())

@@ -406,37 +406,62 @@ object Similarity {
   }
 
   /** ANN index-quality evaluation harness: recall@k, MRR, and nDCG@k of
-    * the sign-bit LSH index ([[lshTopK]]'s retrieval rule) against
-    * brute-force cosine ground truth, over the first `nQueries` vectors as
-    * query points — the measurement that decides whether an approximate
-    * index is good enough to ship. Scale shape: ground truth on a BOUNDED
-    * query sample (the standard protocol — nobody brute-forces every
-    * query), computed as one broadcast(sample)×corpus scan with the
-    * codegen `graft_dot` loop; ranks per query point via a window keyed on
-    * the sample.
+    * THREE approximate retrieval rules against brute-force cosine ground
+    * truth, over the first `nQueries` vectors as query points — the
+    * measurement that decides whether an approximate index is good enough
+    * to ship. One output row per (index_kind, qid):
+    *
+    *  - `lsh` — the sign-bit bucket rule of [[lshTopK]] (candidates =
+    *    same bucket, ranked by cosine);
+    *  - `ivf` — the cell-probe rule of [[ivfTopK]] (candidates = the
+    *    `nprobe` cells nearest the query, ranked by cosine), with the
+    *    coarse quantizer HELD FIXED at `nlist` deterministic seed centers
+    *    (the vectors at ids `[nQueries, nQueries+nlist)`) — the standard
+    *    eval simplification: grade the cell-probe structure with the
+    *    codebook pinned, so the whole panel stays SQL-expressible and
+    *    fully oracle-checkable (Lloyd-trained codebooks are spec-graded
+    *    separately in SimilaritySpec);
+    *  - `pq` — the ADC rule of [[pqTopK]] (rank ALL codes by asymmetric
+    *    distance, take top-k), with per-subspace codebooks likewise
+    *    pinned at the seed vectors' sub-slices, on L2-normalized vectors
+    *    so ascending ADC ≈ descending cosine.
+    *
+    * Scale shape: ground truth on a BOUNDED query sample (the standard
+    * protocol — nobody brute-forces every query), computed as one
+    * broadcast(sample)×corpus scan with the codegen `graft_dot` loop;
+    * every quantizer table (centers, probe lists, distance tables) is a
+    * broadcast-sized frame derived in-engine — no driver collect at all.
     *
     * Hash-exact by construction: per-query metrics derive from INTEGER
-    * state only — hit count, first-hit rank (min), and a rank BITMASK —
+    * state only — hit count, first-hit rank (min), and a rank BITMASK
+    * built with integer `shiftleft` (exact to rank 63, enforced by the
+    * `k` guard — `power(2, ·)` doubles would silently corrupt past 53) —
     * and the nDCG fold expands the bitmask in fixed ascending-rank order
     * (Σ bit_r·1/log2(r+1) as a literal left-associated chain), so no
     * float accumulates in engine-dependent order (the t25 rule applied to
-    * ranking metrics).
+    * ranking metrics). Every argmin/rank runs on round(·, 6) values with
+    * an id tie-break, the repo-wide cross-engine determinism rule.
     */
   def annEvalMetrics(emb: DataFrame, nQueries: Int, k: Int,
-                     bits: Int = 4): DataFrame = {
+                     bits: Int = 4, nlist: Int = 8, nprobe: Int = 2,
+                     m: Int = 4, codebookSize: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 63,
+      s"k=$k outside [1, 63]: the rank bitmask lives in one BIGINT")
     import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
     // norms once per VECTOR (not per pair — nQueries× less norm work)
-    val e = withVec(emb).withColumn("bucket", signBucket("v", bits))
-      .withColumn("nrm", dotC(col("v"), col("v")))
-      .select("vec_id", "v", "bucket", "nrm")
+    val e = graft.ops.Caches.track(
+      withVec(emb).withColumn("bucket", signBucket("v", bits))
+        .withColumn("nrm", dotC(col("v"), col("v")))
+        .select("vec_id", "v", "bucket", "nrm")
+        .persist())
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("bucket").as("qbucket"), col("nrm").as("qnrm"))
-    // persisted: the truth and system rankings below are two separate
-    // window consumers of this scan, and the system side's bucket filter
-    // sits under its exchange so ReuseExchange can't dedupe them — without
-    // the persist the broadcast(sample)×corpus dot scan runs twice (the
-    // w18 rule)
+    // persisted: the truth and the three system rankings below are
+    // separate window consumers of this scan, each behind its own filter
+    // so ReuseExchange can't dedupe them — without the persist the
+    // broadcast(sample)×corpus dot scan runs four times (the w18 rule)
     val pairs = graft.ops.Caches.track(
       e.join(broadcast(q), col("vec_id") =!= col("qid"))
         .withColumn("dot", dotC(col("v"), col("qv")))
@@ -449,19 +474,108 @@ object Similarity {
     val wQ = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     val truth = pairs.withColumn("rank_t", row_number().over(wQ))
       .filter(col("rank_t") <= k).select("qid", "vec_id")
-    val sys = pairs.filter(col("bucket") === col("qbucket"))
+
+    // --- lsh: same-bucket candidates, cosine rank -----------------------
+    val lshSys = pairs.filter(col("bucket") === col("qbucket"))
       .withColumn("rank_s", row_number().over(wQ))
       .filter(col("rank_s") <= k)
       .select("qid", "vec_id", "rank_s")
+
+    // --- ivf: seed-center cells, nprobe probing, cosine rank ------------
+    // squared L2 via the dot identity ‖a−b‖² = ‖a‖² − 2a·b + ‖b‖², rounded
+    // before the argmin so both engines pick the same cell under float
+    // jitter (cid breaks exact ties)
+    val centers = e.filter(col("vec_id") >= nQueries &&
+        col("vec_id") < nQueries + nlist)
+      .select((col("vec_id") - nQueries).as("cid"),
+        col("v").as("cv"), col("nrm").as("cnrm"))
+    val cellDist = graft.ops.Caches.track(
+      e.select("vec_id", "v", "nrm").crossJoin(broadcast(centers))
+        .withColumn("cdist", round(
+          col("nrm") - lit(2.0) * dotC(col("v"), col("cv")) + col("cnrm"), 6))
+        .select("vec_id", "cid", "cdist")
+        .persist()) // consumed twice: corpus cells + query probe lists
+    val wCell = Window.partitionBy("vec_id")
+      .orderBy(col("cdist").asc, col("cid").asc)
+    val cells = cellDist.withColumn("rk", row_number().over(wCell))
+      .filter(col("rk") === 1).select("vec_id", "cid")
+    val probed = cellDist.filter(col("vec_id") < nQueries)
+      .withColumn("rk", row_number().over(wCell))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val ivfSys = pairs.join(cells, Seq("vec_id")).join(probed, Seq("qid", "cid"))
+      .withColumn("rank_s", row_number().over(wQ))
+      .filter(col("rank_s") <= k)
+      .select("qid", "vec_id", "rank_s")
+
+    // --- pq: seed codebooks per subspace, ADC rank ----------------------
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val sDf = spark.range(0, m).select(col("id").cast("int").as("s"))
+    // per-(vector, subspace) slice of the L2-normalized vector + its norm
+    val svs = graft.ops.Caches.track(
+      e.withColumn("vn",
+          when(col("nrm") > 0, transform(col("v"), x => x / sqrt(col("nrm"))))
+            .otherwise(col("v")))
+        .select("vec_id", "vn")
+        .crossJoin(broadcast(sDf))
+        .withColumn("sv",
+          slice(col("vn"), (col("s") * sub + 1).cast("int"), lit(sub)))
+        .withColumn("svv", dotC(col("sv"), col("sv")))
+        .select("vec_id", "s", "sv", "svv")
+        .persist()) // consumed twice: corpus codes + query distance tables
+    val seedsC = svs.filter(col("vec_id") >= nQueries &&
+        col("vec_id") < nQueries + codebookSize)
+      .select(col("s"), (col("vec_id") - nQueries).as("cid"),
+        col("sv").as("sc"), col("svv").as("scc"))
+    val wCode = Window.partitionBy("vec_id", "s")
+      .orderBy(col("dsub").asc, col("cid").asc)
+    val codes = svs.join(broadcast(seedsC), Seq("s"))
+      .withColumn("dsub", round(
+        col("svv") - lit(2.0) * dotC(col("sv"), col("sc")) + col("scc"), 6))
+      .withColumn("rk", row_number().over(wCode))
+      .filter(col("rk") === 1)
+      .select("vec_id", "s", "cid")
+    // query-to-center distance table (qid, s, cid) — the ADC lookup table
+    val qd = svs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("s"),
+        col("sv").as("qsv"), col("svv").as("qsvv"))
+      .join(broadcast(seedsC), Seq("s"))
+      .withColumn("qdsub", round(
+        col("qsvv") - lit(2.0) * dotC(col("qsv"), col("sc")) + col("scc"), 6))
+      .select("qid", "s", "cid", "qdsub")
+    // ADC = fixed-order sum of the m per-subspace lookups (each when-sum
+    // sees exactly one non-null row, so no engine-order float hazard)
+    val perSub = (0 until m).map(i =>
+      sum(when(col("s") === i, col("qdsub"))).as(s"d_$i"))
+    val adist = codes.join(broadcast(qd), Seq("s", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(perSub.head, perSub.tail: _*)
+      .withColumn("adist", round(
+        (0 until m).map(i => col(s"d_$i")).reduceLeft(_ + _), 6))
+    val wPq = Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)
+    val pqSys = adist.withColumn("rank_s", row_number().over(wPq))
+      .filter(col("rank_s") <= k)
+      .select("qid", "vec_id", "rank_s")
+
+    // --- shared metric fold over the three system rankings --------------
+    val sys = lshSys.withColumn("index_kind", lit("lsh"))
+      .unionByName(ivfSys.withColumn("index_kind", lit("ivf")))
+      .unionByName(pqSys.withColumn("index_kind", lit("pq")))
     val hits = sys.join(truth.withColumn("hit", lit(1)),
       Seq("qid", "vec_id"), "left")
-    val m = hits.groupBy("qid").agg(
+    val mt = hits.groupBy("index_kind", "qid").agg(
       count(lit(1)).as("n_sys"),
       sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"),
       min(when(col("hit") === 1, col("rank_s"))).as("first_rank"),
       sum(when(col("hit") === 1,
-        expr("CAST(power(2, rank_s - 1) AS BIGINT)")).otherwise(0L)).as("mask"))
-    val filled = q.select("qid").join(m, Seq("qid"), "left")
+        expr("shiftleft(CAST(1 AS BIGINT), rank_s - 1)")).otherwise(0L)).as("mask"))
+    val kindsDf = spark.createDataFrame(
+      Seq("lsh", "ivf", "pq").map(Tuple1.apply)).toDF("index_kind")
+    val filled = q.select("qid").crossJoin(broadcast(kindsDf))
+      .join(mt, Seq("index_kind", "qid"), "left")
       .withColumn("n_sys", coalesce(col("n_sys"), lit(0L)))
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("mask", coalesce(col("mask"), lit(0L)))
@@ -474,7 +588,7 @@ object Similarity {
       .withColumn("mrr", round(coalesce(
         lit(1.0) / col("first_rank").cast("double"), lit(0.0)), 6))
       .withColumn("ndcg", round(expr(s"($dcg) / ($idcg)"), 6))
-      .select("qid", "n_sys", "n_hits", "recall", "mrr", "ndcg")
-      .orderBy("qid")
+      .select("index_kind", "qid", "n_sys", "n_hits", "recall", "mrr", "ndcg")
+      .orderBy("index_kind", "qid")
   }
 }

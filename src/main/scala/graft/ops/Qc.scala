@@ -54,17 +54,20 @@ object Qc {
     */
   def nullProfile(long: DataFrame, rowKey: String, colKey: String,
                   valCol: String): DataFrame = {
-    val rows = long.select(rowKey).distinct()
-    val cols = long.select(colKey).distinct()
-    // collapse to one row per cell BEFORE the grid join: a replayed ingest
-    // (duplicate (row, col) entries) would otherwise multiply grid rows
-    // and make total_cells exceed |rows| x |cols|, understating missingness
+    // collapse to one row per cell first: a replayed ingest (duplicate
+    // (row, col) entries) would otherwise inflate `present`
     val cells = long.groupBy(rowKey, colKey)
       .agg(max(col(valCol)).as("__v"))
-    rows.crossJoin(cols)
-      .join(cells, Seq(rowKey, colKey), "left")
-      .agg(count(lit(1)).as("total_cells"),
-           count(col("__v")).as("present"),
-           (count(lit(1)) - count(col("__v"))).as("missing"))
+    // total = |rows| x |cols| as a scalar product — no grid enumeration;
+    // a missing grid cell contributes to the product but never to `present`,
+    // so the complement count needs no join. struct() wraps the keys so a
+    // null key still counts as a distinct axis value (count_distinct on a
+    // bare column would drop it).
+    cells.agg(
+        (countDistinct(struct(col(rowKey))) * countDistinct(struct(col(colKey))))
+          .as("total_cells"),
+        count(col("__v")).as("present"))
+      .select(col("total_cells"), col("present"),
+        (col("total_cells") - col("present")).as("missing"))
   }
 }

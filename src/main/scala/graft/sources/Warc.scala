@@ -4,8 +4,6 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -109,86 +107,137 @@ object Warc {
     fs0.create(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), true).close()
   }
 
-  /** Parse one (possibly multi-record, possibly gzip-member-concatenated)
-    * WARC file. Exposed for the spec; the distributed scan calls it per
-    * task. Fails fast on malformed framing (bad version line, missing
-    * blank-line separators, short block) — a silently skipped record is a
-    * corpus-count bug downstream.
+  private type Rec = (String, String, String, Option[String], String, Long,
+    Option[Int], Option[String], Array[Byte])
+
+  /** Split an HTTP response block into (status, content-type, payload);
+    * non-HTTP blocks pass through verbatim.
     */
-  private[graft] def parseFile(name: String, raw: Array[Byte])
-      : Seq[(String, String, String, Option[String], String, Long,
-             Option[Int], Option[String], Array[Byte])] = {
-    val bytes =
-      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) {
-        // concatenated gzip members: java's GZIPInputStream reads across
-        // member boundaries (it probes for the next header at each trailer)
-        val in = new GZIPInputStream(new ByteArrayInputStream(raw))
-        val bos = new ByteArrayOutputStream()
-        val buf = new Array[Byte](65536)
-        var n = in.read(buf)
-        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        bos.toByteArray
-      } else raw
-    val out = mutable.ArrayBuffer.empty[(String, String, String,
-      Option[String], String, Long, Option[Int], Option[String], Array[Byte])]
-    var pos = 0
-    def indexOfBlank(from: Int): Int = {
-      var i = from
-      while (i + 3 < bytes.length &&
-        !(bytes(i) == '\r' && bytes(i + 1) == '\n' &&
-          bytes(i + 2) == '\r' && bytes(i + 3) == '\n')) i += 1
-      if (i + 3 < bytes.length) i else -1
-    }
-    while (pos < bytes.length) {
-      // tolerate inter-record padding CRLFs, never content corruption
-      while (pos < bytes.length &&
-        (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
-      if (pos < bytes.length) {
-        val hEnd = indexOfBlank(pos)
-        require(hEnd >= 0, s"$name: unterminated WARC header at offset $pos")
-        val header = new String(bytes, pos, hEnd - pos, UTF_8)
+  private def splitBlock(name: String, hs: Map[String, String],
+      block: Array[Byte]): (Option[Int], Option[String], Array[Byte]) =
+    if (hs.get("content-type").exists(_.startsWith("application/http"))) {
+      val bEnd = {
+        var i = 0
+        while (i + 3 < block.length &&
+          !(block(i) == '\r' && block(i + 1) == '\n' &&
+            block(i + 2) == '\r' && block(i + 3) == '\n')) i += 1
+        if (i + 3 < block.length) i else -1
+      }
+      require(bEnd >= 0, s"$name: http block without header terminator")
+      val httpLines = new String(block, 0, bEnd, UTF_8).split("\r\n")
+      val st = httpLines.head.split(" ")(1).toInt
+      val ct = httpLines.tail.collectFirst {
+        case l if l.toLowerCase.startsWith("content-type:") =>
+          l.substring(l.indexOf(':') + 1).trim
+      }
+      (Some(st), ct,
+        java.util.Arrays.copyOfRange(block, bEnd + 4, block.length))
+    } else (None, None, block)
+
+  /** Parse a (possibly multi-record, possibly gzip-member-concatenated)
+    * WARC stream RECORD AT A TIME: read header bytes up to the blank-line
+    * separator, then exactly Content-Length block bytes, emit, repeat. At
+    * no point is more than one record's block resident — a ~1 GiB gz /
+    * multi-GiB raw Common Crawl file streams through in bounded memory
+    * (the whole-file byte-array approach would hit the 2 GiB Int-indexed
+    * array limit first). Fails fast on malformed framing (bad version
+    * line, missing separators, short block) — a silently skipped record
+    * is a corpus-count bug downstream. The underlying stream is closed at
+    * EOF (flatMap consumers always drain the iterator).
+    */
+  private[graft] def parseStream(name: String, in0: java.io.InputStream)
+      : Iterator[Rec] = {
+    val pb = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(in0, 65536), 2)
+    val b0 = pb.read(); val b1 = pb.read()
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    // concatenated gzip members: java's GZIPInputStream reads across member
+    // boundaries (it probes for the next header at each trailer)
+    val in: java.io.InputStream =
+      if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(pb, 65536) else pb
+
+    new Iterator[Rec] {
+      private var nextRec: Rec = _
+      private var done = { if (b0 < 0) in.close(); b0 < 0 }
+      private var fetched = false
+      private var offset = 0L
+
+      /** Read bytes until CRLFCRLF; returns null at clean EOF (only before
+        * any header byte). Leading padding CRLFs between records are
+        * tolerated, never content corruption.
+        */
+      private def readHeader(): String = {
+        var c = in.read(); offset += 1
+        while (c == '\r' || c == '\n') { c = in.read(); offset += 1 }
+        if (c < 0) return null
+        val bos = new ByteArrayOutputStream(512)
+        var state = 0 // count of consecutive \r\n\r\n bytes matched
+        while (state < 4) {
+          require(c >= 0, s"$name: unterminated WARC header near offset $offset")
+          bos.write(c)
+          state = (state, c) match {
+            case (0, '\r') | (2, '\r') => state + 1
+            case (1, '\n') | (3, '\n') => state + 1
+            case (_, '\r') => 1
+            case _ => 0
+          }
+          if (state < 4) { c = in.read(); offset += 1 }
+        }
+        val all = bos.toByteArray
+        new String(all, 0, all.length - 4, UTF_8) // drop the \r\n\r\n terminator
+      }
+
+      private def readFully(len: Int): Array[Byte] = {
+        val buf = new Array[Byte](len)
+        var off = 0
+        while (off < len) {
+          val n = in.read(buf, off, len - off)
+          require(n >= 0,
+            s"$name: truncated block near offset $offset (need $len bytes, got $off)")
+          off += n; offset += n
+        }
+        buf
+      }
+
+      private def fetch(): Unit = {
+        fetched = true
+        val header = readHeader()
+        if (header == null) { done = true; in.close(); return }
         val lines = header.split("\r\n")
         require(lines.head.startsWith("WARC/"),
-          s"$name: bad version line '${lines.head.take(40)}' at offset $pos")
+          s"$name: bad version line '${lines.head.take(40)}' near offset $offset")
         val hs = lines.tail.flatMap { l =>
           val i = l.indexOf(':')
           if (i < 0) None else Some(l.take(i).trim.toLowerCase -> l.drop(i + 1).trim)
         }.toMap
         val len = hs.getOrElse("content-length",
-          sys.error(s"$name: record without Content-Length at offset $pos")).toLong
-        val blockStart = hEnd + 4
-        require(blockStart + len <= bytes.length,
-          s"$name: truncated block at offset $blockStart (need $len bytes)")
-        val block = java.util.Arrays.copyOfRange(bytes, blockStart,
-          blockStart + len.toInt)
-        val (status, httpCt, body) =
-          if (hs.get("content-type").exists(_.startsWith("application/http"))) {
-            val bEnd = {
-              var i = 0
-              while (i + 3 < block.length &&
-                !(block(i) == '\r' && block(i + 1) == '\n' &&
-                  block(i + 2) == '\r' && block(i + 3) == '\n')) i += 1
-              if (i + 3 < block.length) i else -1
-            }
-            require(bEnd >= 0, s"$name: http block without header terminator")
-            val httpLines = new String(block, 0, bEnd, UTF_8).split("\r\n")
-            val st = httpLines.head.split(" ")(1).toInt
-            val ct = httpLines.tail.collectFirst {
-              case l if l.toLowerCase.startsWith("content-type:") =>
-                l.substring(l.indexOf(':') + 1).trim
-            }
-            (Some(st), ct,
-              java.util.Arrays.copyOfRange(block, bEnd + 4, block.length))
-          } else (None, None, block)
-        out += ((name,
+          sys.error(s"$name: record without Content-Length near offset $offset")).toLong
+        require(len <= Int.MaxValue - 8,
+          s"$name: single record block of $len bytes exceeds the per-record limit")
+        val block = readFully(len.toInt)
+        val (status, httpCt, body) = splitBlock(name, hs, block)
+        nextRec = (name,
           hs.getOrElse("warc-record-id", "").stripPrefix("<").stripSuffix(">"),
           hs.getOrElse("warc-type", ""), hs.get("warc-target-uri"),
-          hs.getOrElse("warc-date", ""), len, status, httpCt, body))
-        pos = blockStart + len.toInt
+          hs.getOrElse("warc-date", ""), len, status, httpCt, body)
+      }
+
+      override def hasNext: Boolean = {
+        if (!fetched && !done) fetch()
+        !done
+      }
+      override def next(): Rec = {
+        if (!hasNext) throw new NoSuchElementException(name)
+        fetched = false
+        nextRec
       }
     }
-    out.toSeq
   }
+
+  /** Byte-array convenience over [[parseStream]] (spec fixtures). */
+  private[graft] def parseFile(name: String, raw: Array[Byte]): Seq[Rec] =
+    parseStream(name, new ByteArrayInputStream(raw)).toSeq
 
   /** Distributed scan: every `*.warc` / `*.warc.gz` under `dir` parses in
     * its own task. Columns: `file, record_id, warc_type, target_uri,
@@ -199,12 +248,28 @@ object Warc {
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val confProps: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.newHadoopConf().iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+    }
+    // binaryFile does the (driver-cheap, executor-parallel) LISTING; only
+    // `path` is selected so the file contents are never materialized as a
+    // column — each task opens its files as Hadoop streams and parses
+    // record-at-a-time, so per-task memory is one record's block even for
+    // multi-GiB members.
     spark.read.format("binaryFile").option("pathGlobFilter", "*.warc*")
       .load(dir)
-      .select("path", "content")
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, content) =>
-        parseFile(path.substring(path.lastIndexOf('/') + 1), content)
+      .select("path")
+      .as[String]
+      .mapPartitions { paths =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confProps.foreach { case (k, v) => conf.set(k, v) }
+        paths.flatMap { path =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          parseStream(name, p.getFileSystem(conf).open(p))
+        }
       }
       .toDF("file", "record_id", "warc_type", "target_uri", "warc_date",
         "content_length", "http_status", "http_content_type", "body")

@@ -443,15 +443,32 @@ object QcMonitor {
             incoming.foreach { case (id, ts, band, _, sv) =>
               val tMs = ts.getTime
               entries.foreach { case (oid, oms, osv) =>
-                if (oid != id && tMs - oms <= ttlMs) {
+                // abs: a LATE arrival (within the watermark delay) compares
+                // against state entries NEWER than itself — the signed gate
+                // would wave the pair through at any gap
+                if (oid != id && math.abs(tMs - oms) <= ttlMs) {
                   var m = 0
                   var i = 0
                   while (i < numPerm) { if (sv(i) == osv(i)) m += 1; i += 1 }
                   val est = m.toDouble / numPerm
-                  if (est >= minSim) out += ((oid, id, band, est))
+                  if (est >= minSim) {
+                    // orient older→newer by (event time, id), not by who
+                    // happened to be in state first
+                    val stateIsOlder =
+                      oms < tMs || (oms == tMs && oid < id)
+                    out += (if (stateIsOlder) (oid, id, band, est)
+                            else (id, oid, band, est))
+                  }
                 }
               }
-              entries = ((id, tMs, sv) :: entries).take(maxPerBucket)
+              // insert preserving newest-first order — the TTL prune and
+              // maxPerBucket keep-most-recent cap both rely on it; a bare
+              // prepend would let a late arrival shield newer entries from
+              // eviction and evict the wrong (non-oldest) tail
+              val (newer, olderOrEq) = entries.span(e =>
+                e._2 > tMs || (e._2 == tMs && e._1 > id))
+              entries = (newer ::: (id, tMs, sv) :: olderOrEq)
+                .take(maxPerBucket)
             }
             val newest = math.max(incoming.map(_._2.getTime).max,
               entries.headOption.map(_._2).getOrElse(Long.MinValue))
