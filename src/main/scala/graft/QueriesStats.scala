@@ -1799,47 +1799,23 @@ object QueriesStats {
     // K41 — percentile BOOTSTRAP confidence interval for the per-probe
     // WT−MUT effect: the CI companion of the k30 permutation test (k30
     // answers "could this difference be chance", k41 answers "how big is
-    // it, with what uncertainty"). B=200 deterministic within-group
-    // resamples drawn by the same LCG device (draw j of group g in rep r
-    // picks member ((j·2654435761 + r·97561) mod 104729) mod n_g + 1), so
-    // each sample carries a DENSE length-B multiplicity vector
-    // (broadcast); BootSumAgg accumulates all B weighted (sum, count)
-    // pairs per probe per group in ONE pass of mergeable bigint state —
-    // no row×B expansion — and the percentile CI is a row-local
-    // array_sort + element pick (ranks 5/196 of 200 = 2.5% trimmed).
-    // Probes must have all 200 reps valid (≥1 draw observed per group) —
-    // exact-integer state end to end, so the whole CI surface
-    // hash-matches the DuckDB oracle's independent join+groupBy plan.
+    // it, with what uncertainty"). POISSON bootstrap (the large-scale
+    // standard — per-record independent Poisson(1) multiplicities,
+    // Chamandy et al. 2012): each row's weight in rep r derives ON THE
+    // FLY inside PoissonBootAgg from the deterministic device
+    // u = (key·2654435761 + r·97561) mod 104729 (key = the sample's
+    // integer id) through an integer-threshold inverse CDF — no broadcast
+    // multiplicity vectors, no row×B materialization anywhere; the
+    // aggregator accumulates all B weighted (sum, count) pairs per probe
+    // per group in ONE pass of mergeable bigint state, and the percentile
+    // CI is a row-local array_sort + element pick (ranks 5/196 of 200 =
+    // 2.5% trimmed). Probes must have all 200 reps valid (≥1 weighted
+    // member per group) — exact-integer state end to end, so the whole CI
+    // surface hash-matches the DuckDB oracle's independent join+groupBy
+    // replay of the same integer device.
     Q("k41_bootstrap_ci", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val nB = 200
       val sheet = Tables.sampleSheet(s, d)
-      val gsize = sheet.groupBy("group").agg(count(lit(1)).as("ng"))
-      val members = sheet
-        .withColumn("j", row_number()
-          .over(Window.partitionBy("group").orderBy("sample_id")).cast("long"))
-        .select("group", "j", "sample_id")
-      val draws = members.select("group", "j").join(broadcast(gsize), "group")
-        .withColumn("rep", explode(sequence(lit(1L), lit(nB.toLong))))
-        .withColumn("picked",
-          ((col("j") * 2654435761L + col("rep") * 97561L) % 104729L) % col("ng") + 1L)
-      val weights = draws
-        .groupBy(col("group"), col("rep"), col("picked"))
-        .agg(count(lit(1)).as("w"))
-        .join(members.withColumnRenamed("j", "picked"), Seq("group", "picked"))
-      // weights ride as a dense smallint vector and BOTH groups share one
-      // aggregator call — see BootSumAgg's scaladoc: the sort-based
-      // aggregation fallback pays for every input-row byte, so the
-      // payload is kept to ~400 B/row
-      val wvg = weights.groupBy("sample_id", "group")
-        .agg(map_from_entries(
-          collect_list(struct(col("rep").cast("int"), col("w").cast("int"))))
-          .as("wm"))
-        .withColumn("wv", expr(
-          s"transform(sequence(1, $nB), r -> " +
-            "cast(coalesce(element_at(wm, cast(r as int)), 0) as smallint))"))
-        .withColumn("is_wt", col("group") === "WT")
-        .select("sample_id", "is_wt", "wv")
       val bk = Tables.betaLong(s, d)
         .withColumn("k", round(col("beta") * 997).cast("bigint"))
         .select("probe_id", "sample_id", "k")
@@ -1850,10 +1826,21 @@ object QueriesStats {
           sum(when(col("group") === "MUT", 1L).otherwise(0L)).as("n2"),
           sum(when(col("group") === "MUT", col("k")).otherwise(0L)).as("s2"))
         .filter(col("n1") >= 3 && col("n2") >= 3)
-      val boot = udaf(new graft.functions.BootSumAgg(nB))
-      val st = bk.join(broadcast(wvg), "sample_id")
+      val boot = udaf(new graft.functions.PoissonBootAgg(nB))
+      // repartition the SKINNY rows (4 scalars) by probe before the
+      // object aggregation: with >128 keys/partition the typed-aggregator
+      // path falls back to sort-based with a partial+final pair, and the
+      // final exchange would carry one 6.4 KB buffer per (probe,
+      // partition) — pre-shuffling the raw rows makes the partial output
+      // one buffer per probe and satisfies the final's distribution, so
+      // the big buffers never cross an exchange
+      val st = bk.join(broadcast(sheet), "sample_id")
+        .withColumn("key", substring(col("sample_id"), 2, 8).cast("long"))
+        .withColumn("is_wt", col("group") === "WT")
+        .select("probe_id", "k", "is_wt", "key")
+        .repartition(col("probe_id"))
         .groupBy("probe_id")
-        .agg(boot(col("k"), col("is_wt"), col("wv")).as("st"))
+        .agg(boot(col("k"), col("is_wt"), col("key")).as("st"))
       // state layout: sa_wt 1..B, na_wt B+1..2B, sa_mut 2B+1..3B, na_mut 3B+1..4B
       def sl(off: Int) = s"element_at(st, cast(r + ${off * nB} as int))"
       st.join(obs, "probe_id")
@@ -1873,21 +1860,20 @@ object QueriesStats {
           round(element_at(col("ds"), 196), 6).as("ci_hi"))
         .orderBy("probe_id")
     }, Some(ctes +
-      """, bc_gs AS (SELECT "group" AS grp, count(*) AS ng FROM sheet GROUP BY 1),
-        |bc_mem AS (
-        |  SELECT "group" AS grp, sample_id,
-        |         row_number() OVER (PARTITION BY "group" ORDER BY sample_id) AS j
-        |  FROM sheet),
-        |bc_draws AS (
-        |  SELECT m.grp, r.rep,
-        |         ((m.j * 2654435761 + r.rep * 97561) % 104729) % g.ng + 1 AS picked
-        |  FROM bc_mem m
-        |  JOIN bc_gs g USING (grp)
+      """, bc_u AS (
+        |  SELECT s.sample_id, s."group" AS grp, r.rep,
+        |         (CAST(substr(s.sample_id, 2) AS BIGINT) * 2654435761
+        |          + r.rep * 97561) % 104729 AS u
+        |  FROM sheet s
         |  CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS rep) r),
         |bc_w AS (
-        |  SELECT d.grp, d.rep, m.sample_id, count(*) AS w
-        |  FROM bc_draws d JOIN bc_mem m ON m.grp = d.grp AND m.j = d.picked
-        |  GROUP BY 1, 2, 3),
+        |  SELECT grp, rep, sample_id,
+        |         CASE WHEN u < 38527 THEN 0 WHEN u < 77055 THEN 1
+        |              WHEN u < 96319 THEN 2 WHEN u < 102740 THEN 3
+        |              WHEN u < 104345 THEN 4 WHEN u < 104666 THEN 5
+        |              WHEN u < 104720 THEN 6 WHEN u < 104727 THEN 7
+        |              ELSE 8 END AS w
+        |  FROM bc_u WHERE u >= 38527),
         |bc_bk AS (
         |  SELECT probe_id, sample_id, CAST(round(beta * 997) AS BIGINT) AS k
         |  FROM beta),

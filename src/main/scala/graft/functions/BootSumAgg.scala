@@ -3,20 +3,28 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Weighted sibling of [[PermSumAgg]] for bootstrap resampling: each row
-  * carries its value `k`, its group flag, and a DENSE length-B vector of
-  * resample multiplicities (how many times this sample was drawn in rep
-  * r); the aggregator accumulates per-rep weighted sums and weight totals
-  * for BOTH groups and all B reps in ONE pass of mergeable bigint state —
-  * the same no-row×B-expansion shape k30 uses, with multiplicity instead
-  * of membership.
+/** Poisson-weight bootstrap aggregator (the k41 kernel): each input row is
+  * `(value k, group flag, integer sample key)`, and the aggregator derives
+  * the row's multiplicity in every one of the B resamples ON THE FLY from
+  * the deterministic device
+  * `u(key, rep) = (key·2654435761 + rep·97561) mod 104729`, mapped through
+  * the integer-threshold inverse CDF of Poisson(1) (the large-scale
+  * bootstrap standard: per-record independent Poisson(1) weights — Chamandy
+  * et al., "Estimating Uncertainty for Massive Data Streams", Google 2012 —
+  * here made deterministic so two engines replay the identical resample).
+  * Accumulates per-rep weighted sums and weight totals for BOTH groups and
+  * all B reps in ONE pass of mergeable bigint state.
   *
-  * The weights ride as `smallint` (Array[Short]) and both groups share
-  * ONE aggregator call on purpose: object-hash aggregation falls back to
-  * sort-based beyond its key threshold, and the SORT pays for every byte
-  * of the input row — a 200-short vector keeps the per-row payload ~400 B
-  * where two 200-int vectors cost 1.6 KB (the difference between an
-  * in-memory sort and a disk spill at 16×).
+  * Versus shipping dense length-B multiplicity vectors through a broadcast
+  * join (the previous design): the row payload drops from ~400 B to three
+  * scalars — the difference between an in-memory aggregation and a spilling
+  * sort at 16× — and the weight arithmetic (one LCG multiply-add-mod plus a
+  * threshold ladder per rep) stays cheaper than the memory traffic it
+  * replaces. No driver state, no broadcast, nothing row×B materialized.
+  *
+  * The thresholds are ⌊cdf·104729⌋ for Poisson(1) at w = 0..7 (exact
+  * integer comparisons — bit-equal in any engine); u ≥ 104727 caps at w=8
+  * (true mass beyond the cap ≈ 1.1e−6).
   *
   * Buffer layout: group A (flag true) at sa/na, group B at sb/nb; output
   * sa ++ na ++ sb ++ nb (4B longs).
@@ -24,24 +32,42 @@ import org.apache.spark.sql.expressions.Aggregator
 final case class BootBuf(sa: Array[Long], na: Array[Long],
                          sb: Array[Long], nb: Array[Long])
 
-class BootSumAgg(b: Int)
-    extends Aggregator[(Long, Boolean, Array[Short]), BootBuf, Seq[Long]] {
+object PoissonBootAgg {
+  /** Integer inverse CDF of Poisson(1) over u ∈ [0, 104729). */
+  def weight(u: Long): Int =
+    if (u < 38527) 0
+    else if (u < 77055) 1
+    else if (u < 96319) 2
+    else if (u < 102740) 3
+    else if (u < 104345) 4
+    else if (u < 104666) 5
+    else if (u < 104720) 6
+    else if (u < 104727) 7
+    else 8
+
+  /** The deterministic per-(sample, rep) draw. `rep` is 1-based. */
+  def draw(key: Long, rep: Long): Int =
+    weight((key * 2654435761L + rep * 97561L) % 104729L)
+}
+
+class PoissonBootAgg(b: Int)
+    extends Aggregator[(Long, Boolean, Long), BootBuf, Seq[Long]] {
 
   override def zero: BootBuf = BootBuf(new Array[Long](b), new Array[Long](b),
     new Array[Long](b), new Array[Long](b))
 
-  override def reduce(buf: BootBuf, in: (Long, Boolean, Array[Short])): BootBuf = {
+  override def reduce(buf: BootBuf, in: (Long, Boolean, Long)): BootBuf = {
     val k = in._1
-    val w = in._3
+    val key = in._3
     val (s, n) = if (in._2) (buf.sa, buf.na) else (buf.sb, buf.nb)
-    var i = 0
-    while (i < b && i < w.length) {
-      val wi = w(i)
-      if (wi != 0) {
-        s(i) += k * wi
-        n(i) += wi
+    var r = 0
+    while (r < b) {
+      val w = PoissonBootAgg.draw(key, r + 1)
+      if (w != 0) {
+        s(r) += k * w
+        n(r) += w
       }
-      i += 1
+      r += 1
     }
     buf
   }

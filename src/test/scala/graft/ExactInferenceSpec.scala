@@ -442,21 +442,16 @@ class ExactInferenceSpec extends SparkSpec {
     assert(got.nonEmpty)
     val sheet = Tables.sampleSheet(sp, sf)
       .select("sample_id", "group").as[(String, String)].collect()
-    // per group: members ordered by sample_id; weights per (rep, member)
-    val byGrp = sheet.groupBy(_._2).map { case (g, xs) =>
-      g -> xs.map(_._1).sorted
+    // per (sample, rep): deterministic Poisson(1) weight — the aggregator's
+    // integer device replayed independently (LCG u, then the ⌊cdf·104729⌋
+    // threshold ladder)
+    def pw(sampleId: String, rep: Long): Long = {
+      val key = sampleId.drop(1).toLong
+      val u = (key * 2654435761L + rep * 97561L) % 104729L
+      val ts = Array(38527L, 77055L, 96319L, 102740L, 104345L, 104666L,
+        104720L, 104727L)
+      ts.indexWhere(u < _) match { case -1 => 8L; case i => i.toLong }
     }
-    // NB: .toSeq first — flatMap on a Map of pair elements would rebuild a
-    // Map and silently deduplicate by key
-    val weights: Map[(Long, String), Long] = byGrp.toSeq.flatMap { case (_, mem) =>
-      val ng = mem.length
-      (1L to 200L).flatMap { rep =>
-        (1 to ng).map { j =>
-          val picked = (((j * 2654435761L + rep * 97561L) % 104729L) % ng).toInt
-          (rep, mem(picked)) // 0-based pick == (…% ng) + 1 in 1-based j
-        }
-      }
-    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     val grp = sheet.toMap
     val bk = Tables.betaLong(sp, sf)
       .select(col("probe_id"), col("sample_id"),
@@ -468,7 +463,7 @@ class ExactInferenceSpec extends SparkSpec {
       val deltas = (1L to 200L).map { rep =>
         def side(g: String) = {
           val obs = rows.filter(t => grp(t._2) == g)
-          val ws = obs.map(t => weights.getOrElse((rep, t._2), 0L))
+          val ws = obs.map(t => pw(t._2, rep))
           (obs.zip(ws).map { case (t, w) => t._3 * w }.sum, ws.sum)
         }
         val (swt, nwt) = side("WT")
