@@ -884,6 +884,108 @@ object QueriesStats {
          |  GROUP BY 1, 2)
          |ORDER BY sa, sb""".stripMargin)),
 
+    // K2's driver stage, oracle-checked one step further than k08: the
+    // DOUBLE-CENTERED Gram matrix B = −½·J·D²·J (J = I − 11ᵀ/n) whose
+    // eigendecomposition IS classical MDS — so of the whole k02 kernel
+    // only the eigensolve itself stays spec-only. Missing pairs (no
+    // shared probes) read as d2 = 0, the same zeros-initialized matrix
+    // ops/Mds.scala builds; row/grand means are over ALL n samples.
+    // Double sums of many pair terms are engine-order-dependent, so gram
+    // is rounded at 9 (the k09 convention); the d2 inputs themselves are
+    // single exact-integer divisions. Scale shape: one probe-key
+    // equi-join bounded by samples² (the bounded axis) + a samples-sized
+    // centering join — nothing grows with probes beyond the k08 join.
+    Q("k02_mds_gram", (s, d) => {
+      val bk0 = Tables.betaLong(s, d).select(col("probe_id"),
+        col("sample_id"), round(col("beta") * 997).cast("bigint").as("k"))
+      // the kernel's own top-100-variance probe filter (k02_mds_coords
+      // passes topK = 100), ranked by exact integer moments with the k09
+      // fixed double sequence so both engines select the identical set
+      val top = bk0.groupBy("probe_id")
+        .agg(count(lit(1)).as("n"), sum("k").as("s"),
+          sum(col("k") * col("k")).as("ss"))
+        .filter(col("n") >= 2)
+        .select(col("probe_id"),
+          Fns.varFromMoments(col("n"), col("s"), col("ss")).as("v"))
+        .orderBy(col("v").desc, col("probe_id").asc)
+        .limit(100).select("probe_id")
+      val bk = bk0.join(broadcast(top), "probe_id")
+      val l = bk.select(col("probe_id"), col("sample_id").as("sa"), col("k").as("ka"))
+      val r = bk.select(col("probe_id"), col("sample_id").as("sb"), col("k").as("kb"))
+      val pairs = l.join(r, "probe_id").filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb")
+        .agg(count(lit(1)).as("n_shared"),
+          sum((col("ka") - col("kb")) * (col("ka") - col("kb"))).as("d2_num"))
+        .withColumn("d2", col("d2_num").cast("double")
+          / (lit(994009.0) * col("n_shared").cast("double")))
+        .select("sa", "sb", "d2")
+      val sym = graft.ops.Caches.track(pairs
+        .unionByName(pairs.select(col("sb").as("sa"), col("sa").as("sb"),
+          col("d2")))
+        .persist()) // three consumers: row sums, grand sum, grid join
+      val samples = graft.ops.Caches.track(
+        bk.select("sample_id").distinct().persist())
+      val cnt = samples.agg(count(lit(1)).cast("double").as("n_samp"))
+      val grand = sym.agg(sum("d2").as("gsum"))
+      val rowm = samples.select(col("sample_id"))
+        .join(sym.groupBy("sa").agg(sum("d2").as("rs")),
+          col("sample_id") === col("sa"), "left")
+        .select(col("sample_id"), coalesce(col("rs"), lit(0.0)).as("rs"))
+      val grid = samples.select(col("sample_id").as("sa"))
+        .crossJoin(samples.select(col("sample_id").as("sb")))
+        .filter(col("sa") <= col("sb"))
+      grid.join(sym, Seq("sa", "sb"), "left")
+        .join(broadcast(rowm.select(col("sample_id").as("sa"),
+          col("rs").as("rs_a"))), Seq("sa"))
+        .join(broadcast(rowm.select(col("sample_id").as("sb"),
+          col("rs").as("rs_b"))), Seq("sb"))
+        .crossJoin(broadcast(cnt)).crossJoin(broadcast(grand))
+        .select(col("sa"), col("sb"),
+          round(lit(-0.5) * (coalesce(col("d2"), lit(0.0))
+            - col("rs_a") / col("n_samp") - col("rs_b") / col("n_samp")
+            + col("gsum") / (col("n_samp") * col("n_samp"))), 9).as("gram"))
+        .orderBy("sa", "sb")
+    }, Some(ctes +
+      s""", mg_kb0 AS (
+         |  SELECT probe_id, sample_id, CAST(round(beta * 997) AS BIGINT) AS k
+         |  FROM beta),
+         |mg_mom AS (
+         |  SELECT probe_id, count(*) AS n, CAST(sum(k) AS BIGINT) AS s,
+         |         CAST(sum(k * k) AS BIGINT) AS ss
+         |  FROM mg_kb0 GROUP BY 1),
+         |mg_top AS (
+         |  SELECT probe_id FROM mg_mom WHERE n >= 2
+         |  ORDER BY ${SqlOracles.varFromMoments("n", "s", "ss")} DESC, probe_id
+         |  LIMIT 100),
+         |mg_kb AS (SELECT mg_kb0.* FROM mg_kb0 JOIN mg_top USING (probe_id)),
+         |mg_p AS (
+         |  SELECT a.sample_id AS sa, b.sample_id AS sb,
+         |         CAST(sum((a.k - b.k) * (a.k - b.k)) AS DOUBLE)
+         |           / (994009.0 * CAST(count(*) AS DOUBLE)) AS d2
+         |  FROM mg_kb a JOIN mg_kb b
+         |    ON a.probe_id = b.probe_id AND a.sample_id < b.sample_id
+         |  GROUP BY 1, 2),
+         |mg_sym AS (SELECT sa, sb, d2 FROM mg_p
+         |           UNION ALL SELECT sb, sa, d2 FROM mg_p),
+         |mg_s AS (SELECT DISTINCT sample_id FROM mg_kb),
+         |mg_cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n_samp FROM mg_s),
+         |mg_g AS (SELECT sum(d2) AS gsum FROM mg_sym),
+         |mg_rm AS (SELECT s.sample_id, coalesce(r.rs, 0.0) AS rs
+         |          FROM mg_s s LEFT JOIN
+         |            (SELECT sa, sum(d2) AS rs FROM mg_sym GROUP BY 1) r
+         |            ON r.sa = s.sample_id)
+         |SELECT g.sa, g.sb,
+         |       round(-0.5 * (coalesce(y.d2, 0.0)
+         |             - ra.rs / c.n_samp - rb.rs / c.n_samp
+         |             + gg.gsum / (c.n_samp * c.n_samp)), 9) AS gram
+         |FROM (SELECT a.sample_id AS sa, b.sample_id AS sb
+         |      FROM mg_s a CROSS JOIN mg_s b WHERE a.sample_id <= b.sample_id) g
+         |LEFT JOIN mg_sym y ON y.sa = g.sa AND y.sb = g.sb
+         |JOIN mg_rm ra ON ra.sample_id = g.sa
+         |JOIN mg_rm rb ON rb.sample_id = g.sb
+         |CROSS JOIN mg_cnt c CROSS JOIN mg_g gg
+         |ORDER BY g.sa, g.sb""".stripMargin)),
+
     // K1's distributed input, oracle-checked (the k08 move applied to
     // PCA): pairwise covariances of the top-20 most-variable probes —
     // exactly the covariance entries the PCA kernel eigendecomposes.

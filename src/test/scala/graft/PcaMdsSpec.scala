@@ -60,6 +60,46 @@ class PcaMdsSpec extends SparkSpec {
     }
   }
 
+  test("MDS: eigendecomposing the oracle-checked k02_mds_gram reproduces k02_mds_coords") {
+    // k02_mds_gram is the double-centered Gram matrix B = -1/2 J D² J,
+    // hash-checked against DuckDB; this spec performs the ONLY remaining
+    // uncovered step — the eigensolve — on that exact matrix and must
+    // land on the production kernel's coordinates. Together the two
+    // checks cover the whole k02 path.
+    import breeze.linalg.{eigSym, DenseMatrix}
+    val sf = "/root/testdata/sf0.001"
+    val gram = SparkEntry.queries("k02_mds_gram")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val ids = gram.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    val bMat = DenseMatrix.zeros[Double](n, n)
+    gram.foreach { case (a, b, v) =>
+      bMat(idx(a), idx(b)) = v; bMat(idx(b), idx(a)) = v
+    }
+    val es = eigSym(bMat)
+    val e1 = n - 1
+    val e2 = n - 2
+    val s1 = math.sqrt(math.max(es.eigenvalues(e1), 0))
+    val s2 = math.sqrt(math.max(es.eigenvalues(e2), 0))
+    def sign(e: Int): Double = {
+      val v = (0 until n).map(es.eigenvectors(_, e))
+      if (v.maxBy(math.abs) < 0) -1.0 else 1.0
+    }
+    val (g1, g2) = (sign(e1), sign(e2))
+    val got = SparkEntry.queries("k02_mds_coords")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == ids.toSet, "sample sets differ")
+    ids.foreach { id =>
+      val i = idx(id)
+      val (d1, d2) = (es.eigenvectors(i, e1) * s1 * g1,
+        es.eigenvectors(i, e2) * s2 * g2)
+      val (x1, x2) = got(id)
+      assert(math.abs(d1 - x1) < 1e-3, s"$id dim1: $d1 vs $x1")
+      assert(math.abs(d2 - x2) < 1e-3, s"$id dim2: $d2 vs $x2")
+    }
+  }
+
   test("MDS: dim1 recovers a planted 1-D sample ordering") {
     val rows = for (p <- 0 until 30; s <- 0 until 8) yield {
       (f"p$p%03d", f"s$s", 0.1 + 0.09 * s + 0.002 * math.sin(p * 2.3))

@@ -87,6 +87,55 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"PQ recall@10 $recall < 0.3 (pq=$pq brute=$brute)")
   }
 
+  test("annEvalMetrics grades the three index kinds; ordering is ivf >= lsh >> pq on planted clusters") {
+    // same 16-blob fixture as the pqTopK test. Expected ordering with the
+    // eval's SEED-PINNED quantizers (centers = vecs 20..27, NOT Lloyd-
+    // trained): ivf is near-perfect (cluster-mates co-assign to the same
+    // coarse cell, and probing 2 of 8 cells keeps them), lsh is high
+    // (tight blobs share their 4 leading signs), and pq is WEAK — 8
+    // pinned centers per subspace cannot code 16 clusters, and ADC ranks
+    // the whole corpus through that starved code space. This is a
+    // property of pinning, not of PQ: the production Lloyd-trained
+    // pqTopK achieves >= 0.9 recall on this exact corpus (test above),
+    // which is why the oracle-able eval and the spec-graded production
+    // path are both kept.
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(16)(unit())
+    val rows = (0 until 480).map { i =>
+      val c = centers(i % 16)
+      val p = c.zip(unit()).map { case (a, e) => (a + 0.05 * e).toFloat }
+      (i.toLong, p.toSeq, i % 16)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val recalls = Similarity.annEvalMetrics(df, nQueries = 20, k = 10)
+      .groupBy("index_kind")
+      .agg(org.apache.spark.sql.functions.avg("recall").as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    graft.ops.Caches.releaseAll()
+    assert(recalls.keySet == Set("lsh", "ivf", "pq"), s"kinds: $recalls")
+    assert(recalls("ivf") >= 0.95, s"ivf recall ${recalls("ivf")} < 0.95")
+    assert(recalls("lsh") >= 0.8, s"lsh recall ${recalls("lsh")} < 0.8")
+    assert(recalls("ivf") >= recalls("lsh"), s"ordering: $recalls")
+    assert(recalls("lsh") >= recalls("pq") + 0.2,
+      s"pinned-codebook pq should trail clearly: $recalls")
+    // starved or not, pq must still beat chance (10/480 ~ 2%) by 10x
+    assert(recalls("pq") >= 0.2, s"pq recall ${recalls("pq")} < 0.2")
+  }
+
+  test("annEvalMetrics rejects k outside the bitmask-exact range") {
+    intercept[IllegalArgumentException] {
+      Similarity.annEvalMetrics(emb, nQueries = 2, k = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.annEvalMetrics(emb, nQueries = 2, k = 0)
+    }
+  }
+
   test("cosineNearDups blocks by the given column") {
     val pairs = Similarity.cosineNearDups(emb, "label", -2.0)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet

@@ -285,6 +285,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupMonitor: adversarial all-identical corpus keeps state and work capped") {
+    // the mass-collision pathology: EVERY doc is identical, so all
+    // signatures land in ONE bucket per band. The twin bounds under test:
+    // (a) state groups stay at `bands` (the ProgressMonitor peak-state
+    // rollup — collisions collapse into existing groups, they don't mint
+    // new ones), and (b) maxPerBucket caps the per-newcomer comparison
+    // fan-out to keep-most-recent — so the emitted pair count is the
+    // capped arithmetic EXACTLY, not the n²/2 blowup. Removing the
+    // .take(maxPerBucket) cap fails the exact-count assertion.
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val text = "identical adversarial document body repeated verbatim across " +
+      "the whole corpus to force every minhash band into a single bucket"
+    val monitor = new QcMonitor.ProgressMonitor
+    monitor.register(sp)
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val n = 12
+    val cap = 3
+    val q = QcMonitor.nearDupMonitor(
+        ms.toDF().toDF("doc_id", "ts", "text"),
+        numPerm = 16, bands = 4, minSim = 0.5, ttlMs = 3600000L,
+        maxPerBucket = cap)
+      .toDF("doc_a", "doc_b", "band", "est_sim")
+      .writeStream.format("memory").queryName("neardup_adversarial")
+      .outputMode("append").start()
+    try {
+      // one doc per trigger: newcomer i sees exactly the cap most recent
+      (1 to n).foreach { i =>
+        ms.addData((i.toLong, ts(10 + i), text))
+        q.processAllAvailable()
+      }
+      val pairs = sp.table("neardup_adversarial").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      // capped arithmetic: per band, doc i pairs against max(1, i-cap)..i-1
+      val expected = for {
+        band <- 0 until 4
+        i <- 2 to n
+        j <- math.max(1, i - cap) to (i - 1)
+      } yield (j.toLong, i.toLong, band)
+      assert(pairs.length == expected.length,
+        s"pair count ${pairs.length} != capped ${expected.length} " +
+          "(cap removed => n^2/2 blowup)")
+      assert(pairs.map(p => (p._1, p._2, p._3)).toSet == expected.toSet,
+        "capped keep-most-recent pairing diverged")
+      // doc n must never reach entries older than the cap window
+      assert(!pairs.exists(p => p._2 == n.toLong && p._1 < (n - cap).toLong),
+        s"evicted entries still pairing: ${pairs.filter(_._2 == n.toLong).toSeq}")
+      // state never grows past one group per band despite n docs
+      val peak = monitor.summary.get("neardup_adversarial").map(_.maxStateRows)
+      assert(peak.exists(p => p > 0 && p <= 4), s"peak state groups $peak not in (0, 4]")
+    } finally { q.stop(); monitor.unregister(sp) }
+  }
+
   test("funnelStream advances the chained stage across micro-batches, monotonically") {
     val sp = spark
     import sp.implicits._
