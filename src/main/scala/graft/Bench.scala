@@ -32,10 +32,11 @@ object Bench {
     "c01_dedup_clusters", "c05_sequence_packing",
     "g01_pagerank", "r02_partitioned_write", "r07_upsert_merge",
     // r6 rotation: s03_final_report (sub-0.3 s) out for the idat pair
-    // below — the line must stay under the 2000-char stdout tail buffer
-    // (measured 1933 chars with 69 entries; ~2 entries of headroom); all
-    // timings remain in BENCH_full.json
-    "m03_image_pixels",
+    // below — the line must stay under the 2000-char stdout tail buffer;
+    // r7 rotation: m03_image_pixels (0.08 s) and t22_nfc_normalize
+    // (0.15 s) out to make room for the load_avg field (line measured
+    // 1925 chars before the rotation); all timings remain in
+    // BENCH_full.json
     // round-4 closing tier (line stays well under the 2000-char buffer)
     "a17_expectations", "a19_topk_per_group_agg",
     "t13_sketch_watchlist", "t15_sketch_merge", "t14_bpe_encode",
@@ -53,14 +54,42 @@ object Bench {
     "k13_anova_inference", "k11_ks_inference", "k14_dmr_regions",
     "e07_downstream_pipeline", "t20_c4_line_dedup", "k17_welch_dmp",
     "g03_triangle_count", "t21_bm25", "k18_brown_forsythe",
-    "e08_ingest_pipeline", "t22_nfc_normalize",
+    "e08_ingest_pipeline",
     // distributional-diagnostics tier
     "k20_kruskal_wallis", "g04_shortest_paths", "w12_changepoint",
     "t23_zipf_slope", "k22_mann_kendall", "t24_heaps_law",
     // S5/K7 reclamation (IDAT binary codec + pOOBAH)
     "e09_idat_lifecycle", "k26_poobah_detp")
+  /** 1-minute load average — embedded in the JSON so the artifact is
+    * self-adjudicating: a committed BENCH recorded under co-tenant load
+    * (r5 logged 27 s for a 1.5 s query; r6's total carried ~1.6×) is
+    * detectable from the record itself instead of needing an out-of-band
+    * re-measure. The PERF.md protocol gates on load_avg[0] — the AMBIENT
+    * sample taken before Spark starts (≥ 1.0 means "re-run on a quiet
+    * host"); load_avg[1] is taken after the run and mostly reflects the
+    * bench's own local[32] footprint (recorded for completeness, not
+    * gated on).
+    */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // the sbt/JVM startup burst inflates the 1-minute average for ~a
+    // minute after launch — a raw entry sample reads ~1.2 on a genuinely
+    // idle host and would flunk its own gate. If the entry sample is
+    // high, idle briefly and resample: true co-tenant load stays high
+    // across the settle, our own startup burst decays.
+    val loadStart = {
+      val entry = loadAvg()
+      if (entry < 0.8) entry
+      else {
+        Thread.sleep(60000)
+        math.min(entry, loadAvg())
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -109,12 +138,13 @@ object Bench {
     val good = results.filter(_._3)
     val total = good.map(_._2).sum
     val failed = results.count(!_._3)
+    val load = s""""load_avg":[${fmt(loadStart)},${fmt(loadAvg())}]"""
     // Full per-query map → repo file (too long for the driver's tail buffer).
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/BENCH_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(results)},"failed":$failed,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$load,"queries":${jsonMap(results)},"failed":$failed,"sf":"$sfDir"}""".getBytes("UTF-8"))
     val head = jsonMap(results.filter(r => headline(r._1) || !r._3))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$head,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$load,"queries":$head,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

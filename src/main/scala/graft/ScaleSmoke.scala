@@ -134,7 +134,11 @@ object ScaleSmoke {
       "k41_bootstrap_ci",
       "s13_warc_roundtrip", "e12_neardup_monitor",
       "k42_probe_ols", "k44_robust_se", "c21_token_budget",
-      "n09_ann_eval", "e13_attribution_outer", "a38_grouping_sets")
+      "n09_ann_eval", "e13_attribution_outer", "a38_grouping_sets",
+      // r7: the two whole-pipeline lifecycles join the sweep for the 64×
+      // stretch runs (their stages are all individually swept above; the
+      // composite numbers anchor the e2e claims)
+      "e02_full_workflow", "e04_curation_pipeline")
     val timed = only match {
       case Some(subs) => queries.filter(q => subs.exists(q.contains))
       case None => queries
