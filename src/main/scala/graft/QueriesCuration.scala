@@ -352,11 +352,45 @@ object QueriesCuration {
     // rounds, each one shuffle over the vocab (never the corpus). Iterative
     // argmax is not SQL-expressible → rows-only here; BpeSpec pins the
     // merge sequence to an independent implementation on the canonical
-    // Sennrich corpus.
+    // Sennrich corpus, and t09_bpe_pair_counts below oracle-checks the
+    // first round's distributed pair-count input cell-by-cell.
     Q("t09_bpe_merges", (s, d) =>
       graft.llm.Bpe.mergesDF(s, docs(s, d), numMerges = 16)
         .orderBy("merge_rank"),
       None),
+
+    // BPE interior oracle: the FIRST merge round's distributed input — the
+    // corpus-weighted adjacent-character pair counts over the word-frequency
+    // vocab — is plain SQL, so the induction's opening shuffle is
+    // hash-checked cell-by-cell (its argmax IS t09's rank-1 merge; BpeSpec
+    // pins the remaining recursion). Shape: one corpus vocab aggregate +
+    // a pair explode bounded by Σ|word| over DISTINCT words — sub-linear
+    // in corpus size, the same axis the merge loop itself rides.
+    Q("t09_bpe_pair_counts", (s, d) => {
+      val vocab = docs(s, d)
+        .select(explode(split(
+          TextAnalysis.normalized(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      vocab.filter(length(col("w")) >= 2)
+        .select(col("w"), col("freq"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(expr("substr(w, i, 1)").as("l_sym"),
+          expr("substr(w, i + 1, 1)").as("r_sym"), col("freq"))
+        .groupBy("l_sym", "r_sym").agg(sum("freq").as("pair_freq"))
+        .orderBy(col("pair_freq").desc, col("l_sym"), col("r_sym"))
+    }, Some(
+      """WITH words AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        |    FROM documents) t WHERE w <> '' GROUP BY 1),
+        |pairs AS (
+        |  SELECT substr(w, CAST(i AS INTEGER), 1) AS l_sym,
+        |         substr(w, CAST(i AS INTEGER) + 1, 1) AS r_sym, freq
+        |  FROM words, unnest(generate_series(1, length(w) - 1)) AS g(i)
+        |  WHERE length(w) >= 2)
+        |SELECT l_sym, r_sym, CAST(sum(freq) AS BIGINT) AS pair_freq
+        |FROM pairs GROUP BY 1, 2 ORDER BY pair_freq DESC, l_sym, r_sym""".stripMargin)),
 
     // Tokenizer application: encode the corpus under the 16 learned
     // merges. The merge loop runs once per DISTINCT word (vocab-bounded

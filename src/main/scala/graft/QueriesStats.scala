@@ -3185,14 +3185,50 @@ object QueriesStats {
     // reaches for after the log-rank screen. Distributed part = the k28
     // per-event-time risk aggregate; Newton runs driver-side on the
     // bounded time histogram (ops/Survival.coxPh). Rows-only (iterative);
-    // the risk-table inputs ride k28_logrank's oracle, and the score
-    // numerator U(0) = O_A − E_A ties this row to k28's oracle-checked
-    // o_a/e_a EXACTLY. p via the codegen χ²(1) survival function.
+    // the risk-table input is oracle-checked row-by-row by
+    // k35_cox_riskset below, its running E/V totals ride k28_logrank's
+    // oracle, and the score numerator U(0) = O_A − E_A ties this row to
+    // k28's oracle-checked o_a/e_a EXACTLY. p via the codegen χ²(1)
+    // survival function.
     Q("k35_cox_ph", (s, d) => {
       GraftExtensions.registerAll(s)
       Survival.coxPh(kmSubjects(s, d), "cohort_a")
         .withColumn("p_value", round(expr("graft_chisq_sf(wald_chi2, 1.0)"), 6))
     }, None),
+
+    // K35 interior oracle: the Cox fit's ENTIRE distributed input — the
+    // per-event-time risk table (n at risk / events per cohort) — checked
+    // ROW BY ROW against DuckDB. k28_logrank's oracle pins this table's
+    // running E/V totals; this row pins every (t, n_a, n_b, d_a, d_b)
+    // individually, so only the driver-side Newton recursion over the
+    // bounded time histogram remains spec-only for k35. Exact integers
+    // throughout → hash-exact.
+    Q("k35_cox_riskset", (s, d) =>
+      Survival.riskTable(kmSubjects(s, d), "cohort_a").orderBy("t"),
+      Some(
+        s"""WITH $kmSubjSql,
+           |lr_grid AS (SELECT DISTINCT duration_h AS t FROM km_dur WHERE d > 0),
+           |lr_groups AS (SELECT DISTINCT grp FROM km_subj),
+           |lr_u AS (
+           |  SELECT grp, duration_h AS t, n_all AS w, 0 AS is_grid FROM km_dur
+           |  UNION ALL
+           |  SELECT grp, t, CAST(0 AS BIGINT), 1 FROM lr_grid CROSS JOIN lr_groups),
+           |lr_risk AS (
+           |  SELECT grp, t,
+           |         CAST(sum(w) OVER (PARTITION BY grp ORDER BY t DESC, is_grid ASC
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at,
+           |         is_grid
+           |  FROM lr_u),
+           |lr_d AS (
+           |  SELECT r.grp, r.t, r.n_at, coalesce(c.d, 0) AS d
+           |  FROM lr_risk r LEFT JOIN km_dur c ON c.grp = r.grp AND c.duration_h = r.t
+           |  WHERE r.is_grid = 1)
+           |SELECT t,
+           |       CAST(sum(CASE WHEN grp = 'cohort_a' THEN n_at ELSE 0 END) AS BIGINT) AS n_a,
+           |       CAST(sum(CASE WHEN grp <> 'cohort_a' THEN n_at ELSE 0 END) AS BIGINT) AS n_b,
+           |       CAST(sum(CASE WHEN grp = 'cohort_a' THEN d ELSE 0 END) AS BIGINT) AS d_a,
+           |       CAST(sum(CASE WHEN grp <> 'cohort_a' THEN d ELSE 0 END) AS BIGINT) AS d_b
+           |FROM lr_d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // K34 — split-conformal prediction intervals for the k15 clock
     // predictor (Vovk/Papadopoulos split-conformal, public): calibration
