@@ -1629,12 +1629,20 @@ object QueriesStats {
     // Benchmark set = the first 5 docs (every pipeline needs SOME eval
     // holdout to scrub); output is packed training sequences with
     // provenance. Rows-only (clustering + packing are iterative kernels;
-    // every stage is individually oracle-checked).
+    // every stage is individually oracle-checked). The cluster stage runs
+    // with the d10 df guard at 256 — a PROVABLE no-op on the real corpus
+    // (max shingle df is 25 at sf0.1, measured) that bounds the
+    // inverted-index fan-out at 256²/shingle against boilerplate or
+    // mass-duplication blowup: the 64× ScaleSmoke replica (every doc
+    // 64-duplicated) OOM'd the unguarded exact stage, while the guard
+    // keeps genuine replica pairs (their shared shingles have df = 64
+    // ≤ 256) and prunes only shingles already common across ≥5 distinct
+    // source docs.
     Q("e04_curation_pipeline", (s, d) => {
       val docs = Tables.table(s, d, "documents")
       val bench = docs.filter(col("doc_id") < 5)
       graft.ops.Pipelines.curationPipeline(
-          docs.filter(col("doc_id") >= 5), bench)
+          docs.filter(col("doc_id") >= 5), bench, maxDf = Some(256L))
         .orderBy("src_doc", "chunk_id")
     }, None),
 

@@ -17,7 +17,8 @@ object ScaleSmoke {
     // build unaffected) — for re-measuring one query after a perf change.
     val only = args.collectFirst { case a if a.startsWith("--only=") =>
       a.stripPrefix("--only=").split(',').toSeq }
-    val rest = args.filterNot(a => a == "--reuse" || a.startsWith("--only="))
+    val rest = args.filterNot(a =>
+      a == "--reuse" || a == "--warm" || a.startsWith("--only="))
     val reps = if (rest.nonEmpty) rest(0).toInt else 8
     val src = if (rest.length > 1) rest(1) else "/root/testdata/sf0.1"
     val out = s"${Q.scratch}/scale$reps"
@@ -143,13 +144,25 @@ object ScaleSmoke {
       case Some(subs) => queries.filter(q => subs.exists(q.contains))
       case None => queries
     }
+    // --warm: time each query twice, report the second run. Single-shot
+    // cold timings attribute the shared derived-view builds (Tables views
+    // per dir) to whichever filtered query touches them first — fine for
+    // the full sweep where builds amortize over ~150 queries, but a
+    // 10-query --only subset concentrates them (a 2.5 s query reads 52 s).
+    // The second run matches the bench's median-of-3 semantic: kernel
+    // caches released (releaseAll between runs), Tables views warm.
+    val warm = args.contains("--warm")
     Seq("1x" -> src, s"${reps}x" -> out).foreach { case (tag, dir) =>
       timed.foreach { qn =>
-        val t0 = System.nanoTime()
-        val n = SparkEntry.queries(qn)(spark, dir).count()
-        val secs = (System.nanoTime() - t0) / 1e9
+        def once(): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries(qn)(spark, dir).count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          graft.ops.Caches.releaseAll()
+          (secs, n)
+        }
+        val (secs, n) = if (warm) { once(); once() } else once()
         println(f"[scale] $tag%4s $qn%-24s ${secs}%8.2f s  rows=$n")
-        graft.ops.Caches.releaseAll()
       }
     }
 

@@ -149,12 +149,17 @@ object Curation {
     * the cluster size. This is the keep-one-per-cluster step every
     * large-scale dedup pipeline runs after pair generation.
     */
-  def dedupClusters(docs: DataFrame, minJaccard: Double): DataFrame = {
+  def dedupClusters(docs: DataFrame, minJaccard: Double,
+                    maxDf: Option[Long] = None): DataFrame = {
     // jaccardPairs reads the shingle table three times (sizes + both sides
     // of the inverted-index self-join) — persist it, as minhashNearDups
-    // does, so the explode/window pipeline runs once.
+    // does, so the explode/window pipeline runs once. maxDf = the d10
+    // document-frequency guard (Dedup.jaccardPairsDfPruned): bounds the
+    // per-shingle pair fan-out at maxDf² against boilerplate/duplication
+    // blowup; None keeps the exact unguarded semantics (c01's oracle).
     val sh = graft.ops.Caches.track(Dedup.shingles(docs).persist())
-    val pairs = Dedup.jaccardPairs(sh, minJaccard)
+    val pairs = maxDf.fold(Dedup.jaccardPairs(sh, minJaccard))(
+      c => Dedup.jaccardPairsDfPruned(sh, minJaccard, c))
     val cc = connectedComponents(pairs, docs.select("doc_id"))
     // cluster_size via a window on the cluster key: one shuffle, vs the
     // two (aggregate + join back) of the groupBy/join formulation.
@@ -233,8 +238,8 @@ object Curation {
     * before ranking so the kept doc is stable under last-ulp noise.
     */
   def bestOfCluster(docs: DataFrame, minJaccard: Double,
-                    scoreCol: Column): DataFrame =
-    bestOfClusterFrom(dedupClusters(docs, minJaccard),
+                    scoreCol: Column, maxDf: Option[Long] = None): DataFrame =
+    bestOfClusterFrom(dedupClusters(docs, minJaccard, maxDf),
       docs.select(col("doc_id"), round(scoreCol, 6).as("score")))
 
   /** [[bestOfCluster]] over a precomputed cluster table and a

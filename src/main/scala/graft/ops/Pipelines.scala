@@ -72,7 +72,8 @@ object Pipelines {
                        minJaccard: Double = 0.5, minQuality: Double = 0.3,
                        minOverlap: Int = 5, chunkSize: Int = 50,
                        stride: Int = 40, capacity: Long = 512,
-                       funnel: Option[CurationFunnel] = None): org.apache.spark.sql.DataFrame = {
+                       funnel: Option[CurationFunnel] = None,
+                       maxDf: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     import graft.llm.{Curation, Dedup, TextAnalysis}
     funnel.foreach(_.register(docs.sparkSession))
     def observed(df: org.apache.spark.sql.DataFrame, stage: String) =
@@ -83,7 +84,7 @@ object Pipelines {
       observed(Dedup.exactDedup(docs), "after_exact_dedup").persist())
     val kept = observed(
       Curation.bestOfCluster(exact, minJaccard,
-          TextAnalysis.qualityScore(col("text")))
+          TextAnalysis.qualityScore(col("text")), maxDf)
         .select(col("kept_doc").as("doc_id"), col("score"))
         .join(exact, "doc_id")
         .filter(col("score") >= minQuality), "after_quality_gate")

@@ -118,6 +118,31 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == 3L)
   }
 
+  test("dedupClusters df guard: no-op above max df, prunes boilerplate below it") {
+    // 6 docs sharing one boilerplate sentence (its shingles have df = 6);
+    // docs 1/2 are additionally genuine near-dups through unique content.
+    val boiler = "subscribe to our newsletter for updates every single day"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta eta theta. $boiler"),
+      (2L, s"alpha beta gamma delta epsilon zeta eta theta iota. $boiler"),
+      (3L, s"completely different content about mountain weather patterns. $boiler"),
+      (4L, s"a treatise on medieval agriculture and crop rotation cycles. $boiler"),
+      (5L, s"notes from the harbor master regarding tide tables. $boiler"),
+      (6L, s"recipe for sourdough bread with a long fermentation. $boiler")
+    ).toDF("doc_id", "text")
+    def clusters(maxDf: Option[Long]) =
+      Curation.dedupClusters(docs, minJaccard = 0.5, maxDf)
+        .select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+    // cap >= max df: bit-identical to the unguarded exact path
+    assert(clusters(Some(100L)) == clusters(None))
+    // cap below the boilerplate df: the shared-boilerplate shingles are
+    // pruned from BOTH the pair join and the Jaccard sizes, so only the
+    // genuine near-dup pair {1,2} still clears 0.5
+    val guarded = clusters(Some(5L))
+    assert(guarded(1L) == guarded(2L))
+    assert(Seq(3L, 4L, 5L, 6L).map(guarded).distinct.size == 4)
+  }
+
   test("sequence packing respects capacity, covers every doc, and is BFD-tight") {
     val docs = (1L to 200L).map(i => (i, ("word " * (i % 37 + 1).toInt).trim))
       .toDF("doc_id", "text")
