@@ -82,9 +82,13 @@ object Bench {
     // idle host and would flunk its own gate. If the entry sample is
     // high, idle briefly and resample: true co-tenant load stays high
     // across the settle, our own startup burst decays.
+    // Resample only when the entry sample would FAIL the protocol's
+    // < 1.0 trust gate — a sample already under the gate gains nothing
+    // from a 60 s idle (the earlier 0.8 threshold slept on [0.8, 1.0)
+    // hosts that were going to pass anyway).
     val loadStart = {
       val entry = loadAvg()
-      if (entry < 0.8) entry
+      if (entry < 1.0) entry
       else {
         Thread.sleep(60000)
         math.min(entry, loadAvg())

@@ -549,15 +549,21 @@ object QueriesRelational {
         """SELECT sample_id, count(*) AS n, round(avg(beta), 6) AS mean_beta
           |FROM beta GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // The oracle mirrors nullProfile's EXACT semantics: cells are deduped
+    // first (duplicate (row, col) entries count once), a NULL key is a
+    // distinct axis value (DISTINCT-subquery counting keeps the NULL row;
+    // an equi-join grid would silently drop it), and present counts cells
+    // whose max value is non-null — no grid enumeration in either engine.
     Q("a05_null_profiling", (s, d) =>
       Qc.nullProfile(B(s, d), "probe_id", "sample_id", "beta"),
       Some(ctes +
-        """SELECT count(*) AS total_cells, count(b.beta) AS present,
-          |       count(*) - count(b.beta) AS missing
-          |FROM (SELECT p.probe_id, s.sample_id
-          |      FROM (SELECT DISTINCT probe_id FROM beta) p
-          |      CROSS JOIN (SELECT DISTINCT sample_id FROM beta) s) g
-          |LEFT JOIN beta b ON g.probe_id = b.probe_id AND g.sample_id = b.sample_id""".stripMargin)),
+        """, np_cells AS (
+          |  SELECT probe_id, sample_id, max(beta) AS v FROM beta GROUP BY 1, 2),
+          |np_r AS (SELECT count(*) AS nr FROM (SELECT DISTINCT probe_id FROM beta) t),
+          |np_c AS (SELECT count(*) AS nc FROM (SELECT DISTINCT sample_id FROM beta) t),
+          |np_p AS (SELECT count(v) AS present FROM np_cells)
+          |SELECT nr * nc AS total_cells, present, nr * nc - present AS missing
+          |FROM np_r, np_c, np_p""".stripMargin)),
 
     Q("a06_frequency_table", (s, d) =>
       Tables.table(s, d, "lineitem")

@@ -373,6 +373,30 @@ object QueriesStats {
       |         CAST(sum(event) AS BIGINT) AS d
       |  FROM km_subj GROUP BY 1, 2)""".stripMargin
 
+  /** Shared per-event-time at-risk CTE chain (lr_grid → lr_d): DuckDB
+    * mirror of [[graft.ops.Survival.riskTable]]'s union-and-running-count
+    * construction. Used by BOTH the k28 log-rank oracle and the k35 Cox
+    * risk-table oracle so a future fix to the at-risk window can never
+    * leave the two oracles silently disagreeing about the same table.
+    */
+  private val lrRiskSql =
+    """lr_grid AS (SELECT DISTINCT duration_h AS t FROM km_dur WHERE d > 0),
+      |lr_groups AS (SELECT DISTINCT grp FROM km_subj),
+      |lr_u AS (
+      |  SELECT grp, duration_h AS t, n_all AS w, 0 AS is_grid FROM km_dur
+      |  UNION ALL
+      |  SELECT grp, t, CAST(0 AS BIGINT), 1 FROM lr_grid CROSS JOIN lr_groups),
+      |lr_risk AS (
+      |  SELECT grp, t,
+      |         CAST(sum(w) OVER (PARTITION BY grp ORDER BY t DESC, is_grid ASC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at,
+      |         is_grid
+      |  FROM lr_u),
+      |lr_d AS (
+      |  SELECT r.grp, r.t, r.n_at, coalesce(c.d, 0) AS d
+      |  FROM lr_risk r LEFT JOIN km_dur c ON c.grp = r.grp AND c.duration_h = r.t
+      |  WHERE r.is_grid = 1)""".stripMargin
+
   private def anovaF(s: org.apache.spark.sql.SparkSession, d: String) = {
     val bg = Tables.betaLong(s, d)
       .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
@@ -898,9 +922,14 @@ object QueriesStats {
     Q("k02_mds_gram", (s, d) => {
       val bk0 = Tables.betaLong(s, d).select(col("probe_id"),
         col("sample_id"), round(col("beta") * 997).cast("bigint").as("k"))
-      // the kernel's own top-100-variance probe filter (k02_mds_coords
-      // passes topK = 100), ranked by exact integer moments with the k09
-      // fixed double sequence so both engines select the identical set
+      // the kernel's top-100-variance probe filter (k02_mds_coords passes
+      // topK = 100), ranked here by exact integer moments (the k09 fixed
+      // double sequence) so Spark and DuckDB select the identical set.
+      // The kernel itself ranks by float var_samp — equal orderings in
+      // exact arithmetic on the beta grid, but a near-tie at rank 100
+      // could flip under float summation; PcaMdsSpec asserts the two
+      // selections coincide on the fixture, so the "only the eigensolve
+      // stays spec-only" claim is checked rather than assumed
       val top = bk0.groupBy("probe_id")
         .agg(count(lit(1)).as("n"), sum("k").as("s"),
           sum(col("k") * col("k")).as("ss"))
@@ -1367,7 +1396,10 @@ object QueriesStats {
         .filter(abs(col("delta_beta")) >= 0.05)
       val sig = delta
         .join(broadcast(Tables.chipAnnotation(s, d)), "probe_id")
-        .withColumn("pos", substring(col("probe_id"), 3, 7).cast("bigint"))
+        // unbounded 2-arg substr: a fixed length would silently truncate
+        // ids with longer numeric suffixes and diverge from the oracle's
+        // substr(probe_id, 3)
+        .withColumn("pos", expr("CAST(substr(probe_id, 3) AS BIGINT)"))
         .withColumn("dir", when(col("delta_beta") > 0, 1).otherwise(-1))
       val w = Window.partitionBy("chr", "dir").orderBy("pos")
       val runs = sig
@@ -1945,7 +1977,10 @@ object QueriesStats {
       // one buffer per probe and satisfies the final's distribution, so
       // the big buffers never cross an exchange
       val st = bk.join(broadcast(sheet), "sample_id")
-        .withColumn("key", substring(col("sample_id"), 2, 8).cast("long"))
+        // unbounded 2-arg substr — must agree with the oracle's
+        // substr(sample_id, 2) and the spec replay's drop(1) for ids of
+        // ANY suffix width (a fixed length diverged silently past 8 digits)
+        .withColumn("key", expr("CAST(substr(sample_id, 2) AS LONG)"))
         .withColumn("is_wt", col("group") === "WT")
         .select("probe_id", "k", "is_wt", "key")
         .repartition(col("probe_id"))
@@ -2596,22 +2631,7 @@ object QueriesStats {
           round(col("chi2"), 6).as("chi2")),
     Some(
       s"""WITH $kmSubjSql,
-         |lr_grid AS (SELECT DISTINCT duration_h AS t FROM km_dur WHERE d > 0),
-         |lr_groups AS (SELECT DISTINCT grp FROM km_subj),
-         |lr_u AS (
-         |  SELECT grp, duration_h AS t, n_all AS w, 0 AS is_grid FROM km_dur
-         |  UNION ALL
-         |  SELECT grp, t, CAST(0 AS BIGINT), 1 FROM lr_grid CROSS JOIN lr_groups),
-         |lr_risk AS (
-         |  SELECT grp, t,
-         |         CAST(sum(w) OVER (PARTITION BY grp ORDER BY t DESC, is_grid ASC
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at,
-         |         is_grid
-         |  FROM lr_u),
-         |lr_d AS (
-         |  SELECT r.grp, r.t, r.n_at, coalesce(c.d, 0) AS d
-         |  FROM lr_risk r LEFT JOIN km_dur c ON c.grp = r.grp AND c.duration_h = r.t
-         |  WHERE r.is_grid = 1),
+         |$lrRiskSql,
          |lr_t AS (
          |  SELECT t,
          |         CAST(sum(CASE WHEN grp = 'cohort_a' THEN n_at ELSE 0 END) AS BIGINT) AS n_a,
@@ -3215,22 +3235,7 @@ object QueriesStats {
       Survival.riskTable(kmSubjects(s, d), "cohort_a").orderBy("t"),
       Some(
         s"""WITH $kmSubjSql,
-           |lr_grid AS (SELECT DISTINCT duration_h AS t FROM km_dur WHERE d > 0),
-           |lr_groups AS (SELECT DISTINCT grp FROM km_subj),
-           |lr_u AS (
-           |  SELECT grp, duration_h AS t, n_all AS w, 0 AS is_grid FROM km_dur
-           |  UNION ALL
-           |  SELECT grp, t, CAST(0 AS BIGINT), 1 FROM lr_grid CROSS JOIN lr_groups),
-           |lr_risk AS (
-           |  SELECT grp, t,
-           |         CAST(sum(w) OVER (PARTITION BY grp ORDER BY t DESC, is_grid ASC
-           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at,
-           |         is_grid
-           |  FROM lr_u),
-           |lr_d AS (
-           |  SELECT r.grp, r.t, r.n_at, coalesce(c.d, 0) AS d
-           |  FROM lr_risk r LEFT JOIN km_dur c ON c.grp = r.grp AND c.duration_h = r.t
-           |  WHERE r.is_grid = 1)
+           |$lrRiskSql
            |SELECT t,
            |       CAST(sum(CASE WHEN grp = 'cohort_a' THEN n_at ELSE 0 END) AS BIGINT) AS n_a,
            |       CAST(sum(CASE WHEN grp <> 'cohort_a' THEN n_at ELSE 0 END) AS BIGINT) AS n_b,

@@ -509,19 +509,25 @@ object Similarity {
       .select("qid", "vec_id", "rank_s")
 
     // --- pq: seed codebooks per subspace, ADC rank ----------------------
-    val dim = e.select(size(col("v"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val sub = dim / m
     val sDf = spark.range(0, m).select(col("id").cast("int").as("s"))
-    // per-(vector, subspace) slice of the L2-normalized vector + its norm
+    // per-(vector, subspace) slice of the L2-normalized vector + its norm.
+    // The subspace width derives PER ROW from the vector length — no
+    // driver action at plan-construction time (the Survival.scala
+    // convention) and no crash on an empty frame; the divisibility guard
+    // rides inside the width expression (assert_true returns NULL on
+    // success → coalesce +0) so column pruning can never elide it.
     val svs = graft.ops.Caches.track(
       e.withColumn("vn",
           when(col("nrm") > 0, transform(col("v"), x => x / sqrt(col("nrm"))))
             .otherwise(col("v")))
         .select("vec_id", "vn")
         .crossJoin(broadcast(sDf))
+        .withColumn("sub", expr(
+          s"CAST(size(vn) DIV $m AS INT) + CAST(coalesce(assert_true(" +
+            s"size(vn) % $m = 0, 'pq: vector dim must divide into $m " +
+            "subspaces'), 0) AS INT)"))
         .withColumn("sv",
-          slice(col("vn"), (col("s") * sub + 1).cast("int"), lit(sub)))
+          slice(col("vn"), (col("s") * col("sub") + 1).cast("int"), col("sub")))
         .withColumn("svv", dotC(col("sv"), col("sv")))
         .select("vec_id", "s", "sv", "svv")
         .persist()) // consumed twice: corpus codes + query distance tables

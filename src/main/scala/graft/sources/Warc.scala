@@ -143,7 +143,9 @@ object Warc {
     * array limit first). Fails fast on malformed framing (bad version
     * line, missing separators, short block) — a silently skipped record
     * is a corpus-count bug downstream. The underlying stream is closed at
-    * EOF (flatMap consumers always drain the iterator).
+    * clean EOF; the Spark scan additionally closes it via a
+    * task-completion listener so early-stopping consumers (LIMIT/take)
+    * and framing failures cannot leak handles.
     */
   private[graft] def parseStream(name: String, in0: java.io.InputStream)
       : Iterator[Rec] = {
@@ -268,7 +270,16 @@ object Warc {
         paths.flatMap { path =>
           val p = new org.apache.hadoop.fs.Path(path)
           val name = path.substring(path.lastIndexOf('/') + 1)
-          parseStream(name, p.getFileSystem(conf).open(p))
+          val in = p.getFileSystem(conf).open(p)
+          // the iterator's own clean-EOF close only runs on a full drain;
+          // a consumer that stops early (LIMIT/take) or a framing require
+          // failure would otherwise leak one handle per file for the life
+          // of the executor — close at task end regardless (idempotent,
+          // so the drained case double-closes harmlessly)
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ =>
+              try in.close() catch { case _: Throwable => () }))
+          parseStream(name, in)
         }
       }
       .toDF("file", "record_id", "warc_type", "target_uri", "warc_date",

@@ -67,7 +67,31 @@ class PcaMdsSpec extends SparkSpec {
     // land on the production kernel's coordinates. Together the two
     // checks cover the whole k02 path.
     import breeze.linalg.{eigSym, DenseMatrix}
+    import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
+    // Selection-equivalence precondition, asserted explicitly: the gram
+    // query ranks its top-100 probes by EXACT integer moments while the
+    // kernel (Analytic.topKByVariance) ranks by float var_samp — equal in
+    // exact arithmetic on the beta grid, but a near-tie at rank 100 could
+    // flip under float summation. Failing HERE names the cause; without
+    // this the divergence would surface as an opaque 1e-3 coordinate
+    // drift below.
+    val beta = Tables.betaLong(spark, sf)
+    val kernelSet = graft.ops.Analytic
+      .topKByVariance(beta, "probe_id", "beta", 100)
+      .select("probe_id").collect().map(_.getString(0)).toSet
+    val momentSet = beta
+      .select(col("probe_id"), round(col("beta") * 997).cast("bigint").as("k"))
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n"), sum("k").as("s"),
+        sum(col("k") * col("k")).as("ss"))
+      .filter(col("n") >= 2)
+      .select(col("probe_id"),
+        graft.functions.Fns.varFromMoments(col("n"), col("s"), col("ss")).as("v"))
+      .orderBy(col("v").desc, col("probe_id").asc).limit(100)
+      .collect().map(_.getString(0)).toSet
+    assert(momentSet == kernelSet,
+      "k02_mds_gram's exact-moment probe selection diverged from the kernel's float var_samp ranking")
     val gram = SparkEntry.queries("k02_mds_gram")(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     val ids = gram.flatMap(t => Seq(t._1, t._2)).distinct.sorted

@@ -6,6 +6,24 @@ import graft.ops.Relational
 class RelationalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("nullProfile counts null axis keys and dedups duplicate cells") {
+    // 2 probes x 3 sample keys (one NULL), one duplicated cell, one
+    // null-valued cell: total = 2*3, present counts the deduped non-null
+    // cells — (p1,s1) once despite the duplicate row, (p1,NULL) counted
+    // as a real axis value, (p2,s2)'s null beta NOT counted.
+    val df = Seq(
+      ("p1", Option("s1"), Option(0.1)),
+      ("p1", Option("s1"), Option(0.2)), // duplicate cell
+      ("p1", None, Option(0.3)),         // null sample key, real value
+      ("p2", Option("s2"), None),        // cell present but value null
+      ("p2", Option("s1"), Option(0.4))
+    ).toDF("probe_id", "sample_id", "beta")
+    val r = graft.ops.Qc.nullProfile(df, "probe_id", "sample_id", "beta").head()
+    assert(r.getLong(0) == 6L, s"total: $r")   // 2 probes x 3 sample keys
+    assert(r.getLong(1) == 3L, s"present: $r") // (p1,s1),(p1,NULL),(p2,s1)
+    assert(r.getLong(2) == 3L, s"missing: $r")
+  }
+
   test("saltedJoin equals the plain join on a skewed key distribution") {
     // one hot key carrying 90% of rows
     val large = ((1 to 900).map(i => ("hot", i)) ++ (1 to 100).map(i => (s"k$i", i)))
