@@ -80,20 +80,31 @@ object Bench {
     // the sbt/JVM startup burst inflates the 1-minute average for ~a
     // minute after launch — a raw entry sample reads ~1.2 on a genuinely
     // idle host and would flunk its own gate. If the entry sample is
-    // high, idle briefly and resample: true co-tenant load stays high
-    // across the settle, our own startup burst decays.
-    // Resample only when the entry sample would FAIL the protocol's
-    // < 1.0 trust gate — a sample already under the gate gains nothing
-    // from a 60 s idle (the earlier 0.8 threshold slept on [0.8, 1.0)
-    // hosts that were going to pass anyway).
+    // high, idle and resample: true co-tenant load stays high across the
+    // settle, our own startup burst decays. r7's driver artifact (598 s
+    // at ambient 1.73 vs 235 s quiet, same code) was the second
+    // consecutive noise-corrupted official measurement, so the bench now
+    // REFUSES to certify a noisy run instead of merely recording the
+    // load: it retries the settle up to 10 times (~10 min), and if the
+    // ambient 1-minute average never drops under the protocol's 1.0
+    // trust gate it still runs but self-labels the artifact with
+    // "trusted":false so no downstream gate can key off the numbers.
+    // Resample only when the entry sample would FAIL the gate — a sample
+    // already under it gains nothing from a 60 s idle.
     val loadStart = {
       val entry = loadAvg()
-      if (entry < 1.0) entry
-      else {
+      var best = entry
+      var tries = 0
+      while (best >= 1.0 && tries < 10) {
+        System.err.println(
+          f"[bench] ambient load $best%.2f >= 1.0 — idling 60 s before retry ${tries + 1}/10")
         Thread.sleep(60000)
-        math.min(entry, loadAvg())
+        best = math.min(best, loadAvg())
+        tries += 1
       }
+      best
     }
+    val trusted = loadStart >= 0.0 && loadStart < 1.0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -133,21 +144,33 @@ object Bench {
       }
       val ok = times.nonEmpty
       val median = if (ok) times.sorted.apply(times.size / 2) else -1.0
-      (name, median, ok)
+      val min = if (ok) times.min else -1.0
+      (name, median, min, ok)
     }
     def fmt(v: Double) = f"$v%.3f"
-    def jsonMap(rs: Seq[(String, Double, Boolean)]) = rs
-      .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
+    def jsonMap(rs: Seq[(String, Double, Double, Boolean)]) = rs
+      .map { case (k, v, _, ok) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
       .mkString("{", ",", "}")
-    val good = results.filter(_._3)
+    // Full file carries med AND min per query: multi-stage pipeline rows
+    // (e07 measured 3.5 s / 9.7 s / 12.0 s on identical code across three
+    // r7 runs) jitter ~3× run-to-run from scratch-write contention even at
+    // matched totals; min-of-3 is the stable per-query regression key
+    // (PERF.md protocol), median stays the headline/total metric.
+    def jsonMapFull(rs: Seq[(String, Double, Double, Boolean)]) = rs
+      .map { case (k, med, min, ok) =>
+        "\"" + k + "\":" + (if (ok) s"""{"med":${fmt(med)},"min":${fmt(min)}}"""
+                            else """{"med":-1,"min":-1}""")
+      }
+      .mkString("{", ",", "}")
+    val good = results.filter(_._4)
     val total = good.map(_._2).sum
-    val failed = results.count(!_._3)
-    val load = s""""load_avg":[${fmt(loadStart)},${fmt(loadAvg())}]"""
+    val failed = results.count(!_._4)
+    val load = s""""load_avg":[${fmt(loadStart)},${fmt(loadAvg())}],"trusted":$trusted"""
     // Full per-query map → repo file (too long for the driver's tail buffer).
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/BENCH_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$load,"queries":${jsonMap(results)},"failed":$failed,"sf":"$sfDir"}""".getBytes("UTF-8"))
-    val head = jsonMap(results.filter(r => headline(r._1) || !r._3))
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$load,"queries":${jsonMapFull(results)},"failed":$failed,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    val head = jsonMap(results.filter(r => headline(r._1) || !r._4))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$load,"queries":$head,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

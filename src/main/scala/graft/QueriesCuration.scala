@@ -26,7 +26,13 @@ object QueriesCuration {
     scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
   private def clusters(s: org.apache.spark.sql.SparkSession, d: String) =
     clusterCache.getOrElseUpdate((System.identityHashCode(s), d), {
-      val df = Curation.dedupClusters(docs(s, d), minJaccard = 0.05)
+      // maxDf = None: the oracle's recursive-CTE closure is the EXACT
+      // unguarded semantics, so the escape hatch is explicit here (the
+      // r8 safe default of 4096 would also be a no-op on this corpus —
+      // max shingle df 25 at sf0.1 — but the oracle should not depend on
+      // that measurement).
+      val df = Curation.dedupClusters(docs(s, d), minJaccard = 0.05,
+        maxDf = None)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize while the clustering kernel's caches are alive
       df

@@ -1303,6 +1303,90 @@ object QueriesStats {
         .orderBy("sa", "sb")
     }, None),
 
+    // K12 thresholded production variant (r8): only |ρ| ≥ τ pairs, via
+    // the deterministic sign-sketch pre-filter (Analytic.spearman-
+    // Thresholded) — candidates from banded random-hyperplane buckets,
+    // exact k12 moments only on candidates, so the plan stops being
+    // unconditionally samples². FULLY ORACLE-CHECKED: the sketch is
+    // md5-derived ±1 signs + integer projections, so DuckDB replays the
+    // identical bucket structure, candidate set, and bit-exact ρ.
+    // τ = 0.25 here because the synthetic grid's |ρ| tops out at ~0.32
+    // (sf0.01) — a non-empty oracle beats a vacuous one; the 64×
+    // ScaleSmoke row runs the production τ = 0.8.
+    Q("k12_spearman_thresholded", (s, d) =>
+      Analytic.spearmanThresholded(Tables.betaLong(s, d),
+          "probe_id", "sample_id", "beta", tau = 0.25)
+        .select(col("sa"), col("sb"), col("n_shared"),
+          round(col("rho"), 6).as("rho"))
+        .orderBy("sa", "sb"),
+    Some(ctes +
+      """, cells AS (
+        |  SELECT sample_id, beta, count(*) AS t FROM beta GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT sample_id, beta,
+        |         2 * sum(t) OVER (PARTITION BY sample_id ORDER BY beta
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (t - 1) AS ar2
+        |  FROM cells),
+        |rkb AS (
+        |  SELECT b.probe_id, b.sample_id, CAST(r.ar2 AS HUGEINT) AS ar2
+        |  FROM beta b JOIN rk r ON b.sample_id = r.sample_id AND b.beta = r.beta),
+        |params AS (
+        |  SELECT (SELECT min(r) FROM (SELECT unnest(range(4, 31)) AS r)
+        |          WHERE 4 * power(2, r) >=
+        |                (SELECT count(DISTINCT sample_id) FROM beta)) AS r),
+        |signs AS (
+        |  SELECT p.probe_id, b.j,
+        |         CASE WHEN substring(md5(p.probe_id || '#' || CAST(b.j AS VARCHAR)), 1, 1) < '8'
+        |              THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT DISTINCT probe_id FROM beta) p,
+        |       (SELECT j FROM (SELECT unnest(range(0, 240)) AS j), params
+        |        WHERE j < 8 * r) b),
+        |proj AS (
+        |  SELECT rkb.sample_id, signs.j,
+        |         CAST(count(*) AS HUGEINT) AS n, sum(rkb.ar2) AS sr,
+        |         sum(signs.s * rkb.ar2) AS sdot,
+        |         CAST(sum(signs.s) AS HUGEINT) AS ssum
+        |  FROM rkb JOIN signs ON rkb.probe_id = signs.probe_id
+        |  GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT sample_id, j,
+        |         CASE WHEN n * sdot - sr * ssum >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM proj),
+        |bsig AS (
+        |  SELECT sample_id, j // r AS band,
+        |         sum(bit * CAST(power(2, j % r) AS BIGINT)) AS sig,
+        |         max(CASE WHEN j % r = 0 THEN bit END) AS lead
+        |  FROM bits, params GROUP BY 1, 2),
+        |csig AS (
+        |  SELECT sample_id, band,
+        |         CASE WHEN lead = 1 THEN CAST(power(2, r) AS BIGINT) - 1 - sig
+        |              ELSE sig END AS canon
+        |  FROM bsig, params),
+        |cand AS (
+        |  SELECT DISTINCT a.sample_id AS sa, b.sample_id AS sb
+        |  FROM csig a JOIN csig b
+        |    ON a.band = b.band AND a.canon = b.canon AND a.sample_id < b.sample_id),
+        |m AS (
+        |  SELECT c.sa, c.sb, CAST(count(*) AS HUGEINT) AS n,
+        |         sum(a.ar2) AS sx, sum(b.ar2) AS sy,
+        |         sum(a.ar2 * a.ar2) AS sxx, sum(b.ar2 * b.ar2) AS syy,
+        |         sum(a.ar2 * b.ar2) AS sxy
+        |  FROM cand c
+        |  JOIN rkb a ON a.sample_id = c.sa
+        |  JOIN rkb b ON b.sample_id = c.sb AND b.probe_id = a.probe_id
+        |  GROUP BY 1, 2),
+        |rho AS (
+        |  SELECT sa, sb, CAST(n AS BIGINT) AS n_shared,
+        |         CAST(n * sxy - sx * sy AS DOUBLE)
+        |           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |                  * CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+        |  FROM m
+        |  WHERE n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE)
+        |                   * CAST(n * syy - sy * sy AS DOUBLE) > 0.0)
+        |SELECT sa, sb, n_shared, round(rho, 6) AS rho
+        |FROM rho WHERE abs(rho) >= 0.25
+        |ORDER BY sa, sb""".stripMargin)),
+
     // K13 — one-way ANOVA F per probe across the three instrument runs:
     // the batch-effect screen that motivates ComBat (a probe whose means
     // differ by run before adjustment is the batch signal k05 removes).
@@ -1662,19 +1746,23 @@ object QueriesStats {
     // holdout to scrub); output is packed training sequences with
     // provenance. Rows-only (clustering + packing are iterative kernels;
     // every stage is individually oracle-checked). The cluster stage runs
-    // with the d10 df guard at 256 — a PROVABLE no-op on the real corpus
-    // (max shingle df is 25 at sf0.1, measured) that bounds the
-    // inverted-index fan-out at 256²/shingle against boilerplate or
-    // mass-duplication blowup: the 64× ScaleSmoke replica (every doc
-    // 64-duplicated) OOM'd the unguarded exact stage, while the guard
-    // keeps genuine replica pairs (their shared shingles have df = 64
-    // ≤ 256) and prunes only shingles already common across ≥5 distinct
-    // source docs.
+    // with the d10 df guard, its cap DERIVED FROM CORPUS SIZE (r8,
+    // ADVICE item): a fixed 256 was a silent behavior cliff — a
+    // ScaleSmoke sweep past 256× (every doc reps-duplicated → genuine
+    // dup shingles reach df = reps > 256) would have its most-duplicated
+    // content pruned OUT of the near-dup stage with no warning. Scaling
+    // the cap as max(256, docs/16) keeps the fan-out bound corpus-linear
+    // (cap²/shingle where cap ~ n/16 still forbids the all-pairs n²
+    // blowup the r7 sweep OOM'd on) while genuine mass-duplication
+    // (df = reps ≤ n/16 for any reps once n ≥ 16·reps, which replication
+    // guarantees) always stays under the cap. On the real corpus the
+    // guard remains a provable no-op (max shingle df 25 at sf0.1).
     Q("e04_curation_pipeline", (s, d) => {
       val docs = Tables.table(s, d, "documents")
       val bench = docs.filter(col("doc_id") < 5)
-      graft.ops.Pipelines.curationPipeline(
-          docs.filter(col("doc_id") >= 5), bench, maxDf = Some(256L))
+      val corpus = docs.filter(col("doc_id") >= 5)
+      val cap = math.max(256L, corpus.count() / 16L)
+      graft.ops.Pipelines.curationPipeline(corpus, bench, maxDf = Some(cap))
         .orderBy("src_doc", "chunk_id")
     }, None),
 
@@ -2466,11 +2554,100 @@ object QueriesStats {
     // distributed k08-style distances (the oracle-checked aggregate), then
     // the O(samples³) UPGMA merge loop on the bounded axis. step=0 rows
     // carry the leaf order, step>0 rows the merge schedule with heights.
-    // Rows-only (iterative); HclustSpec pins a hand-computed linkage and
-    // the SciPy-convention invariants.
+    // FULLY ORACLE-CHECKED since r8: the whole UPGMA merge schedule —
+    // argmin pair per step under the (distance, lo, hi) tie order, the
+    // (|a|·d(a,c)+|b|·d(b,c))/(|a|+|b|) average-linkage update, the
+    // creation-ordered member concatenation that defines the leaf order —
+    // replays in DuckDB as ONE recursive CTE over the oracle-checked k08
+    // distance matrix (the c01 closure pattern, extended to carry the
+    // live distance matrix + cluster state through each recursion level).
+    // Both engines run the identical IEEE op sequence (int-sized
+    // multiplies, one add, one divide per update), so the merge heights
+    // hash-match bit-for-bit; HclustSpec still pins a hand-computed
+    // linkage and the SciPy-convention invariants.
     Q("k24_hclust_dendrogram", (s, d) =>
       graft.ops.Hclust.mergeTable(s, Tables.betaLong(s, d)),
-      None),
+      Some(ctes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, kb AS (
+          |  SELECT probe_id, sample_id, CAST(round(beta * 997) AS BIGINT) AS k
+          |  FROM beta),
+          |dist AS (
+          |  SELECT a.sample_id AS sa, b.sample_id AS sb,
+          |         CAST(sum((a.k - b.k) * (a.k - b.k)) AS DOUBLE)
+          |           / (994009.0 * CAST(count(*) AS DOUBLE)) AS d
+          |  FROM kb a JOIN kb b
+          |    ON a.probe_id = b.probe_id AND a.sample_id < b.sample_id
+          |  GROUP BY 1, 2),
+          |-- UPGMA replay: each recursion level = one agglomeration step.
+          |-- State rows: kind 'd' = live pairwise distance (a < b), kind
+          |-- 's' = live cluster (size, creation order, ordered member
+          |-- list), kind 'm' = accumulated merge schedule (re-emitted
+          |-- every level so it survives to the final iteration).
+          |upgma AS (
+          |  (
+          |    SELECT 0 AS iter, 'd' AS kind, sa AS a, sb AS b, d,
+          |           CAST(NULL AS BIGINT) AS sz, CAST(NULL AS BIGINT) AS created,
+          |           CAST(NULL AS VARCHAR) AS members, CAST(NULL AS INT) AS mstep
+          |    FROM dist
+          |    UNION ALL
+          |    SELECT 0, 's', sample_id, NULL, NULL, 1,
+          |           row_number() OVER (ORDER BY sample_id) - 1, sample_id, NULL
+          |    FROM (SELECT DISTINCT s AS sample_id
+          |          FROM (SELECT sa AS s FROM dist UNION SELECT sb FROM dist))
+          |  )
+          |  UNION ALL
+          |  (
+          |    WITH g AS (SELECT max(iter) + 1 AS it,
+          |                      CAST(coalesce(max(mstep), 0) + 1 AS INT) AS st,
+          |                      max(created) + 1 AS cr
+          |               FROM upgma),
+          |         bst AS (SELECT a AS la, b AS lb, d AS h FROM upgma
+          |                 WHERE kind = 'd' ORDER BY d, a, b LIMIT 1),
+          |         s1 AS (SELECT u.* FROM upgma u, bst WHERE u.kind = 's' AND u.a = bst.la),
+          |         s2 AS (SELECT u.* FROM upgma u, bst WHERE u.kind = 's' AND u.a = bst.lb)
+          |    SELECT g.it, 'm', w.a, w.b, w.d, w.sz, NULL, NULL, w.mstep
+          |    FROM upgma w, g, bst WHERE w.kind = 'm'
+          |    UNION ALL
+          |    SELECT g.it, 'm', bst.la, bst.lb, bst.h, s1.sz + s2.sz, NULL, NULL, g.st
+          |    FROM g, bst, s1, s2
+          |    UNION ALL
+          |    SELECT g.it, 's', w.a, NULL, NULL, w.sz, w.created, w.members, NULL
+          |    FROM upgma w, g, bst WHERE w.kind = 's' AND w.a <> bst.la AND w.a <> bst.lb
+          |    UNION ALL
+          |    SELECT g.it, 's', 'N' || g.st, NULL, NULL, s1.sz + s2.sz, g.cr,
+          |           CASE WHEN s1.created <= s2.created
+          |                THEN s1.members || '|' || s2.members
+          |                ELSE s2.members || '|' || s1.members END, NULL
+          |    FROM g, bst, s1, s2
+          |    UNION ALL
+          |    SELECT g.it, 'd', w.a, w.b, w.d, NULL, NULL, NULL, NULL
+          |    FROM upgma w, g, bst
+          |    WHERE w.kind = 'd' AND w.a <> bst.la AND w.a <> bst.lb
+          |      AND w.b <> bst.la AND w.b <> bst.lb
+          |    UNION ALL
+          |    SELECT g.it, 'd', least(w.a, 'N' || g.st), greatest(w.a, 'N' || g.st),
+          |           (s1.sz * dx.d + s2.sz * dy.d) / CAST(s1.sz + s2.sz AS DOUBLE),
+          |           NULL, NULL, NULL, NULL
+          |    FROM upgma w
+          |    CROSS JOIN g CROSS JOIN bst CROSS JOIN s1 CROSS JOIN s2
+          |    JOIN upgma dx ON dx.kind = 'd'
+          |      AND dx.a = least(w.a, bst.la) AND dx.b = greatest(w.a, bst.la)
+          |    JOIN upgma dy ON dy.kind = 'd'
+          |      AND dy.a = least(w.a, bst.lb) AND dy.b = greatest(w.a, bst.lb)
+          |    WHERE w.kind = 's' AND w.a <> bst.la AND w.a <> bst.lb
+          |  )
+          |),
+          |fin AS (SELECT * FROM upgma WHERE iter = (SELECT max(iter) FROM upgma))
+          |SELECT CAST(mstep AS INT) AS step, a AS "left", b AS "right",
+          |       round(d, 6) AS height, CAST(sz AS INT) AS size,
+          |       CAST(NULL AS INT) AS leaf_pos
+          |FROM fin WHERE kind = 'm'
+          |UNION ALL
+          |SELECT 0, leaf, 'leaf', 0.0, 1, CAST(idx - 1 AS INT)
+          |FROM (SELECT unnest(string_split(members, '|')) AS leaf,
+          |             generate_subscripts(string_split(members, '|'), 1) AS idx
+          |      FROM fin WHERE kind = 's')
+          |ORDER BY step, "left"""".stripMargin)),
 
     // K7 (reclaimed round 6) — pOOBAH detection p-values (SeSAMe, Zhou et
     // al. NAR 2018; reference gate at /root/reference/idat.r:71): per

@@ -94,7 +94,12 @@ object ScaleSmoke {
       "j12_range_join_auto", "k08_sample_distance_matrix",
       "k09_probe_covariance", "s08_schema_evolution", "a25_chisq_inference",
       "k10_ranksum_dmp", "k11_ks_dmp", "t17_html_extract", "t18_url_normalize",
-      "b03_partition_pruned_join", "k12_spearman_corr", "e06_web_pipeline",
+      "b03_partition_pruned_join", "k12_spearman_corr",
+      // r8: the thresholded variant must grow sub-quadratically where
+      // k12's samples² output is quadratic by contract — the sweep pair
+      // is the direct evidence (τ only changes the final filter, not the
+      // candidate-bounded plan cost)
+      "k12_spearman_thresholded", "e06_web_pipeline",
       "k13_anova_f", "k14_dmr_regions", "k05_combat_betas", "k01_pca_allcpg",
       "t19_gopher_rules", "t20_c4_line_dedup", "c13_temperature_mixture",
       "k15_clock_predictor", "k16_cell_deconvolution",

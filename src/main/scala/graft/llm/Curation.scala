@@ -14,6 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Default document-frequency cap for the exact-Jaccard cluster entry
+    * points ([[dedupClusters]]/[[bestOfCluster]] and
+    * `Pipelines.curationPipeline`). The unguarded inverted-index self-join
+    * emits df² pair rows per shingle, and the r7 64× ScaleSmoke sweep
+    * proved that OOMs a default 8g heap on a mass-duplicated corpus —
+    * exactly the corpus a dedup operator exists for. 4096 is generous
+    * (a shingle shared by >4096 documents is boilerplate by any
+    * definition; pruning it bounds the fan-out at 4096²/shingle while
+    * keeping every genuinely-duplicated shingle below that df), and the
+    * escape hatch is explicit: pass `maxDf = None` for the exact
+    * unguarded semantics (the c01/c07 oracles do).
+    */
+  val DefaultMaxDf: Option[Long] = Some(4096L)
+
   /** Connected components over an undirected edge list by min-label
     * propagation with pointer jumping: every vertex starts as its own
     * label; each round a vertex adopts the minimum of its own label, its
@@ -150,13 +164,17 @@ object Curation {
     * large-scale dedup pipeline runs after pair generation.
     */
   def dedupClusters(docs: DataFrame, minJaccard: Double,
-                    maxDf: Option[Long] = None): DataFrame = {
+                    maxDf: Option[Long] = DefaultMaxDf): DataFrame = {
     // jaccardPairs reads the shingle table three times (sizes + both sides
     // of the inverted-index self-join) — persist it, as minhashNearDups
     // does, so the explode/window pipeline runs once. maxDf = the d10
     // document-frequency guard (Dedup.jaccardPairsDfPruned): bounds the
     // per-shingle pair fan-out at maxDf² against boilerplate/duplication
-    // blowup; None keeps the exact unguarded semantics (c01's oracle).
+    // blowup. SAFE BY DEFAULT since r8: the r7 64× sweep proved the
+    // unguarded path OOMs a default 8g heap on a mass-duplicated corpus
+    // (df² fan-out), so defaults get a generous cap that is a provable
+    // no-op on any corpus whose max shingle df < 4096; pass None
+    // explicitly for the exact unguarded semantics (c01's oracle does).
     val sh = graft.ops.Caches.track(Dedup.shingles(docs).persist())
     val pairs = maxDf.fold(Dedup.jaccardPairs(sh, minJaccard))(
       c => Dedup.jaccardPairsDfPruned(sh, minJaccard, c))
@@ -238,7 +256,8 @@ object Curation {
     * before ranking so the kept doc is stable under last-ulp noise.
     */
   def bestOfCluster(docs: DataFrame, minJaccard: Double,
-                    scoreCol: Column, maxDf: Option[Long] = None): DataFrame =
+                    scoreCol: Column,
+                    maxDf: Option[Long] = DefaultMaxDf): DataFrame =
     bestOfClusterFrom(dedupClusters(docs, minJaccard, maxDf),
       docs.select(col("doc_id"), round(scoreCol, 6).as("score")))
 

@@ -222,6 +222,45 @@ object Similarity {
     picked.sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
   }
 
+  /** Codebook/centroid training dispatch (r8). Below `maxTrain` corpus
+    * rows the quantizer trains driver-locally ([[localKMeans]] on the
+    * whole corpus via [[trainSample]] — zero distributed fits, seed-free
+    * deterministic, the oracle-friendly path). ABOVE it, a bounded driver
+    * sample caps index quality — the r7 n09 eval showed a starved center
+    * set under-coding a corpus with more distinct clusters than the
+    * sample can witness — so the fit moves to Spark ML KMeans (seeded
+    * k-means||, one distributed fit over every row) while the learned
+    * centers still ship to executors as literal codebooks: training
+    * scales with the corpus, the encode pass stays one codegen'd map
+    * projection either way, and the stored index shape (cell/code
+    * columns) is identical. Centers are sorted lexicographically so cell
+    * numbering does not depend on the fit's internal (partitioning-
+    * dependent) center order.
+    *
+    * @param forceLocal pins the driver-local path regardless of corpus
+    *   size — the dispatch-equivalence/quality spec hook (SimilaritySpec)
+    */
+  private[graft] def trainCenters(unit: DataFrame, vecCol: String, k: Int,
+      maxTrain: Long, forceLocal: Boolean = false): Array[Array[Double]] = {
+    val total = unit.count()
+    val centers =
+      if (forceLocal || total <= maxTrain)
+        localKMeans(trainSample(unit, vecCol, maxTrain), k)
+      else {
+        import org.apache.spark.ml.clustering.KMeans
+        val feats = unit.select(org.apache.spark.ml.functions
+          .array_to_vector(col(vecCol).cast("array<double>")).as("__feat"))
+        new KMeans().setK(k).setSeed(7L).setMaxIter(25)
+          .setFeaturesCol("__feat")
+          .fit(feats).clusterCenters.map(_.toArray)
+      }
+    centers.sortWith { (a, b) =>
+      var i = 0
+      while (i < a.length && i < b.length && a(i) == b(i)) i += 1
+      i < a.length && i < b.length && a(i) < b(i)
+    }
+  }
+
   /** Per-row squared-L2 distances to each center of a literal codebook,
     * as one codegen'd array expression over the sub-vector columns.
     */
@@ -242,9 +281,10 @@ object Similarity {
 
   /** IVF-style ANN: a k-means coarse quantizer partitions the corpus into
     * nlist cells; a query scores only the nprobe cells whose centroids are
-    * closest to it. The quantizer trains driver-locally on a bounded
-    * deterministic sample ([[localKMeans]]) and cell assignment is a pure
-    * codegen'd map pass — no distributed ML fit, no extra shuffle. The
+    * closest to it. The quantizer trains via the [[trainCenters]]
+    * dispatch (driver-local deterministic Lloyd's below the bounded-
+    * sample threshold, seeded Spark ML KMeans over every row above it)
+    * and cell assignment is a pure codegen'd map pass either way. The
     * 100 TB shape: cell id becomes a partition column at ingest, so probing
     * is file-level partition pruning and each query touches nprobe/nlist
     * of the data.
@@ -252,7 +292,7 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
               nprobe: Int = 2): DataFrame = {
     val e = graft.ops.Caches.track(withVec(emb).persist())
-    val centers = localKMeans(trainSample(e, "v", 200L * nlist), nlist)
+    val centers = trainCenters(e, "v", nlist, 200L * nlist)
     val assigned = e.withColumn("cell", nearestC(centers, col("v")) - 1)
     val q = queryVec(e, queryId)
     val probeCells = centers.zipWithIndex
@@ -300,14 +340,18 @@ object Similarity {
     val dim = unit.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    // Codebooks train driver-locally ([[localKMeans]]) on a bounded
-    // deterministic sample (id-stride — no seed, no shuffle): k-means
-    // needs ~O(100·k) points per subspace, and at corpus scale a
-    // distributed fit on everything would be pure waste. The ENCODE pass
-    // below still covers every vector, as one codegen'd map projection.
-    val sample = trainSample(unit, "vn", 200L * codebookSize)
+    // Codebooks via the r8 [[trainCenters]] dispatch, one per subspace
+    // over that subspace's slice column: below the bounded-sample
+    // threshold this is the deterministic driver-local Lloyd's on an
+    // id-stride sample; above it each subspace codebook is a seeded
+    // Spark ML KMeans fit over every row (the FAISS-style per-subspace
+    // training), because a bounded sample caps code quality once the
+    // corpus has more distinct structure than the sample can witness.
+    // The ENCODE pass below is one codegen'd map projection either way.
     val codebooks = (0 until m).map { i =>
-      localKMeans(sample.map(_.slice(i * sub, (i + 1) * sub)), codebookSize)
+      trainCenters(unit.select(col("vec_id"),
+          slice(col("vn"), i * sub + 1, sub).as("sv")),
+        "sv", codebookSize, 200L * codebookSize)
     }
     // (vec_id, c_0..c_{m-1}) — the PQ code table; all a query scan reads
     val codes = unit.select(
@@ -514,18 +558,22 @@ object Similarity {
     // The subspace width derives PER ROW from the vector length — no
     // driver action at plan-construction time (the Survival.scala
     // convention) and no crash on an empty frame; the divisibility guard
-    // rides inside the width expression (assert_true returns NULL on
-    // success → coalesce +0) so column pruning can never elide it.
+    // is the explicit otherwise-branch of the width expression itself
+    // (when divisible → width, else raise_error), so column pruning can
+    // never elide it and an indivisible dim fails with the intended
+    // message (SimilaritySpec pins the failure path).
     val svs = graft.ops.Caches.track(
       e.withColumn("vn",
           when(col("nrm") > 0, transform(col("v"), x => x / sqrt(col("nrm"))))
             .otherwise(col("v")))
         .select("vec_id", "vn")
         .crossJoin(broadcast(sDf))
-        .withColumn("sub", expr(
-          s"CAST(size(vn) DIV $m AS INT) + CAST(coalesce(assert_true(" +
-            s"size(vn) % $m = 0, 'pq: vector dim must divide into $m " +
-            "subspaces'), 0) AS INT)"))
+        .withColumn("sub",
+          when(size(col("vn")) % m === 0,
+              expr(s"CAST(size(vn) DIV $m AS INT)"))
+            .otherwise(raise_error(concat(
+              lit("pq: vector dim "), size(col("vn")).cast("string"),
+              lit(s" must divide into $m subspaces"))).cast("int")))
         .withColumn("sv",
           slice(col("vn"), (col("s") * col("sub") + 1).cast("int"), col("sub")))
         .withColumn("svv", dotC(col("sv"), col("sv")))

@@ -469,6 +469,125 @@ object Analytic {
         ((n * sxy - sx * sy).cast("double") / sqrt(denx * deny)).as("rho"))
   }
 
+  /** K12 thresholded production variant (r8): emit only sample pairs with
+    * |Spearman ρ| ≥ `tau`, via a deterministic sign-sketch pre-filter so
+    * the plan is no longer unconditionally samples² — the one k12
+    * contract that breaks at 100 TB sample counts. Spearman ρ is Pearson
+    * on ranks = the cosine of mean-centered rank vectors, so |ρ| ≥ τ
+    * pairs are near-parallel (or near-antipodal) in centered-rank space,
+    * and random-hyperplane sign bits (Charikar, STOC'02 — the d04 SimHash
+    * family) collide them into shared buckets:
+    *
+    *  1. per-sample doubled ranks (k12's exact tie-cell construction);
+    *  2. per (sample, bit j): the EXACT INTEGER projection sign — with
+    *     hash-derived ±1 signs s(probe, j) (first md5 hex digit, engine-
+    *     portable), p_j = n·Σ s·ar2 − (Σ ar2)·(Σ s) is n× the projection
+    *     of the centered rank vector, all in integer arithmetic, so the
+    *     sign is order-free exact in both engines;
+    *  3. bits pack into `bands` band signatures, each canonicalized under
+    *     global sign flip (lead bit 1 ⇒ complement) so anti-correlated
+    *     pairs collide too;
+    *  4. pairs sharing any (band, canonical signature) bucket are
+    *     candidates; ONLY candidates pay the exact k12 moment aggregate,
+    *     and the |ρ| ≥ τ filter runs on the exact value.
+    *
+    * The band width r is derived from the sample count (smallest r with
+    * 4·2^r ≥ samples, floor 4) so expected bucket size stays ~4 and the
+    * candidate stage stays ~linear in samples; total bits = bands·r.
+    * Semantics are deterministic and SQL-expressible (the d10 rule): the
+    * oracle replays the identical sketch, so recall is part of the
+    * operator's definition — every emitted pair is EXACT (a true
+    * |ρ| ≥ τ pair with k12's bit-identical ρ), and a |ρ| = 1 pair is
+    * always found (identical/complemented bits ⇒ same canonical bucket
+    * in every band); pairs barely above τ are found with the standard
+    * banded-LSH probability (AnalyticSpec pins both directions).
+    *
+    * Width rule: the sketch and moment sums are bounded by 4·P³ like
+    * k12's, so the same 300k-probe bigint/decimal dispatch applies.
+    */
+  def spearmanThresholded(df: DataFrame, probeCol: String, sampleCol: String,
+      valCol: String, tau: Double, bands: Int = 8,
+      forceDecimal: Option[Boolean] = None): DataFrame = {
+    require(tau > 0.0 && tau < 1.0, s"tau=$tau outside (0, 1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.groupBy(sampleCol, valCol).agg(count(lit(1)).as("t"))
+    val wCum = Window.partitionBy(sampleCol).orderBy(valCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells.withColumn("cum", sum("t").over(wCum))
+      .withColumn("ar2", lit(2L) * col("cum") - (col("t") - lit(1L)))
+      .select(col(sampleCol), col(valCol), col("ar2"))
+    // consumed by the sketch (probes×bits) AND the candidate verify —
+    // persist so the rank window runs once
+    val rb = graft.ops.Caches.track(
+      df.join(ranked, Seq(sampleCol, valCol))
+        .select(col(probeCol), col(sampleCol), col("ar2"))
+        .persist())
+    val useDecimal = forceDecimal.getOrElse {
+      df.select(probeCol).distinct().count() > 300000L
+    }
+    val width = if (useDecimal) "decimal(38,0)" else "bigint"
+    val nSamples = df.select(sampleCol).distinct().count()
+    val r = (4 to 30).find(b => (1L << b) * 4 >= nSamples).getOrElse(30)
+    val nbits = bands * r
+    // ±1 per (probe, bit) computed once on the distinct-probe axis, then
+    // joined to the rank grid — md5 runs probes×bits times, not
+    // rows×bits
+    val signs = rb.select(col(probeCol)).distinct()
+      .crossJoin(broadcast((0 until nbits).toDF("j")))
+      .withColumn("s",
+        when(substring(md5(concat(col(probeCol), lit("#"),
+          col("j").cast("string"))), 1, 1) < "8", 1L).otherwise(-1L))
+    val proj = rb.join(signs, probeCol)
+      .groupBy(col(sampleCol), col("j"))
+      .agg(count(lit(1)).cast(width).as("n"),
+        sum(col("ar2").cast(width)).as("sr"),
+        sum((col("s") * col("ar2")).cast(width)).as("sdot"),
+        sum(col("s")).cast(width).as("ssum"))
+      .withColumn("bit",
+        when(col("n") * col("sdot") - col("sr") * col("ssum") >= 0, 1L)
+          .otherwise(0L))
+    val bandSig = proj
+      .withColumn("band", expr(s"j div $r"))
+      .groupBy(col(sampleCol), col("band"))
+      .agg(sum(col("bit") *
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(j % $r AS INT))")).as("sig"),
+        max(when(expr(s"j % $r = 0"), col("bit"))).as("lead"))
+      .withColumn("canon",
+        when(col("lead") === 1, lit((1L << r) - 1) - col("sig"))
+          .otherwise(col("sig")))
+      .select(col(sampleCol), col("band"), col("canon"))
+    val cand = bandSig.select(col(sampleCol).as("sa"), col("band"), col("canon"))
+      .join(bandSig.select(col(sampleCol).as("sb"), col("band"), col("canon")),
+        Seq("band", "canon"))
+      .filter(col("sa") < col("sb"))
+      .select("sa", "sb").distinct()
+    // exact k12 moments, restricted to candidate pairs
+    val l = rb.select(col(probeCol), col(sampleCol).as("sa"),
+      col("ar2").cast(width).as("ra"))
+    val rr = rb.select(col(probeCol), col(sampleCol).as("sb"),
+      col("ar2").cast(width).as("rbv"))
+    val m = l.join(cand, "sa").join(rr, Seq(probeCol, "sb"))
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("cnt"),
+        sum("ra").as("msx"), sum("rbv").as("msy"),
+        sum(col("ra") * col("ra")).as("msxx"),
+        sum(col("rbv") * col("rbv")).as("msyy"),
+        sum(col("ra") * col("rbv")).as("msxy"))
+    val dec = "decimal(38,0)"
+    def D(c: String) = col(c).cast(dec)
+    val (n, sx, sy, sxx, syy, sxy) =
+      (D("cnt"), D("msx"), D("msy"), D("msxx"), D("msyy"), D("msxy"))
+    val denx = (n * sxx - sx * sx).cast("double")
+    val deny = (n * syy - sy * sy).cast("double")
+    m.filter(col("cnt") >= 2 && denx * deny > 0.0)
+      .withColumn("rho",
+        (n * sxy - sx * sy).cast("double") / sqrt(denx * deny))
+      .filter(abs(col("rho")) >= tau)
+      .select(col("sa"), col("sb"), col("cnt").cast("bigint").as("n_shared"),
+        col("rho"))
+  }
+
   /** Per-group z-score normalization (the feature-standardization step,
     * grouped): moments come from ONE exact-integer aggregate per group
     * (the same bit-stable path as the variance operators — integer n/s/ss,

@@ -73,7 +73,8 @@ object Pipelines {
                        minOverlap: Int = 5, chunkSize: Int = 50,
                        stride: Int = 40, capacity: Long = 512,
                        funnel: Option[CurationFunnel] = None,
-                       maxDf: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+                       maxDf: Option[Long] = graft.llm.Curation.DefaultMaxDf)
+      : org.apache.spark.sql.DataFrame = {
     import graft.llm.{Curation, Dedup, TextAnalysis}
     funnel.foreach(_.register(docs.sparkSession))
     def observed(df: org.apache.spark.sql.DataFrame, stage: String) =

@@ -276,9 +276,13 @@ object Warc {
           // failure would otherwise leak one handle per file for the life
           // of the executor — close at task end regardless (idempotent,
           // so the drained case double-closes harmlessly)
+          // swallow only the expected close-time I/O failure (already
+          // closed by a full drain) — a fatal VM error or interrupt must
+          // propagate, not vanish in a cleanup hook
           Option(org.apache.spark.TaskContext.get()).foreach(
             _.addTaskCompletionListener[Unit](_ =>
-              try in.close() catch { case _: Throwable => () }))
+              try in.close()
+              catch { case scala.util.control.NonFatal(_) => () }))
           parseStream(name, in)
         }
       }

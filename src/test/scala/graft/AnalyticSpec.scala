@@ -23,6 +23,41 @@ class AnalyticSpec extends SparkSpec {
     assert(m("a") <= 1.0 && m("b") <= 1.0)
   }
 
+  test("spearmanThresholded finds |rho|=1 pairs (both signs), emits exact k12 values, never false positives") {
+    // s1/s2 perfectly rank-correlated, s1/s3 perfectly anti-correlated,
+    // s4 independent noise. |rho| = 1 pairs are GUARANTEED found: their
+    // centered rank vectors are equal (or exactly negated), so every
+    // band signature matches (or fully complements, which the canonical
+    // form collapses) — no LSH luck involved.
+    val probes = (0 until 60).map(i => f"p$i%02d")
+    val rows =
+      probes.zipWithIndex.flatMap { case (p, i) =>
+        Seq(("s1", p, i.toDouble), ("s2", p, (i * 2).toDouble),
+          ("s3", p, (100 - i).toDouble),
+          ("s4", p, ((i * 37 + 11) % 60).toDouble))
+      }
+    val df = rows.toDF("sample_id", "probe_id", "beta")
+    val got = Analytic.spearmanThresholded(df, "probe_id", "sample_id",
+        "beta", tau = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    graft.ops.Caches.releaseAll()
+    assert(math.abs(got(("s1", "s2")) - 1.0) < 1e-12)
+    assert(math.abs(got(("s1", "s3")) + 1.0) < 1e-12)
+    assert(math.abs(got(("s2", "s3")) + 1.0) < 1e-12)
+    // exact precision: every emitted pair must appear in the full k12
+    // matrix with the identical rho and clear the threshold
+    val full = Analytic.spearmanMatrix(df, "probe_id", "sample_id", "beta")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    graft.ops.Caches.releaseAll()
+    got.foreach { case (k, rho) =>
+      assert(math.abs(rho) >= 0.9, s"$k emitted below tau: $rho")
+      assert(full(k) == rho, s"$k: thresholded $rho != full ${full(k)}")
+    }
+    assert(!got.keySet.exists { case (a, b) => a == "s4" || b == "s4" } ||
+      got.filter { case ((a, b), _) => a == "s4" || b == "s4" }
+        .forall { case (_, rho) => math.abs(rho) >= 0.9 })
+  }
+
   test("topKByVariance returns the k most variable keys in order") {
     val df = Seq(
       ("p1", 1.0), ("p1", 1.0), ("p1", 1.0), // var 0

@@ -143,6 +143,28 @@ class CurationSpec extends SparkSpec {
     assert(Seq(3L, 4L, 5L, 6L).map(guarded).distinct.size == 4)
   }
 
+  test("exact-Jaccard cluster entry points are guarded by default (r8)") {
+    // The r7 64x sweep proved the unguarded df² fan-out OOMs a default
+    // heap on a mass-duplicated corpus, so dedupClusters/bestOfCluster/
+    // curationPipeline now default to the 4096 df cap; None is the
+    // explicit escape hatch (c01/c07 oracles pass it). Pin the default's
+    // value and that defaulted calls equal the explicit cap — a future
+    // edit can't silently flip the default back to unguarded.
+    assert(Curation.DefaultMaxDf == Some(4096L))
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (3L, "completely different content about mountain weather patterns")
+    ).toDF("doc_id", "text")
+    val defaulted = Curation.dedupClusters(docs, minJaccard = 0.5)
+      .select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+    val explicit = Curation.dedupClusters(docs, minJaccard = 0.5,
+        maxDf = Some(4096L))
+      .select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(defaulted == explicit)
+    assert(defaulted(1L) == defaulted(2L) && defaulted(3L) == 3L)
+  }
+
   test("sequence packing respects capacity, covers every doc, and is BFD-tight") {
     val docs = (1L to 200L).map(i => (i, ("word " * (i % 37 + 1).toInt).trim))
       .toDF("doc_id", "text")

@@ -136,6 +136,102 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trainCenters dispatch: local below threshold (bit-equal to forced), distributed above beats a starved sample") {
+    // 40 tight blobs on the unit sphere, dim 16, 100 points each = 4000
+    // rows. Deterministic fixture (fixed-seed generation).
+    val rnd = new scala.util.Random(11)
+    def unit(dim: Int): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(40)(unit(16))
+    val rows = (0 until 4000).map { i =>
+      val c = centers(i % 40)
+      (i.toLong, c.zip(unit(16)).map { case (a, e) => (a + 0.02 * e).toFloat }.toSeq, i % 40)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val unitDf = df.select($"vec_id",
+      org.apache.spark.sql.functions.transform($"embedding",
+        x => x.cast("double")).as("v"))
+    // below threshold (maxTrain >= total): default == forceLocal exactly
+    val below = Similarity.trainCenters(unitDf, "v", 8, maxTrain = 5000L)
+    val belowForced = Similarity.trainCenters(unitDf, "v", 8, maxTrain = 5000L,
+      forceLocal = true)
+    assert(below.map(_.toSeq).toSeq == belowForced.map(_.toSeq).toSeq)
+    // above threshold: the distributed Spark ML fit sees every row; the
+    // forced-local path trains on a 16-point stride sample that cannot
+    // witness 40 clusters. Quantization distortion (the k-means
+    // objective, which bounds ADC/coarse-cell error — "index quality")
+    // must not be worse than the starved sample's.
+    val dist = Similarity.trainCenters(unitDf, "v", 16, maxTrain = 16L)
+    val starved = Similarity.trainCenters(unitDf, "v", 16, maxTrain = 16L,
+      forceLocal = true)
+    graft.ops.Caches.releaseAll()
+    assert(dist.length == 16 && starved.length == 16)
+    val pts = rows.map(_._2.map(_.toDouble).toArray)
+    def distortion(cs: Array[Array[Double]]): Double = pts.map { p =>
+      cs.map { c =>
+        var s = 0.0; var i = 0
+        while (i < p.length) { val t = p(i) - c(i); s += t * t; i += 1 }
+        s
+      }.min
+    }.sum / pts.length
+    val (dDist, dStarved) = (distortion(dist), distortion(starved))
+    assert(dDist <= dStarved,
+      f"distributed-trained distortion $dDist%.5f worse than starved-local $dStarved%.5f")
+  }
+
+  test("pqTopK above the training threshold: distributed codebooks keep near-perfect recall") {
+    // 4000 rows > 200*16 = 3200 ⇒ the per-subspace codebooks train via
+    // the distributed Spark ML path; end-to-end ADC + re-rank recall must
+    // hold just like the below-threshold planted-cluster test.
+    val rnd = new scala.util.Random(13)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(16)(unit())
+    val rows = (0 until 4000).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.zip(unit()).map { case (a, e) => (a + 0.05 * e).toFloat }.toSeq, i % 16)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    // rerank=30 ⇒ shortlist 300 ≥ the 250-member cluster: the distributed
+    // codebooks code each blob onto ONE code word (ADC ties the whole
+    // cluster exactly), so the shortlist must span the tie group for the
+    // exact re-rank to recover the true top-10 — the documented two-stage
+    // contract (quantization only costs recall when a true neighbor
+    // misses the whole shortlist).
+    val got = Similarity.pqTopK(df, 0L, 10, m = 8, codebookSize = 16,
+        rerank = 30)
+      .select("vec_id").as[Long].collect().toSet
+    val brute = Similarity.cosineTopK(df, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    graft.ops.Caches.releaseAll()
+    val recall = got.intersect(brute).size / 10.0
+    assert(recall >= 0.9, s"distributed-trained pq recall $recall < 0.9")
+  }
+
+  test("annEvalMetrics pq guard: an indivisible vector dim fails loudly") {
+    // dim 6 does not divide into the default m = 4 subspaces — the
+    // per-row raise_error guard (not silent truncation) must fire at
+    // action time with the intended message. Pins the failure path the
+    // r7 ADVICE flagged as untested.
+    val bad = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(6)((i + 1).toFloat), 0)).toDF("vec_id", "embedding", "label")
+    val ex = intercept[Throwable] {
+      Similarity.annEvalMetrics(bad, nQueries = 2, k = 3).collect()
+    }
+    graft.ops.Caches.releaseAll()
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("must divide into 4 subspaces")),
+      s"expected the pq divisibility message, got: ${messages(ex)}")
+  }
+
   test("cosineNearDups blocks by the given column") {
     val pairs = Similarity.cosineNearDups(emb, "label", -2.0)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
