@@ -19,6 +19,11 @@ import org.apache.spark.sql.types.DoubleType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    // SQL-surface tier (r8): the flagship pipelines as table-valued
+    // functions, so the engine is usable from pure SQL — the shape a
+    // platform team actually exposes (`SELECT * FROM graft_dmp('<dir>')`
+    // runs the k03 moderated-DMP lifecycle end-to-end in spark-sql).
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     // plan-tier extension: the range-join binning rewrite (inert unless
     // spark.graft.rangeJoin.binWidth is set — see plans/RangeJoinBinning)
     ext.injectOptimizerRule(plans.RangeJoinBinning)
@@ -106,6 +111,58 @@ object GraftExtensions {
         arity(name, n)(b))
     }
 
+  /** Table-valued functions (r8): the flagship transforms surfaced to pure
+    * SQL through [[SparkSessionExtensions.injectTableFunction]]. Each
+    * builder runs at ANALYSIS time on the driver: it materializes nothing,
+    * just constructs the same DataFrame the Scala API would and hands its
+    * logical plan to the analyzer — Catalyst then optimizes the TVF body
+    * and the outer query as ONE plan (filters/projections over the TVF
+    * prune into the parquet scans like any other subquery).
+    *
+    * `graft_dmp(dir)` = the k03 moderated-DMP lifecycle end-to-end
+    * (lmFit/eBayes surface); `graft_dmp_pass1(dir)` = its exact-moment
+    * first pass (the oracle-checkable slice — e14 hash-checks this TVF
+    * against the identical k03_dmp_pass1 DuckDB SQL).
+    */
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
+    def literalDir(name: String, es: Seq[Expression]): String = {
+      require(es.size == 1 && es.head.foldable,
+        s"$name(dir) takes exactly one literal directory path")
+      String.valueOf(es.head.eval())
+    }
+    def dmpFrame(dir: String) = {
+      val s = SparkSession.active
+      Tables.betaLong(s, dir).join(
+        org.apache.spark.sql.functions.broadcast(Tables.sampleSheet(s, dir)),
+        "sample_id")
+    }
+    import org.apache.spark.sql.functions.{col, round}
+    Seq[(String, Seq[Expression] => org.apache.spark.sql.DataFrame)](
+      ("graft_dmp", es => {
+        val bg = dmpFrame(literalDir("graft_dmp", es))
+        ops.Dmp.dmp(bg, "WT", "MUT")
+          .select(col("probe_id"), col("n1"), col("n2"),
+            round(col("logfc"), 6).as("logfc"),
+            round(col("t_mod"), 6).as("t_mod"),
+            round(col("p_value"), 6).as("p_value"),
+            round(col("fdr"), 6).as("fdr"),
+            col("significant"))
+      }),
+      ("graft_dmp_pass1", es => {
+        val bg = dmpFrame(literalDir("graft_dmp_pass1", es))
+        ops.Dmp.moments(bg, "WT", "MUT")
+          .select(col("probe_id"), col("n1"), col("n2"),
+            round(col("logfc"), 4).as("logfc"),
+            round(col("s2"), 4).as("s2_pooled"))
+      })
+    ).map { case (name, build) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        (es: Seq[Expression]) => build(es).queryExecution.logical)
+    }
+  }
+
   /** Imperative flavor for sessions built without the extensions conf
     * (e.g. notebook sessions): registers the same functions as temp
     * functions and installs the plan-tier extensions through the
@@ -115,6 +172,10 @@ object GraftExtensions {
     descriptors.foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
+    tableFunctions.foreach { case (id, info, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .registerFunction(id, info, builder)
     }
     if (!spark.experimental.extraStrategies.contains(plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =

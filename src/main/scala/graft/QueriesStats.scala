@@ -534,6 +534,30 @@ object QueriesStats {
       |         / CAST(det AS DOUBLE) AS b2
       |  FROM ols_d WHERE det > 0)""".stripMargin
 
+  /** k03 pass-1 DuckDB restatement — shared by k03_dmp_pass1 (Scala API)
+    * and e15_sql_tvf_pass1 (the same computation driven through the
+    * graft_dmp_pass1 SQL table function): both must hash-match this
+    * exactly, which is itself the TVF-parity proof.
+    */
+  private val dmpPass1OracleSql: String = ctes +
+    s""", bg AS (
+       |  SELECT b.probe_id, s."group" AS grp, ${SqlOracles.mValueClamped("b.beta")} AS m
+       |  FROM beta b JOIN sheet s USING (sample_id)),
+       |agg AS (
+       |  SELECT probe_id,
+       |         count(CASE WHEN grp = 'WT' THEN 1 END) AS n1,
+       |         count(CASE WHEN grp = 'MUT' THEN 1 END) AS n2,
+       |         avg(CASE WHEN grp = 'WT' THEN m END) AS mean1,
+       |         avg(CASE WHEN grp = 'MUT' THEN m END) AS mean2,
+       |         var_samp(CASE WHEN grp = 'WT' THEN m END) AS var1,
+       |         var_samp(CASE WHEN grp = 'MUT' THEN m END) AS var2
+       |  FROM bg GROUP BY 1)
+       |SELECT probe_id, n1, n2,
+       |       round(mean1 - mean2, 4) AS logfc,
+       |       round((CAST(n1 - 1 AS DOUBLE) * var1 + CAST(n2 - 1 AS DOUBLE) * var2)
+       |             / CAST(n1 + n2 - 2 AS DOUBLE), 4) AS s2_pooled
+       |FROM agg WHERE n1 >= 3 AND n2 >= 3 ORDER BY probe_id""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // K3 pass 1 — per-probe two-group M-value moments, pooled variance,
@@ -546,24 +570,26 @@ object QueriesStats {
           round(col("logfc"), 4).as("logfc"),
           round(col("s2"), 4).as("s2_pooled"))
         .orderBy("probe_id")
-    }, Some(ctes +
-      s""", bg AS (
-         |  SELECT b.probe_id, s."group" AS grp, ${SqlOracles.mValueClamped("b.beta")} AS m
-         |  FROM beta b JOIN sheet s USING (sample_id)),
-         |agg AS (
-         |  SELECT probe_id,
-         |         count(CASE WHEN grp = 'WT' THEN 1 END) AS n1,
-         |         count(CASE WHEN grp = 'MUT' THEN 1 END) AS n2,
-         |         avg(CASE WHEN grp = 'WT' THEN m END) AS mean1,
-         |         avg(CASE WHEN grp = 'MUT' THEN m END) AS mean2,
-         |         var_samp(CASE WHEN grp = 'WT' THEN m END) AS var1,
-         |         var_samp(CASE WHEN grp = 'MUT' THEN m END) AS var2
-         |  FROM bg GROUP BY 1)
-         |SELECT probe_id, n1, n2,
-         |       round(mean1 - mean2, 4) AS logfc,
-         |       round((CAST(n1 - 1 AS DOUBLE) * var1 + CAST(n2 - 1 AS DOUBLE) * var2)
-         |             / CAST(n1 + n2 - 2 AS DOUBLE), 4) AS s2_pooled
-         |FROM agg WHERE n1 >= 3 AND n2 >= 3 ORDER BY probe_id""".stripMargin)),
+    }, Some(dmpPass1OracleSql)),
+
+    // SQL-surface tier (r8): the k03 lifecycle driven ENTIRELY from SQL
+    // through the injected graft_dmp table function — what a platform
+    // team exposes to analysts who never touch the Scala API. The TVF
+    // builder hands the analyzer the same logical plan as the Scala
+    // query, so Catalyst optimizes TVF body + outer query as one plan.
+    // Rows-only for the moderated surface (eBayes, like k03_dmp_moderated)
+    Q("e14_sql_tvf_dmp", (s, d) => {
+      GraftExtensions.registerAll(s)
+      s.sql(s"SELECT * FROM graft_dmp('$d') ORDER BY probe_id")
+    }, None),
+
+    // ... and the fully ORACLE-CHECKED slice of the same SQL surface: the
+    // graft_dmp_pass1 TVF must hash-match the identical DuckDB SQL the
+    // Scala-API k03_dmp_pass1 matches — TVF parity, end to end.
+    Q("e15_sql_tvf_pass1", (s, d) => {
+      GraftExtensions.registerAll(s)
+      s.sql(s"SELECT * FROM graft_dmp_pass1('$d') ORDER BY probe_id")
+    }, Some(dmpPass1OracleSql)),
 
     // K3 full — moderated t / p / BH FDR / significance call. The eBayes
     // prior fit + t CDF have no SQL analog → rows-only; unit-tested in
@@ -1750,18 +1776,21 @@ object QueriesStats {
     // ADVICE item): a fixed 256 was a silent behavior cliff — a
     // ScaleSmoke sweep past 256× (every doc reps-duplicated → genuine
     // dup shingles reach df = reps > 256) would have its most-duplicated
-    // content pruned OUT of the near-dup stage with no warning. Scaling
-    // the cap as max(256, docs/16) keeps the fan-out bound corpus-linear
-    // (cap²/shingle where cap ~ n/16 still forbids the all-pairs n²
-    // blowup the r7 sweep OOM'd on) while genuine mass-duplication
-    // (df = reps ≤ n/16 for any reps once n ≥ 16·reps, which replication
-    // guarantees) always stays under the cap. On the real corpus the
-    // guard remains a provable no-op (max shingle df 25 at sf0.1).
+    // content pruned OUT of the near-dup stage with no warning. The rule
+    // is cap = max(256, ⌈√docs⌉), which satisfies both sides at once:
+    // genuine reps-fold duplication has df = reps ≤ √(base·reps) whenever
+    // reps ≤ base-corpus size (any realistic sweep), so the duplicated
+    // content is KEPT at any replication level — while boilerplate df
+    // grows ∝ corpus size and crosses √docs, so the per-shingle pair
+    // fan-out stays ≤ cap² = docs, linear in corpus size (a docs/16-style
+    // linear cap would instead have re-admitted 1600-df boilerplate at
+    // 64× and reproduced the r7 OOM). On the real corpus the guard
+    // remains a provable no-op (max shingle df 25 at sf0.1 ≪ 256 floor).
     Q("e04_curation_pipeline", (s, d) => {
       val docs = Tables.table(s, d, "documents")
       val bench = docs.filter(col("doc_id") < 5)
       val corpus = docs.filter(col("doc_id") >= 5)
-      val cap = math.max(256L, corpus.count() / 16L)
+      val cap = math.max(256L, math.ceil(math.sqrt(corpus.count().toDouble)).toLong)
       graft.ops.Pipelines.curationPipeline(corpus, bench, maxDf = Some(cap))
         .orderBy("src_doc", "chunk_id")
     }, None),
