@@ -502,8 +502,11 @@ object Analytic {
     * in every band); pairs barely above τ are found with the standard
     * banded-LSH probability (AnalyticSpec pins both directions).
     *
-    * Width rule: the sketch and moment sums are bounded by 4·P³ like
-    * k12's, so the same 300k-probe bigint/decimal dispatch applies.
+    * Width rule: the verify-stage moments use k12's 300k-probe
+    * bigint/decimal dispatch; the sketch runs in checked long arithmetic
+    * inside SignSketchAgg (exact to ~1.3M probes per sample — the same
+    * 4n³ < 2⁶³ envelope as k12's fast path — and loud beyond, never a
+    * silent wrap).
     */
   def spearmanThresholded(df: DataFrame, probeCol: String, sampleCol: String,
       valCol: String, tau: Double, bands: Int = 8,
@@ -523,52 +526,95 @@ object Analytic {
       df.join(ranked, Seq(sampleCol, valCol))
         .select(col(probeCol), col(sampleCol), col("ar2"))
         .persist())
+    // Width dispatch on the semantically-correct axis: every moment here
+    // (sketch projections and pair sums alike) is bounded by 4·n³ where n
+    // is the MAX PER-SAMPLE probe count — not the total probe axis k12
+    // conservatively dispatches on (equal only in the dense-grid case).
+    // A replica-disjoint or sharded corpus keeps per-sample n small while
+    // total probes grow unboundedly; dispatching on the real bound keeps
+    // the 64×-sweep pair stream on 8-byte bigint rows instead of 16-byte
+    // decimals (the sort/shuffle volume of the verify stage is the
+    // operator's dominant memory term).
     val useDecimal = forceDecimal.getOrElse {
-      df.select(probeCol).distinct().count() > 300000L
+      rb.groupBy(sampleCol).agg(count(lit(1)).as("__n"))
+        .agg(max("__n")).head().getLong(0) > 1300000L
     }
     val width = if (useDecimal) "decimal(38,0)" else "bigint"
     val nSamples = df.select(sampleCol).distinct().count()
     val r = (4 to 30).find(b => (1L << b) * 4 >= nSamples).getOrElse(30)
     val nbits = bands * r
-    // ±1 per (probe, bit) computed once on the distinct-probe axis, then
-    // joined to the rank grid — md5 runs probes×bits times, not
-    // rows×bits
+    // ±1 per (probe, bit) computed once on the distinct-probe axis and
+    // PACKED into a long bitmask (bit set ⇒ +1) — md5 runs probes×bits
+    // times, not rows×bits, and the join payload is words, not nbits rows
+    val nWords = (nbits + 63) / 64
+    def signBit(j: Int): Column =
+      when(substring(md5(concat(col(probeCol), lit("#"), lit(j.toString))),
+        1, 1) < "8", lit(1L << (j % 64))).otherwise(lit(0L))
+    val signWords = (0 until nWords).map { w =>
+      (w * 64 until math.min((w + 1) * 64, nbits))
+        .map(signBit).reduce(_.bitwiseOR(_))
+    }
     val signs = rb.select(col(probeCol)).distinct()
-      .crossJoin(broadcast((0 until nbits).toDF("j")))
-      .withColumn("s",
-        when(substring(md5(concat(col(probeCol), lit("#"),
-          col("j").cast("string"))), 1, 1) < "8", 1L).otherwise(-1L))
+      .select(col(probeCol), array(signWords: _*).as("words"))
+    // One sign-sketch buffer per sample (functions/SignSketchAgg — exact
+    // integer projections, no per-(sample, bit) row amplification: the
+    // groupBy(sample, bit) restatement OOM'd an 8 g heap at the 64×
+    // sweep). The skinny joined rows pre-partition by sample so the
+    // object aggregation keeps ONE buffer per sample and its partial
+    // output already satisfies the final distribution (the
+    // PoissonBootAgg pattern).
+    val sketch = udaf(new graft.functions.SignSketchAgg(nbits))
     val proj = rb.join(signs, probeCol)
-      .groupBy(col(sampleCol), col("j"))
-      .agg(count(lit(1)).cast(width).as("n"),
-        sum(col("ar2").cast(width)).as("sr"),
-        sum((col("s") * col("ar2")).cast(width)).as("sdot"),
-        sum(col("s")).cast(width).as("ssum"))
-      .withColumn("bit",
-        when(col("n") * col("sdot") - col("sr") * col("ssum") >= 0, 1L)
-          .otherwise(0L))
+      .repartition(col(sampleCol))
+      .groupBy(col(sampleCol))
+      .agg(sketch(col("ar2"), col("words")).as("bits"))
+    // band signatures row-local from the bit array; canonicalized under
+    // global sign flip (lead bit 1 ⇒ complement) so anti-correlated pairs
+    // collide too
+    def bitAt(j: Int) = element_at(col("bits"), j + 1)
+    val bandCols = (0 until bands).map { b =>
+      val sig = (0 until r).map(i => bitAt(b * r + i) * lit(1L << i))
+        .reduce(_ + _)
+      struct(lit(b).as("band"),
+        when(bitAt(b * r) === 1, lit((1L << r) - 1) - sig).otherwise(sig)
+          .as("canon"))
+    }
     val bandSig = proj
-      .withColumn("band", expr(s"j div $r"))
-      .groupBy(col(sampleCol), col("band"))
-      .agg(sum(col("bit") *
-          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(j % $r AS INT))")).as("sig"),
-        max(when(expr(s"j % $r = 0"), col("bit"))).as("lead"))
-      .withColumn("canon",
-        when(col("lead") === 1, lit((1L << r) - 1) - col("sig"))
-          .otherwise(col("sig")))
-      .select(col(sampleCol), col("band"), col("canon"))
-    val cand = bandSig.select(col(sampleCol).as("sa"), col("band"), col("canon"))
-      .join(bandSig.select(col(sampleCol).as("sb"), col("band"), col("canon")),
+      .select(col(sampleCol), explode(array(bandCols: _*)).as("bc"))
+      .select(col(sampleCol), col("bc.band").as("band"),
+        col("bc.canon").as("canon"))
+    // Candidate pairs on DICT-ENCODED int sample keys (k12's shuffle-byte
+    // rule — the bounded sample axis collects once; index order preserves
+    // the lexical sort so sa_i < sb_i keeps the string semantics).
+    val sampleIds = df.select(sampleCol).distinct()
+      .as[String].collect().sorted
+    val sdim = broadcast(sampleIds.zipWithIndex.toSeq.toDF(sampleCol, "__sid"))
+    val bse = bandSig.join(sdim, sampleCol)
+      .select(col("__sid"), col("band"), col("canon"))
+    val cand = bse.select(col("__sid").as("sa_i"), col("band"), col("canon"))
+      .join(bse.select(col("__sid").as("sb_i"), col("band"), col("canon")),
         Seq("band", "canon"))
-      .filter(col("sa") < col("sb"))
-      .select("sa", "sb").distinct()
-    // exact k12 moments, restricted to candidate pairs
-    val l = rb.select(col(probeCol), col(sampleCol).as("sa"),
+      .filter(col("sa_i") < col("sb_i"))
+      .select("sa_i", "sb_i").distinct()
+    // Exact k12 moments, restricted to candidates — in k12's OWN plan
+    // shape: the probe-keyed self-join expands pairs STREAM-SIDE inside
+    // the join stage (never materializing/shuffling expanded rows — the
+    // (l ⋈ cand) ⋈ rr formulation shuffled |cand|×probes rows and OOM'd
+    // the 64× sweep on an 8 g heap), and the candidate restriction is a
+    // BROADCAST left-semi applied in the same stage, so only candidate
+    // pairs reach the moment aggregate. cand is bounded by Σ C(bucket, 2)
+    // (≈ bands × samples × expected-bucket-size ≈ linear in samples by
+    // the derived-r rule), so the broadcast stays tens of MB at 64k
+    // samples; like d03's LSH bands, adversarial all-identical corpora
+    // inflate it only with true near-duplicates.
+    val rbe = rb.join(sdim, sampleCol)
+    val l = rbe.select(col(probeCol), col("__sid").as("sa_i"),
       col("ar2").cast(width).as("ra"))
-    val rr = rb.select(col(probeCol), col(sampleCol).as("sb"),
+    val rr = rbe.select(col(probeCol), col("__sid").as("sb_i"),
       col("ar2").cast(width).as("rbv"))
-    val m = l.join(cand, "sa").join(rr, Seq(probeCol, "sb"))
-      .groupBy("sa", "sb")
+    val m = l.join(rr, probeCol).filter(col("sa_i") < col("sb_i"))
+      .join(broadcast(cand), Seq("sa_i", "sb_i"), "left_semi")
+      .groupBy("sa_i", "sb_i")
       .agg(count(lit(1)).as("cnt"),
         sum("ra").as("msx"), sum("rbv").as("msy"),
         sum(col("ra") * col("ra")).as("msxx"),
@@ -584,6 +630,8 @@ object Analytic {
       .withColumn("rho",
         (n * sxy - sx * sy).cast("double") / sqrt(denx * deny))
       .filter(abs(col("rho")) >= tau)
+      .join(broadcast(sdim.toDF("sa", "sa_i")), "sa_i")
+      .join(broadcast(sdim.toDF("sb", "sb_i")), "sb_i")
       .select(col("sa"), col("sb"), col("cnt").cast("bigint").as("n_shared"),
         col("rho"))
   }
