@@ -1793,8 +1793,10 @@ object QueriesStats {
       val docs = Tables.table(s, d, "documents")
       val bench = docs.filter(col("doc_id") < 5)
       val corpus = docs.filter(col("doc_id") >= 5)
+      // HLL hashes its input internally — no md5 needed; default rsd is
+      // plenty for a decision the cap multiplies by 4 anyway
       val stats = corpus.agg(count(lit(1)).as("n"),
-        approx_count_distinct(md5(substring(col("text"), 1, 256)), 0.02).as("dn"))
+        approx_count_distinct(substring(col("text"), 1, 256)).as("dn"))
         .head()
       val dupFactor = math.max(1L, stats.getLong(0) / math.max(1L, stats.getLong(1)))
       val cap = math.max(256L, 4L * dupFactor)
