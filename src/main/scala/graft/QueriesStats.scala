@@ -1772,35 +1772,23 @@ object QueriesStats {
     // holdout to scrub); output is packed training sequences with
     // provenance. Rows-only (clustering + packing are iterative kernels;
     // every stage is individually oracle-checked). The cluster stage runs
-    // with the d10 df guard, its cap DERIVED FROM THE CORPUS'S DUPLICATION
-    // FACTOR (r8, ADVICE item): a fixed 256 was a silent behavior cliff —
-    // a sweep past 256× replication (genuine dup shingles reach
-    // df = reps > 256) would have its most-duplicated content pruned OUT
-    // of the near-dup stage with no warning. Corpus-SIZE-derived caps
-    // (√docs, docs/16) were both measured to OOM the 64× sweep: under
+    // with the d10 df guard at its r8 DEFAULT policy: the cap derives
+    // from the corpus's MEASURED duplication factor
+    // (Curation.AutoMaxDf → max(256, 4·docs/approx-distinct-text-prefix)).
+    // A fixed 256 was a silent behavior cliff (a sweep past 256×
+    // replication loses exactly the most-duplicated content with no
+    // warning — the r7 ADVICE item), and corpus-SIZE-derived caps
+    // (√docs, docs/16) were both MEASURED to OOM the 64× sweep: under
     // reps-fold duplication genuine shingles sit at df = reps but junk
-    // sits at df = reps·(base df), so ANY cap loose enough to admit
-    // base-df>4 junk families pays reps²·Σdf² pair fan-out. The correct
-    // axis is the duplication factor itself: estimate it as
-    // docs / approx-distinct(256-char text prefix) (near-dup copies share
-    // prefixes; exact dups never reach this stage — curationPipeline
-    // exact-dedups first), then cap = max(256, 4·dupFactor) — genuine
-    // df = reps ≤ 4·reps is always kept at ANY replication level, junk
-    // admission stays at base-df ≤ 4, exactly the family the r7 sweep
-    // measured survivable (75.3 s at 64× on 8 g). On the real corpus
-    // dupFactor = 1 → the 256 floor binds → provable no-op (max df 25).
+    // sits at df = reps·(base df), so the duplication factor is the only
+    // axis that separates them. On the real corpus dupFactor = 1 → the
+    // 256 floor binds → provable no-op (max shingle df 25 at sf0.1);
+    // at the 64× sweep the derived cap lands at 256 → r7-parity wall
+    // (72.2 s on the default 8 g heap).
     Q("e04_curation_pipeline", (s, d) => {
       val docs = Tables.table(s, d, "documents")
       val bench = docs.filter(col("doc_id") < 5)
-      val corpus = docs.filter(col("doc_id") >= 5)
-      // HLL hashes its input internally — no md5 needed; default rsd is
-      // plenty for a decision the cap multiplies by 4 anyway
-      val stats = corpus.agg(count(lit(1)).as("n"),
-        approx_count_distinct(substring(col("text"), 1, 256)).as("dn"))
-        .head()
-      val dupFactor = math.max(1L, stats.getLong(0) / math.max(1L, stats.getLong(1)))
-      val cap = math.max(256L, 4L * dupFactor)
-      graft.ops.Pipelines.curationPipeline(corpus, bench, maxDf = Some(cap))
+      graft.ops.Pipelines.curationPipeline(docs.filter(col("doc_id") >= 5), bench)
         .orderBy("src_doc", "chunk_id")
     }, None),
 

@@ -14,19 +14,50 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Default document-frequency cap for the exact-Jaccard cluster entry
-    * points ([[dedupClusters]]/[[bestOfCluster]] and
-    * `Pipelines.curationPipeline`). The unguarded inverted-index self-join
-    * emits df² pair rows per shingle, and the r7 64× ScaleSmoke sweep
-    * proved that OOMs a default 8g heap on a mass-duplicated corpus —
-    * exactly the corpus a dedup operator exists for. 4096 is generous
-    * (a shingle shared by >4096 documents is boilerplate by any
-    * definition; pruning it bounds the fan-out at 4096²/shingle while
-    * keeping every genuinely-duplicated shingle below that df), and the
-    * escape hatch is explicit: pass `maxDf = None` for the exact
-    * unguarded semantics (the c01/c07 oracles do).
+  /** Sentinel value for the exact-Jaccard document-frequency cap: derive
+    * it from the corpus's MEASURED duplication factor. The unguarded
+    * inverted-index self-join emits df² pair rows per shingle, and the
+    * r7/r8 64× ScaleSmoke sweeps proved that OOMs a default 8 g heap on a
+    * mass-duplicated corpus — exactly the corpus a dedup operator exists
+    * for. No FIXED cap is safe: under reps-fold duplication the genuine
+    * dup shingles sit at df = reps (a cap below that silently loses
+    * exactly the most-duplicated content — the r7 ADVICE cliff) while
+    * junk/boilerplate sits at df = reps·(base df), so a cap generous
+    * enough for high-replication corpora (e.g. 4096) re-admits
+    * reps²-scaled junk fan-out on moderately-replicated ones (measured:
+    * the 64× corpus tops out at df 1600 < 4096, and keeping it all is
+    * the OOM). [[resolveMaxDf]] therefore measures the duplication
+    * factor (docs / approx-distinct 256-char text prefix — near-dup
+    * copies share prefixes) and caps at max(256, 4·dupFactor): genuine
+    * df = reps is always kept, junk admission stays at base-df ≤ 4, the
+    * family the sweeps measured survivable (72 s at 64× on 8 g).
     */
-  val DefaultMaxDf: Option[Long] = Some(4096L)
+  val AutoMaxDf: Long = -1L
+
+  /** Default cap policy for [[dedupClusters]]/[[bestOfCluster]]/
+    * `Pipelines.curationPipeline`: auto-derive (see [[AutoMaxDf]]).
+    * `maxDf = None` is the explicit unguarded escape hatch (the c01/c07
+    * oracles use it — their DuckDB closure replays exact semantics);
+    * `Some(k)` with k > 0 pins a fixed cap.
+    */
+  val DefaultMaxDf: Option[Long] = Some(AutoMaxDf)
+
+  /** Resolve a maxDf policy against a corpus: pass-through for None and
+    * fixed positive caps; one count + HLL pass over the text column for
+    * [[AutoMaxDf]] (a few seconds at sf0.1 — the price of a default that
+    * survives mass duplication instead of silently mis-sizing).
+    */
+  def resolveMaxDf(docs: DataFrame, maxDf: Option[Long]): Option[Long] =
+    maxDf.map { v =>
+      if (v != AutoMaxDf) v
+      else {
+        val stats = docs.agg(count(lit(1)).as("n"),
+          approx_count_distinct(substring(col("text"), 1, 256)).as("dn")).head()
+        val dupFactor =
+          math.max(1L, stats.getLong(0) / math.max(1L, stats.getLong(1)))
+        math.max(256L, 4L * dupFactor)
+      }
+    }
 
   /** Connected components over an undirected edge list by min-label
     * propagation with pointer jumping: every vertex starts as its own
@@ -170,13 +201,14 @@ object Curation {
     // does, so the explode/window pipeline runs once. maxDf = the d10
     // document-frequency guard (Dedup.jaccardPairsDfPruned): bounds the
     // per-shingle pair fan-out at maxDf² against boilerplate/duplication
-    // blowup. SAFE BY DEFAULT since r8: the r7 64× sweep proved the
-    // unguarded path OOMs a default 8g heap on a mass-duplicated corpus
-    // (df² fan-out), so defaults get a generous cap that is a provable
-    // no-op on any corpus whose max shingle df < 4096; pass None
-    // explicitly for the exact unguarded semantics (c01's oracle does).
+    // blowup. SAFE BY DEFAULT since r8, and the default ADAPTS to the
+    // corpus's measured duplication factor (see [[AutoMaxDf]] — no fixed
+    // cap survives both the lose-genuine-dups cliff and the junk-fan-out
+    // OOM); pass None explicitly for the exact unguarded semantics
+    // (c01's oracle does).
+    val cap = resolveMaxDf(docs, maxDf)
     val sh = graft.ops.Caches.track(Dedup.shingles(docs).persist())
-    val pairs = maxDf.fold(Dedup.jaccardPairs(sh, minJaccard))(
+    val pairs = cap.fold(Dedup.jaccardPairs(sh, minJaccard))(
       c => Dedup.jaccardPairsDfPruned(sh, minJaccard, c))
     val cc = connectedComponents(pairs, docs.select("doc_id"))
     // cluster_size via a window on the cluster key: one shuffle, vs the

@@ -144,25 +144,71 @@ class CurationSpec extends SparkSpec {
   }
 
   test("exact-Jaccard cluster entry points are guarded by default (r8)") {
-    // The r7 64x sweep proved the unguarded df² fan-out OOMs a default
-    // heap on a mass-duplicated corpus, so dedupClusters/bestOfCluster/
-    // curationPipeline now default to the 4096 df cap; None is the
+    // The r7/r8 64x sweeps proved the unguarded df² fan-out OOMs a
+    // default heap on a mass-duplicated corpus, so dedupClusters/
+    // bestOfCluster/curationPipeline default to the AUTO cap (derived
+    // from the measured duplication factor — no FIXED cap survives both
+    // the lose-genuine-dups cliff and the junk fan-out); None is the
     // explicit escape hatch (c01/c07 oracles pass it). Pin the default's
-    // value and that defaulted calls equal the explicit cap — a future
-    // edit can't silently flip the default back to unguarded.
-    assert(Curation.DefaultMaxDf == Some(4096L))
+    // value, the resolution rule, and that a defaulted call equals the
+    // equivalent explicit cap — a future edit can't silently flip the
+    // default back to unguarded.
+    assert(Curation.DefaultMaxDf == Some(Curation.AutoMaxDf))
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
       (2L, "alpha beta gamma delta epsilon zeta eta theta iota"),
       (3L, "completely different content about mountain weather patterns")
     ).toDF("doc_id", "text")
+    // undupicated corpus: dupFactor 1 → the 256 floor binds
+    assert(Curation.resolveMaxDf(docs, Curation.DefaultMaxDf) == Some(256L))
+    assert(Curation.resolveMaxDf(docs, None).isEmpty)
+    assert(Curation.resolveMaxDf(docs, Some(7L)) == Some(7L))
     val defaulted = Curation.dedupClusters(docs, minJaccard = 0.5)
       .select("doc_id", "cluster").as[(Long, Long)].collect().toMap
     val explicit = Curation.dedupClusters(docs, minJaccard = 0.5,
-        maxDf = Some(4096L))
+        maxDf = Some(256L))
       .select("doc_id", "cluster").as[(Long, Long)].collect().toMap
     assert(defaulted == explicit)
     assert(defaulted(1L) == defaulted(2L) && defaulted(3L) == 3L)
+  }
+
+  test("auto df cap scales with measured duplication: genuine replica clusters survive, boilerplate is pruned") {
+    // 20 base docs, each near-duplicated 70x (distinct replica suffix —
+    // exact dedup would NOT collapse these), every doc carrying one
+    // corpus-wide boilerplate sentence. Duplication factor ≈ 70 (the
+    // 256-char prefix collapses replicas) → derived cap = max(256, 280)
+    // = 280: genuine replica shingles (df = 70) are KEPT — a sweep at
+    // ANY replication level keeps df = reps ≤ 4·reps — while the
+    // boilerplate shingles (df = 1400 > 280) are pruned from the join,
+    // the fan-out family the r7/r8 sweeps measured as the OOM. The
+    // clusters must come out exactly base-shaped.
+    // 30 body words ≈ 350 chars push the replica marker PAST the 256-char
+    // prefix window, so prefixes collapse replicas (the duplication the
+    // estimator is built to see) while the full texts stay distinct
+    val boiler = "subscribe to the corpus newsletter for daily updates and announcements"
+    val docs = (0 until 20).flatMap { b =>
+      val body = (0 until 30).map(w => s"base${b}word$w").mkString(" ")
+      (0 until 70).map { r =>
+        ((b * 1000 + r).toLong, s"$body. $boiler. replica marker $r")
+      }
+    }.toDF("doc_id", "text")
+    val cap = Curation.resolveMaxDf(docs, Curation.DefaultMaxDf).get
+    assert(cap > 256L && cap < 1400L,
+      s"derived cap $cap must exceed the floor (duplication measured), " +
+        "keep genuine df=70, and prune boilerplate df=1400")
+    val got = Curation.dedupClusters(docs, minJaccard = 0.5)
+      .select("doc_id", "cluster").as[(Long, Long)].collect()
+    graft.ops.Caches.releaseAll()
+    // every replica of base b clusters with base b's representative
+    val byBase = got.groupBy(_._1 / 1000)
+    assert(byBase.size == 20)
+    byBase.foreach { case (b, rows) =>
+      assert(rows.map(_._2).distinct.length == 1,
+        s"base $b fragmented: ${rows.map(_._2).distinct.toSeq}")
+      assert(rows.length == 70)
+    }
+    // and no two bases merge through the shared boilerplate
+    assert(got.map(_._2).distinct.length == 20)
   }
 
   test("sequence packing respects capacity, covers every doc, and is BFD-tight") {
