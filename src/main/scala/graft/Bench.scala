@@ -90,7 +90,12 @@ object Bench {
     // trust gate it still runs but self-labels the artifact with
     // "trusted":false so no downstream gate can key off the numbers.
     // Resample only when the entry sample would FAIL the gate — a sample
-    // already under it gains nothing from a 60 s idle.
+    // already under it gains nothing from a 60 s idle. Scope: "trusted"
+    // certifies START conditions only — a co-tenant burst arriving
+    // MID-run is indistinguishable from the bench's own local[32]
+    // footprint from inside the process; the per-query "min" field and
+    // cross-run comparison (PERF.md protocol) are the mid-run-burst
+    // defenses.
     val loadStart = {
       val entry = loadAvg()
       var best = entry

@@ -159,7 +159,18 @@ object GraftExtensions {
     ).map { case (name, build) =>
       (FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
-        (es: Seq[Expression]) => build(es).queryExecution.logical)
+        (es: Seq[Expression]) => {
+          val plan = build(es).queryExecution.logical
+          // The kernel behind the build may have persisted intermediates
+          // (Dmp's moments cache) for its eager prior fit — in the pure-
+          // SQL audience of this TVF nothing ever calls releaseAll, so a
+          // leaked cache would accumulate per analysis. Release here: the
+          // returned plan stays valid (unpersist only costs one recompute
+          // at execution), and a co-resident harness query merely
+          // recomputes its own kernel cache in the worst case.
+          ops.Caches.releaseAll()
+          plan
+        })
     }
   }
 

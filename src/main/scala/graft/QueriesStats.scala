@@ -1337,8 +1337,10 @@ object QueriesStats {
     // md5-derived ±1 signs + integer projections, so DuckDB replays the
     // identical bucket structure, candidate set, and bit-exact ρ.
     // τ = 0.25 here because the synthetic grid's |ρ| tops out at ~0.32
-    // (sf0.01) — a non-empty oracle beats a vacuous one; the 64×
-    // ScaleSmoke row runs the production τ = 0.8.
+    // (sf0.01) — a non-empty oracle beats a vacuous one. The ScaleSmoke
+    // 64× row runs THIS registered query (same τ = 0.25; τ only changes
+    // the final filter, not the sketch/verify plan cost — PERF.md's
+    // sweep row documents the recall observed there).
     Q("k12_spearman_thresholded", (s, d) =>
       Analytic.spearmanThresholded(Tables.betaLong(s, d),
           "probe_id", "sample_id", "beta", tau = 0.25)
@@ -2590,7 +2592,13 @@ object QueriesStats {
     // Both engines run the identical IEEE op sequence (int-sized
     // multiplies, one add, one divide per update), so the merge heights
     // hash-match bit-for-bit; HclustSpec still pins a hand-computed
-    // linkage and the SciPy-convention invariants.
+    // linkage and the SciPy-convention invariants. PRECONDITION: the
+    // oracle assumes full pairwise coverage (every sample pair shares
+    // ≥1 probe — true by construction of the sf grids, verified 4950/4950
+    // at sf0.01); the Scala side additionally defines missing pairs as
+    // Double.MaxValue merges-last (Hclust.mergeTable), a branch the SQL
+    // replay does not carry — on a probe-disjoint corpus use the Scala
+    // surface, whose behavior HclustSpec pins.
     Q("k24_hclust_dendrogram", (s, d) =>
       graft.ops.Hclust.mergeTable(s, Tables.betaLong(s, d)),
       Some(ctes.replaceFirst("WITH ", "WITH RECURSIVE ") +

@@ -45,17 +45,32 @@ object Curation {
   /** Resolve a maxDf policy against a corpus: pass-through for None and
     * fixed positive caps; one count + HLL pass over the text column for
     * [[AutoMaxDf]] (a few seconds at sf0.1 — the price of a default that
-    * survives mass duplication instead of silently mis-sizing).
+    * survives mass duplication instead of silently mis-sizing). The
+    * duplication factor is the MAX over a prefix and a suffix fingerprint:
+    * near-dup copies that differ by an appended token collapse under the
+    * prefix, copies that differ by a PREPENDED token (timestamp, id,
+    * title variant) collapse under the suffix — either view measuring the
+    * duplication is enough to raise the cap. Copies edited in BOTH their
+    * first and last 256 characters still fall back to the 256 floor: the
+    * estimator is a heuristic, and `maxDf = None` remains the correct
+    * call when the corpus's duplication structure is known to defeat it.
     */
   def resolveMaxDf(docs: DataFrame, maxDf: Option[Long]): Option[Long] =
     maxDf.map { v =>
       if (v != AutoMaxDf) v
       else {
         val stats = docs.agg(count(lit(1)).as("n"),
-          approx_count_distinct(substring(col("text"), 1, 256)).as("dn")).head()
-        val dupFactor =
-          math.max(1L, stats.getLong(0) / math.max(1L, stats.getLong(1)))
-        math.max(256L, 4L * dupFactor)
+          approx_count_distinct(substring(col("text"), 1, 256)).as("dp"),
+          approx_count_distinct(substring(col("text"), -256, 256)).as("ds"))
+          .head()
+        val n = stats.getLong(0)
+        if (n == 0L) 256L
+        else {
+          val dupFactor = math.max(
+            n / math.max(1L, stats.getLong(1)),
+            n / math.max(1L, stats.getLong(2)))
+          math.max(256L, 4L * math.max(1L, dupFactor))
+        }
       }
     }
 

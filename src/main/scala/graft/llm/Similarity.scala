@@ -206,8 +206,11 @@ object Similarity {
     * depend on partitioning).
     */
   private def trainSample(unit: DataFrame, vecCol: String,
-                          maxTrain: Long): Array[Array[Double]] = {
-    val total = unit.count()
+                          maxTrain: Long,
+                          knownTotal: Long = -1L): Array[Array[Double]] = {
+    // callers that already counted (trainCenters' dispatch) thread the
+    // total through instead of paying a second count job
+    val total = if (knownTotal >= 0L) knownTotal else unit.count()
     val sampled =
       if (total <= maxTrain) unit
       else unit.filter(pmod(col("vec_id"), lit((total + maxTrain - 1) / maxTrain)) === 0)
@@ -245,7 +248,7 @@ object Similarity {
     val total = unit.count()
     val centers =
       if (forceLocal || total <= maxTrain)
-        localKMeans(trainSample(unit, vecCol, maxTrain), k)
+        localKMeans(trainSample(unit, vecCol, maxTrain, knownTotal = total), k)
       else {
         import org.apache.spark.ml.clustering.KMeans
         val feats = unit.select(org.apache.spark.ml.functions

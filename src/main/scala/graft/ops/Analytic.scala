@@ -497,10 +497,15 @@ object Analytic {
     * Semantics are deterministic and SQL-expressible (the d10 rule): the
     * oracle replays the identical sketch, so recall is part of the
     * operator's definition — every emitted pair is EXACT (a true
-    * |ρ| ≥ τ pair with k12's bit-identical ρ), and a |ρ| = 1 pair is
-    * always found (identical/complemented bits ⇒ same canonical bucket
-    * in every band); pairs barely above τ are found with the standard
-    * banded-LSH probability (AnalyticSpec pins both directions).
+    * |ρ| ≥ τ pair with k12's bit-identical ρ). A ρ = +1 pair is always
+    * found (identical projections ⇒ identical bits ⇒ same bucket in
+    * every band). A ρ = −1 pair is found whenever some band has no
+    * zero projection: negated rank vectors give negated p_j, and the
+    * flip-canonicalization collapses complementary bands — but p_j = 0
+    * maps to bit 1 on BOTH sides (sign(0) can't anti-commute), so a
+    * band containing a zero projection loses exact complementarity.
+    * Pairs barely above τ are found with the standard banded-LSH
+    * probability (AnalyticSpec pins the main directions).
     *
     * Width rule: the verify-stage moments use k12's 300k-probe
     * bigint/decimal dispatch; the sketch runs in checked long arithmetic
@@ -536,11 +541,16 @@ object Analytic {
     // decimals (the sort/shuffle volume of the verify stage is the
     // operator's dominant memory term).
     val useDecimal = forceDecimal.getOrElse {
-      rb.groupBy(sampleCol).agg(count(lit(1)).as("__n"))
-        .agg(max("__n")).head().getLong(0) > 1300000L
+      // max() over an empty frame is one NULL row — treat as 0 probes
+      Option(rb.groupBy(sampleCol).agg(count(lit(1)).as("__n"))
+        .agg(max("__n")).head().get(0)).fold(0L)(_.asInstanceOf[Long]) > 1300000L
     }
     val width = if (useDecimal) "decimal(38,0)" else "bigint"
-    val nSamples = df.select(sampleCol).distinct().count()
+    // the bounded sample axis collects ONCE — it serves the r derivation
+    // (length) and the dict-encode below
+    val sampleIds = df.select(sampleCol).distinct()
+      .as[String].collect().sorted
+    val nSamples = sampleIds.length.toLong
     val r = (4 to 30).find(b => (1L << b) * 4 >= nSamples).getOrElse(30)
     val nbits = bands * r
     // ±1 per (probe, bit) computed once on the distinct-probe axis and
@@ -584,10 +594,8 @@ object Analytic {
       .select(col(sampleCol), col("bc.band").as("band"),
         col("bc.canon").as("canon"))
     // Candidate pairs on DICT-ENCODED int sample keys (k12's shuffle-byte
-    // rule — the bounded sample axis collects once; index order preserves
-    // the lexical sort so sa_i < sb_i keeps the string semantics).
-    val sampleIds = df.select(sampleCol).distinct()
-      .as[String].collect().sorted
+    // rule; index order preserves the lexical sort so sa_i < sb_i keeps
+    // the string semantics).
     val sdim = broadcast(sampleIds.zipWithIndex.toSeq.toDF(sampleCol, "__sid"))
     val bse = bandSig.join(sdim, sampleCol)
       .select(col("__sid"), col("band"), col("canon"))

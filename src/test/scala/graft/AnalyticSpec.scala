@@ -25,10 +25,13 @@ class AnalyticSpec extends SparkSpec {
 
   test("spearmanThresholded finds |rho|=1 pairs (both signs), emits exact k12 values, never false positives") {
     // s1/s2 perfectly rank-correlated, s1/s3 perfectly anti-correlated,
-    // s4 independent noise. |rho| = 1 pairs are GUARANTEED found: their
-    // centered rank vectors are equal (or exactly negated), so every
-    // band signature matches (or fully complements, which the canonical
-    // form collapses) — no LSH luck involved.
+    // s4 independent noise. rho = +1 pairs are GUARANTEED found (equal
+    // centered rank vectors => identical bits in every band — no LSH
+    // luck). rho = -1 pairs fully complement per band and the canonical
+    // form collapses them WHENEVER no band projection is exactly zero
+    // (sign(0) maps to bit 1 on both sides); this fixture's projections
+    // are all nonzero, so both directions are exercised
+    // deterministically.
     val probes = (0 until 60).map(i => f"p$i%02d")
     val rows =
       probes.zipWithIndex.flatMap { case (p, i) =>
