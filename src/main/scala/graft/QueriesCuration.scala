@@ -1002,7 +1002,59 @@ object QueriesCuration {
         |                   / CAST(n_tokens AS DOUBLE), 4.0), 6) AS epochs,
         |       CAST(CAST(floor(CAST(w_raw AS DOUBLE) / CAST(w_tot AS DOUBLE) * (CAST(tok_tot AS DOUBLE) * 1.0)) AS BIGINT) AS DOUBLE)
         |         / CAST(n_tokens AS DOUBLE) > 4.0 AS capped
-        |FROM em_per CROSS JOIN em_tot ORDER BY source""".stripMargin))
+        |FROM em_per CROSS JOIN em_tot ORDER BY source""".stripMargin)),
+
+    // Hashed-feature DSIR (the scale path c10's word-level model only
+    // gestures at): unigram+bigram features hashed into 1024 buckets, so
+    // the target/raw model is constant-size (broadcastable at any corpus
+    // size) instead of vocabulary-sized. Per-bucket log-ratio
+    // contributions are pre-quantized to exact floor(1e9·logw) integers —
+    // the per-doc sum is partial-aggregation-order-free, so the top-20
+    // ranking below hash-checks bit-for-bit against DuckDB. English docs
+    // dominate the top of the ranking by construction (target = lang
+    // 'en'), which CurationSpec pins as the semantic check.
+    Q("c23_dsir_hashed", (s, d) => {
+      val w = Curation.hashedImportanceWeights(docs(s, d), col("lang") === "en")
+      w.join(docs(s, d).select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_feats"), col("weight_1e9"))
+        .orderBy(col("weight_1e9").desc, col("doc_id").asc)
+        .limit(20)
+    }, Some(
+      """WITH dsir_t AS (
+        |  SELECT doc_id, lang,
+        |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+        |  FROM documents),
+        |dsir_w AS (
+        |  SELECT doc_id, lang, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+        |  FROM dsir_t),
+        |dw AS (
+        |  SELECT doc_id, lang = 'en' AS t, w, i FROM dsir_w WHERE w != ''),
+        |big AS (SELECT doc_id, t,
+        |               w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS f
+        |        FROM dw),
+        |feats AS (
+        |  SELECT doc_id, t, w AS f FROM dw
+        |  UNION ALL
+        |  SELECT doc_id, t, f FROM big WHERE f IS NOT NULL),
+        |fb AS (SELECT doc_id, t,
+        |              CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS b
+        |       FROM feats),
+        |hist AS (SELECT b,
+        |                CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |                CAST(count(*) AS BIGINT) AS cr
+        |         FROM fb GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+        |               CAST(sum(cr) AS BIGINT) AS nr FROM hist),
+        |model AS (SELECT b,
+        |                 CAST(floor((ln((ct + 0.5) / (nt + 512.0))
+        |                           - ln((cr + 0.5) / (nr + 512.0))) * 1e9) AS BIGINT) AS contrib
+        |          FROM hist CROSS JOIN tot),
+        |scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |                  CAST(sum(contrib) AS BIGINT) AS weight_1e9
+        |           FROM fb JOIN model USING (b) GROUP BY 1)
+        |SELECT s.doc_id, d.lang, s.n_feats, s.weight_1e9
+        |FROM scored s JOIN documents d USING (doc_id)
+        |ORDER BY s.weight_1e9 DESC, s.doc_id LIMIT 20""".stripMargin))
   )
 
   /** Deterministic two-source entity mentions for c17/c18 (the r12

@@ -1364,6 +1364,67 @@ object QueriesLlm {
           |FROM sh JOIN dup USING (gh)
           |ORDER BY doc_id, pos""".stripMargin)),
 
+    // Keep-first duplicate-span REMOVAL (the transform half of d09's
+    // candidate mask — Lee et al. ACL'22 §4: delete every later occurrence
+    // of a repeated substring span-wise, keep the corpus-first one). The
+    // corpus is augmented with PREFIX-SHIFTED copies of three docs — the
+    // case C4 line dedup (t20, non-overlapping blocks) structurally
+    // misses: one prepended token shifts every block boundary, but
+    // overlapping spans are shift-invariant, so the copies collapse to
+    // their two prefix tokens while the originals (corpus-first) stay
+    // byte-identical. Hash-checked per doc: exact token accounting + the
+    // md5 of the redacted token stream.
+    Q("d13_substring_remove", (s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val copies = docs(s, d).filter(col("doc_id") < 3)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("prepended marker "), col("text")).as("text"))
+      Dedup.removeDuplicateSpans(base.union(copies), n = 10)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          col("n_kept"), md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'prepended marker ' || text
+        |  FROM documents WHERE doc_id < 3),
+        |t AS (SELECT doc_id,
+        |        string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+        |      FROM aug),
+        |sh AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |              md5(array_to_string(list_slice(ws, i, i + 9), ' ')) AS gh
+        |       FROM t, unnest(range(1, len(ws) - 8)) AS r(i)
+        |       WHERE len(ws) >= 10),
+        |dup AS (SELECT gh FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |occ AS (SELECT sh.doc_id, sh.pos,
+        |               row_number() OVER (PARTITION BY sh.gh
+        |                                  ORDER BY sh.doc_id, sh.pos) AS rn
+        |        FROM sh JOIN dup USING (gh)),
+        |rem AS (SELECT DISTINCT doc_id, CAST(p AS INT) AS i
+        |        FROM occ, unnest(range(pos, pos + 10)) AS rr(p)
+        |        WHERE rn > 1),
+        |wds AS (SELECT doc_id, w, CAST(i AS INT) AS i
+        |        FROM (SELECT doc_id, unnest(ws) AS w,
+        |                     generate_subscripts(ws, 1) AS i FROM t)
+        |        WHERE w != ''),
+        |kept AS (SELECT wds.doc_id, wds.w, wds.i
+        |         FROM wds LEFT JOIN rem
+        |           ON rem.doc_id = wds.doc_id AND rem.i = wds.i
+        |         WHERE rem.doc_id IS NULL),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |               md5(string_agg(w, ' ' ORDER BY i)) AS fp
+        |        FROM kept GROUP BY 1),
+        |nt AS (SELECT doc_id,
+        |              CAST(len(list_filter(ws, w -> w != '')) AS BIGINT) AS n_tokens
+        |       FROM t)
+        |SELECT nt.doc_id, nt.n_tokens,
+        |       nt.n_tokens - coalesce(a.n_kept, 0) AS n_removed,
+        |       coalesce(a.n_kept, 0) AS n_kept,
+        |       coalesce(a.fp, md5('')) AS fp
+        |FROM nt LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
     // Perceptual difference hash (dHash) per image: nearest-neighbor 9×8
     // grayscale grid over the full pixel decode, 64 gradient-sign bits.
     // Fixtures: a base pattern, a +10-uniform-brightness copy (dHash is

@@ -1002,9 +1002,11 @@ object QueriesRelational {
 
     // The inferential completion of a23: p-value through the native
     // codegen chi-square survival function (`graft_chisq_sf`,
-    // functions/ChiSquared.scala — no SQL analog, so this flavor is
-    // rows-only; the statistic/df feeding it are a23's oracle-checked
-    // values) plus Cramér's V effect size.
+    // functions/ChiSquared.scala) plus Cramér's V effect size. FULLY
+    // oracle-checked (r8): the 3×2 returnflag×linestatus table fixes
+    // df = (3−1)(2−1) = 2, whose survival function is the elementary
+    // exp(−x/2) — the Spark side stays generic in df; the oracle replay
+    // is df-2-specific, which the data pins.
     Q("a25_chisq_inference", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       GraftExtensions.registerAll(s)
@@ -1028,7 +1030,28 @@ object QueriesRelational {
             .as("p_value"),
           round(sqrt(col("chi2") / (col("tot").cast("double")
             * least(col("r") - 1, col("c") - 1).cast("double"))), 6).as("cramers_v"))
-    }, None),
+    }, Some(
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS nij
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *, sum(nij) OVER (PARTITION BY l_returnflag) AS ri,
+        |         sum(nij) OVER (PARTITION BY l_linestatus) AS cj,
+        |         sum(nij) OVER () AS tot
+        |  FROM cells),
+        |agg AS (
+        |  SELECT count(DISTINCT l_returnflag) AS r,
+        |         count(DISTINCT l_linestatus) AS c,
+        |         sum((CAST(nij AS DOUBLE) - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(tot AS DOUBLE))
+        |             * (CAST(nij AS DOUBLE) - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(tot AS DOUBLE))
+        |             / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(tot AS DOUBLE))) AS chi2,
+        |         max(tot) AS tot
+        |  FROM m)
+        |SELECT (r - 1) * (c - 1) AS df, round(chi2, 6) AS chi2,
+        |       round(exp(-chi2 / 2.0), 6) AS p_value,
+        |       round(sqrt(chi2 / (CAST(tot AS DOUBLE)
+        |                          * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v
+        |FROM agg""".stripMargin)),
 
     // Exponential-decay recency features per user (the feature-generation
     // step of behavioral/training-signal pipelines): over each user's 20

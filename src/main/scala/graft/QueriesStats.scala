@@ -1206,9 +1206,13 @@ object QueriesStats {
 
     // K11 inferential completion (the a23→a25/k10 pattern): asymptotic
     // Kolmogorov p from the native codegen series Q(t)=2Σ(-1)^{k-1}e^{-2k²t²}
-    // at t = ks_stat, BH-adjusted across probes. Rows-only — the series has
-    // no SQL analog; the statistic feeding it is k11's oracle-checked D.
-    // RankTestSpec asserts the series against commons-math approximateP.
+    // at t = ks_stat, BH-adjusted across probes. FULLY oracle-checked (r8):
+    // the series is a FIXED ascending sum with a deterministic stop rule
+    // (first term < 1e-16; terms decrease monotonically in k, so the stop
+    // is a filter), which DuckDB replays as an ordered running sum over
+    // range(1,101) — same IEEE sequence, same t ≤ 0.05 short-circuit, same
+    // [0,1] clamp. RankTestSpec asserts the series against commons-math
+    // approximateP.
     Q("k11_ks_inference", (s, d) => {
       GraftExtensions.registerAll(s)
       val bg = Tables.betaLong(s, d)
@@ -1221,7 +1225,67 @@ object QueriesStats {
           round(col("d"), 9).as("d"), round(col("ks_stat"), 6).as("ks_stat"),
           round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id")
-    }, None),
+    }, Some(ctes +
+      s""", bg AS (
+         |  SELECT b.probe_id, b.beta, s."group" AS grp
+         |  FROM beta b JOIN sheet s USING (sample_id)),
+         |cells AS (
+         |  SELECT probe_id, beta,
+         |         CAST(sum(CASE WHEN grp = 'WT' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |         CAST(sum(CASE WHEN grp = 'MUT' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM bg GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *,
+         |         sum(c1) OVER (PARTITION BY probe_id ORDER BY beta
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+         |         sum(c2) OVER (PARTITION BY probe_id ORDER BY beta
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+         |         sum(c1) OVER (PARTITION BY probe_id) AS n1,
+         |         sum(c2) OVER (PARTITION BY probe_id) AS n2
+         |  FROM cells),
+         |a AS (
+         |  SELECT probe_id, CAST(max(n1) AS BIGINT) AS n1,
+         |         CAST(max(n2) AS BIGINT) AS n2,
+         |         CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS gap
+         |  FROM r GROUP BY 1),
+         |st AS (
+         |  SELECT probe_id, n1, n2,
+         |         CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d,
+         |         CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+         |           * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+         |                  / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) AS t
+         |  FROM a WHERE n1 > 0 AND n2 > 0 AND n1 >= 3 AND n2 >= 3),
+         |terms AS (
+         |  SELECT probe_id, kk.k,
+         |         CASE WHEN kk.k % 2 = 1 THEN 1.0 ELSE -1.0 END
+         |           * exp(-2.0 * kk.k * kk.k * t * t) AS term,
+         |         exp(-2.0 * kk.k * kk.k * t * t) AS absterm
+         |  FROM st, (SELECT unnest(range(1, 101)) AS k) kk
+         |  WHERE t > 0.05),
+         |ssum AS (
+         |  SELECT probe_id,
+         |         sum(term) OVER (PARTITION BY probe_id ORDER BY k
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY k DESC) AS rk
+         |  FROM terms WHERE absterm >= 1e-16),
+         |q AS (SELECT probe_id, least(1.0, greatest(0.0, 2.0 * sm)) AS p
+         |      FROM ssum WHERE rk = 1),
+         |pv AS (
+         |  SELECT st.probe_id, st.n1, st.n2, st.d, st.t,
+         |         CASE WHEN st.t <= 0.05 THEN 1.0 ELSE coalesce(q.p, 0.0) END AS p
+         |  FROM st LEFT JOIN q USING (probe_id)),
+         |rr AS (SELECT probe_id, n1, n2, d, t, p,
+         |              row_number() OVER (ORDER BY p, probe_id) AS rn,
+         |              count(*) OVER () AS mm
+         |       FROM pv),
+         |f AS (SELECT probe_id, n1, n2, d, t, p,
+         |             least(min(p * CAST(mm AS DOUBLE) / CAST(rn AS DOUBLE))
+         |                   OVER (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |                   1.0) AS fdr
+         |      FROM rr)
+         |SELECT probe_id, n1, n2, round(d, 9) AS d, round(t, 6) AS ks_stat,
+         |       round(p, 6) AS p_value, round(fdr, 6) AS fdr
+         |FROM f ORDER BY probe_id""".stripMargin)),
 
     // K19 — Fisher's combined probability (meta-analysis): per probe,
     // fuse the three independent-family evidence streams the engine
@@ -1464,9 +1528,13 @@ object QueriesStats {
     // codegen F survival function (regularized incomplete beta — the one
     // special function the engine was missing; reference tests always
     // return p-values, /root/reference/plots.R:139-162), BH-adjusted
-    // across probes. Rows-only — the F CDF has no SQL analog; the
-    // statistic feeding it rides k13_anova_f's oracle. ExtensionsSpec
-    // asserts graft_f_sf against commons-math FDistribution.
+    // across probes. FULLY oracle-checked (r8): with the three-run design
+    // df1 = 2, and I_x(a, 1) = x^a, so P(F_{2,d2} ≥ f) collapses to the
+    // elementary (d2/(d2+2f))^{d2/2} — DuckDB replays the whole p + BH
+    // chain (the Spark side stays generic via regularized incomplete
+    // beta; commons-math agrees with the power form to ~1e-14, far inside
+    // round-6). ExtensionsSpec asserts graft_f_sf against commons-math
+    // FDistribution.
     Q("k13_anova_inference", (s, d) => {
       GraftExtensions.registerAll(s)
       val stats = anovaF(s, d)
@@ -1477,7 +1545,51 @@ object QueriesStats {
           round(col("f"), 6).as("f"), round(col("p_value"), 6).as("p_value"),
           round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id")
-    }, None),
+    }, Some(ctes +
+      """, bg AS (
+        |  SELECT b.probe_id, CAST(round(b.beta * 997) AS BIGINT) AS k, s.run
+        |  FROM beta b JOIN sheet s USING (sample_id)),
+        |m AS (
+        |  SELECT probe_id, count(*) AS n,
+        |         CAST(sum(k) AS BIGINT) AS s, CAST(sum(k * k) AS BIGINT) AS ss,
+        |         CAST(sum(CASE WHEN run = 'run_0' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |         CAST(sum(CASE WHEN run = 'run_1' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN run = 'run_2' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |         CAST(sum(CASE WHEN run = 'run_0' THEN k ELSE 0 END) AS BIGINT) AS s0,
+        |         CAST(sum(CASE WHEN run = 'run_1' THEN k ELSE 0 END) AS BIGINT) AS s1,
+        |         CAST(sum(CASE WHEN run = 'run_2' THEN k ELSE 0 END) AS BIGINT) AS s2
+        |  FROM bg GROUP BY 1),
+        |e AS (
+        |  SELECT probe_id, n, n0, n1, n2,
+        |         (CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |          + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |          + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+        |         CAST(ss AS DOUBLE)
+        |         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS sst
+        |  FROM m),
+        |fq AS (
+        |  SELECT probe_id, n, CAST(2 AS BIGINT) AS df1, n - 3 AS df2,
+        |         (ssb / 2.0) / ((sst - ssb) / (CAST(n AS DOUBLE) - 3.0)) AS f
+        |  FROM e
+        |  WHERE n0 >= 2 AND n1 >= 2 AND n2 >= 2 AND sst - ssb > 0.0),
+        |pv AS (
+        |  SELECT probe_id, n, df1, df2, f,
+        |         power(CAST(df2 AS DOUBLE) / (CAST(df2 AS DOUBLE) + 2.0 * f),
+        |               CAST(df2 AS DOUBLE) / 2.0) AS p
+        |  FROM fq),
+        |rr AS (SELECT probe_id, n, df1, df2, f, p,
+        |              row_number() OVER (ORDER BY p, probe_id) AS rn,
+        |              count(*) OVER () AS mm
+        |       FROM pv),
+        |ff AS (SELECT probe_id, n, df1, df2, f, p,
+        |             least(min(p * CAST(mm AS DOUBLE) / CAST(rn AS DOUBLE))
+        |                   OVER (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |                   1.0) AS fdr
+        |      FROM rr)
+        |SELECT probe_id, n, df1, df2, round(f, 6) AS f, round(p, 6) AS p_value,
+        |       round(fdr, 6) AS fdr
+        |FROM ff ORDER BY probe_id""".stripMargin)),
 
     // K14 — DMR detection (bumphunter-style region merge): the downstream
     // step every methylation analysis runs after per-probe testing —
@@ -1971,9 +2083,12 @@ object QueriesStats {
         |SELECT probe_id, n, n0, n1, n2, round(h, 6) AS h
         |FROM e ORDER BY probe_id""".stripMargin)),
 
-    // K20 inferential completion: H ~ χ²(k−1) under H0 → two-sided p via
-    // the codegen chi-square survival function + BH (the k10/k13 pattern).
-    // Rows-only — the CDF has no SQL analog; H rides k20's oracle.
+    // K20 inferential completion: H ~ χ²(k−1) under H0 → p via the codegen
+    // chi-square survival function + BH. FULLY oracle-checked (r8): the
+    // three-run design fixes df = 2, whose survival function is the
+    // elementary exp(−x/2) — DuckDB replays the whole p + BH chain (the
+    // k21 move; commons-math agrees with exp(−x/2) to ~1 ulp, far inside
+    // round-6).
     Q("k20_kw_inference", (s, d) => {
       GraftExtensions.registerAll(s)
       val stats = kruskalWallis(s, d)
@@ -1982,7 +2097,56 @@ object QueriesStats {
         .select(col("probe_id"), col("n"), round(col("h"), 6).as("h"),
           round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id")
-    }, None),
+    }, Some(ctes +
+      """, bg AS (
+        |  SELECT b.probe_id, b.beta, s.run
+        |  FROM beta b JOIN sheet s USING (sample_id)),
+        |cells AS (
+        |  SELECT probe_id, beta,
+        |         CAST(sum(CASE WHEN run = 'run_0' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |         CAST(sum(CASE WHEN run = 'run_1' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN run = 'run_2' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM bg GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, c0 + c1 + c2 AS t,
+        |         sum(c0 + c1 + c2) OVER (PARTITION BY probe_id ORDER BY beta
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM cells),
+        |a AS (
+        |  SELECT probe_id, count(*) AS ncells,
+        |         CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+        |         CAST(sum(c2) AS BIGINT) AS n2,
+        |         CAST(sum(c0 * (2 * cum - (t - 1))) AS BIGINT) AS r0_2,
+        |         CAST(sum(c1 * (2 * cum - (t - 1))) AS BIGINT) AS r1_2,
+        |         CAST(sum(c2 * (2 * cum - (t - 1))) AS BIGINT) AS r2_2,
+        |         CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        |  FROM r GROUP BY 1),
+        |e AS (
+        |  SELECT probe_id, n0 + n1 + n2 AS n,
+        |         (3.0 / (CAST(n0 + n1 + n2 AS DOUBLE) * CAST(n0 + n1 + n2 + 1 AS DOUBLE))
+        |          * (CAST(r0_2 AS DOUBLE) * CAST(r0_2 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |             + CAST(r1_2 AS DOUBLE) * CAST(r1_2 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |             + CAST(r2_2 AS DOUBLE) * CAST(r2_2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |          - 3.0 * CAST(n0 + n1 + n2 + 1 AS DOUBLE))
+        |         / (1.0 - CAST(ties AS DOUBLE)
+        |                  / (CAST(n0 + n1 + n2 AS DOUBLE) * CAST(n0 + n1 + n2 AS DOUBLE)
+        |                     * CAST(n0 + n1 + n2 AS DOUBLE)
+        |                     - CAST(n0 + n1 + n2 AS DOUBLE))) AS h
+        |  FROM a
+        |  WHERE n0 >= 2 AND n1 >= 2 AND n2 >= 2 AND ncells > 1),
+        |pv AS (SELECT probe_id, n, h, exp(-h / 2.0) AS p FROM e),
+        |rr AS (SELECT probe_id, n, h, p,
+        |              row_number() OVER (ORDER BY p, probe_id) AS rn,
+        |              count(*) OVER () AS mm
+        |       FROM pv),
+        |f AS (SELECT probe_id, n, h, p,
+        |             least(min(p * CAST(mm AS DOUBLE) / CAST(rn AS DOUBLE))
+        |                   OVER (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |                   1.0) AS fdr
+        |      FROM rr)
+        |SELECT probe_id, n, round(h, 6) AS h, round(p, 6) AS p_value,
+        |       round(fdr, 6) AS fdr
+        |FROM f ORDER BY probe_id""".stripMargin)),
 
     // K37 — Dunn's post-hoc pairwise comparisons after the k20 omnibus
     // (public: Dunn 1964): WHICH run pair drives a significant H? Three z
@@ -2397,8 +2561,11 @@ object QueriesStats {
         |FROM st ORDER BY probe_id""".stripMargin)),
 
     // K21 inferential completion: JB ~ χ²(2) asymptotically → p via the
-    // codegen chi-square survival function + BH. Rows-only; the statistic
-    // rides k21's oracle.
+    // codegen chi-square survival function + BH. FULLY oracle-checked
+    // (r8): χ² with df = 2 has the elementary survival function exp(−x/2),
+    // so DuckDB replays the whole p + BH chain — commons-math's
+    // regularizedGammaQ(1, x/2) and exp(−x/2) agree to ~1 ulp, far inside
+    // the round-6 comparison. BH is the w03 SQL mirror.
     Q("k21_jb_inference", (s, d) => {
       GraftExtensions.registerAll(s)
       val stats = jarqueBera(s, d)
@@ -2407,7 +2574,50 @@ object QueriesStats {
         .select(col("probe_id"), col("n"), round(col("jb"), 6).as("jb"),
           round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id")
-    }, None),
+    }, Some(ctes +
+      """, bk AS (
+        |  SELECT probe_id, CAST(round(beta * 997) AS BIGINT) AS k FROM beta),
+        |m AS (
+        |  SELECT probe_id, count(*) AS n, CAST(sum(k) AS BIGINT) AS s1,
+        |         CAST(sum(k * k) AS BIGINT) AS s2,
+        |         CAST(sum(k * k * k) AS BIGINT) AS s3,
+        |         CAST(sum(k * k * k * k) AS BIGINT) AS s4
+        |  FROM bk GROUP BY 1),
+        |c AS (
+        |  SELECT probe_id, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+        |         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+        |         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+        |  FROM m),
+        |cm AS (
+        |  SELECT probe_id, n,
+        |         e2 - mu * mu AS m2,
+        |         e3 - 3.0 * mu * e2 + 2.0 * mu * mu * mu AS m3,
+        |         e4 - 4.0 * mu * e3 + 6.0 * mu * mu * e2
+        |            - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM c),
+        |st AS (
+        |  SELECT probe_id, n, m3 / (m2 * sqrt(m2)) AS skew,
+        |         m4 / (m2 * m2) AS kurt
+        |  FROM cm WHERE n >= 8 AND m2 > 0.0),
+        |jbq AS (
+        |  SELECT probe_id, n,
+        |         CAST(n AS DOUBLE) / 6.0
+        |           * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0) AS jb
+        |  FROM st),
+        |pv AS (SELECT probe_id, n, jb, exp(-jb / 2.0) AS p FROM jbq),
+        |rr AS (SELECT probe_id, n, jb, p,
+        |              row_number() OVER (ORDER BY p, probe_id) AS rn,
+        |              count(*) OVER () AS mm
+        |       FROM pv),
+        |f AS (SELECT probe_id, n, jb, p,
+        |             least(min(p * CAST(mm AS DOUBLE) / CAST(rn AS DOUBLE))
+        |                   OVER (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |                   1.0) AS fdr
+        |      FROM rr)
+        |SELECT probe_id, n, round(jb, 6) AS jb, round(p, 6) AS p_value,
+        |       round(fdr, 6) AS fdr
+        |FROM f ORDER BY probe_id""".stripMargin)),
 
     // K22 — Mann–Kendall trend test: per-probe monotonic drift across the
     // sample collection order (sample_id's fixed-width encoding IS the
@@ -2789,7 +2999,62 @@ object QueriesStats {
         .select(col("n_lang"), col("n_source"), col("n_cells"),
           round(col("chisq"), 6).as("chisq"), col("df"),
           round(expr("graft_chisq_sf(chisq, df)"), 6).as("p_value"))
-    }, None),
+      // FULLY oracle-checked (r8): the 5-language × 20-source grid fixes
+      // df = 4·19 = 76 — EVEN, so the χ² survival is the elementary
+      // exp(−x/2)·Σ_{i<df/2}(x/2)^i/i!, which DuckDB replays as an ordered
+      // 38-term running sum (terms via power/gamma, all positive — no
+      // cancellation; agreement with commons-math ~1e-13, far inside
+      // round-6). The Spark side stays generic in df.
+    }, Some(
+      """WITH cells0 AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT l.lang, s.source
+        |  FROM (SELECT DISTINCT lang FROM cells0) l
+        |  CROSS JOIN (SELECT DISTINCT source FROM cells0) s),
+        |cells AS (
+        |  SELECT g.lang, g.source, coalesce(c.obs, 0) AS obs
+        |  FROM grid g LEFT JOIN cells0 c USING (lang, source)),
+        |ag AS (
+        |  SELECT count(DISTINCT lang) AS n_lang,
+        |         count(DISTINCT source) AS n_source,
+        |         CAST(sum(obs) AS BIGINT) AS grand,
+        |         count(*) AS n_cells
+        |  FROM cells),
+        |rt AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS row_tot FROM cells GROUP BY 1),
+        |cl AS (SELECT source, CAST(sum(obs) AS BIGINT) AS col_tot FROM cells GROUP BY 1),
+        |bc AS (
+        |  SELECT c.lang, c.source,
+        |         (CAST(c.obs AS DOUBLE)
+        |            - CAST(rt.row_tot AS DOUBLE) * CAST(cl.col_tot AS DOUBLE) / CAST(ag.grand AS DOUBLE))
+        |         * (CAST(c.obs AS DOUBLE)
+        |            - CAST(rt.row_tot AS DOUBLE) * CAST(cl.col_tot AS DOUBLE) / CAST(ag.grand AS DOUBLE))
+        |         / (CAST(rt.row_tot AS DOUBLE) * CAST(cl.col_tot AS DOUBLE) / CAST(ag.grand AS DOUBLE)) AS contrib
+        |  FROM cells c JOIN rt USING (lang) JOIN cl USING (source) CROSS JOIN ag),
+        |run AS (
+        |  SELECT sum(contrib) OVER (ORDER BY lang, source
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chisq,
+        |         row_number() OVER (ORDER BY lang DESC, source DESC) AS rn
+        |  FROM bc),
+        |x AS (SELECT chisq FROM run WHERE rn = 1),
+        |dfq AS (SELECT CAST((n_lang - 1) * (n_source - 1) AS DOUBLE) AS df FROM ag),
+        |terms AS (
+        |  SELECT kk.i,
+        |         power(x.chisq / 2.0, kk.i) / gamma(CAST(kk.i AS DOUBLE) + 1.0) AS term
+        |  FROM x CROSS JOIN dfq
+        |  CROSS JOIN (SELECT unnest(range(0, 100)) AS i) kk
+        |  WHERE CAST(kk.i AS DOUBLE) < df / 2.0),
+        |srun AS (
+        |  SELECT sum(term) OVER (ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm,
+        |         row_number() OVER (ORDER BY i DESC) AS rk
+        |  FROM terms)
+        |SELECT ag.n_lang, ag.n_source, ag.n_cells,
+        |       round(x.chisq, 6) AS chisq, dfq.df,
+        |       round(exp(-x.chisq / 2.0) * s.sm, 6) AS p_value
+        |FROM ag CROSS JOIN x CROSS JOIN dfq
+        |CROSS JOIN (SELECT sm FROM srun WHERE rk = 1) s""".stripMargin)),
 
     // K28 — Kaplan–Meier survival curves per user cohort: time-to-first-
     // purchase from first contact, right-censored at last activity

@@ -82,10 +82,12 @@ object ScaleSmoke {
       "b02_bloom_prune_join", "n04_embedding_centroid", "t07_pii_redact",
       "t08_unigram_logprob", "c09_chunk_documents", "r07_upsert_merge",
       "n05_vector_quantize", "w08_sessionize", "r08_scd2_dimension",
-      "c10_importance_weights", "t10_quality_classifier", "t11_compression_ratio",
+      "c10_importance_weights", "c23_dsir_hashed",
+      "t10_quality_classifier", "t11_compression_ratio",
       "w09_funnel", "w10_retention_cohorts", "a15_zscore_normalize",
       "t12_bigram_logprob", "j11_fuzzy_join", "r09_compact_files",
-      "t13_sketch_watchlist", "d10_jaccard_df_pruned", "a16_approx_quantile",
+      "t13_sketch_watchlist", "d10_jaccard_df_pruned", "d13_substring_remove",
+      "a16_approx_quantile",
       "a17_expectations", "a19_topk_per_group_agg", "a20_hll_union",
       "r11_zorder_layout", "t15_sketch_merge", "t14_bpe_encode",
       "k07_quantile_normalize", "a21_cube", "a22_group_regression",

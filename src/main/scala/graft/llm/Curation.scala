@@ -569,6 +569,67 @@ object Curation {
           .as("log_ratio"))
   }
 
+  /** HASHED importance weights — the DSIR scale path proper (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169): unigram AND bigram features hash into a FIXED
+    * bucket count, so the target/raw model is a constant-size table
+    * regardless of corpus vocabulary — at 100 TB the word-level model of
+    * [[importanceWeights]] grows with the (unbounded) vocab while this
+    * model stays `buckets` rows, broadcast everywhere. Weights are the
+    * log-likelihood ratio of each document's hashed feature bag under the
+    * add-half-smoothed target vs raw bucket multinomials.
+    *
+    * Scale shape: feature extraction is row-local (one array build per
+    * doc, md5 buckets — seedless, rerunnable); ONE corpus shuffle builds
+    * the B-row model; scoring is a broadcast equi-join on the bucket id +
+    * one doc-keyed aggregate. Per-bucket contributions are pre-quantized
+    * to exact floor(1e9·logw) integers so the per-doc sum is
+    * partial-aggregation-order-free (the t25 decimal-sum pattern) — the
+    * returned `weight_1e9` is bit-stable across partitionings AND engines.
+    */
+  def hashedImportanceWeights(docs: DataFrame, isTarget: Column,
+                              buckets: Int = 1024,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    // the token array MUST be a materialized column before the bigram
+    // lambda touches it: a lambda body referencing the raw
+    // filter(split(normalized(...))) expression re-evaluates that whole
+    // tree per element access (higher-order functions sit outside
+    // subexpression elimination), turning the bigram build O(tokens²·regex)
+    // per document — measured 25 s vs sub-second at sf0.1
+    val ws = col("__ws")
+    val feats = concat(ws,
+      when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat_ws(" ", a, b)))
+        .otherwise(array().cast("array<string>")))
+    // persisted: the bucketed stream feeds the model build AND the scoring
+    // join — without it the explode+md5 scan runs three times (hist for
+    // totals, hist for the model, scoring), the dominant cost here
+    val toks = graft.ops.Caches.track(docs
+      .select(col(idCol).as("doc_id"), isTarget.as("__t"),
+        filter(split(TextAnalysis.normalized(col(textCol)), " "),
+          w => w =!= "").as("__ws"))
+      .select(col("doc_id"), col("__t"), explode(feats).as("f"))
+      .withColumn("b", pmod(conv(substring(md5(col("f")), 1, 8), 16, 10)
+        .cast("long"), lit(buckets.toLong)))
+      .drop("f")
+      .persist())
+    val hist = toks.groupBy("b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val totals = hist.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val half = buckets / 2.0
+    val model = hist.crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor((log((col("ct") + 0.5) / (col("nt") + half)) -
+          log((col("cr") + 0.5) / (col("nr") + half))) * 1e9)
+          .cast("long").as("contrib"))
+    toks.join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("contrib").as("weight_1e9"))
+  }
+
   /** Greedy TOKEN-BUDGET selection: order documents by (score desc, id
     * asc) and keep every document that STARTS before the budget boundary —
     * the "fill a 1T-token training mix with the best documents first" step

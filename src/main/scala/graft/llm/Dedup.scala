@@ -331,6 +331,57 @@ object Dedup {
     sh.join(dup, "gh").select("doc_id", "pos", "gh", "n_docs")
   }
 
+  /** Keep-first duplicate-span REMOVAL — the transform step of
+    * exact-substring dedup (Lee et al., ACL'22, §4: every repeated long
+    * substring is deleted span-wise, leaving ONE canonical occurrence in
+    * the corpus; documents keep their remaining text). Consumes
+    * [[duplicateSpans]]' candidate mask: for each cross-document
+    * duplicated n-token span, the corpus-first occurrence (by
+    * (doc_id, pos)) is retained and every later occurrence's token range
+    * [pos, pos+n-1] is removed; overlapping removal ranges union
+    * naturally because tokens are removed by POSITION, not per window.
+    * Output: one row per input document with exact token accounting and
+    * the redacted text (the kept tokens of the normalized stream, in
+    * order — the method operates on the token stream, so full-kept
+    * documents come back as their normalized text).
+    *
+    * Scale shape: [[duplicateSpans]] is the only corpus-wide shuffle
+    * volume (collision-proportional); the removal mask is an n-fold
+    * explode of the NON-first occurrences only (constant factor n over
+    * duplicated mass, nothing on clean documents); kept tokens are one
+    * anti-join co-keyed on (doc_id, position); reassembly is a doc-keyed
+    * sort-aggregate. The span rank window partitions by the span hash —
+    * never by anything corpus-sized. No all-pairs stage anywhere.
+    */
+  def removeDuplicateSpans(docs: DataFrame, n: Int,
+                           textCol: String = "text"): DataFrame = {
+    // non-empty token count, so the accounting matches words()' stream
+    // (an all-punctuation doc is 0 tokens kept, 0 removed — not -1)
+    val base = docs.select(col("doc_id"),
+      size(filter(split(graft.llm.TextAnalysis.normalized(col(textCol)), " "),
+        w => w =!= "")).cast("bigint").as("n_tokens"))
+    val w = Window.partitionBy("gh").orderBy(col("doc_id"), col("pos"))
+    val removal = duplicateSpans(docs, n, textCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("i"))
+      .distinct()
+    val toks = words(docs, textCol = textCol)
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("w"))
+    val kept = toks.join(removal, Seq("doc_id", "i"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("w")))),
+          x => x.getField("w")), " ").as("text"))
+    base.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** Exact dedup keeping the first doc per content hash (deterministic). */
   def exactDedup(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val w = Window.partitionBy("h").orderBy(col("doc_id").asc)

@@ -463,4 +463,30 @@ class CurationSpec extends SparkSpec {
       assert(rs.map(_.getLong(3)).distinct.length == rs.length)
     }
   }
+
+  test("hashedImportanceWeights: target-vocab docs outrank off-target, exact and rerunnable") {
+    import spark.implicits._
+    // target domain speaks vocab A; the raw pool has one doc in vocab A
+    // (should score high) and one in vocab B (should score low)
+    val corpus = Seq(
+      (1L, true, "alpha beta gamma delta epsilon alpha beta gamma"),
+      (2L, true, "beta gamma delta epsilon alpha delta gamma beta"),
+      (3L, false, "alpha beta gamma delta epsilon beta alpha gamma"),
+      (4L, false, "zeta eta theta iota kappa zeta eta theta iota")
+    ).toDF("doc_id", "is_target", "text")
+    val w = graft.llm.Curation
+      .hashedImportanceWeights(corpus, col("is_target"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // n_feats = unigrams + bigrams: 8 tokens → 8 + 7 = 15
+    assert(w(3L)._1 == 15L)
+    assert(w(4L)._1 == 17L)
+    // the target-like raw doc outranks the off-target one decisively
+    assert(w(3L)._2 > w(4L)._2)
+    assert(w(4L)._2 < 0L) // off-target vocab is target-improbable
+    // seedless md5 buckets + integer contributions → bit-identical reruns
+    val again = graft.llm.Curation
+      .hashedImportanceWeights(corpus, col("is_target"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again == w)
+  }
 }

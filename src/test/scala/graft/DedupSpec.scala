@@ -126,4 +126,29 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(noCap == all)
   }
+
+  test("removeDuplicateSpans: keep-first span removal with interval union") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),   // corpus-first owner of every span
+      (2L, "x y c d e f z"),     // embeds doc 1's [c..f] via 2 OVERLAPPING 3-grams
+      (3L, "p q r s t"),         // clean
+      (4L, "a b c d e f g h"),   // exact copy — removed entirely
+      (5L, "m n o m n o")        // within-doc repeat only → NOT cross-doc dup
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(corpus, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 1: every occurrence is corpus-first → fully kept
+    assert(out(1L) == ((8L, 0L, 8L, "a b c d e f g h")))
+    // doc 2: spans "c d e"@3 and "d e f"@4 union to positions 3..6 —
+    // four tokens removed ONCE despite the overlap
+    assert(out(2L) == ((7L, 4L, 3L, "x y z")))
+    // doc 3 untouched
+    assert(out(3L) == ((5L, 0L, 5L, "p q r s t")))
+    // doc 4: every 3-gram is a later occurrence of doc 1's → all removed
+    assert(out(4L) == ((8L, 8L, 0L, "")))
+    // doc 5: "m n o" repeats only WITHIN the doc — d09's cross-doc
+    // criterion (count(DISTINCT doc_id) >= 2) leaves it intact
+    assert(out(5L) == ((6L, 0L, 6L, "m n o m n o")))
+  }
 }
