@@ -177,9 +177,11 @@ object ScaleSmoke {
     // MinHash candidates (bounded by true near-dups), components over them
     // — the oracle query c01 instead uses exact-Jaccard edges, which
     // inherit d02's deliberate quadratic-on-duplication behavior.
-    // `--only=bh10m` / `--only=holm` reach the direct drives below without
-    // the full sweep; any other --only filter skips them.
-    val driveDirect = only.forall(_.exists(s => s == "bh10m" || s == "holm"))
+    // `--only=bh10m` / `--only=holm` / `--only=d13mat` reach the direct
+    // drives below without the full sweep; any other --only filter skips
+    // them.
+    val driveDirect =
+      only.forall(_.exists(s => s == "bh10m" || s == "holm" || s == "d13mat"))
     if (!driveDirect) { spark.stop(); return }
     {
       val t0 = System.nanoTime()
@@ -213,6 +215,22 @@ object ScaleSmoke {
       val t0 = System.nanoTime()
       val chk = f(big).agg(sum("p_holm")).head().getDouble(0)
       println(f"[scale] holm-10M $tag%-9s ${(System.nanoTime() - t0) / 1e9}%8.2f s  sum=$chk%.6f")
+      graft.ops.Caches.releaseAll()
+    }
+    // Direct MATERIALIZED drive of d13's span removal: a bare count() of
+    // the per-doc profile legally lets Catalyst eliminate the final left
+    // join (unique join key, no referenced columns), so the sweep row
+    // above under-measures by ~200× at 64×. Summing the output columns —
+    // including a function of the reassembled text — forces the full DAG.
+    // The Nx replica is d13's adversarial case: every doc gains N−1
+    // near-copies, so duplicated-span mass ≈ the whole corpus.
+    Seq("1x" -> src, s"${reps}x" -> out).foreach { case (tag, dir) =>
+      val t0 = System.nanoTime()
+      val prof = graft.llm.Dedup.removeDuplicateSpans(
+        Tables.table(spark, dir, "documents").select("doc_id", "text"), n = 10)
+      val r = prof.agg(sum("n_removed"), sum("n_kept"),
+        max(length(col("text")))).head()
+      println(f"[scale] d13-materialized $tag%4s ${(System.nanoTime() - t0) / 1e9}%8.2f s  removed=${r.getLong(0)} kept=${r.getLong(1)}")
       graft.ops.Caches.releaseAll()
     }
     spark.stop()
