@@ -397,6 +397,124 @@ object QueriesStats {
       |  FROM lr_risk r LEFT JOIN km_dur c ON c.grp = r.grp AND c.duration_h = r.t
       |  WHERE r.is_grid = 1)""".stripMargin
 
+  /** Shared statistic-chain CTE bodies: each is used VERBATIM by the
+    * statistic oracle AND its inference oracle (which appends the CDF
+    * replay + [[SqlOracles.bhTail]]), so a chain fix can never make the
+    * two silently diverge.
+    */
+  private val anovaChainSql: String =
+    """, bg AS (
+      |  SELECT b.probe_id, CAST(round(b.beta * 997) AS BIGINT) AS k, s.run
+      |  FROM beta b JOIN sheet s USING (sample_id)),
+      |m AS (
+      |  SELECT probe_id, count(*) AS n,
+      |         CAST(sum(k) AS BIGINT) AS s, CAST(sum(k * k) AS BIGINT) AS ss,
+      |         CAST(sum(CASE WHEN run = 'run_0' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |         CAST(sum(CASE WHEN run = 'run_1' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |         CAST(sum(CASE WHEN run = 'run_2' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |         CAST(sum(CASE WHEN run = 'run_0' THEN k ELSE 0 END) AS BIGINT) AS s0,
+      |         CAST(sum(CASE WHEN run = 'run_1' THEN k ELSE 0 END) AS BIGINT) AS s1,
+      |         CAST(sum(CASE WHEN run = 'run_2' THEN k ELSE 0 END) AS BIGINT) AS s2
+      |  FROM bg GROUP BY 1),
+      |e AS (
+      |  SELECT probe_id, n, n0, n1, n2,
+      |         (CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+      |          + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |          + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+      |         CAST(ss AS DOUBLE)
+      |         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS sst
+      |  FROM m)""".stripMargin
+
+  private val kwChainSql: String =
+    """, bg AS (
+      |  SELECT b.probe_id, b.beta, s.run
+      |  FROM beta b JOIN sheet s USING (sample_id)),
+      |cells AS (
+      |  SELECT probe_id, beta,
+      |         CAST(sum(CASE WHEN run = 'run_0' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |         CAST(sum(CASE WHEN run = 'run_1' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |         CAST(sum(CASE WHEN run = 'run_2' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM bg GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, c0 + c1 + c2 AS t,
+      |         sum(c0 + c1 + c2) OVER (PARTITION BY probe_id ORDER BY beta
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM cells),
+      |a AS (
+      |  SELECT probe_id, count(*) AS ncells,
+      |         CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+      |         CAST(sum(c2) AS BIGINT) AS n2,
+      |         CAST(sum(c0 * (2 * cum - (t - 1))) AS BIGINT) AS r0_2,
+      |         CAST(sum(c1 * (2 * cum - (t - 1))) AS BIGINT) AS r1_2,
+      |         CAST(sum(c2 * (2 * cum - (t - 1))) AS BIGINT) AS r2_2,
+      |         CAST(sum(t * t * t - t) AS BIGINT) AS ties
+      |  FROM r GROUP BY 1),
+      |e AS (
+      |  SELECT probe_id, n0 + n1 + n2 AS n, n0, n1, n2,
+      |         (3.0 / (CAST(n0 + n1 + n2 AS DOUBLE) * CAST(n0 + n1 + n2 + 1 AS DOUBLE))
+      |          * (CAST(r0_2 AS DOUBLE) * CAST(r0_2 AS DOUBLE) / CAST(n0 AS DOUBLE)
+      |             + CAST(r1_2 AS DOUBLE) * CAST(r1_2 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |             + CAST(r2_2 AS DOUBLE) * CAST(r2_2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |          - 3.0 * CAST(n0 + n1 + n2 + 1 AS DOUBLE))
+      |         / (1.0 - CAST(ties AS DOUBLE)
+      |                  / (CAST(n0 + n1 + n2 AS DOUBLE) * CAST(n0 + n1 + n2 AS DOUBLE)
+      |                     * CAST(n0 + n1 + n2 AS DOUBLE)
+      |                     - CAST(n0 + n1 + n2 AS DOUBLE))) AS h
+      |  FROM a
+      |  WHERE n0 >= 2 AND n1 >= 2 AND n2 >= 2 AND ncells > 1)""".stripMargin
+
+  private val jbChainSql: String =
+    """, bk AS (
+      |  SELECT probe_id, CAST(round(beta * 997) AS BIGINT) AS k FROM beta),
+      |m AS (
+      |  SELECT probe_id, count(*) AS n, CAST(sum(k) AS BIGINT) AS s1,
+      |         CAST(sum(k * k) AS BIGINT) AS s2,
+      |         CAST(sum(k * k * k) AS BIGINT) AS s3,
+      |         CAST(sum(k * k * k * k) AS BIGINT) AS s4
+      |  FROM bk GROUP BY 1),
+      |c AS (
+      |  SELECT probe_id, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+      |         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+      |         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+      |         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+      |  FROM m),
+      |cm AS (
+      |  SELECT probe_id, n,
+      |         e2 - mu * mu AS m2,
+      |         e3 - 3.0 * mu * e2 + 2.0 * mu * mu * mu AS m3,
+      |         e4 - 4.0 * mu * e3 + 6.0 * mu * mu * e2
+      |            - 3.0 * mu * mu * mu * mu AS m4
+      |  FROM c),
+      |st AS (
+      |  SELECT probe_id, n, m3 / (m2 * sqrt(m2)) AS skew,
+      |         m4 / (m2 * m2) AS kurt
+      |  FROM cm WHERE n >= 8 AND m2 > 0.0)""".stripMargin
+
+  private val ksChainSql: String =
+    """, bg AS (
+      |  SELECT b.probe_id, b.beta, s."group" AS grp
+      |  FROM beta b JOIN sheet s USING (sample_id)),
+      |cells AS (
+      |  SELECT probe_id, beta,
+      |         CAST(sum(CASE WHEN grp = 'WT' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |         CAST(sum(CASE WHEN grp = 'MUT' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM bg GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *,
+      |         sum(c1) OVER (PARTITION BY probe_id ORDER BY beta
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+      |         sum(c2) OVER (PARTITION BY probe_id ORDER BY beta
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+      |         sum(c1) OVER (PARTITION BY probe_id) AS n1,
+      |         sum(c2) OVER (PARTITION BY probe_id) AS n2
+      |  FROM cells),
+      |a AS (
+      |  SELECT probe_id, CAST(max(n1) AS BIGINT) AS n1,
+      |         CAST(max(n2) AS BIGINT) AS n2,
+      |         CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS gap
+      |  FROM r GROUP BY 1)""".stripMargin
+
   private def anovaF(s: org.apache.spark.sql.SparkSession, d: String) = {
     val bg = Tables.betaLong(s, d)
       .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
@@ -1173,36 +1291,14 @@ object QueriesStats {
         .select(col("probe_id"), col("n1"), col("n2"),
           round(col("d"), 9).as("d"), round(col("ks_stat"), 6).as("ks_stat"))
         .orderBy("probe_id")
-    }, Some(ctes +
-      s""", bg AS (
-         |  SELECT b.probe_id, b.beta, s."group" AS grp
-         |  FROM beta b JOIN sheet s USING (sample_id)),
-         |cells AS (
-         |  SELECT probe_id, beta,
-         |         CAST(sum(CASE WHEN grp = 'WT' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-         |         CAST(sum(CASE WHEN grp = 'MUT' THEN 1 ELSE 0 END) AS BIGINT) AS c2
-         |  FROM bg GROUP BY 1, 2),
-         |r AS (
-         |  SELECT *,
-         |         sum(c1) OVER (PARTITION BY probe_id ORDER BY beta
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
-         |         sum(c2) OVER (PARTITION BY probe_id ORDER BY beta
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
-         |         sum(c1) OVER (PARTITION BY probe_id) AS n1,
-         |         sum(c2) OVER (PARTITION BY probe_id) AS n2
-         |  FROM cells),
-         |a AS (
-         |  SELECT probe_id, CAST(max(n1) AS BIGINT) AS n1,
-         |         CAST(max(n2) AS BIGINT) AS n2,
-         |         CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS gap
-         |  FROM r GROUP BY 1)
-         |SELECT probe_id, n1, n2,
-         |       round(CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 9) AS d,
-         |       round(CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
-         |             * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
-         |                    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 6) AS ks_stat
-         |FROM a WHERE n1 > 0 AND n2 > 0 AND n1 >= 3 AND n2 >= 3
-         |ORDER BY probe_id""".stripMargin)),
+    }, Some(ctes + ksChainSql + "\n" +
+      """SELECT probe_id, n1, n2,
+        |       round(CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 9) AS d,
+        |       round(CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |             * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |                    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 6) AS ks_stat
+        |FROM a WHERE n1 > 0 AND n2 > 0 AND n1 >= 3 AND n2 >= 3
+        |ORDER BY probe_id""".stripMargin)),
 
     // K11 inferential completion (the a23→a25/k10 pattern): asymptotic
     // Kolmogorov p from the native codegen series Q(t)=2Σ(-1)^{k-1}e^{-2k²t²}
@@ -1225,67 +1321,38 @@ object QueriesStats {
           round(col("d"), 9).as("d"), round(col("ks_stat"), 6).as("ks_stat"),
           round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id")
-    }, Some(ctes +
-      s""", bg AS (
-         |  SELECT b.probe_id, b.beta, s."group" AS grp
-         |  FROM beta b JOIN sheet s USING (sample_id)),
-         |cells AS (
-         |  SELECT probe_id, beta,
-         |         CAST(sum(CASE WHEN grp = 'WT' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-         |         CAST(sum(CASE WHEN grp = 'MUT' THEN 1 ELSE 0 END) AS BIGINT) AS c2
-         |  FROM bg GROUP BY 1, 2),
-         |r AS (
-         |  SELECT *,
-         |         sum(c1) OVER (PARTITION BY probe_id ORDER BY beta
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
-         |         sum(c2) OVER (PARTITION BY probe_id ORDER BY beta
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
-         |         sum(c1) OVER (PARTITION BY probe_id) AS n1,
-         |         sum(c2) OVER (PARTITION BY probe_id) AS n2
-         |  FROM cells),
-         |a AS (
-         |  SELECT probe_id, CAST(max(n1) AS BIGINT) AS n1,
-         |         CAST(max(n2) AS BIGINT) AS n2,
-         |         CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS gap
-         |  FROM r GROUP BY 1),
-         |st AS (
-         |  SELECT probe_id, n1, n2,
-         |         CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d,
-         |         CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
-         |           * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
-         |                  / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) AS t
-         |  FROM a WHERE n1 > 0 AND n2 > 0 AND n1 >= 3 AND n2 >= 3),
-         |terms AS (
-         |  SELECT probe_id, kk.k,
-         |         CASE WHEN kk.k % 2 = 1 THEN 1.0 ELSE -1.0 END
-         |           * exp(-2.0 * kk.k * kk.k * t * t) AS term,
-         |         exp(-2.0 * kk.k * kk.k * t * t) AS absterm
-         |  FROM st, (SELECT unnest(range(1, 101)) AS k) kk
-         |  WHERE t > 0.05),
-         |ssum AS (
-         |  SELECT probe_id,
-         |         sum(term) OVER (PARTITION BY probe_id ORDER BY k
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm,
-         |         row_number() OVER (PARTITION BY probe_id ORDER BY k DESC) AS rk
-         |  FROM terms WHERE absterm >= 1e-16),
-         |q AS (SELECT probe_id, least(1.0, greatest(0.0, 2.0 * sm)) AS p
-         |      FROM ssum WHERE rk = 1),
-         |pv AS (
-         |  SELECT st.probe_id, st.n1, st.n2, st.d, st.t,
-         |         CASE WHEN st.t <= 0.05 THEN 1.0 ELSE coalesce(q.p, 0.0) END AS p
-         |  FROM st LEFT JOIN q USING (probe_id)),
-         |rr AS (SELECT probe_id, n1, n2, d, t, p,
-         |              row_number() OVER (ORDER BY p, probe_id) AS rn,
-         |              count(*) OVER () AS mm
-         |       FROM pv),
-         |f AS (SELECT probe_id, n1, n2, d, t, p,
-         |             least(min(p * CAST(mm AS DOUBLE) / CAST(rn AS DOUBLE))
-         |                   OVER (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         |                   1.0) AS fdr
-         |      FROM rr)
-         |SELECT probe_id, n1, n2, round(d, 9) AS d, round(t, 6) AS ks_stat,
-         |       round(p, 6) AS p_value, round(fdr, 6) AS fdr
-         |FROM f ORDER BY probe_id""".stripMargin)),
+    }, Some(ctes + ksChainSql +
+      """,
+        |st AS (
+        |  SELECT probe_id, n1, n2,
+        |         CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d,
+        |         CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |           * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |                  / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) AS t
+        |  FROM a WHERE n1 > 0 AND n2 > 0 AND n1 >= 3 AND n2 >= 3),
+        |terms AS (
+        |  SELECT probe_id, kk.k,
+        |         CASE WHEN kk.k % 2 = 1 THEN 1.0 ELSE -1.0 END
+        |           * exp(-2.0 * kk.k * kk.k * t * t) AS term,
+        |         exp(-2.0 * kk.k * kk.k * t * t) AS absterm
+        |  FROM st, (SELECT unnest(range(1, 101)) AS k) kk
+        |  WHERE t > 0.05),
+        |ssum AS (
+        |  SELECT probe_id,
+        |         sum(term) OVER (PARTITION BY probe_id ORDER BY k
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY k DESC) AS rk
+        |  FROM terms WHERE absterm >= 1e-16),
+        |q AS (SELECT probe_id, least(1.0, greatest(0.0, 2.0 * sm)) AS p
+        |      FROM ssum WHERE rk = 1),
+        |pv AS (
+        |  SELECT st.probe_id, st.n1, st.n2, st.d, st.t,
+        |         CASE WHEN st.t <= 0.05 THEN 1.0 ELSE coalesce(q.p, 0.0) END AS p
+        |  FROM st LEFT JOIN q USING (probe_id))""".stripMargin +
+      SqlOracles.bhTail("probe_id, n1, n2, d, t") + "\n" +
+      """SELECT probe_id, n1, n2, round(d, 9) AS d, round(t, 6) AS ks_stat,
+        |       round(p, 6) AS p_value, round(fdr, 6) AS fdr
+        |FROM f ORDER BY probe_id""".stripMargin)),
 
     // K19 — Fisher's combined probability (meta-analysis): per probe,
     // fuse the three independent-family evidence streams the engine
@@ -1494,30 +1561,8 @@ object QueriesStats {
           round(col("ssb"), 6).as("ssb"), round(col("ssw"), 6).as("ssw"),
           col("df1"), col("df2"), round(col("f"), 6).as("f"))
         .orderBy("probe_id"),
-    Some(ctes +
-      """, bg AS (
-        |  SELECT b.probe_id, CAST(round(b.beta * 997) AS BIGINT) AS k, s.run
-        |  FROM beta b JOIN sheet s USING (sample_id)),
-        |m AS (
-        |  SELECT probe_id, count(*) AS n,
-        |         CAST(sum(k) AS BIGINT) AS s, CAST(sum(k * k) AS BIGINT) AS ss,
-        |         CAST(sum(CASE WHEN run = 'run_0' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-        |         CAST(sum(CASE WHEN run = 'run_1' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |         CAST(sum(CASE WHEN run = 'run_2' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-        |         CAST(sum(CASE WHEN run = 'run_0' THEN k ELSE 0 END) AS BIGINT) AS s0,
-        |         CAST(sum(CASE WHEN run = 'run_1' THEN k ELSE 0 END) AS BIGINT) AS s1,
-        |         CAST(sum(CASE WHEN run = 'run_2' THEN k ELSE 0 END) AS BIGINT) AS s2
-        |  FROM bg GROUP BY 1),
-        |e AS (
-        |  SELECT probe_id, n, n0, n1, n2,
-        |         (CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
-        |          + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-        |          + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
-        |         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
-        |         CAST(ss AS DOUBLE)
-        |         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS sst
-        |  FROM m)
-        |SELECT probe_id, n, round(ssb, 6) AS ssb, round(sst - ssb, 6) AS ssw,
+    Some(ctes + anovaChainSql + "\n" +
+      """SELECT probe_id, n, round(ssb, 6) AS ssb, round(sst - ssb, 6) AS ssw,
         |       CAST(2 AS BIGINT) AS df1, n - 3 AS df2,
         |       round((ssb / 2.0) / ((sst - ssb) / (CAST(n AS DOUBLE) - 3.0)), 6) AS f
         |FROM e
@@ -1545,29 +1590,8 @@ object QueriesStats {
           round(col("f"), 6).as("f"), round(col("p_value"), 6).as("p_value"),
           round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id")
-    }, Some(ctes +
-      """, bg AS (
-        |  SELECT b.probe_id, CAST(round(b.beta * 997) AS BIGINT) AS k, s.run
-        |  FROM beta b JOIN sheet s USING (sample_id)),
-        |m AS (
-        |  SELECT probe_id, count(*) AS n,
-        |         CAST(sum(k) AS BIGINT) AS s, CAST(sum(k * k) AS BIGINT) AS ss,
-        |         CAST(sum(CASE WHEN run = 'run_0' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-        |         CAST(sum(CASE WHEN run = 'run_1' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |         CAST(sum(CASE WHEN run = 'run_2' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-        |         CAST(sum(CASE WHEN run = 'run_0' THEN k ELSE 0 END) AS BIGINT) AS s0,
-        |         CAST(sum(CASE WHEN run = 'run_1' THEN k ELSE 0 END) AS BIGINT) AS s1,
-        |         CAST(sum(CASE WHEN run = 'run_2' THEN k ELSE 0 END) AS BIGINT) AS s2
-        |  FROM bg GROUP BY 1),
-        |e AS (
-        |  SELECT probe_id, n, n0, n1, n2,
-        |         (CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
-        |          + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-        |          + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
-        |         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
-        |         CAST(ss AS DOUBLE)
-        |         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS sst
-        |  FROM m),
+    }, Some(ctes + anovaChainSql +
+      """,
         |fq AS (
         |  SELECT probe_id, n, CAST(2 AS BIGINT) AS df1, n - 3 AS df2,
         |         (ssb / 2.0) / ((sst - ssb) / (CAST(n AS DOUBLE) - 3.0)) AS f
@@ -1577,19 +1601,11 @@ object QueriesStats {
         |  SELECT probe_id, n, df1, df2, f,
         |         power(CAST(df2 AS DOUBLE) / (CAST(df2 AS DOUBLE) + 2.0 * f),
         |               CAST(df2 AS DOUBLE) / 2.0) AS p
-        |  FROM fq),
-        |rr AS (SELECT probe_id, n, df1, df2, f, p,
-        |              row_number() OVER (ORDER BY p, probe_id) AS rn,
-        |              count(*) OVER () AS mm
-        |       FROM pv),
-        |ff AS (SELECT probe_id, n, df1, df2, f, p,
-        |             least(min(p * CAST(mm AS DOUBLE) / CAST(rn AS DOUBLE))
-        |                   OVER (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |                   1.0) AS fdr
-        |      FROM rr)
-        |SELECT probe_id, n, df1, df2, round(f, 6) AS f, round(p, 6) AS p_value,
+        |  FROM fq)""".stripMargin +
+      SqlOracles.bhTail("probe_id, n, df1, df2, f") + "\n" +
+      """SELECT probe_id, n, df1, df2, round(f, 6) AS f, round(p, 6) AS p_value,
         |       round(fdr, 6) AS fdr
-        |FROM ff ORDER BY probe_id""".stripMargin)),
+        |FROM f ORDER BY probe_id""".stripMargin)),
 
     // K14 — DMR detection (bumphunter-style region merge): the downstream
     // step every methylation analysis runs after per-probe testing —
@@ -2043,44 +2059,8 @@ object QueriesStats {
         .select(col("probe_id"), col("n"), col("n0"), col("n1"), col("n2"),
           round(col("h"), 6).as("h"))
         .orderBy("probe_id"),
-    Some(ctes +
-      """, bg AS (
-        |  SELECT b.probe_id, b.beta, s.run
-        |  FROM beta b JOIN sheet s USING (sample_id)),
-        |cells AS (
-        |  SELECT probe_id, beta,
-        |         CAST(sum(CASE WHEN run = 'run_0' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
-        |         CAST(sum(CASE WHEN run = 'run_1' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-        |         CAST(sum(CASE WHEN run = 'run_2' THEN 1 ELSE 0 END) AS BIGINT) AS c2
-        |  FROM bg GROUP BY 1, 2),
-        |r AS (
-        |  SELECT *, c0 + c1 + c2 AS t,
-        |         sum(c0 + c1 + c2) OVER (PARTITION BY probe_id ORDER BY beta
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM cells),
-        |a AS (
-        |  SELECT probe_id, count(*) AS ncells,
-        |         CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
-        |         CAST(sum(c2) AS BIGINT) AS n2,
-        |         CAST(sum(c0 * (2 * cum - (t - 1))) AS BIGINT) AS r0_2,
-        |         CAST(sum(c1 * (2 * cum - (t - 1))) AS BIGINT) AS r1_2,
-        |         CAST(sum(c2 * (2 * cum - (t - 1))) AS BIGINT) AS r2_2,
-        |         CAST(sum(t * t * t - t) AS BIGINT) AS ties
-        |  FROM r GROUP BY 1),
-        |e AS (
-        |  SELECT probe_id, n0 + n1 + n2 AS n, n0, n1, n2,
-        |         (3.0 / (CAST(n0 + n1 + n2 AS DOUBLE) * CAST(n0 + n1 + n2 + 1 AS DOUBLE))
-        |          * (CAST(r0_2 AS DOUBLE) * CAST(r0_2 AS DOUBLE) / CAST(n0 AS DOUBLE)
-        |             + CAST(r1_2 AS DOUBLE) * CAST(r1_2 AS DOUBLE) / CAST(n1 AS DOUBLE)
-        |             + CAST(r2_2 AS DOUBLE) * CAST(r2_2 AS DOUBLE) / CAST(n2 AS DOUBLE))
-        |          - 3.0 * CAST(n0 + n1 + n2 + 1 AS DOUBLE))
-        |         / (1.0 - CAST(ties AS DOUBLE)
-        |                  / (CAST(n0 + n1 + n2 AS DOUBLE) * CAST(n0 + n1 + n2 AS DOUBLE)
-        |                     * CAST(n0 + n1 + n2 AS DOUBLE)
-        |                     - CAST(n0 + n1 + n2 AS DOUBLE))) AS h
-        |  FROM a
-        |  WHERE n0 >= 2 AND n1 >= 2 AND n2 >= 2 AND ncells > 1)
-        |SELECT probe_id, n, n0, n1, n2, round(h, 6) AS h
+    Some(ctes + kwChainSql + "\n" +
+      """SELECT probe_id, n, n0, n1, n2, round(h, 6) AS h
         |FROM e ORDER BY probe_id""".stripMargin)),
 
     // K20 inferential completion: H ~ χ²(k−1) under H0 → p via the codegen
@@ -2097,54 +2077,11 @@ object QueriesStats {
         .select(col("probe_id"), col("n"), round(col("h"), 6).as("h"),
           round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id")
-    }, Some(ctes +
-      """, bg AS (
-        |  SELECT b.probe_id, b.beta, s.run
-        |  FROM beta b JOIN sheet s USING (sample_id)),
-        |cells AS (
-        |  SELECT probe_id, beta,
-        |         CAST(sum(CASE WHEN run = 'run_0' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
-        |         CAST(sum(CASE WHEN run = 'run_1' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-        |         CAST(sum(CASE WHEN run = 'run_2' THEN 1 ELSE 0 END) AS BIGINT) AS c2
-        |  FROM bg GROUP BY 1, 2),
-        |r AS (
-        |  SELECT *, c0 + c1 + c2 AS t,
-        |         sum(c0 + c1 + c2) OVER (PARTITION BY probe_id ORDER BY beta
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM cells),
-        |a AS (
-        |  SELECT probe_id, count(*) AS ncells,
-        |         CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
-        |         CAST(sum(c2) AS BIGINT) AS n2,
-        |         CAST(sum(c0 * (2 * cum - (t - 1))) AS BIGINT) AS r0_2,
-        |         CAST(sum(c1 * (2 * cum - (t - 1))) AS BIGINT) AS r1_2,
-        |         CAST(sum(c2 * (2 * cum - (t - 1))) AS BIGINT) AS r2_2,
-        |         CAST(sum(t * t * t - t) AS BIGINT) AS ties
-        |  FROM r GROUP BY 1),
-        |e AS (
-        |  SELECT probe_id, n0 + n1 + n2 AS n,
-        |         (3.0 / (CAST(n0 + n1 + n2 AS DOUBLE) * CAST(n0 + n1 + n2 + 1 AS DOUBLE))
-        |          * (CAST(r0_2 AS DOUBLE) * CAST(r0_2 AS DOUBLE) / CAST(n0 AS DOUBLE)
-        |             + CAST(r1_2 AS DOUBLE) * CAST(r1_2 AS DOUBLE) / CAST(n1 AS DOUBLE)
-        |             + CAST(r2_2 AS DOUBLE) * CAST(r2_2 AS DOUBLE) / CAST(n2 AS DOUBLE))
-        |          - 3.0 * CAST(n0 + n1 + n2 + 1 AS DOUBLE))
-        |         / (1.0 - CAST(ties AS DOUBLE)
-        |                  / (CAST(n0 + n1 + n2 AS DOUBLE) * CAST(n0 + n1 + n2 AS DOUBLE)
-        |                     * CAST(n0 + n1 + n2 AS DOUBLE)
-        |                     - CAST(n0 + n1 + n2 AS DOUBLE))) AS h
-        |  FROM a
-        |  WHERE n0 >= 2 AND n1 >= 2 AND n2 >= 2 AND ncells > 1),
-        |pv AS (SELECT probe_id, n, h, exp(-h / 2.0) AS p FROM e),
-        |rr AS (SELECT probe_id, n, h, p,
-        |              row_number() OVER (ORDER BY p, probe_id) AS rn,
-        |              count(*) OVER () AS mm
-        |       FROM pv),
-        |f AS (SELECT probe_id, n, h, p,
-        |             least(min(p * CAST(mm AS DOUBLE) / CAST(rn AS DOUBLE))
-        |                   OVER (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |                   1.0) AS fdr
-        |      FROM rr)
-        |SELECT probe_id, n, round(h, 6) AS h, round(p, 6) AS p_value,
+    }, Some(ctes + kwChainSql +
+      """,
+        |pv AS (SELECT probe_id, n, h, exp(-h / 2.0) AS p FROM e)""".stripMargin +
+      SqlOracles.bhTail("probe_id, n, h") + "\n" +
+      """SELECT probe_id, n, round(h, 6) AS h, round(p, 6) AS p_value,
         |       round(fdr, 6) AS fdr
         |FROM f ORDER BY probe_id""".stripMargin)),
 
@@ -2529,33 +2466,8 @@ object QueriesStats {
         .select(col("probe_id"), col("n"), round(col("skew"), 6).as("skew"),
           round(col("kurt"), 6).as("kurt"), round(col("jb"), 6).as("jb"))
         .orderBy("probe_id"),
-    Some(ctes +
-      """, bk AS (
-        |  SELECT probe_id, CAST(round(beta * 997) AS BIGINT) AS k FROM beta),
-        |m AS (
-        |  SELECT probe_id, count(*) AS n, CAST(sum(k) AS BIGINT) AS s1,
-        |         CAST(sum(k * k) AS BIGINT) AS s2,
-        |         CAST(sum(k * k * k) AS BIGINT) AS s3,
-        |         CAST(sum(k * k * k * k) AS BIGINT) AS s4
-        |  FROM bk GROUP BY 1),
-        |c AS (
-        |  SELECT probe_id, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
-        |         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
-        |         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
-        |         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
-        |  FROM m),
-        |cm AS (
-        |  SELECT probe_id, n,
-        |         e2 - mu * mu AS m2,
-        |         e3 - 3.0 * mu * e2 + 2.0 * mu * mu * mu AS m3,
-        |         e4 - 4.0 * mu * e3 + 6.0 * mu * mu * e2
-        |            - 3.0 * mu * mu * mu * mu AS m4
-        |  FROM c),
-        |st AS (
-        |  SELECT probe_id, n, m3 / (m2 * sqrt(m2)) AS skew,
-        |         m4 / (m2 * m2) AS kurt
-        |  FROM cm WHERE n >= 8 AND m2 > 0.0)
-        |SELECT probe_id, n, round(skew, 6) AS skew, round(kurt, 6) AS kurt,
+    Some(ctes + jbChainSql + "\n" +
+      """SELECT probe_id, n, round(skew, 6) AS skew, round(kurt, 6) AS kurt,
         |       round(CAST(n AS DOUBLE) / 6.0
         |             * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0), 6) AS jb
         |FROM st ORDER BY probe_id""".stripMargin)),
@@ -2574,48 +2486,16 @@ object QueriesStats {
         .select(col("probe_id"), col("n"), round(col("jb"), 6).as("jb"),
           round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id")
-    }, Some(ctes +
-      """, bk AS (
-        |  SELECT probe_id, CAST(round(beta * 997) AS BIGINT) AS k FROM beta),
-        |m AS (
-        |  SELECT probe_id, count(*) AS n, CAST(sum(k) AS BIGINT) AS s1,
-        |         CAST(sum(k * k) AS BIGINT) AS s2,
-        |         CAST(sum(k * k * k) AS BIGINT) AS s3,
-        |         CAST(sum(k * k * k * k) AS BIGINT) AS s4
-        |  FROM bk GROUP BY 1),
-        |c AS (
-        |  SELECT probe_id, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
-        |         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
-        |         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
-        |         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
-        |  FROM m),
-        |cm AS (
-        |  SELECT probe_id, n,
-        |         e2 - mu * mu AS m2,
-        |         e3 - 3.0 * mu * e2 + 2.0 * mu * mu * mu AS m3,
-        |         e4 - 4.0 * mu * e3 + 6.0 * mu * mu * e2
-        |            - 3.0 * mu * mu * mu * mu AS m4
-        |  FROM c),
-        |st AS (
-        |  SELECT probe_id, n, m3 / (m2 * sqrt(m2)) AS skew,
-        |         m4 / (m2 * m2) AS kurt
-        |  FROM cm WHERE n >= 8 AND m2 > 0.0),
+    }, Some(ctes + jbChainSql +
+      """,
         |jbq AS (
         |  SELECT probe_id, n,
         |         CAST(n AS DOUBLE) / 6.0
         |           * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0) AS jb
         |  FROM st),
-        |pv AS (SELECT probe_id, n, jb, exp(-jb / 2.0) AS p FROM jbq),
-        |rr AS (SELECT probe_id, n, jb, p,
-        |              row_number() OVER (ORDER BY p, probe_id) AS rn,
-        |              count(*) OVER () AS mm
-        |       FROM pv),
-        |f AS (SELECT probe_id, n, jb, p,
-        |             least(min(p * CAST(mm AS DOUBLE) / CAST(rn AS DOUBLE))
-        |                   OVER (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |                   1.0) AS fdr
-        |      FROM rr)
-        |SELECT probe_id, n, round(jb, 6) AS jb, round(p, 6) AS p_value,
+        |pv AS (SELECT probe_id, n, jb, exp(-jb / 2.0) AS p FROM jbq)""".stripMargin +
+      SqlOracles.bhTail("probe_id, n, jb") + "\n" +
+      """SELECT probe_id, n, round(jb, 6) AS jb, round(p, 6) AS p_value,
         |       round(fdr, 6) AS fdr
         |FROM f ORDER BY probe_id""".stripMargin)),
 

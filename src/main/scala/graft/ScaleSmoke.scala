@@ -177,13 +177,14 @@ object ScaleSmoke {
     // MinHash candidates (bounded by true near-dups), components over them
     // — the oracle query c01 instead uses exact-Jaccard edges, which
     // inherit d02's deliberate quadratic-on-duplication behavior.
-    // `--only=bh10m` / `--only=holm` / `--only=d13mat` reach the direct
-    // drives below without the full sweep; any other --only filter skips
-    // them.
-    val driveDirect =
-      only.forall(_.exists(s => s == "bh10m" || s == "holm" || s == "d13mat"))
-    if (!driveDirect) { spark.stop(); return }
-    {
+    // `--only=bh10m` / `--only=holm` / `--only=d13mat` reach their direct
+    // drives below without the full sweep; each drive block checks its
+    // OWN tag (a Holm re-measure must not pay the 64× d13 DAG and vice
+    // versa). With no --only, every drive runs.
+    def drive(tag: String): Boolean = only.forall(_.contains(tag))
+    val driveAny = Seq("cclsh", "bh10m", "holm", "d13mat").exists(drive)
+    if (!driveAny) { spark.stop(); return }
+    if (drive("cclsh")) {
       val t0 = System.nanoTime()
       val docs8 = Tables.table(spark, out, "documents")
       val edges = graft.llm.Dedup.minhashNearDups(docs8, numPerm = 16,
@@ -197,9 +198,10 @@ object ScaleSmoke {
     // Direct drive of the >5M-row BH path: 10M synthetic p-values through
     // both implementations (the windowed one sorts everything in ONE task;
     // the ranged one never does).
-    val big = spark.range(10000000L).select(
+    lazy val big = spark.range(10000000L).select(
       format_string("k%09d", col("id")).as("id"),
       (pmod(hash(col("id")), lit(1000000)).cast("double") / 1000000.0).as("p"))
+    if (drive("bh10m"))
     Seq("windowed" -> ((df: DataFrame) => graft.ops.Analytic.bhAdjustWindowed(df, "p", "id")),
         "ranged" -> ((df: DataFrame) => graft.ops.Analytic.bhAdjustRanged(df, "p", "id"))
     ).foreach { case (tag, f) =>
@@ -209,6 +211,7 @@ object ScaleSmoke {
       graft.ops.Caches.releaseAll()
     }
     // Holm's ranged mirror (prefix-max direction) at the same 10M rows.
+    if (drive("holm"))
     Seq("windowed" -> ((df: DataFrame) => graft.ops.Analytic.holmWindowed(df, "p", "id")),
         "ranged" -> ((df: DataFrame) => graft.ops.Analytic.holmRanged(df, "p", "id"))
     ).foreach { case (tag, f) =>
@@ -224,6 +227,7 @@ object ScaleSmoke {
     // including a function of the reassembled text — forces the full DAG.
     // The Nx replica is d13's adversarial case: every doc gains N−1
     // near-copies, so duplicated-span mass ≈ the whole corpus.
+    if (drive("d13mat"))
     Seq("1x" -> src, s"${reps}x" -> out).foreach { case (tag, dir) =>
       val t0 = System.nanoTime()
       val prof = graft.llm.Dedup.removeDuplicateSpans(

@@ -118,4 +118,23 @@ object SqlOracles {
     val c = s"least(greatest($b, 0.001), 0.999)"
     s"log2($c / (1.0 - $c))"
   }
+
+  /** SQL mirror of [[graft.ops.Analytic.bhAdjustWindowed]]'s step-up chain
+    * (the w03 pattern), shared by every inference oracle so the BH replay
+    * has exactly ONE definition: expects a prior CTE named `pv` with a
+    * double column `p` plus `passCols` to carry through; appends `rr`/`f`
+    * so the final SELECT reads `FROM f` with columns ($passCols, p, fdr).
+    * `tieBreak` must match the Spark side's bhAdjust tie-break column.
+    */
+  def bhTail(passCols: String, tieBreak: String = "probe_id"): String =
+    s""",
+       |rr AS (SELECT $passCols, p,
+       |              row_number() OVER (ORDER BY p, $tieBreak) AS rn,
+       |              count(*) OVER () AS mm
+       |       FROM pv),
+       |f AS (SELECT $passCols, p,
+       |             least(min(p * CAST(mm AS DOUBLE) / CAST(rn AS DOUBLE))
+       |                   OVER (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |                   1.0) AS fdr
+       |      FROM rr)""".stripMargin
 }

@@ -332,18 +332,25 @@ object Dedup {
   }
 
   /** Keep-first duplicate-span REMOVAL — the transform step of
-    * exact-substring dedup (Lee et al., ACL'22, §4: every repeated long
-    * substring is deleted span-wise, leaving ONE canonical occurrence in
-    * the corpus; documents keep their remaining text). Consumes
-    * [[duplicateSpans]]' candidate mask: for each cross-document
-    * duplicated n-token span, the corpus-first occurrence (by
-    * (doc_id, pos)) is retained and every later occurrence's token range
-    * [pos, pos+n-1] is removed; overlapping removal ranges union
-    * naturally because tokens are removed by POSITION, not per window.
-    * Output: one row per input document with exact token accounting and
-    * the redacted text (the kept tokens of the normalized stream, in
-    * order — the method operates on the token stream, so full-kept
-    * documents come back as their normalized text).
+    * exact-substring dedup (Lee et al., ACL'22, §4: repeated long
+    * substrings are deleted span-wise; documents keep their remaining
+    * text). Consumes [[duplicateSpans]]' candidate mask: for each
+    * cross-document duplicated n-token span, the corpus-first occurrence
+    * (by (doc_id, pos)) is never TARGETED for removal and every later
+    * occurrence's token range [pos, pos+n-1] is; overlapping removal
+    * ranges union naturally because tokens are removed by POSITION, not
+    * per window. Targeting is per-span, NOT a global survival guarantee:
+    * when duplicated spans overlap, the mask of one span's later
+    * occurrence can cover tokens of another span's corpus-first
+    * occurrence (doc1="p q r s", doc2="q r s t", doc3="p q r s t", n=3:
+    * "r s t" is corpus-first in doc2, but doc2 positions 1-3 fall under
+    * "q r s"'s later-occurrence mask, so "r s t" survives nowhere) —
+    * the same fragmentation deployed exact-substring dedup accepts, and
+    * the SQL oracle replays these semantics exactly. Output: one row per
+    * input document with exact token accounting and the redacted text
+    * (the kept tokens of the normalized stream, in order — the method
+    * operates on the token stream, so full-kept documents come back as
+    * their normalized text).
     *
     * Scale shape: [[duplicateSpans]] is the only corpus-wide shuffle
     * volume (collision-proportional); the removal mask is an n-fold
@@ -355,11 +362,6 @@ object Dedup {
     */
   def removeDuplicateSpans(docs: DataFrame, n: Int,
                            textCol: String = "text"): DataFrame = {
-    // non-empty token count, so the accounting matches words()' stream
-    // (an all-punctuation doc is 0 tokens kept, 0 removed — not -1)
-    val base = docs.select(col("doc_id"),
-      size(filter(split(graft.llm.TextAnalysis.normalized(col(textCol)), " "),
-        w => w =!= "")).cast("bigint").as("n_tokens"))
     val w = Window.partitionBy("gh").orderBy(col("doc_id"), col("pos"))
     val removal = duplicateSpans(docs, n, textCol)
       .withColumn("__rn", row_number().over(w))
@@ -367,8 +369,17 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("i"))
       .distinct()
-    val toks = words(docs, textCol = textCol)
+    val toks = graft.ops.Caches.track(words(docs, textCol = textCol)
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("w"))
+      .persist())
+    // n_tokens from the SAME persisted token stream the anti-join reads
+    // (not a third regex tokenize of the corpus); the left join from the
+    // doc spine keeps zero-token docs at n_tokens = 0, matching words()'
+    // empty-token filter
+    val base = docs.select(col("doc_id"))
+      .join(toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens")),
+        Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
     val kept = toks.join(removal, Seq("doc_id", "i"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
