@@ -151,4 +151,23 @@ class DedupSpec extends SparkSpec {
     // criterion (count(DISTINCT doc_id) >= 2) leaves it intact
     assert(out(5L) == ((6L, 0L, 6L, "m n o m n o")))
   }
+
+  test("removeDuplicateSpans: per-span targeting, NOT a global survival guarantee") {
+    // the scaladoc's fragmentation example as executable truth: "q r s" is
+    // corpus-first in doc 1, so doc 2's occurrence is masked — and that
+    // mask covers positions 1..3 of doc 2, destroying "r s t"'s OWN
+    // corpus-first occurrence (doc 2 @ 2). "r s t" survives nowhere.
+    val corpus = Seq(
+      (1L, "p q r s"),
+      (2L, "q r s t"),
+      (3L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(corpus, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out(1L) == "p q r s")          // all spans corpus-first here
+    assert(out(2L) == "t")                // "q r s" mask covers 1..3
+    assert(out(3L) == "")                 // every span duplicated earlier
+    // the invariant that does NOT hold: no document retains "r s t"
+    assert(out.values.forall(!_.contains("r s t")))
+  }
 }
