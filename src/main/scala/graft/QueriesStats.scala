@@ -491,6 +491,37 @@ object QueriesStats {
       |         m4 / (m2 * m2) AS kurt
       |  FROM cm WHERE n >= 8 AND m2 > 0.0)""".stripMargin
 
+  private val bfChainSql: String =
+    """, bg AS (
+      |  SELECT b.probe_id, s.run, CAST(round(b.beta * 997) AS BIGINT) AS k
+      |  FROM beta b JOIN sheet s USING (sample_id)),
+      |med AS (
+      |  SELECT probe_id, run, quantile_cont(k, 0.5) AS med
+      |  FROM bg GROUP BY 1, 2),
+      |z AS (
+      |  SELECT bg.probe_id, bg.run,
+      |         abs(bg.k * 2 - CAST(round(m.med * 2) AS BIGINT)) AS z2
+      |  FROM bg JOIN med m USING (probe_id, run)),
+      |m AS (
+      |  SELECT probe_id, count(*) AS n,
+      |         CAST(sum(z2) AS BIGINT) AS sz, CAST(sum(z2 * z2) AS BIGINT) AS szz,
+      |         CAST(sum(CASE WHEN run = 'run_0' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |         CAST(sum(CASE WHEN run = 'run_1' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |         CAST(sum(CASE WHEN run = 'run_2' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |         CAST(sum(CASE WHEN run = 'run_0' THEN z2 ELSE 0 END) AS BIGINT) AS s0,
+      |         CAST(sum(CASE WHEN run = 'run_1' THEN z2 ELSE 0 END) AS BIGINT) AS s1,
+      |         CAST(sum(CASE WHEN run = 'run_2' THEN z2 ELSE 0 END) AS BIGINT) AS s2
+      |  FROM z GROUP BY 1),
+      |e AS (
+      |  SELECT probe_id, n, n0, n1, n2,
+      |         (CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+      |          + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |          + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |         - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+      |         CAST(szz AS DOUBLE)
+      |         - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) AS sst
+      |  FROM m)""".stripMargin
+
   private val ksChainSql: String =
     """, bg AS (
       |  SELECT b.probe_id, b.beta, s."group" AS grp
@@ -1981,45 +2012,17 @@ object QueriesStats {
         .select(col("probe_id"), col("n"), col("df1"), col("df2"),
           round(col("bf_f"), 6).as("bf_f"))
         .orderBy("probe_id"),
-    Some(ctes +
-      """, bg AS (
-        |  SELECT b.probe_id, s.run, CAST(round(b.beta * 997) AS BIGINT) AS k
-        |  FROM beta b JOIN sheet s USING (sample_id)),
-        |med AS (
-        |  SELECT probe_id, run, quantile_cont(k, 0.5) AS med
-        |  FROM bg GROUP BY 1, 2),
-        |z AS (
-        |  SELECT bg.probe_id, bg.run,
-        |         abs(bg.k * 2 - CAST(round(m.med * 2) AS BIGINT)) AS z2
-        |  FROM bg JOIN med m USING (probe_id, run)),
-        |m AS (
-        |  SELECT probe_id, count(*) AS n,
-        |         CAST(sum(z2) AS BIGINT) AS sz, CAST(sum(z2 * z2) AS BIGINT) AS szz,
-        |         CAST(sum(CASE WHEN run = 'run_0' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-        |         CAST(sum(CASE WHEN run = 'run_1' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |         CAST(sum(CASE WHEN run = 'run_2' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-        |         CAST(sum(CASE WHEN run = 'run_0' THEN z2 ELSE 0 END) AS BIGINT) AS s0,
-        |         CAST(sum(CASE WHEN run = 'run_1' THEN z2 ELSE 0 END) AS BIGINT) AS s1,
-        |         CAST(sum(CASE WHEN run = 'run_2' THEN z2 ELSE 0 END) AS BIGINT) AS s2
-        |  FROM z GROUP BY 1),
-        |e AS (
-        |  SELECT probe_id, n, n0, n1, n2,
-        |         (CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
-        |          + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-        |          + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
-        |         - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
-        |         CAST(szz AS DOUBLE)
-        |         - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) AS sst
-        |  FROM m)
-        |SELECT probe_id, n, CAST(2 AS BIGINT) AS df1, n - 3 AS df2,
+    Some(ctes + bfChainSql + "\n" +
+      """SELECT probe_id, n, CAST(2 AS BIGINT) AS df1, n - 3 AS df2,
         |       round((ssb / 2.0) / ((sst - ssb) / (CAST(n AS DOUBLE) - 3.0)), 6) AS bf_f
         |FROM e
         |WHERE n0 >= 2 AND n1 >= 2 AND n2 >= 2 AND sst - ssb > 0.0
         |ORDER BY probe_id""".stripMargin)),
 
     // K18 inferential completion: Brown–Forsythe p through the codegen F
-    // survival function + BH (the k13 pattern). Rows-only; the statistic
-    // rides k18's oracle.
+    // survival function + BH (the k13 pattern). FULLY oracle-checked (r8):
+    // df1 = 2 collapses the F survival to (d2/(d2+2f))^{d2/2} — the same
+    // I_x(a,1) = x^a move as k13, replayed on the shared statistic chain.
     Q("k18_bf_inference", (s, d) => {
       GraftExtensions.registerAll(s)
       val stats = brownForsythe(s, d)
@@ -2030,7 +2033,22 @@ object QueriesStats {
           round(col("bf_f"), 6).as("bf_f"),
           round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id")
-    }, None),
+    }, Some(ctes + bfChainSql +
+      """,
+        |fq AS (
+        |  SELECT probe_id, n, CAST(2 AS BIGINT) AS df1, n - 3 AS df2,
+        |         (ssb / 2.0) / ((sst - ssb) / (CAST(n AS DOUBLE) - 3.0)) AS bf_f
+        |  FROM e
+        |  WHERE n0 >= 2 AND n1 >= 2 AND n2 >= 2 AND sst - ssb > 0.0),
+        |pv AS (
+        |  SELECT probe_id, n, df1, df2, bf_f,
+        |         power(CAST(df2 AS DOUBLE) / (CAST(df2 AS DOUBLE) + 2.0 * bf_f),
+        |               CAST(df2 AS DOUBLE) / 2.0) AS p
+        |  FROM fq)""".stripMargin +
+      SqlOracles.bhTail("probe_id, n, df1, df2, bf_f") + "\n" +
+      """SELECT probe_id, n, df1, df2, round(bf_f, 6) AS bf_f,
+        |       round(p, 6) AS p_value, round(fdr, 6) AS fdr
+        |FROM f ORDER BY probe_id""".stripMargin)),
 
     // K17 inferential completion (the k13/k10 pattern): two-sided p from
     // the native codegen Student-t survival function at the Welch
