@@ -491,6 +491,34 @@ object QueriesStats {
       |         m4 / (m2 * m2) AS kurt
       |  FROM cm WHERE n >= 8 AND m2 > 0.0)""".stripMargin
 
+  private val spearmanChainSql: String =
+    """, cells AS (
+      |  SELECT sample_id, beta, count(*) AS t FROM beta GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT sample_id, beta,
+      |         2 * sum(t) OVER (PARTITION BY sample_id ORDER BY beta
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (t - 1) AS ar2
+      |  FROM cells),
+      |rkb AS (
+      |  SELECT b.probe_id, b.sample_id, CAST(r.ar2 AS HUGEINT) AS ar2
+      |  FROM beta b JOIN rk r ON b.sample_id = r.sample_id AND b.beta = r.beta),
+      |m AS (
+      |  SELECT a.sample_id AS sa, b.sample_id AS sb,
+      |         CAST(count(*) AS HUGEINT) AS n,
+      |         sum(a.ar2) AS sx, sum(b.ar2) AS sy,
+      |         sum(a.ar2 * a.ar2) AS sxx, sum(b.ar2 * b.ar2) AS syy,
+      |         sum(a.ar2 * b.ar2) AS sxy
+      |  FROM rkb a JOIN rkb b ON a.probe_id = b.probe_id AND a.sample_id < b.sample_id
+      |  GROUP BY 1, 2),
+      |srho AS (
+      |  SELECT sa, sb, CAST(n AS BIGINT) AS n_shared,
+      |         CAST(n * sxy - sx * sy AS DOUBLE)
+      |           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |                  * CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+      |  FROM m
+      |  WHERE n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE)
+      |                   * CAST(n * syy - sy * sy AS DOUBLE) > 0.0)""".stripMargin
+
   private val bfChainSql: String =
     """, bg AS (
       |  SELECT b.probe_id, s.run, CAST(round(b.beta * 997) AS BIGINT) AS k
@@ -1439,40 +1467,24 @@ object QueriesStats {
         .select(col("sa"), col("sb"), col("n_shared"),
           round(col("rho"), 6).as("rho"))
         .orderBy("sa", "sb"),
-    Some(ctes +
-      """, cells AS (
-        |  SELECT sample_id, beta, count(*) AS t FROM beta GROUP BY 1, 2),
-        |rk AS (
-        |  SELECT sample_id, beta,
-        |         2 * sum(t) OVER (PARTITION BY sample_id ORDER BY beta
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (t - 1) AS ar2
-        |  FROM cells),
-        |rkb AS (
-        |  SELECT b.probe_id, b.sample_id, CAST(r.ar2 AS HUGEINT) AS ar2
-        |  FROM beta b JOIN rk r ON b.sample_id = r.sample_id AND b.beta = r.beta),
-        |m AS (
-        |  SELECT a.sample_id AS sa, b.sample_id AS sb,
-        |         CAST(count(*) AS HUGEINT) AS n,
-        |         sum(a.ar2) AS sx, sum(b.ar2) AS sy,
-        |         sum(a.ar2 * a.ar2) AS sxx, sum(b.ar2 * b.ar2) AS syy,
-        |         sum(a.ar2 * b.ar2) AS sxy
-        |  FROM rkb a JOIN rkb b ON a.probe_id = b.probe_id AND a.sample_id < b.sample_id
-        |  GROUP BY 1, 2)
-        |SELECT sa, sb, CAST(n AS BIGINT) AS n_shared,
-        |       round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-        |                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
-        |FROM m
-        |WHERE n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE)
-        |                 * CAST(n * syy - sy * sy AS DOUBLE) > 0.0
-        |ORDER BY sa, sb""".stripMargin)),
+    Some(ctes + spearmanChainSql + "\n" +
+      """SELECT sa, sb, n_shared, round(rho, 6) AS rho
+        |FROM srho ORDER BY sa, sb""".stripMargin)),
 
     // K12 inferential completion: the rank-correlation t-transform
     // t = ρ·√((n−2)/(1−ρ²)) ~ t_{n−2} under H₀, p through the existing
     // codegen Student-t survival chain (graft_t_pvalue — the same
     // expression k03's moderated t uses), BH-adjusted across sample
-    // pairs. Rows-only — the t CDF has no SQL analog; ρ and n_shared are
-    // k12's oracle-checked values.
+    // pairs. FULLY oracle-checked (r8): df = n_shared − 2 is an INTEGER,
+    // and for integer df the Student-t tail has the finite elementary
+    // forms of A&S 26.7.3/4 — with θ = atan(|t|/√ν), u = cos²θ:
+    // ν even → P(|T|≤t) = sinθ·Σ_{j<ν/2} C(2j,j)/4^j·u^j; ν odd →
+    // (2/π)(θ + sinθcosθ·Σ_{j≤(ν−3)/2} 4^j(j!)²/(2j+1)!·u^j) — which
+    // DuckDB replays per pair (coefficients via lgamma, all-positive
+    // terms). The rho/t doubles are IEEE-identical (exact integer moments
+    // cast to double on both sides); commons-math's regularized
+    // incomplete beta agrees with the closed forms to ~1e-13, far inside
+    // round-6. The Spark side stays generic in df.
     Q("k12_spearman_inference", (s, d) => {
       GraftExtensions.registerAll(s)
       val stats = Analytic.spearmanMatrix(Tables.betaLong(s, d),
@@ -1489,7 +1501,19 @@ object QueriesStats {
           round(col("rho"), 6).as("rho"), round(col("t_stat"), 6).as("t_stat"),
           round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
         .orderBy("sa", "sb")
-    }, None),
+    }, Some(ctes + spearmanChainSql +
+      """,
+        |longt AS (
+        |  SELECT sa, sb, n_shared, rho,
+        |         rho * sqrt(CAST(n_shared - 2 AS DOUBLE) / (1.0 - rho * rho)) AS t,
+        |         n_shared - 2 AS nu
+        |  FROM srho WHERE n_shared >= 4 AND abs(rho) < 1.0)""".stripMargin +
+      SqlOracles.studentTIntDfPv("sa, sb", "sa, sb, n_shared, rho") +
+      SqlOracles.bhTail("sa, sb, n_shared, rho, t", "sa || '|' || sb") + "\n" +
+      """SELECT sa, sb, n_shared, round(rho, 6) AS rho,
+        |       round(t, 6) AS t_stat, round(p, 6) AS p_value,
+        |       round(fdr, 6) AS fdr
+        |FROM f ORDER BY sa, sb""".stripMargin)),
 
     // K12 thresholded production variant (r8): only |ρ| ≥ τ pairs, via
     // the deterministic sign-sketch pre-filter (Analytic.spearman-
@@ -3746,8 +3770,10 @@ object QueriesStats {
     // K42 inferential completion: two-sided p per (probe, coefficient)
     // through the codegen Student-t survival chain, BH across ALL
     // hypotheses (probe × {group, age} — the k37 "adjust over everything
-    // you tested" convention). Rows-only — the t CDF has no SQL analog;
-    // (b, se, t, df) ride k42_probe_ols's oracle.
+    // you tested" convention). FULLY oracle-checked (r8): df = n − 3 is
+    // an INTEGER, so the t tail replays via the A&S finite forms
+    // (SqlOracles.studentTIntDfPv — the k12_spearman_inference move) on
+    // top of the shared olsCte chain.
     Q("k42_ols_inference", (s, d) => {
       GraftExtensions.registerAll(s)
       // persisted: consumed twice by the unionAll below (the w18 rule —
@@ -3767,7 +3793,29 @@ object QueriesStats {
           round(col("t_stat"), 6).as("t_stat"),
           round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id", "coef")
-    }, None),
+    }, Some(ctes + olsCte +
+      """, ols_s AS (
+        |  SELECT *,
+        |         (CAST(syy AS DOUBLE)
+        |          - (b0 * CAST(sy AS DOUBLE) + b1 * CAST(sgy AS DOUBLE) + b2 * CAST(say AS DOUBLE)))
+        |         / (CAST(n AS DOUBLE) - 3.0) AS sigma2
+        |  FROM ols_b),
+        |ols_t AS (
+        |  SELECT probe_id, n - 3 AS nu,
+        |         b1 / 997.0 AS b_group,
+        |         b1 / sqrt(sigma2 * CAST(cof11 AS DOUBLE) / CAST(det AS DOUBLE)) AS t_group,
+        |         b2 / 997.0 AS b_age,
+        |         b2 / sqrt(sigma2 * CAST(cof22 AS DOUBLE) / CAST(det AS DOUBLE)) AS t_age
+        |  FROM ols_s WHERE sigma2 > 0.0),
+        |longt AS (
+        |  SELECT probe_id, 'group' AS coef, b_group AS b, t_group AS t, nu FROM ols_t
+        |  UNION ALL
+        |  SELECT probe_id, 'age' AS coef, b_age AS b, t_age AS t, nu FROM ols_t)""".stripMargin +
+      SqlOracles.studentTIntDfPv("probe_id, coef", "probe_id, coef, b") +
+      SqlOracles.bhTail("probe_id, coef, b, t", "probe_id || '|' || coef") + "\n" +
+      """SELECT probe_id, coef, round(b, 6) AS b, round(t, 6) AS t_stat,
+        |       round(p, 6) AS p_value, round(fdr, 6) AS fdr
+        |FROM f ORDER BY probe_id, coef""".stripMargin)),
 
     // K43 — partial F-test: does age add explanatory power BEYOND group?
     // The nested-model comparison (reduced: beta ~ group; full: beta ~

@@ -126,6 +126,49 @@ object SqlOracles {
     * so the final SELECT reads `FROM f` with columns ($passCols, p, fdr).
     * `tieBreak` must match the Spark side's bhAdjust tie-break column.
     */
+  /** SQL replay of the two-sided Student-t tail for INTEGER df — the
+    * finite elementary forms of Abramowitz & Stegun 26.7.3/4 (with
+    * θ = atan(|t|/√ν), u = cos²θ = ν/(ν+t²), sinθ = |t|/√(ν+t²)):
+    * ν even → P(|T|≤t) = sinθ·Σ_{j<ν/2} C(2j,j)/4^j·u^j; ν odd →
+    * (2/π)·(θ + sinθcosθ·Σ_{j≤(ν−3)/2} 4^j(j!)²/(2j+1)!·u^j); p = 1−P.
+    * Coefficients via lgamma, terms all positive (no cancellation);
+    * agreement with commons-math's regularized incomplete beta
+    * (graft_t_pvalue) is ~1e-13 — far inside the round-6 comparison.
+    * Expects a prior CTE named `longt` with columns ($passCols, t, nu)
+    * where `nu` is the integer df; appends geom/terms/tsum/pv so
+    * [[bhTail]] can follow (pv emits $passCols, t, p). `keys` are the
+    * row-identity columns (⊆ passCols) the per-row term sum groups by.
+    * Covers ν ≤ ~3998 (range(0, 2000) — the sf0.01 gate runs ν ≤ a few
+    * hundred; extend the range literal before replaying larger designs).
+    */
+  def studentTIntDfPv(keys: String, passCols: String): String =
+    s""",
+       |geom AS (
+       |  SELECT $passCols, t, nu,
+       |         nu / (nu + t * t) AS u,
+       |         abs(t) / sqrt(nu + t * t) AS sn,
+       |         atan(abs(t) / sqrt(CAST(nu AS DOUBLE))) AS th
+       |  FROM longt),
+       |terms AS (
+       |  SELECT $keys,
+       |         CASE WHEN nu % 2 = 0
+       |              THEN exp(lgamma(2.0 * kk.j + 1.0) - 2.0 * lgamma(kk.j + 1.0)
+       |                       - kk.j * ln(4.0)) * power(u, kk.j)
+       |              ELSE exp(kk.j * ln(4.0) + 2.0 * lgamma(kk.j + 1.0)
+       |                       - lgamma(2.0 * kk.j + 2.0)) * power(u, kk.j)
+       |         END AS term
+       |  FROM geom, (SELECT unnest(range(0, 2000)) AS j) kk
+       |  WHERE (nu % 2 = 0 AND kk.j <= (nu - 2) / 2)
+       |     OR (nu % 2 = 1 AND nu >= 3 AND kk.j <= (nu - 3) / 2)),
+       |tsum AS (SELECT $keys, sum(term) AS sm FROM terms GROUP BY $keys),
+       |pv AS (
+       |  SELECT $passCols, t,
+       |         CASE WHEN nu % 2 = 0 THEN 1.0 - sn * sm
+       |              WHEN nu = 1 THEN 1.0 - (2.0 / pi()) * th
+       |              ELSE 1.0 - (2.0 / pi()) * (th + sn * sqrt(u) * sm)
+       |         END AS p
+       |  FROM geom LEFT JOIN tsum USING ($keys))""".stripMargin
+
   def bhTail(passCols: String, tieBreak: String = "probe_id"): String =
     s""",
        |rr AS (SELECT $passCols, p,
