@@ -177,10 +177,10 @@ object ScaleSmoke {
     // MinHash candidates (bounded by true near-dups), components over them
     // — the oracle query c01 instead uses exact-Jaccard edges, which
     // inherit d02's deliberate quadratic-on-duplication behavior.
-    // `--only=bh10m` / `--only=holm` / `--only=d13mat` reach their direct
-    // drives below without the full sweep; each drive block checks its
-    // OWN tag (a Holm re-measure must not pay the 64× d13 DAG and vice
-    // versa). With no --only, every drive runs.
+    // `--only=cclsh` / `--only=bh10m` / `--only=holm` / `--only=d13mat`
+    // reach their direct drives below without the full sweep; each drive
+    // block checks its OWN tag (a Holm re-measure must not pay the 64×
+    // d13 DAG and vice versa). With no --only, every drive runs.
     def drive(tag: String): Boolean = only.forall(_.contains(tag))
     val driveAny = Seq("cclsh", "bh10m", "holm", "d13mat").exists(drive)
     if (!driveAny) { spark.stop(); return }

@@ -119,13 +119,6 @@ object SqlOracles {
     s"log2($c / (1.0 - $c))"
   }
 
-  /** SQL mirror of [[graft.ops.Analytic.bhAdjustWindowed]]'s step-up chain
-    * (the w03 pattern), shared by every inference oracle so the BH replay
-    * has exactly ONE definition: expects a prior CTE named `pv` with a
-    * double column `p` plus `passCols` to carry through; appends `rr`/`f`
-    * so the final SELECT reads `FROM f` with columns ($passCols, p, fdr).
-    * `tieBreak` must match the Spark side's bhAdjust tie-break column.
-    */
   /** SQL replay of the two-sided Student-t tail for INTEGER df — the
     * finite elementary forms of Abramowitz & Stegun 26.7.3/4 (with
     * θ = atan(|t|/√ν), u = cos²θ = ν/(ν+t²), sinθ = |t|/√(ν+t²)):
@@ -138,13 +131,18 @@ object SqlOracles {
     * where `nu` is the integer df; appends geom/terms/tsum/pv so
     * [[bhTail]] can follow (pv emits $passCols, t, p). `keys` are the
     * row-identity columns (⊆ passCols) the per-row term sum groups by.
-    * Covers ν ≤ ~3998 (range(0, 2000) — the sf0.01 gate runs ν ≤ a few
-    * hundred; extend the range literal before replaying larger designs).
+    * Covers ν ≤ 3998 (range(0, 2000)); a larger ν raises a DuckDB
+    * error() naming this cap, instead of silently truncating the series
+    * into a plausible-but-wrong p (the sf0.01 gate runs ν ≤ a few
+    * hundred — extend the range literal before replaying larger designs).
     */
   def studentTIntDfPv(keys: String, passCols: String): String =
     s""",
        |geom AS (
-       |  SELECT $passCols, t, nu,
+       |  SELECT $passCols, t,
+       |         CASE WHEN nu > 3998 THEN CAST(error(
+       |             'studentTIntDfPv: nu > 3998 - extend the range literal') AS BIGINT)
+       |              ELSE nu END AS nu,
        |         nu / (nu + t * t) AS u,
        |         abs(t) / sqrt(nu + t * t) AS sn,
        |         atan(abs(t) / sqrt(CAST(nu AS DOUBLE))) AS th
@@ -169,6 +167,13 @@ object SqlOracles {
        |         END AS p
        |  FROM geom LEFT JOIN tsum USING ($keys))""".stripMargin
 
+  /** SQL mirror of [[graft.ops.Analytic.bhAdjustWindowed]]'s step-up chain
+    * (the w03 pattern), shared by every inference oracle so the BH replay
+    * has exactly ONE definition: expects a prior CTE named `pv` with a
+    * double column `p` plus `passCols` to carry through; appends `rr`/`f`
+    * so the final SELECT reads `FROM f` with columns ($passCols, p, fdr).
+    * `tieBreak` must match the Spark side's bhAdjust tie-break column.
+    */
   def bhTail(passCols: String, tieBreak: String = "probe_id"): String =
     s""",
        |rr AS (SELECT $passCols, p,
