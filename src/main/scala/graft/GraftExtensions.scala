@@ -102,6 +102,13 @@ object GraftExtensions {
         functions.DistinctShingles(es.head,
           es(1).eval().asInstanceOf[Number].intValue())
       }),
+      ("graft_winnow", 3, es => {
+        require(es(1).foldable && es(2).foldable,
+          "graft_winnow: k and w must be literals")
+        functions.WinnowSelect(es.head,
+          es(1).eval().asInstanceOf[Number].intValue(),
+          es(2).eval().asInstanceOf[Number].intValue())
+      }),
       ("graft_mvalue", 1, mValue),
       ("graft_inverse_mvalue", 1, inverseMValue),
       ("graft_neglog10", 1, negLog10)

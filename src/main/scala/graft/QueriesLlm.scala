@@ -99,6 +99,47 @@ object QueriesLlm {
          |  FROM x${steps.length - 1})""".stripMargin
   }
 
+  /** Corpus + PREFIX-SHIFTED copies of three docs for the winnowing pair
+    * (d15/d16): an 18-char prefix shifts every character position, which
+    * whole-text/block fingerprints can't survive but winnowing's local
+    * fingerprints must.
+    */
+  private def winnowCorpus(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val base = docs(s, d).select("doc_id", "text")
+    base.union(docs(s, d).filter(col("doc_id") < 3)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("xz9 prefix marker "), col("text")).as("text")))
+  }
+
+  /** Shared DuckDB replay of [[graft.llm.Dedup.winnowFingerprints]] over
+    * [[winnowCorpus]] (k = 12, w = 4): per-position 60-bit md5 k-gram
+    * hashes, window-of-4 argmin with the rightmost tie rule
+    * (ORDER BY h ASC, pos DESC ≡ the codegen deque's pop-on-`>=`), then
+    * the distinct (pos, fp) selection — used verbatim by both d15 and d16.
+    */
+  private val winnowSelSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'xz9 prefix marker ' || text
+      |  FROM documents WHERE doc_id < 3),
+      |t AS (SELECT doc_id,
+      |        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nm
+      |      FROM aug),
+      |g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+      |             CAST(('0x' || substr(md5(substr(nm, CAST(i AS INT), 12)), 1, 15)) AS BIGINT) AS h
+      |      FROM t, unnest(range(1, len(nm) - 10)) r(i)
+      |      WHERE len(nm) >= 12),
+      |mx AS (SELECT doc_id, max(pos) AS m FROM g GROUP BY 1),
+      |wj AS (SELECT a.doc_id, s.pos AS j, a.pos, a.h,
+      |              row_number() OVER (PARTITION BY a.doc_id, s.pos
+      |                                 ORDER BY a.h ASC, a.pos DESC) AS rn
+      |       FROM g s
+      |       JOIN mx ON mx.doc_id = s.doc_id AND s.pos + 3 <= mx.m
+      |       JOIN g a ON a.doc_id = s.doc_id AND a.pos BETWEEN s.pos AND s.pos + 3),
+      |sel AS (SELECT DISTINCT doc_id, pos, h AS fp FROM wj WHERE rn = 1)
+      |""".stripMargin
+
   private def withPlantedDups(docsDf: org.apache.spark.sql.DataFrame) = {
     val planted = docsDf.filter(col("doc_id") < 5)
       .select((col("doc_id") + 1000000).as("doc_id"),
@@ -1424,6 +1465,61 @@ object QueriesLlm {
         |       coalesce(a.fp, md5('')) AS fp
         |FROM nt LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
+
+    // Winnowing fingerprints (MOSS, Schleimer et al. SIGMOD'03): per-doc
+    // selected-fingerprint census over the corpus + prefix-shifted copies
+    // (positions shift by the 18-char prefix, fingerprint VALUES are
+    // shift-invariant — d16 proves the copies still match). Hash-checked:
+    // selection count + the md5 of the position-ordered fingerprint
+    // stream, i.e. the full (pos, fp) selection replayed cell-exactly.
+    Q("d15_winnowing", (s, d) => {
+      val fp = Dedup.winnowFingerprints(winnowCorpus(s, d), k = 12, w = 4)
+      fp.groupBy("doc_id").agg(
+          count(lit(1)).as("n_fp"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("fp")))),
+            x => x.getField("fp").cast("string")), ",")).as("fp_sig"))
+        .orderBy("doc_id")
+    }, Some(winnowSelSql +
+      """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+        |       md5(string_agg(CAST(fp AS VARCHAR), ',' ORDER BY pos)) AS fp_sig
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // MOSS match detection over the winnowed fingerprints: document pairs
+    // sharing >= 3 selected fingerprint VALUES (inverted-index join on the
+    // fingerprint — collision-proportional, never all-pairs), with the d10
+    // document-frequency guard: fingerprints appearing in > 64 docs are
+    // boilerplate grams whose df² pair fan-out is the join's only blowup
+    // axis (measured at sf0.1: 37M pair rows unguarded → 6.6M at df ≤ 64)
+    // and carry no match signal. The planted prefix-shifted copies MUST
+    // pair with their originals (the winnowing guarantee: any
+    // >= w+k-1 = 15-char shared substring shares a fingerprint; the
+    // copies share the whole text), which a whole-text fingerprint
+    // (d01/t04) structurally cannot see.
+    Q("d16_winnow_matches", (s, d) => {
+      // persisted: the distinct selection feeds the df histogram AND both
+      // sides of the pair join — four recomputes of the winnow otherwise
+      val sel = graft.ops.Caches.track(
+        Dedup.winnowFingerprints(winnowCorpus(s, d), k = 12, w = 4)
+          .select("doc_id", "fp").distinct().persist())
+      val rare = sel.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 64).select("fp")
+      val pruned = sel.join(rare, "fp")
+      pruned.as("a").join(pruned.as("b"), "fp")
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 3)
+        .orderBy("doc_a", "doc_b")
+    }, Some(winnowSelSql +
+      """, dfp AS (SELECT DISTINCT doc_id, fp FROM sel),
+        |rare AS (SELECT fp FROM dfp GROUP BY fp HAVING count(*) <= 64),
+        |pruned AS (SELECT dfp.doc_id, dfp.fp FROM dfp JOIN rare USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(count(*) AS BIGINT) AS shared
+        |FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY 1, 2""".stripMargin)),
 
     // Perceptual difference hash (dHash) per image: nearest-neighbor 9×8
     // grayscale grid over the full pixel decode, 64 gradient-sign bits.

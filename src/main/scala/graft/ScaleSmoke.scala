@@ -87,6 +87,7 @@ object ScaleSmoke {
       "w09_funnel", "w10_retention_cohorts", "a15_zscore_normalize",
       "t12_bigram_logprob", "j11_fuzzy_join", "r09_compact_files",
       "t13_sketch_watchlist", "d10_jaccard_df_pruned", "d13_substring_remove",
+      "d15_winnowing", "d16_winnow_matches",
       "a16_approx_quantile",
       "a17_expectations", "a19_topk_per_group_agg", "a20_hll_union",
       "r11_zorder_layout", "t15_sketch_merge", "t14_bpe_encode",

@@ -170,4 +170,25 @@ class DedupSpec extends SparkSpec {
     // the invariant that does NOT hold: no document retains "r s t"
     assert(out.values.forall(!_.contains("r s t")))
   }
+
+  test("winnowing: shift-invariant fingerprints, containment, determinism") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      // same text behind a position-shifting prefix — every window of
+      // doc 1 exists (shifted) in doc 2, so doc 1's selected fingerprint
+      // VALUES must be a subset of doc 2's (winnowing selects by window
+      // content, not position)
+      (2L, "prefix shift marker the quick brown fox jumps over the lazy dog near the river"),
+      (3L, "entirely unrelated words about catalyst plans and shuffles")
+    ).toDF("doc_id", "text")
+    def run() = Dedup.winnowFingerprints(corpus, k = 5, w = 4)
+      .select("doc_id", "fp").as[(Long, Long)].collect()
+    val sel = run().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(sel(1L).nonEmpty && sel(3L).nonEmpty)
+    assert(sel(1L).subsetOf(sel(2L)))
+    // unrelated docs share nothing (60-bit hashes; no common 5-grams of note)
+    assert((sel(1L) intersect sel(3L)).isEmpty)
+    // seedless md5 hashes + deterministic tie rule → bit-identical reruns
+    assert(run().sorted.toSeq == run().sorted.toSeq)
+  }
 }
