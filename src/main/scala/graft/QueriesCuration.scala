@@ -1049,9 +1049,13 @@ object QueriesCuration {
         |                 CAST(floor((ln((ct + 0.5) / (nt + 512.0))
         |                           - ln((cr + 0.5) / (nr + 512.0))) * 1e9) AS BIGINT) AS contrib
         |          FROM hist CROSS JOIN tot),
-        |scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-        |                  CAST(sum(contrib) AS BIGINT) AS weight_1e9
-        |           FROM fb JOIN model USING (b) GROUP BY 1)
+        |scored0 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |                   CAST(sum(contrib) AS BIGINT) AS weight_1e9
+        |            FROM fb JOIN model USING (b) GROUP BY 1),
+        |scored AS (
+        |  SELECT d.doc_id, coalesce(s.n_feats, CAST(0 AS BIGINT)) AS n_feats,
+        |         coalesce(s.weight_1e9, CAST(0 AS BIGINT)) AS weight_1e9
+        |  FROM documents d LEFT JOIN scored0 s USING (doc_id))
         |SELECT s.doc_id, d.lang, s.n_feats, s.weight_1e9
         |FROM scored s JOIN documents d USING (doc_id)
         |ORDER BY s.weight_1e9 DESC, s.doc_id LIMIT 20""".stripMargin))

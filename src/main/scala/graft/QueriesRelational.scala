@@ -20,6 +20,40 @@ object QueriesRelational {
   private val D = (s: org.apache.spark.sql.SparkSession, d: String) => Tables.detpLong(s, d)
   private val SS = (s: org.apache.spark.sql.SparkSession, d: String) => Tables.sampleSheet(s, d)
 
+  /** lineitem returnflag×linestatus cell counts, ZERO-FILLED over the full
+    * margin cross so structurally empty cells carry nij = 0 (and therefore
+    * their (0−E)²/E = E Pearson term) — the k27 grid convention, shared by
+    * a23 and a25. The cross of two distinct-aggregates is margin-sized
+    * (3×2 here, category-cardinality² in general), broadcast explicitly.
+    */
+  private def chisqCellsZeroFilled(li: org.apache.spark.sql.DataFrame) = {
+    val obs = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("nij"))
+    li.select("l_returnflag").distinct()
+      .crossJoin(broadcast(li.select("l_linestatus").distinct()))
+      .join(obs, Seq("l_returnflag", "l_linestatus"), "left")
+      .withColumn("nij", coalesce(col("nij"), lit(0L)))
+  }
+
+  /** Shared oracle mirror of [[chisqCellsZeroFilled]]: `cells` with the
+    * margin window sums attached (the `m` CTE both chi-square oracles use).
+    */
+  private val chisqCellsSql: String =
+    """WITH obs AS (
+      |  SELECT l_returnflag, l_linestatus, count(*) AS nij
+      |  FROM lineitem GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT g.l_returnflag, c2.l_linestatus, coalesce(o.nij, 0) AS nij
+      |  FROM (SELECT DISTINCT l_returnflag FROM lineitem) g
+      |  CROSS JOIN (SELECT DISTINCT l_linestatus FROM lineitem) c2
+      |  LEFT JOIN obs o ON o.l_returnflag = g.l_returnflag
+      |                 AND o.l_linestatus = c2.l_linestatus),
+      |m AS (
+      |  SELECT *, sum(nij) OVER (PARTITION BY l_returnflag) AS ri,
+      |         sum(nij) OVER (PARTITION BY l_linestatus) AS cj,
+      |         sum(nij) OVER () AS tot
+      |  FROM cells)""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -962,16 +996,17 @@ object QueriesRelational {
 
     // Chi-square test of independence over a two-way contingency table:
     // one hash aggregate to cell counts (bounded by category cardinality),
-    // margins by window sums over those cells (no second data pass), the
-    // statistic as a fixed double sequence per cell. The inferential
-    // p-value needs a chi² CDF (no SQL analog) — statistic + df are the
-    // oracle-checked surface, matching the k03 convention where the
-    // moments carry the oracle and the CDF is spec-verified.
+    // the grid ZERO-FILLED over the full row-margin × column-margin cross
+    // (r9, the k27 pattern — structurally empty cells contribute their
+    // (0−E)²/E = E term, so the statistic is the true Pearson χ² whose df
+    // is (r−1)(c−1)), margins by window sums over those cells (no second
+    // data pass), the statistic as a fixed double sequence per cell. The
+    // inferential p-value needs a chi² CDF (no SQL analog) — statistic +
+    // df are the oracle-checked surface, matching the k03 convention
+    // where the moments carry the oracle and the CDF is spec-verified.
     Q("a23_chisq_independence", (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val cells = Tables.table(s, d, "lineitem")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("nij"))
+      val cells = chisqCellsZeroFilled(Tables.table(s, d, "lineitem"))
       val withMargins = cells
         .withColumn("ri", sum("nij").over(Window.partitionBy("l_returnflag")))
         .withColumn("cj", sum("nij").over(Window.partitionBy("l_linestatus")))
@@ -984,15 +1019,8 @@ object QueriesRelational {
           countDistinct("l_linestatus").as("c"),
           round(sum("term"), 6).as("chi2"))
         .select(((col("r") - 1) * (col("c") - 1)).as("df"), col("chi2"))
-    }, Some(
-      """WITH cells AS (
-        |  SELECT l_returnflag, l_linestatus, count(*) AS nij
-        |  FROM lineitem GROUP BY 1, 2),
-        |m AS (
-        |  SELECT *, sum(nij) OVER (PARTITION BY l_returnflag) AS ri,
-        |         sum(nij) OVER (PARTITION BY l_linestatus) AS cj,
-        |         sum(nij) OVER () AS tot
-        |  FROM cells)
+    }, Some(chisqCellsSql +
+      """
         |SELECT (count(DISTINCT l_returnflag) - 1)
         |       * (count(DISTINCT l_linestatus) - 1) AS df,
         |       round(sum((CAST(nij AS DOUBLE) - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(tot AS DOUBLE))
@@ -1006,13 +1034,13 @@ object QueriesRelational {
     // oracle-checked (r8): the 3×2 returnflag×linestatus table fixes
     // df = (3−1)(2−1) = 2, whose survival function is the elementary
     // exp(−x/2) — the Spark side stays generic in df; the oracle replay
-    // is df-2-specific, which the data pins.
+    // is df-2-specific, which the data pins. The grid is zero-filled over
+    // the margin cross (r9, shared with a23) so the statistic matches the
+    // df it is tested against.
     Q("a25_chisq_inference", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       GraftExtensions.registerAll(s)
-      val cells = Tables.table(s, d, "lineitem")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("nij"))
+      val cells = chisqCellsZeroFilled(Tables.table(s, d, "lineitem"))
       val withMargins = cells
         .withColumn("ri", sum("nij").over(Window.partitionBy("l_returnflag")))
         .withColumn("cj", sum("nij").over(Window.partitionBy("l_linestatus")))
@@ -1030,15 +1058,8 @@ object QueriesRelational {
             .as("p_value"),
           round(sqrt(col("chi2") / (col("tot").cast("double")
             * least(col("r") - 1, col("c") - 1).cast("double"))), 6).as("cramers_v"))
-    }, Some(
-      """WITH cells AS (
-        |  SELECT l_returnflag, l_linestatus, count(*) AS nij
-        |  FROM lineitem GROUP BY 1, 2),
-        |m AS (
-        |  SELECT *, sum(nij) OVER (PARTITION BY l_returnflag) AS ri,
-        |         sum(nij) OVER (PARTITION BY l_linestatus) AS cj,
-        |         sum(nij) OVER () AS tot
-        |  FROM cells),
+    }, Some(chisqCellsSql +
+      """,
         |agg AS (
         |  SELECT count(DISTINCT l_returnflag) AS r,
         |         count(DISTINCT l_linestatus) AS c,

@@ -574,6 +574,214 @@ object QueriesStats {
       |         CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS gap
       |  FROM r GROUP BY 1)""".stripMargin
 
+  /** Mann–Whitney chain (k10 + its inference): tie-cell counts → doubled
+    * ranks → exact integer moments → the z double sequence, ending in CTE
+    * `mw` (probe_id, n1, n2, u1, z — z UNROUNDED so the inference oracle
+    * can feed it to the erfc replay).
+    */
+  private val mwChainSql: String =
+    s""", bg AS (
+       |  SELECT b.probe_id, b.beta, s."group" AS grp
+       |  FROM beta b JOIN sheet s USING (sample_id)),
+       |cells AS (
+       |  SELECT probe_id, beta,
+       |         CAST(sum(CASE WHEN grp = 'WT' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |         CAST(sum(CASE WHEN grp = 'MUT' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+       |  FROM bg GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, c1 + c2 AS t,
+       |         sum(c1 + c2) OVER (PARTITION BY probe_id ORDER BY beta
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM cells),
+       |a AS (
+       |  SELECT probe_id, CAST(sum(c1) AS BIGINT) AS n1,
+       |         CAST(sum(c2) AS BIGINT) AS n2, count(*) AS ncells,
+       |         CAST(sum(c1 * (2 * cum - (t - 1))) AS BIGINT) AS r1_2,
+       |         CAST(sum(t * t * t - t) AS BIGINT) AS ties
+       |  FROM r GROUP BY 1),
+       |mw AS (
+       |  SELECT probe_id, n1, n2,
+       |         CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+       |         (CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+       |          - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+       |         / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+       |                * (CAST(n1 + n2 AS DOUBLE) + 1.0
+       |                   - CAST(ties AS DOUBLE)
+       |                     / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))) AS z
+       |  FROM a WHERE ncells > 1 AND n1 >= 3 AND n2 >= 3)""".stripMargin
+
+  /** Mann–Kendall chain (k22 + its inference): exact pair-sign S, tie-
+    * corrected variance, continuity-corrected z — ending in CTE `mk`
+    * (probe_id, n, s_stat, z UNROUNDED).
+    */
+  private val mkChainSql: String =
+    """, bk AS (
+      |  SELECT probe_id, sample_id, CAST(round(beta * 997) AS BIGINT) AS k
+      |  FROM beta),
+      |pairs AS (
+      |  SELECT a.probe_id,
+      |         CAST(sum(CASE WHEN b.k > a.k THEN 1
+      |                       WHEN b.k < a.k THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM bk a JOIN bk b
+      |    ON a.probe_id = b.probe_id AND a.sample_id < b.sample_id
+      |  GROUP BY 1),
+      |ties AS (
+      |  SELECT probe_id, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum,
+      |         CAST(sum(t) AS BIGINT) AS n
+      |  FROM (SELECT probe_id, k, count(*) AS t FROM bk GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |j AS (
+      |  SELECT p.probe_id, t.n, p.s_stat,
+      |         (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) - 1.0)
+      |            * (2.0 * CAST(t.n AS DOUBLE) + 5.0)
+      |          - CAST(t.tsum AS DOUBLE)) / 18.0 AS var_s
+      |  FROM pairs p JOIN ties t USING (probe_id)),
+      |mk AS (
+      |  SELECT probe_id, n, s_stat,
+      |         CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+      |              WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+      |              ELSE 0.0 END AS z
+      |  FROM j WHERE n >= 8 AND var_s > 0.0)""".stripMargin
+
+  /** Log-rank chain (k28 + its inference), appended after kmSubjSql +
+    * lrRiskSql: pooled event-time O/E/V running sums ending in CTE `lr`
+    * (grp_a, n_times, o_a, e_a, var_a, chi2 UNROUNDED).
+    */
+  private val lrChainSql: String =
+    """lr_t AS (
+      |  SELECT t,
+      |         CAST(sum(CASE WHEN grp = 'cohort_a' THEN n_at ELSE 0 END) AS BIGINT) AS n_a,
+      |         CAST(sum(CASE WHEN grp <> 'cohort_a' THEN n_at ELSE 0 END) AS BIGINT) AS n_b,
+      |         CAST(sum(CASE WHEN grp = 'cohort_a' THEN d ELSE 0 END) AS BIGINT) AS d_a,
+      |         CAST(sum(CASE WHEN grp <> 'cohort_a' THEN d ELSE 0 END) AS BIGINT) AS d_b
+      |  FROM lr_d GROUP BY 1),
+      |lr_ev AS (
+      |  SELECT t, d_a,
+      |         CAST(d_a + d_b AS DOUBLE)
+      |           * (CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) AS e_a,
+      |         CASE WHEN n_a + n_b > 1 THEN
+      |           CAST(d_a + d_b AS DOUBLE)
+      |             * (CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |             * (1.0 - CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |             * (CAST(n_a + n_b AS DOUBLE) - CAST(d_a + d_b AS DOUBLE))
+      |             / (CAST(n_a + n_b AS DOUBLE) - 1.0)
+      |         ELSE 0.0 END AS v_a
+      |  FROM lr_t),
+      |lr_run AS (
+      |  SELECT t,
+      |         CAST(sum(d_a) OVER wasc AS BIGINT) AS o_a,
+      |         sum(e_a) OVER wasc AS e_a,
+      |         sum(v_a) OVER wasc AS var_a,
+      |         CAST(count(*) OVER wasc AS BIGINT) AS n_times,
+      |         lead(t, 1) OVER (ORDER BY t ASC) AS nxt
+      |  FROM lr_ev
+      |  WINDOW wasc AS (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |lr AS (
+      |  SELECT 'cohort_a' AS grp_a, n_times, o_a, e_a, var_a,
+      |         (CAST(o_a AS DOUBLE) - e_a) * (CAST(o_a AS DOUBLE) - e_a) / var_a AS chi2
+      |  FROM lr_run WHERE nxt IS NULL)""".stripMargin
+
+  /** CMH chain (k32 + its inference): per-run 2×2s → hypergeometric E/V →
+    * ordered running sums, ending in CTE `cmh` (n_strata, sum_a, sum_e,
+    * sum_v, cmh, or_mh — cmh/or_mh UNROUNDED).
+    */
+  private val cmhChainSql: String =
+    """, ch_qc AS (
+      |  SELECT q.sample_id, (q.sk * 20 >= q.nn * 1010) AS fail,
+      |         (s."group" = 'WT') AS wt, s.run
+      |  FROM (SELECT sample_id,
+      |               CAST(sum(CAST(round(pval * 1010) AS BIGINT)) AS BIGINT) AS sk,
+      |               count(*) AS nn
+      |        FROM detp GROUP BY 1) q
+      |  JOIN sheet s USING (sample_id)),
+      |ch_tab AS (
+      |  SELECT run,
+      |         CAST(sum(CASE WHEN fail AND wt THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |         CAST(sum(CASE WHEN fail AND NOT wt THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |         CAST(sum(CASE WHEN NOT fail AND wt THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |         CAST(sum(CASE WHEN NOT fail AND NOT wt THEN 1 ELSE 0 END) AS BIGINT) AS dd
+      |  FROM ch_qc GROUP BY 1),
+      |ch_m AS (
+      |  SELECT run, a, b, c, dd, a + b AS r1, c + dd AS r2, a + c AS c1,
+      |         b + dd AS c2, a + b + c + dd AS n
+      |  FROM ch_tab WHERE a + b + c + dd > 1),
+      |ch_ev AS (
+      |  SELECT run, a, b, c, dd, n,
+      |         CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+      |         CAST(r1 AS DOUBLE) * CAST(r2 AS DOUBLE) * CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)
+      |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS v
+      |  FROM ch_m),
+      |ch_run AS (
+      |  SELECT run,
+      |         CAST(sum(a) OVER wr AS BIGINT) AS sum_a,
+      |         sum(e) OVER wr AS sum_e,
+      |         sum(v) OVER wr AS sum_v,
+      |         sum(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE) / CAST(n AS DOUBLE)) OVER wr AS or_num,
+      |         sum(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) OVER wr AS or_den,
+      |         CAST(count(*) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_strata,
+      |         row_number() OVER (ORDER BY run DESC) AS rn
+      |  FROM ch_ev
+      |  WINDOW wr AS (ORDER BY run ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |cmh AS (
+      |  SELECT n_strata, sum_a, sum_e, sum_v,
+      |         CASE WHEN sum_v > 0.0
+      |              THEN greatest(abs(CAST(sum_a AS DOUBLE) - sum_e) - 0.5, 0.0)
+      |                   * greatest(abs(CAST(sum_a AS DOUBLE) - sum_e) - 0.5, 0.0) / sum_v
+      |         END AS cmh,
+      |         CASE WHEN or_den > 0.0 THEN or_num / or_den END AS or_mh
+      |  FROM ch_run WHERE rn = 1)""".stripMargin
+
+  /** Dunn post-hoc chain (k37 + its inference): shared-rank tie cells →
+    * per-pair z under the pooled KW variance, ending in CTE `dunn`
+    * (probe_id, pair, n, ni, nj, z UNROUNDED).
+    */
+  private val dunnChainSql: String =
+    """, bg AS (
+      |  SELECT b.probe_id, b.beta, s.run
+      |  FROM beta b JOIN sheet s USING (sample_id)),
+      |cells AS (
+      |  SELECT probe_id, beta,
+      |         CAST(sum(CASE WHEN run = 'run_0' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |         CAST(sum(CASE WHEN run = 'run_1' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |         CAST(sum(CASE WHEN run = 'run_2' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM bg GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, c0 + c1 + c2 AS t,
+      |         sum(c0 + c1 + c2) OVER (PARTITION BY probe_id ORDER BY beta
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM cells),
+      |du_a AS (
+      |  SELECT probe_id, count(*) AS ncells,
+      |         CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+      |         CAST(sum(c2) AS BIGINT) AS n2,
+      |         CAST(sum(c0 * (2 * cum - (t - 1))) AS BIGINT) AS r0_2,
+      |         CAST(sum(c1 * (2 * cum - (t - 1))) AS BIGINT) AS r1_2,
+      |         CAST(sum(c2 * (2 * cum - (t - 1))) AS BIGINT) AS r2_2,
+      |         CAST(sum(t * t * t - t) AS BIGINT) AS ties
+      |  FROM r GROUP BY 1
+      |  HAVING n0 >= 2 AND n1 >= 2 AND n2 >= 2 AND count(*) > 1),
+      |du_p AS (SELECT * FROM (VALUES (0, 1), (0, 2), (1, 2)) p(gi, gj)),
+      |du_j AS (
+      |  SELECT probe_id, gi, gj, n0 + n1 + n2 AS n, ties,
+      |         CASE gi WHEN 0 THEN n0 WHEN 1 THEN n1 ELSE n2 END AS ni,
+      |         CASE gj WHEN 0 THEN n0 WHEN 1 THEN n1 ELSE n2 END AS nj,
+      |         CASE gi WHEN 0 THEN r0_2 WHEN 1 THEN r1_2 ELSE r2_2 END AS ri,
+      |         CASE gj WHEN 0 THEN r0_2 WHEN 1 THEN r1_2 ELSE r2_2 END AS rj
+      |  FROM du_a CROSS JOIN du_p),
+      |du_s AS (
+      |  SELECT *,
+      |         (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
+      |          - CAST(ties AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1.0)))
+      |         * (1.0 / CAST(ni AS DOUBLE) + 1.0 / CAST(nj AS DOUBLE)) AS sigma2
+      |  FROM du_j),
+      |dunn AS (
+      |  SELECT probe_id,
+      |         'run_' || CAST(gi AS VARCHAR) || ' vs run_' || CAST(gj AS VARCHAR) AS pair,
+      |         n, ni, nj,
+      |         (CAST(ri AS DOUBLE) / (2.0 * CAST(ni AS DOUBLE))
+      |          - CAST(rj AS DOUBLE) / (2.0 * CAST(nj AS DOUBLE))) / sqrt(sigma2) AS z
+      |  FROM du_s WHERE sigma2 > 0.0)""".stripMargin
+
   private def anovaF(s: org.apache.spark.sql.SparkSession, d: String) = {
     val bg = Tables.betaLong(s, d)
       .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
@@ -2960,7 +3168,11 @@ object QueriesStats {
         |         row_number() OVER (ORDER BY lang DESC, source DESC) AS rn
         |  FROM bc),
         |x AS (SELECT chisq FROM run WHERE rn = 1),
-        |dfq AS (SELECT CAST((n_lang - 1) * (n_source - 1) AS DOUBLE) AS df FROM ag),
+        |dfq AS (
+        |  SELECT CASE WHEN (n_lang - 1) * (n_source - 1) >= 200
+        |              THEN CAST(error('k27 even-df chi-square series is capped at df < 200; raise the range(0, 100) literal') AS DOUBLE)
+        |              ELSE CAST((n_lang - 1) * (n_source - 1) AS DOUBLE) END AS df
+        |  FROM ag),
         |terms AS (
         |  SELECT kk.i,
         |         power(x.chisq / 2.0, kk.i) / gamma(CAST(kk.i AS DOUBLE) + 1.0) AS term

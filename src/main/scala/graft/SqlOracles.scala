@@ -167,6 +167,64 @@ object SqlOracles {
        |         END AS p
        |  FROM geom LEFT JOIN tsum USING ($keys))""".stripMargin
 
+  /** Horner-chain builder for the [[erfc]] rationals: starts at `lead·v`,
+    * folds `(acc + cᵢ)·v`, appends `+ last` — the exact loop structure of
+    * the SPECFUN CALERF reference, so the IEEE op order is the published
+    * one.
+    */
+  private def horner(lead: Double, coeffs: Seq[Double], v: String,
+                     last: Double): String = {
+    def f(c: Double) = "%.17e".format(c)
+    val body = coeffs.foldLeft(s"${f(lead)} * $v")((acc, c) => s"($acc + ${f(c)}) * $v")
+    s"($body + ${f(last)})"
+  }
+
+  /** SQL replay of erfc(x) for a NON-NEGATIVE argument — W. J. Cody's
+    * rational Chebyshev approximation (Math. Comp. 23 (1969) 631-637;
+    * the netlib SPECFUN CALERF coefficient set), max relative error
+    * ≲ 1e-16 over the three branches (|x| ≤ 0.46875 via the erf rational,
+    * 0.46875 < x ≤ 4 via the erfc rational with the split-exponent
+    * exp(−⌊16x⌋²/256)·exp(−Δ) trick, x > 4 via the asymptotic form).
+    * This replays the engine's normal/χ²(1) survival functions in DuckDB:
+    * two-sided normal p = erfc(|z|/√2) and χ²(1) sf = erfc(√(x/2)) — the
+    * Spark side stays on commons-math's regularized gamma
+    * (graft_chisq_sf), which agrees with Cody to ~1e-14, far inside the
+    * round-6 comparison (the studentTIntDfPv convention). `x` MUST be a
+    * bare column reference holding a non-negative double — the text is
+    * substituted many times.
+    */
+  def erfc(x: String): String = {
+    val s1 = s"($x * $x)"
+    val num1 = horner(1.85777706184603153e-1, Seq(3.16112374387056560e0,
+      1.13864154151050156e2, 3.77485237685302021e2), s1, 3.20937758913846947e3)
+    val den1 = horner(1.0, Seq(2.36012909523441209e1, 2.44024637934444173e2,
+      1.28261652607737228e3), s1, 2.84423683343917062e3)
+    val num2 = horner(2.15311535474403846e-8, Seq(5.64188496988670089e-1,
+      8.88314979438837594e0, 6.61191906371416295e1, 2.98635138197400131e2,
+      8.81952221241769090e2, 1.71204761263407058e3, 2.05107837782607147e3),
+      x, 1.23033935479799725e3)
+    val den2 = horner(1.0, Seq(1.57449261107098347e1, 1.17693950891312499e2,
+      5.37181101862009858e2, 1.62138957456669019e3, 3.29079923573345963e3,
+      4.36261909014324716e3, 3.43936767414372164e3), x, 1.23033935480374942e3)
+    val s3 = s"(1.0 / ($x * $x))"
+    val num3 = horner(1.63153871373020978e-2, Seq(3.05326634961232344e-1,
+      3.60344899949804439e-1, 1.25781726111229246e-1, 1.60837851487422766e-2),
+      s3, 6.58749161529837803e-4)
+    val den3 = horner(1.0, Seq(2.56852019228982242e0, 1.87295284992346047e0,
+      5.27905102951428412e-1, 6.05183413124413191e-2), s3,
+      2.33520497626869185e-3)
+    // the split exponent: xq = ⌊16x⌋/16 is exact in binary, so exp(−xq²)
+    // carries the magnitude and exp(−(x−xq)(x+xq)) the small correction —
+    // CALERF's trick to avoid the x² rounding error inside one big exp
+    val xq = s"(floor($x * 16.0) / 16.0)"
+    val scale = s"exp(-$xq * $xq) * exp(-($x - $xq) * ($x + $xq))"
+    s"""CASE WHEN $x < 0.46875 THEN 1.0 - $x * $num1 / $den1
+       |     WHEN $x <= 4.0 THEN $scale * ($num2 / $den2)
+       |     ELSE $scale
+       |          * ((5.6418958354775628695e-1 - $s3 * $num3 / $den3) / $x)
+       |END""".stripMargin.replace("\n", " ").replaceAll("\\s+", " ")
+  }
+
   /** SQL mirror of [[graft.ops.Analytic.bhAdjustWindowed]]'s step-up chain
     * (the w03 pattern), shared by every inference oracle so the BH replay
     * has exactly ONE definition: expects a prior CTE named `pv` with a

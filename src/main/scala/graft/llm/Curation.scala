@@ -586,6 +586,10 @@ object Curation {
     * to exact floor(1e9·logw) integers so the per-doc sum is
     * partial-aggregation-order-free (the t25 decimal-sum pattern) — the
     * returned `weight_1e9` is bit-stable across partitionings AND engines.
+    *
+    * Contract: exactly ONE output row per input document — a zero-token
+    * document scores `(n_feats, weight_1e9) = (0, 0)` via a spine
+    * left-join rather than silently disappearing (r9 ADVICE fix).
     */
   def hashedImportanceWeights(docs: DataFrame, isTarget: Column,
                               buckets: Int = 1024,
@@ -625,9 +629,18 @@ object Curation {
         floor((log((col("ct") + 0.5) / (col("nt") + half)) -
           log((col("cr") + 0.5) / (col("nr") + half))) * 1e9)
           .cast("long").as("contrib"))
-    toks.join(broadcast(model), "b")
+    val scored = toks.join(broadcast(model), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum("contrib").as("weight_1e9"))
+    // one row per INPUT document (r9): a zero-token document has no
+    // features to explode, so the aggregate alone would silently drop it —
+    // left-join back to the doc spine with (n_feats, weight) = (0, 0),
+    // the same spine contract as removeDuplicateSpans. Co-keyed doc_id
+    // join, no broadcast (both sides are corpus-sized).
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("weight_1e9"), lit(0L)).as("weight_1e9"))
   }
 
   /** Greedy TOKEN-BUDGET selection: order documents by (score desc, id

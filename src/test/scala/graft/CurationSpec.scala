@@ -472,7 +472,8 @@ class CurationSpec extends SparkSpec {
       (1L, true, "alpha beta gamma delta epsilon alpha beta gamma"),
       (2L, true, "beta gamma delta epsilon alpha delta gamma beta"),
       (3L, false, "alpha beta gamma delta epsilon beta alpha gamma"),
-      (4L, false, "zeta eta theta iota kappa zeta eta theta iota")
+      (4L, false, "zeta eta theta iota kappa zeta eta theta iota"),
+      (5L, false, "   ") // zero tokens — must still get a (0, 0) row
     ).toDF("doc_id", "is_target", "text")
     val w = graft.llm.Curation
       .hashedImportanceWeights(corpus, col("is_target"))
@@ -480,6 +481,9 @@ class CurationSpec extends SparkSpec {
     // n_feats = unigrams + bigrams: 8 tokens → 8 + 7 = 15
     assert(w(3L)._1 == 15L)
     assert(w(4L)._1 == 17L)
+    // one row per INPUT doc: the zero-token doc scores (0, 0), not absent
+    assert(w.size == 5)
+    assert(w(5L) == ((0L, 0L)))
     // the target-like raw doc outranks the off-target one decisively
     assert(w(3L)._2 > w(4L)._2)
     assert(w(4L)._2 < 0L) // off-target vocab is target-improbable
