@@ -1497,41 +1497,18 @@ object QueriesStats {
         .select(col("probe_id"), col("n1"), col("n2"), col("u1"),
           round(col("z"), 6).as("z"))
         .orderBy("probe_id")
-    }, Some(ctes +
-      s""", bg AS (
-         |  SELECT b.probe_id, b.beta, s."group" AS grp
-         |  FROM beta b JOIN sheet s USING (sample_id)),
-         |cells AS (
-         |  SELECT probe_id, beta,
-         |         CAST(sum(CASE WHEN grp = 'WT' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-         |         CAST(sum(CASE WHEN grp = 'MUT' THEN 1 ELSE 0 END) AS BIGINT) AS c2
-         |  FROM bg GROUP BY 1, 2),
-         |r AS (
-         |  SELECT *, c1 + c2 AS t,
-         |         sum(c1 + c2) OVER (PARTITION BY probe_id ORDER BY beta
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM cells),
-         |a AS (
-         |  SELECT probe_id, CAST(sum(c1) AS BIGINT) AS n1,
-         |         CAST(sum(c2) AS BIGINT) AS n2, count(*) AS ncells,
-         |         CAST(sum(c1 * (2 * cum - (t - 1))) AS BIGINT) AS r1_2,
-         |         CAST(sum(t * t * t - t) AS BIGINT) AS ties
-         |  FROM r GROUP BY 1)
-         |SELECT probe_id, n1, n2,
-         |       CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
-         |       round((CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
-         |              - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
-         |             / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
-         |                    * (CAST(n1 + n2 AS DOUBLE) + 1.0
-         |                       - CAST(ties AS DOUBLE)
-         |                         / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))), 6) AS z
-         |FROM a WHERE ncells > 1 AND n1 >= 3 AND n2 >= 3
-         |ORDER BY probe_id""".stripMargin)),
+    }, Some(ctes + mwChainSql + "\n" +
+      """SELECT probe_id, n1, n2, u1, round(z, 6) AS z
+        |FROM mw ORDER BY probe_id""".stripMargin)),
 
     // K10 inferential completion (the a23→a25 pattern): two-sided normal
     // p from the native codegen chi-square survival function (z² ~ χ²₁),
-    // BH-adjusted across probes. Rows-only — the CDF has no SQL analog;
-    // the statistic feeding it is k10's oracle-checked z.
+    // BH-adjusted across probes. FULLY oracle-checked (r9): χ²(1)'s
+    // survival function is erfc(√(x/2)), which DuckDB replays via Cody's
+    // rational approximation (SqlOracles.erfc, ≲1e-16) — commons-math's
+    // regularized gamma agrees to ~1e-14, far inside round-6. The z
+    // feeding it is the shared mwChainSql statistic, verbatim from k10's
+    // own oracle.
     Q("k10_ranksum_inference", (s, d) => {
       GraftExtensions.registerAll(s)
       val bg = Tables.betaLong(s, d)
@@ -1544,7 +1521,17 @@ object QueriesStats {
           round(col("z"), 6).as("z"), round(col("p_value"), 6).as("p_value"),
           round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id")
-    }, None),
+    }, Some(ctes + mwChainSql +
+      """,
+        |pvarg AS (SELECT probe_id, n1, n2, u1, z, sqrt(z * z / 2.0) AS ex FROM mw),
+        |pv AS (SELECT probe_id, n1, n2, u1, z,
+        |""".stripMargin +
+      s"       ${SqlOracles.erfc("ex")} AS p\n" +
+      "FROM pvarg)" +
+      SqlOracles.bhTail("probe_id, n1, n2, u1, z") + "\n" +
+      """SELECT probe_id, n1, n2, u1, round(z, 6) AS z,
+        |       round(p, 6) AS p_value, round(fdr, 6) AS fdr
+        |FROM f ORDER BY probe_id""".stripMargin)),
 
     // K11 — per-probe two-sample Kolmogorov–Smirnov: max CDF gap between
     // the WT and MUT beta distributions (sensitive to shape differences a
@@ -2344,56 +2331,15 @@ object QueriesStats {
         .select(col("probe_id"), col("pair"), col("n"), col("ni"), col("nj"),
           round(col("z"), 6).as("z"))
         .orderBy("probe_id", "pair"),
-    Some(ctes +
-      """, bg AS (
-        |  SELECT b.probe_id, b.beta, s.run
-        |  FROM beta b JOIN sheet s USING (sample_id)),
-        |cells AS (
-        |  SELECT probe_id, beta,
-        |         CAST(sum(CASE WHEN run = 'run_0' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
-        |         CAST(sum(CASE WHEN run = 'run_1' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-        |         CAST(sum(CASE WHEN run = 'run_2' THEN 1 ELSE 0 END) AS BIGINT) AS c2
-        |  FROM bg GROUP BY 1, 2),
-        |r AS (
-        |  SELECT *, c0 + c1 + c2 AS t,
-        |         sum(c0 + c1 + c2) OVER (PARTITION BY probe_id ORDER BY beta
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM cells),
-        |du_a AS (
-        |  SELECT probe_id, count(*) AS ncells,
-        |         CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
-        |         CAST(sum(c2) AS BIGINT) AS n2,
-        |         CAST(sum(c0 * (2 * cum - (t - 1))) AS BIGINT) AS r0_2,
-        |         CAST(sum(c1 * (2 * cum - (t - 1))) AS BIGINT) AS r1_2,
-        |         CAST(sum(c2 * (2 * cum - (t - 1))) AS BIGINT) AS r2_2,
-        |         CAST(sum(t * t * t - t) AS BIGINT) AS ties
-        |  FROM r GROUP BY 1
-        |  HAVING n0 >= 2 AND n1 >= 2 AND n2 >= 2 AND count(*) > 1),
-        |du_p AS (SELECT * FROM (VALUES (0, 1), (0, 2), (1, 2)) p(gi, gj)),
-        |du_j AS (
-        |  SELECT probe_id, gi, gj, n0 + n1 + n2 AS n, ties,
-        |         CASE gi WHEN 0 THEN n0 WHEN 1 THEN n1 ELSE n2 END AS ni,
-        |         CASE gj WHEN 0 THEN n0 WHEN 1 THEN n1 ELSE n2 END AS nj,
-        |         CASE gi WHEN 0 THEN r0_2 WHEN 1 THEN r1_2 ELSE r2_2 END AS ri,
-        |         CASE gj WHEN 0 THEN r0_2 WHEN 1 THEN r1_2 ELSE r2_2 END AS rj
-        |  FROM du_a CROSS JOIN du_p),
-        |du_s AS (
-        |  SELECT *,
-        |         (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
-        |          - CAST(ties AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1.0)))
-        |         * (1.0 / CAST(ni AS DOUBLE) + 1.0 / CAST(nj AS DOUBLE)) AS sigma2
-        |  FROM du_j)
-        |SELECT probe_id,
-        |       'run_' || CAST(gi AS VARCHAR) || ' vs run_' || CAST(gj AS VARCHAR) AS pair,
-        |       n, ni, nj,
-        |       round((CAST(ri AS DOUBLE) / (2.0 * CAST(ni AS DOUBLE))
-        |              - CAST(rj AS DOUBLE) / (2.0 * CAST(nj AS DOUBLE))) / sqrt(sigma2), 6) AS z
-        |FROM du_s WHERE sigma2 > 0.0
-        |ORDER BY 1, 2""".stripMargin)),
+    Some(ctes + dunnChainSql + "\n" +
+      """SELECT probe_id, pair, n, ni, nj, round(z, 6) AS z
+        |FROM dunn ORDER BY 1, 2""".stripMargin)),
 
     // K37 inferential completion: two-sided p per pair via χ²(1) on z²,
     // BH across ALL (probe, pair) hypotheses — the full screen → omnibus
-    // → post-hoc → adjust chain. Rows-only; z rides k37's oracle.
+    // → post-hoc → adjust chain. FULLY oracle-checked (r9): the erfc
+    // replay over the shared dunnChainSql statistic, BH tie-broken on the
+    // same probe|pair key as the Spark side.
     Q("k37_dunn_inference", (s, d) => {
       GraftExtensions.registerAll(s)
       val stats = dunnPairs(s, d)
@@ -2403,7 +2349,17 @@ object QueriesStats {
         .select(col("probe_id"), col("pair"), round(col("z"), 6).as("z"),
           round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id", "pair")
-    }, None),
+    }, Some(ctes + dunnChainSql +
+      """,
+        |pvarg AS (SELECT probe_id, pair, z, sqrt(z * z / 2.0) AS ex FROM dunn),
+        |pv AS (SELECT probe_id, pair, z,
+        |""".stripMargin +
+      s"       ${SqlOracles.erfc("ex")} AS p\n" +
+      "FROM pvarg)" +
+      SqlOracles.bhTail("probe_id, pair, z", "probe_id || '|' || pair") + "\n" +
+      """SELECT probe_id, pair, round(z, 6) AS z,
+        |       round(p, 6) AS p_value, round(fdr, 6) AS fdr
+        |FROM f ORDER BY probe_id, pair""".stripMargin)),
 
     // K41 — percentile BOOTSTRAP confidence interval for the per-probe
     // WT−MUT effect: the CI companion of the k30 permutation test (k30
@@ -2764,38 +2720,14 @@ object QueriesStats {
         .select(col("probe_id"), col("n"), col("s_stat"),
           round(col("z"), 6).as("z"))
         .orderBy("probe_id"),
-    Some(ctes +
-      """, bk AS (
-        |  SELECT probe_id, sample_id, CAST(round(beta * 997) AS BIGINT) AS k
-        |  FROM beta),
-        |pairs AS (
-        |  SELECT a.probe_id,
-        |         CAST(sum(CASE WHEN b.k > a.k THEN 1
-        |                       WHEN b.k < a.k THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
-        |  FROM bk a JOIN bk b
-        |    ON a.probe_id = b.probe_id AND a.sample_id < b.sample_id
-        |  GROUP BY 1),
-        |ties AS (
-        |  SELECT probe_id, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum,
-        |         CAST(sum(t) AS BIGINT) AS n
-        |  FROM (SELECT probe_id, k, count(*) AS t FROM bk GROUP BY 1, 2)
-        |  GROUP BY 1),
-        |j AS (
-        |  SELECT p.probe_id, t.n, p.s_stat,
-        |         (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) - 1.0)
-        |            * (2.0 * CAST(t.n AS DOUBLE) + 5.0)
-        |          - CAST(t.tsum AS DOUBLE)) / 18.0 AS var_s
-        |  FROM pairs p JOIN ties t USING (probe_id))
-        |SELECT probe_id, n, s_stat,
-        |       round(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
-        |                  WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
-        |                  ELSE 0.0 END, 6) AS z
-        |FROM j WHERE n >= 8 AND var_s > 0.0
-        |ORDER BY probe_id""".stripMargin)),
+    Some(ctes + mkChainSql + "\n" +
+      """SELECT probe_id, n, s_stat, round(z, 6) AS z
+        |FROM mk ORDER BY probe_id""".stripMargin)),
 
     // K22 inferential completion: two-sided normal p via z² ~ χ²₁ through
     // the codegen chi-square survival function + BH (the k10 pattern).
-    // Rows-only; (S, z) ride k22's oracle.
+    // FULLY oracle-checked (r9): the erfc replay over the shared
+    // mkChainSql statistic.
     Q("k22_mk_inference", (s, d) => {
       GraftExtensions.registerAll(s)
       val stats = mannKendall(s, d)
@@ -2805,7 +2737,17 @@ object QueriesStats {
           round(col("z"), 6).as("z"), round(col("p_value"), 6).as("p_value"),
           round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id")
-    }, None),
+    }, Some(ctes + mkChainSql +
+      """,
+        |pvarg AS (SELECT probe_id, n, s_stat, z, sqrt(z * z / 2.0) AS ex FROM mk),
+        |pv AS (SELECT probe_id, n, s_stat, z,
+        |""".stripMargin +
+      s"       ${SqlOracles.erfc("ex")} AS p\n" +
+      "FROM pvarg)" +
+      SqlOracles.bhTail("probe_id, n, s_stat, z") + "\n" +
+      """SELECT probe_id, n, s_stat, round(z, 6) AS z,
+        |       round(p, 6) AS p_value, round(fdr, 6) AS fdr
+        |FROM f ORDER BY probe_id""".stripMargin)),
 
     // K10 (plot-data scope) — 95% confidence ellipse per group, the table
     // behind the reference's `stat_ellipse(level=0.95)` on the PCA scatter
@@ -3242,49 +3184,29 @@ object QueriesStats {
     Some(
       s"""WITH $kmSubjSql,
          |$lrRiskSql,
-         |lr_t AS (
-         |  SELECT t,
-         |         CAST(sum(CASE WHEN grp = 'cohort_a' THEN n_at ELSE 0 END) AS BIGINT) AS n_a,
-         |         CAST(sum(CASE WHEN grp <> 'cohort_a' THEN n_at ELSE 0 END) AS BIGINT) AS n_b,
-         |         CAST(sum(CASE WHEN grp = 'cohort_a' THEN d ELSE 0 END) AS BIGINT) AS d_a,
-         |         CAST(sum(CASE WHEN grp <> 'cohort_a' THEN d ELSE 0 END) AS BIGINT) AS d_b
-         |  FROM lr_d GROUP BY 1),
-         |lr_ev AS (
-         |  SELECT t, d_a,
-         |         CAST(d_a + d_b AS DOUBLE)
-         |           * (CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) AS e_a,
-         |         CASE WHEN n_a + n_b > 1 THEN
-         |           CAST(d_a + d_b AS DOUBLE)
-         |             * (CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
-         |             * (1.0 - CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
-         |             * (CAST(n_a + n_b AS DOUBLE) - CAST(d_a + d_b AS DOUBLE))
-         |             / (CAST(n_a + n_b AS DOUBLE) - 1.0)
-         |         ELSE 0.0 END AS v_a
-         |  FROM lr_t),
-         |lr_run AS (
-         |  SELECT t,
-         |         CAST(sum(d_a) OVER wasc AS BIGINT) AS o_a,
-         |         sum(e_a) OVER wasc AS e_a,
-         |         sum(v_a) OVER wasc AS var_a,
-         |         CAST(count(*) OVER wasc AS BIGINT) AS n_times,
-         |         lead(t, 1) OVER (ORDER BY t ASC) AS nxt
-         |  FROM lr_ev
-         |  WINDOW wasc AS (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         |SELECT 'cohort_a' AS grp_a, n_times, o_a, round(e_a, 6) AS e_a,
-         |       round(var_a, 6) AS var_a,
-         |       round((CAST(o_a AS DOUBLE) - e_a) * (CAST(o_a AS DOUBLE) - e_a) / var_a, 6) AS chi2
-         |FROM lr_run WHERE nxt IS NULL""".stripMargin)),
+         |$lrChainSql
+         |SELECT grp_a, n_times, o_a, round(e_a, 6) AS e_a,
+         |       round(var_a, 6) AS var_a, round(chi2, 6) AS chi2
+         |FROM lr""".stripMargin)),
 
     // K28 inferential completion: log-rank χ² ~ χ²(1) under H₀ → p via the
-    // codegen chi-square survival function. Rows-only; the statistic rides
-    // k28_logrank's oracle.
+    // codegen chi-square survival function. FULLY oracle-checked (r9):
+    // χ²(1) sf = erfc(√(x/2)) through the Cody replay over the shared
+    // lrChainSql statistic.
     Q("k28_logrank_inference", (s, d) => {
       GraftExtensions.registerAll(s)
       Survival.logRank(kmSubjects(s, d), "cohort_a")
         .select(col("grp_a"), col("o_a"), round(col("e_a"), 6).as("e_a"),
           round(col("chi2"), 6).as("chi2"),
           round(expr("graft_chisq_sf(chi2, 1.0)"), 6).as("p_value"))
-    }, None),
+    }, Some(
+      s"""WITH $kmSubjSql,
+         |$lrRiskSql,
+         |$lrChainSql,
+         |pvarg AS (SELECT grp_a, o_a, e_a, chi2, sqrt(chi2 / 2.0) AS ex FROM lr)
+         |SELECT grp_a, o_a, round(e_a, 6) AS e_a, round(chi2, 6) AS chi2,
+         |       round(${SqlOracles.erfc("ex")}, 6) AS p_value
+         |FROM pvarg""".stripMargin)),
 
     // K29 — Fisher's exact test on the QC-failure × batch 2×2 table (did
     // run_0 produce more failing samples than chance?): the small-cell
@@ -3530,61 +3452,28 @@ object QueriesStats {
           round(col("sum_v"), 6).as("sum_v"),
           round(col("cmh"), 6).as("cmh"),
           round(col("or_mh"), 6).as("or_mh")),
-    Some(ctes +
-      """, ch_qc AS (
-        |  SELECT q.sample_id, (q.sk * 20 >= q.nn * 1010) AS fail,
-        |         (s."group" = 'WT') AS wt, s.run
-        |  FROM (SELECT sample_id,
-        |               CAST(sum(CAST(round(pval * 1010) AS BIGINT)) AS BIGINT) AS sk,
-        |               count(*) AS nn
-        |        FROM detp GROUP BY 1) q
-        |  JOIN sheet s USING (sample_id)),
-        |ch_tab AS (
-        |  SELECT run,
-        |         CAST(sum(CASE WHEN fail AND wt THEN 1 ELSE 0 END) AS BIGINT) AS a,
-        |         CAST(sum(CASE WHEN fail AND NOT wt THEN 1 ELSE 0 END) AS BIGINT) AS b,
-        |         CAST(sum(CASE WHEN NOT fail AND wt THEN 1 ELSE 0 END) AS BIGINT) AS c,
-        |         CAST(sum(CASE WHEN NOT fail AND NOT wt THEN 1 ELSE 0 END) AS BIGINT) AS dd
-        |  FROM ch_qc GROUP BY 1),
-        |ch_m AS (
-        |  SELECT run, a, b, c, dd, a + b AS r1, c + dd AS r2, a + c AS c1,
-        |         b + dd AS c2, a + b + c + dd AS n
-        |  FROM ch_tab WHERE a + b + c + dd > 1),
-        |ch_ev AS (
-        |  SELECT run, a, b, c, dd, n,
-        |         CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE) AS e,
-        |         CAST(r1 AS DOUBLE) * CAST(r2 AS DOUBLE) * CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)
-        |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS v
-        |  FROM ch_m),
-        |ch_run AS (
-        |  SELECT run,
-        |         CAST(sum(a) OVER wr AS BIGINT) AS sum_a,
-        |         sum(e) OVER wr AS sum_e,
-        |         sum(v) OVER wr AS sum_v,
-        |         sum(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE) / CAST(n AS DOUBLE)) OVER wr AS or_num,
-        |         sum(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) OVER wr AS or_den,
-        |         CAST(count(*) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_strata,
-        |         row_number() OVER (ORDER BY run DESC) AS rn
-        |  FROM ch_ev
-        |  WINDOW wr AS (ORDER BY run ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT n_strata, sum_a, round(sum_e, 6) AS sum_e, round(sum_v, 6) AS sum_v,
-        |       round(CASE WHEN sum_v > 0.0
-        |                  THEN greatest(abs(CAST(sum_a AS DOUBLE) - sum_e) - 0.5, 0.0)
-        |                       * greatest(abs(CAST(sum_a AS DOUBLE) - sum_e) - 0.5, 0.0) / sum_v
-        |             END, 6) AS cmh,
-        |       round(CASE WHEN or_den > 0.0 THEN or_num / or_den END, 6) AS or_mh
-        |FROM ch_run WHERE rn = 1""".stripMargin)),
+    Some(ctes + cmhChainSql + "\n" +
+      """SELECT n_strata, sum_a, round(sum_e, 6) AS sum_e,
+        |       round(sum_v, 6) AS sum_v, round(cmh, 6) AS cmh,
+        |       round(or_mh, 6) AS or_mh
+        |FROM cmh""".stripMargin)),
 
     // K32 inferential completion: CMH ~ χ²(1) under conditional
     // independence → p via the codegen chi-square survival function.
-    // Rows-only; the statistic rides k32_cmh_test's oracle.
+    // FULLY oracle-checked (r9): the erfc replay over the shared
+    // cmhChainSql statistic.
     Q("k32_cmh_inference", (s, d) => {
       GraftExtensions.registerAll(s)
       cmhTest(s, d)
         .select(col("n_strata"), round(col("cmh"), 6).as("cmh"),
           round(col("or_mh"), 6).as("or_mh"),
           round(expr("graft_chisq_sf(cmh, 1.0)"), 6).as("p_value"))
-    }, None),
+    }, Some(ctes + cmhChainSql +
+      s""",
+         |pvarg AS (SELECT n_strata, cmh AS cmh_s, or_mh, sqrt(cmh / 2.0) AS ex FROM cmh)
+         |SELECT n_strata, round(cmh_s, 6) AS cmh, round(or_mh, 6) AS or_mh,
+         |       round(${SqlOracles.erfc("ex")}, 6) AS p_value
+         |FROM pvarg""".stripMargin)),
 
     // K31 — per-probe WT-vs-MUT effect sizes beside the k17 p-values
     // (a DMP list without effect sizes invites p-hacking): Cohen's d and

@@ -40,6 +40,17 @@ class ExtensionsSpec extends SparkSpec {
     val xs = Seq(0.5, 1.0, 2.0, 4.0, 8.0).map(sf(_, 3.0))
     assert(xs.zip(xs.tail).forall { case (a, b) => a > b }, xs)
     assert(sf(1.0, 0.0).isNaN)
+    // the identity the r9 inference oracles replay in DuckDB: the χ²(1)
+    // survival of z² IS the two-sided normal tail erfc(|z|/√2) — the
+    // regularized-gamma path and commons-math erfc agree far inside the
+    // round-6 comparison (the Cody rational in SqlOracles.erfc tracks
+    // true erfc to ≲1e-14, so transitively the whole chain agrees)
+    for (i <- 0 to 216; z = i * 0.037) {
+      val viaChisq = sf(z * z, 1.0)
+      val viaErfc = org.apache.commons.math3.special.Erf.erfc(z / math.sqrt(2.0))
+      assert(math.abs(viaChisq - viaErfc) <=
+        1e-13 * math.max(viaErfc, 1e-300), s"z=$z: $viaChisq vs $viaErfc")
+    }
   }
 
   test("graft_f_sf matches the commons-math F distribution and known quantiles") {
