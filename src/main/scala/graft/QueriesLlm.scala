@@ -1959,16 +1959,77 @@ object QueriesLlm {
     // T26 — isotonic (PAV) calibration of the same score→label pair: the
     // monotone step function that MAKES the quality score a usable
     // admission probability (the standard fix the t25 audit motivates).
-    // Spark ML's distributed pool-adjacent-violators (per-partition PAV +
-    // associative merge — nothing data-sized driver-side). Output = the
-    // fitted (boundary, calibrated) step table, a bounded model surface.
-    // Rows-only by design (PAV's sequential pooling has no SQL analog);
-    // ExactInferenceSpec pins hand-computed pools, monotonicity, the
-    // [0,1] range, and label-mass preservation.
+    // The engine's distributed exact-integer PAV (per-partition pooling +
+    // bounded driver merge — nothing data-sized driver-side; see
+    // QualityModel.isotonicFit). Output = the fitted (boundary,
+    // calibrated) step table, a bounded model surface. FULLY
+    // oracle-checked (r9): PAV's unique L2 fixpoint has the closed
+    // minimax characterization ŷᵢ = max_{j≤i} min_{k≥i} mean(j..k),
+    // which DuckDB computes from the SAME exact integer prefix sums over
+    // the SAME 1e-9 score grid — monotone correct rounding makes the
+    // double max-of-mins equal the engine's block-ratio double bit for
+    // bit. ExactInferenceSpec additionally pins hand-computed pools,
+    // partitioning invariance, monotonicity, and the [0,1] range.
     Q("t26_isotonic_calibration", (s, d) => {
       val cal = graft.llm.QualityModel.isotonicCalibration(
         docs(s, d), graft.llm.TextAnalysis.gopherPass(col("text")))
-      cal.orderBy("idx")
-    }, None)
+      cal.select(col("idx"), round(col("boundary"), 6).as("boundary"),
+          round(col("calibrated"), 6).as("calibrated"))
+        .orderBy("idx")
+    }, Some(
+      """WITH ce_f AS (SELECT
+        |  least(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b', 0)) /
+        |    CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)), 1) AS DOUBLE) * 2.0, 1.0) * 0.4 +
+        |  (CASE WHEN length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) /
+        |      CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)), 1) AS DOUBLE)
+        |      BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) +
+        |  least(length(text) / 500.0, 1.0) * 0.3 AS score,
+        |  string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws,
+        |  length(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS chars,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b', 0)) AS stops,
+        |  len(regexp_extract_all(text, '#|…|\.\.\.', 0)) AS symc
+        |FROM documents),
+        |ce_g AS (SELECT score, len(ws) AS nw, chars,
+        |  len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alphaw,
+        |  stops, symc FROM ce_f),
+        |ce_l AS (SELECT score,
+        |  CASE WHEN nw BETWEEN 30 AND 100000
+        |        AND chars BETWEEN nw * 3 AND nw * 10
+        |        AND symc * 10 <= nw AND alphaw * 5 >= nw * 4
+        |        AND stops >= 2 THEN 1 ELSE 0 END AS label
+        |FROM ce_g),
+        |iso_p AS (
+        |  SELECT CAST(floor(score * 1e9) AS BIGINT) AS k9,
+        |         CAST(sum(CAST(label AS BIGINT) * 1000000000) AS BIGINT) AS l9,
+        |         CAST(count(*) AS BIGINT) AS w
+        |  FROM ce_l GROUP BY 1),
+        |iso_o AS (
+        |  SELECT k9, l9, w,
+        |         row_number() OVER (ORDER BY k9) AS i,
+        |         CAST(sum(l9) OVER (ORDER BY k9) AS BIGINT) AS cl,
+        |         CAST(sum(w) OVER (ORDER BY k9) AS BIGINT) AS cw
+        |  FROM iso_p),
+        |iso_pairs AS (
+        |  SELECT j.i AS j, k.i AS k,
+        |         CAST(k.cl - (j.cl - j.l9) AS DOUBLE)
+        |           / CAST(k.cw - (j.cw - j.w) AS DOUBLE) / 1e9 AS a
+        |  FROM iso_o j JOIN iso_o k ON k.i >= j.i),
+        |iso_sfx AS (
+        |  SELECT j, k, min(a) OVER (PARTITION BY j ORDER BY k DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM iso_pairs),
+        |iso_fit AS (SELECT k AS i, max(m) AS v FROM iso_sfx GROUP BY k),
+        |iso_runs AS (
+        |  SELECT f.v, min(o.k9) AS klo, max(o.k9) AS khi
+        |  FROM iso_fit f JOIN iso_o o USING (i)
+        |  GROUP BY f.v),
+        |iso_b AS (
+        |  SELECT klo AS k9, v FROM iso_runs
+        |  UNION ALL
+        |  SELECT khi, v FROM iso_runs WHERE khi > klo)
+        |SELECT row_number() OVER (ORDER BY k9) - 1 AS idx,
+        |       round(CAST(k9 AS DOUBLE) / 1e9, 6) AS boundary,
+        |       round(v, 6) AS calibrated
+        |FROM iso_b ORDER BY idx""".stripMargin))
   )
 }

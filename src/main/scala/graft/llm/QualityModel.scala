@@ -71,11 +71,12 @@ object QualityModel {
 
   /** Isotonic (pool-adjacent-violators) calibration of the heuristic
     * quality score against a binary target: fits the monotone step
-    * function mapping score → P(target) via Spark ML's DISTRIBUTED PAV
-    * (per-partition pooling + associative merge — the driver sees only the
-    * pooled boundary set, never the corpus). Returns the bounded model
-    * surface `(idx, boundary, calibrated)` — the table a serving layer
-    * broadcasts to turn scores into admission probabilities.
+    * function mapping score → P(target) via the engine's DISTRIBUTED
+    * exact-integer PAV ([[isotonicFit]] — per-partition pooling + a
+    * bounded driver merge; the driver sees only pooled blocks, never the
+    * corpus). Returns the bounded model surface
+    * `(idx, boundary, calibrated)` — the table a serving layer broadcasts
+    * to turn scores into admission probabilities.
     */
   def isotonicCalibration(docs: DataFrame, target: Column,
                           textCol: String = "text"): DataFrame =
@@ -83,19 +84,84 @@ object QualityModel {
       TextAnalysis.qualityScore(col(textCol)).as("score"),
       target.cast("double").as("label")))
 
-  /** PAV fit over a `(score: double, label: double)` frame → the bounded
-    * `(idx, boundary, calibrated)` step table (values rounded to 1e-6 for
-    * a stable export surface).
+  /** PAV fit over a `(score: double, label: double)` frame → the
+    * `(idx, boundary, calibrated)` step table.
+    *
+    * Exact-integer engine semantics (r9, replacing the Spark ML fit whose
+    * incremental double pooling is partition-order sensitive at the last
+    * ulp): scores and labels quantize to the 1e-9 grid at entry
+    * (k9 = ⌊1e9·score⌋, l9 = ⌊1e9·label⌋ — lossless for the 0/1 labels
+    * calibration uses), pooling and all block state are exact BIGINT
+    * sums, and violation checks are cross-multiplied integer comparisons
+    * — so the fit is bit-stable across partitionings AND engines, and
+    * the whole operator replays in DuckDB via the minimax
+    * characterization ŷᵢ = max_{j≤i} min_{k≥i} mean(j..k) (the t26
+    * oracle). A block's fitted value is the fixed double sequence
+    * Σl9 / w / 1e9.
+    *
+    * Output is the CANONICAL collapsed form: maximal runs of equal
+    * fitted value (the fit is monotone, so equal values are contiguous)
+    * emit their first and last boundary — value-identical as a step/
+    * interpolation model to the uncollapsed form, with no
+    * representation-dependent duplicate-prediction pairs.
+    *
+    * Scale shape: one distinct-score hash aggregate (score-vocabulary
+    * bounded), one range shuffle; partition-local PAV reduces each
+    * sorted run to its blocks (strict-violation pooling is confluent —
+    * pooling any adjacent violating pair first never changes the unique
+    * L2-projection fixpoint, so local-then-merge equals global
+    * sequential PAV), and the driver merges the collected block lists —
+    * bounded by pooled-score count in the worst (already-isotonic) case,
+    * the same contract as Spark ML's collect of the pooled set.
     */
   def isotonicFit(data: DataFrame): DataFrame = {
-    val model = new org.apache.spark.ml.regression.IsotonicRegression()
-      .setFeaturesCol("score").setLabelCol("label").setIsotonic(true)
-      .fit(data)
     val spark = data.sparkSession
     import spark.implicits._
-    model.boundaries.toArray.zip(model.predictions.toArray).zipWithIndex
-      .map { case ((b, p), i) => (i.toLong, math.rint(b * 1e6) / 1e6,
-        math.rint(p * 1e6) / 1e6) }
-      .toSeq.toDF("idx", "boundary", "calibrated")
+    // (klo, khi, l9, w) block; fitted value = l9/w/1e9
+    type B = (Long, Long, Long, Long)
+    def pool(stack: scala.collection.mutable.ArrayBuffer[B], b0: B): Unit = {
+      var cur = b0
+      while (stack.nonEmpty &&
+             BigInt(stack.last._3) * cur._4 > BigInt(cur._3) * stack.last._4) {
+        val t = stack.remove(stack.length - 1)
+        cur = (t._1, cur._2, t._3 + cur._3, t._4 + cur._4)
+      }
+      stack += cur
+    }
+    def pav(it: Iterator[B]): Iterator[B] = {
+      val stack = scala.collection.mutable.ArrayBuffer.empty[B]
+      it.foreach(pool(stack, _))
+      stack.iterator
+    }
+    val localBlocks = data.select(
+        floor(col("score") * 1e9).cast("long").as("k9"),
+        floor(col("label") * 1e9).cast("long").as("l9"))
+      .groupBy("k9").agg(sum("l9").as("l9"), count(lit(1)).as("w"))
+      .repartitionByRange(col("k9"))
+      .sortWithinPartitions("k9")
+      .as[(Long, Long, Long)]
+      .mapPartitions[(Long, Long, Long, Long)](
+        (it: Iterator[(Long, Long, Long)]) =>
+          pav(it.map(p => (p._1, p._1, p._2, p._3))))
+    // collect() concatenates partitions in range order → globally sorted
+    // block lists; the final stack pass merges across partition seams.
+    val merged = scala.collection.mutable.ArrayBuffer.empty[B]
+    localBlocks.collect().foreach(pool(merged, _))
+    def v(b: B): Double = b._3.toDouble / b._4.toDouble / 1e9
+    // collapse maximal runs of equal fitted value (contiguous: monotone)
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    merged.foreach { b =>
+      if (runs.nonEmpty && runs.last._3 == v(b)) {
+        val t = runs.remove(runs.length - 1)
+        runs += ((t._1, b._2, t._3))
+      } else runs += ((b._1, b._2, v(b)))
+    }
+    runs.toSeq
+      .flatMap { case (klo, khi, value) =>
+        if (klo == khi) Seq((klo, value)) else Seq((klo, value), (khi, value))
+      }
+      .zipWithIndex
+      .map { case ((k9, value), i) => (i.toLong, k9.toDouble / 1e9, value) }
+      .toDF("idx", "boundary", "calibrated")
   }
 }

@@ -200,6 +200,35 @@ class ExactInferenceSpec extends SparkSpec {
       s"planted PAV endpoints: ${fit.mkString(",")}")
     assert(fit.filter(p => p._1 > 0.15 && p._1 < 0.35).forall(_._2 == 0.5),
       s"pooled violators should average 0.5: ${fit.mkString(",")}")
+    // canonical collapsed form: the pooled {0.2, 0.3} block emits its two
+    // boundaries; the single-point blocks emit one row each → 4 rows
+    assert(fit.toSeq == Seq((0.1, 0.0), (0.2, 0.5), (0.3, 0.5), (0.4, 1.0)),
+      s"canonical step table: ${fit.mkString(",")}")
+    // partitioning invariance: local-PAV-then-merge is confluent, so the
+    // fit is bit-identical whatever the input partition layout
+    val wide = (0 until 200).map(i =>
+      (i / 1000.0, if (i % 7 < 3) 1.0 else 0.0)) ++
+      Seq((0.05, 1.0), (0.15, 0.0), (0.199, 1.0))
+    for (nPart <- Seq(1, 3, 32)) {
+      val again = graft.llm.QualityModel
+        .isotonicFit(wide.toDF("score", "label").repartition(nPart))
+        .orderBy("idx").collect()
+        .map(r => (r.getAs[Long]("idx"), r.getAs[Double]("boundary"),
+          r.getAs[Double]("calibrated")))
+      val base = graft.llm.QualityModel
+        .isotonicFit(wide.toDF("score", "label"))
+        .orderBy("idx").collect()
+        .map(r => (r.getAs[Long]("idx"), r.getAs[Double]("boundary"),
+          r.getAs[Double]("calibrated")))
+      assert(again.toSeq == base.toSeq, s"nPart=$nPart diverged")
+      // monotone in both coordinates
+      again.sliding(2).foreach { w =>
+        if (w.length == 2) {
+          assert(w(1)._2 > w(0)._2)
+          assert(w(1)._3 >= w(0)._3)
+        }
+      }
+    }
     // t26 on the real corpus: monotone, in [0,1]
     val cal = SparkEntry.queries("t26_isotonic_calibration")(sp, sf01)
       .orderBy("idx").collect()
