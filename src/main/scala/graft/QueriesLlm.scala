@@ -361,13 +361,79 @@ object QueriesLlm {
       Similarity.pqTopK(emb(s, d), queryId = 0L, k = 10),
       None),
 
-    // MMR diversity re-rank over the brute-force top-20 candidates
-    // (rows-only — the greedy selection is iterative; SimilaritySpec pins
-    // first-pick-equals-top-cosine and planted-redundancy demotion).
+    // MMR diversity re-rank over the brute-force top-20 candidates.
+    // FULLY oracle-checked (r9): the greedy selection
+    // argmax λ·rel − (1−λ)·max_{j∈S} sim runs over a BOUNDED candidate
+    // set, so DuckDB replays it as a k-step single-state-row recursion
+    // (the k24 pattern — the candidate table with per-candidate running
+    // redundancy travels as one LIST column; the per-step argmax is a
+    // lexicographic struct max under (score, −id), the same tie rule as
+    // the driver loop). Relevance is the round-6 cosine both engines
+    // already agree on (n01); pairwise sims are unit-vector dot products.
+    // SimilaritySpec additionally pins first-pick-equals-top-cosine and
+    // planted-redundancy demotion.
     Q("n07_mmr_rerank", (s, d) =>
       Similarity.mmrRerank(emb(s, d), queryId = 0L, k = 5,
         candidates = 20, lambda = 0.7),
-      None),
+      Some(
+        """WITH RECURSIVE
+          |mq AS (SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+          |       FROM embeddings WHERE vec_id = 0),
+          |me AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+          |       FROM embeddings WHERE vec_id != 0),
+          |mdots AS (SELECT me.vec_id,
+          |                 sum(CAST(me.v AS DOUBLE) * CAST(mq.qv AS DOUBLE)) AS dot,
+          |                 sum(CAST(me.v AS DOUBLE) * CAST(me.v AS DOUBLE)) AS nrm
+          |          FROM me JOIN mq USING (i) GROUP BY 1),
+          |mqn AS (SELECT sqrt(sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE))) AS qnrm FROM mq),
+          |mcand AS (SELECT vec_id, round(dot / sqrt(nrm) / qnrm, 6) AS rel
+          |          FROM mdots, mqn WHERE nrm > 0
+          |          ORDER BY round(dot / sqrt(nrm) / qnrm, 6) DESC, vec_id LIMIT 20),
+          |mu AS (SELECT me.vec_id, me.i, CAST(me.v AS DOUBLE) / sqrt(d.nrm) AS u
+          |       FROM me JOIN mdots d USING (vec_id) JOIN mcand USING (vec_id)),
+          |msim AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.u * b.u) AS s
+          |         FROM mu a JOIN mu b USING (i) WHERE a.vec_id != b.vec_id
+          |         GROUP BY 1, 2),
+          |msims_per AS (SELECT ia AS vec_id,
+          |                     list(struct_pack(id := ib, s := s) ORDER BY ib) AS sims
+          |              FROM msim GROUP BY 1),
+          |minit AS (
+          |  -- red seeds at -inf (a max over an empty set), NOT 0: pairwise
+          |  -- cosines can be negative, and a 0 seed would floor them; the
+          |  -- rank-0 empty-selected-set case zeroes red at score time
+          |  SELECT list(struct_pack(id := c.vec_id, rel := c.rel,
+          |                          red := CAST('-infinity' AS DOUBLE),
+          |                          sims := p.sims)
+          |              ORDER BY c.vec_id) AS cands
+          |  FROM mcand c JOIN msims_per p USING (vec_id)),
+          |msel AS (
+          |  SELECT 0 AS rank, cands,
+          |         CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS rel,
+          |         CAST(NULL AS DOUBLE) AS red, CAST(NULL AS DOUBLE) AS score
+          |  FROM minit
+          |  UNION ALL
+          |  SELECT rank + 1,
+          |         list_transform(
+          |           list_filter(cands, c -> c.id != pick.id),
+          |           c -> struct_pack(id := c.id, rel := c.rel,
+          |                  red := greatest(c.red,
+          |                    list_filter(c.sims, s -> s.id = pick.id)[1].s),
+          |                  sims := c.sims)) AS cands,
+          |         pick.id, pick.rel, pick.red, pick.score
+          |  FROM (
+          |    SELECT rank, cands,
+          |           list_aggregate(
+          |             list_transform(cands, c -> struct_pack(
+          |               score := CAST(0.7 AS DOUBLE) * c.rel
+          |                        - (1.0 - CAST(0.7 AS DOUBLE))
+          |                          * (CASE WHEN rank = 0 THEN 0.0 ELSE c.red END),
+          |               negid := -c.id, id := c.id, rel := c.rel,
+          |               red := CASE WHEN rank = 0 THEN 0.0 ELSE c.red END)),
+          |             'max') AS pick
+          |    FROM msel WHERE rank < 5 AND len(cands) > 0))
+          |SELECT rank, vec_id, rel AS relevance,
+          |       round(red, 6) AS redundancy, round(score, 6) AS mmr_score
+          |FROM msel WHERE rank >= 1 ORDER BY rank""".stripMargin)),
 
     // N08 — hybrid retrieval via reciprocal-rank fusion (the pattern every
     // vector store ships beside its ANN index, public: Cormack et al.

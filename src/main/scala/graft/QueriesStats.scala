@@ -550,16 +550,16 @@ object QueriesStats {
       |         - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) AS sst
       |  FROM m)""".stripMargin
 
-  private val ksChainSql: String =
-    """, bg AS (
+  private def ksChain(pfx: String): String =
+    s""", ${pfx}bg AS (
       |  SELECT b.probe_id, b.beta, s."group" AS grp
       |  FROM beta b JOIN sheet s USING (sample_id)),
-      |cells AS (
+      |${pfx}cells AS (
       |  SELECT probe_id, beta,
       |         CAST(sum(CASE WHEN grp = 'WT' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
       |         CAST(sum(CASE WHEN grp = 'MUT' THEN 1 ELSE 0 END) AS BIGINT) AS c2
-      |  FROM bg GROUP BY 1, 2),
-      |r AS (
+      |  FROM ${pfx}bg GROUP BY 1, 2),
+      |${pfx}r AS (
       |  SELECT *,
       |         sum(c1) OVER (PARTITION BY probe_id ORDER BY beta
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
@@ -567,39 +567,41 @@ object QueriesStats {
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
       |         sum(c1) OVER (PARTITION BY probe_id) AS n1,
       |         sum(c2) OVER (PARTITION BY probe_id) AS n2
-      |  FROM cells),
-      |a AS (
+      |  FROM ${pfx}cells),
+      |${pfx}a AS (
       |  SELECT probe_id, CAST(max(n1) AS BIGINT) AS n1,
       |         CAST(max(n2) AS BIGINT) AS n2,
       |         CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS gap
-      |  FROM r GROUP BY 1)""".stripMargin
+      |  FROM ${pfx}r GROUP BY 1)""".stripMargin
+
+  private val ksChainSql: String = ksChain("")
 
   /** Mann–Whitney chain (k10 + its inference): tie-cell counts → doubled
     * ranks → exact integer moments → the z double sequence, ending in CTE
     * `mw` (probe_id, n1, n2, u1, z — z UNROUNDED so the inference oracle
     * can feed it to the erfc replay).
     */
-  private val mwChainSql: String =
-    s""", bg AS (
+  private def mwChain(pfx: String): String =
+    s""", ${pfx}bg AS (
        |  SELECT b.probe_id, b.beta, s."group" AS grp
        |  FROM beta b JOIN sheet s USING (sample_id)),
-       |cells AS (
+       |${pfx}cells AS (
        |  SELECT probe_id, beta,
        |         CAST(sum(CASE WHEN grp = 'WT' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
        |         CAST(sum(CASE WHEN grp = 'MUT' THEN 1 ELSE 0 END) AS BIGINT) AS c2
-       |  FROM bg GROUP BY 1, 2),
-       |r AS (
+       |  FROM ${pfx}bg GROUP BY 1, 2),
+       |${pfx}r AS (
        |  SELECT *, c1 + c2 AS t,
        |         sum(c1 + c2) OVER (PARTITION BY probe_id ORDER BY beta
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM cells),
-       |a AS (
+       |  FROM ${pfx}cells),
+       |${pfx}a AS (
        |  SELECT probe_id, CAST(sum(c1) AS BIGINT) AS n1,
        |         CAST(sum(c2) AS BIGINT) AS n2, count(*) AS ncells,
        |         CAST(sum(c1 * (2 * cum - (t - 1))) AS BIGINT) AS r1_2,
        |         CAST(sum(t * t * t - t) AS BIGINT) AS ties
-       |  FROM r GROUP BY 1),
-       |mw AS (
+       |  FROM ${pfx}r GROUP BY 1),
+       |${pfx}mw AS (
        |  SELECT probe_id, n1, n2,
        |         CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
        |         (CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
@@ -608,7 +610,9 @@ object QueriesStats {
        |                * (CAST(n1 + n2 AS DOUBLE) + 1.0
        |                   - CAST(ties AS DOUBLE)
        |                     / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))) AS z
-       |  FROM a WHERE ncells > 1 AND n1 >= 3 AND n2 >= 3)""".stripMargin
+       |  FROM ${pfx}a WHERE ncells > 1 AND n1 >= 3 AND n2 >= 3)""".stripMargin
+
+  private val mwChainSql: String = mwChain("")
 
   /** Mann–Kendall chain (k22 + its inference): exact pair-sign S, tie-
     * corrected variance, continuity-corrected z — ending in CTE `mk`
@@ -781,6 +785,46 @@ object QueriesStats {
       |         (CAST(ri AS DOUBLE) / (2.0 * CAST(ni AS DOUBLE))
       |          - CAST(rj AS DOUBLE) / (2.0 * CAST(nj AS DOUBLE))) / sqrt(sigma2) AS z
       |  FROM du_s WHERE sigma2 > 0.0)""".stripMargin
+
+  /** Welch chain (k17/k40 + inference): group-conditional exact integer
+    * moments → the t / Welch–Satterthwaite df double sequence, ending in
+    * CTE `welch` (probe_id, n1, n2, delta_beta, se_beta, t, df — ALL
+    * unrounded, mirroring [[welchT]]'s output column for column).
+    */
+  private def welchChain(pfx: String): String =
+    s""", ${pfx}bg AS (
+      |  SELECT b.probe_id, CAST(round(b.beta * 997) AS BIGINT) AS k,
+      |         s."group" AS grp
+      |  FROM beta b JOIN sheet s USING (sample_id)),
+      |${pfx}m AS (
+      |  SELECT probe_id,
+      |         CAST(sum(CASE WHEN grp = 'WT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |         CAST(sum(CASE WHEN grp = 'WT' THEN k ELSE 0 END) AS BIGINT) AS s1,
+      |         CAST(sum(CASE WHEN grp = 'WT' THEN k * k ELSE 0 END) AS BIGINT) AS ss1,
+      |         CAST(sum(CASE WHEN grp = 'MUT' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |         CAST(sum(CASE WHEN grp = 'MUT' THEN k ELSE 0 END) AS BIGINT) AS s2,
+      |         CAST(sum(CASE WHEN grp = 'MUT' THEN k * k ELSE 0 END) AS BIGINT) AS ss2
+      |  FROM ${pfx}bg GROUP BY 1),
+      |${pfx}e AS (
+      |  SELECT probe_id, n1, n2,
+      |         (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |           / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE) AS se1,
+      |         (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |           / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE) AS se2,
+      |         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |           - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS md
+      |  FROM ${pfx}m WHERE n1 >= 3 AND n2 >= 3),
+      |${pfx}welch AS (
+      |  SELECT probe_id, n1, n2,
+      |         md / 997.0 AS delta_beta,
+      |         sqrt(se1 + se2) / 997.0 AS se_beta,
+      |         md / sqrt(se1 + se2) AS t,
+      |         (se1 + se2) * (se1 + se2)
+      |           / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+      |              + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) AS df
+      |  FROM ${pfx}e WHERE se1 + se2 > 0.0)""".stripMargin
+
+  private val welchChainSql: String = welchChain("")
 
   private def anovaF(s: org.apache.spark.sql.SparkSession, d: String) = {
     val bg = Tables.betaLong(s, d)
@@ -1583,26 +1627,8 @@ object QueriesStats {
         |         CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
         |           * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
         |                  / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) AS t
-        |  FROM a WHERE n1 > 0 AND n2 > 0 AND n1 >= 3 AND n2 >= 3),
-        |terms AS (
-        |  SELECT probe_id, kk.k,
-        |         CASE WHEN kk.k % 2 = 1 THEN 1.0 ELSE -1.0 END
-        |           * exp(-2.0 * kk.k * kk.k * t * t) AS term,
-        |         exp(-2.0 * kk.k * kk.k * t * t) AS absterm
-        |  FROM st, (SELECT unnest(range(1, 101)) AS k) kk
-        |  WHERE t > 0.05),
-        |ssum AS (
-        |  SELECT probe_id,
-        |         sum(term) OVER (PARTITION BY probe_id ORDER BY k
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm,
-        |         row_number() OVER (PARTITION BY probe_id ORDER BY k DESC) AS rk
-        |  FROM terms WHERE absterm >= 1e-16),
-        |q AS (SELECT probe_id, least(1.0, greatest(0.0, 2.0 * sm)) AS p
-        |      FROM ssum WHERE rk = 1),
-        |pv AS (
-        |  SELECT st.probe_id, st.n1, st.n2, st.d, st.t,
-        |         CASE WHEN st.t <= 0.05 THEN 1.0 ELSE coalesce(q.p, 0.0) END AS p
-        |  FROM st LEFT JOIN q USING (probe_id))""".stripMargin +
+        |  FROM a WHERE n1 > 0 AND n2 > 0 AND n1 >= 3 AND n2 >= 3)""".stripMargin +
+      SqlOracles.kolmogorovPv("n1, n2, d") +
       SqlOracles.bhTail("probe_id, n1, n2, d, t") + "\n" +
       """SELECT probe_id, n1, n2, round(d, 9) AS d, round(t, 6) AS ks_stat,
         |       round(p, 6) AS p_value, round(fdr, 6) AS fdr
@@ -1617,8 +1643,13 @@ object QueriesStats {
     // screening pipeline runs before committing to a probe list. Each
     // input p rides its own oracle-checked statistic chain; the three
     // stats passes share the SAME bg join and each is one aggregate, so
-    // the whole query is three co-keyed aggregates + two joins. Rows-only
-    // (the component CDFs have no SQL analog).
+    // the whole query is three co-keyed aggregates + two joins. FULLY
+    // oracle-checked (r9): all three component CDFs now replay — Welch t
+    // via the fractional-df continued fraction, Mann–Whitney via the Cody
+    // erfc, KS via the shared Kolmogorov series — over the prefix-
+    // parameterized statistic chains (w_/r_/s_ instances of the SAME
+    // chain definitions k17/k10/k11 use), and the fused χ²(6) survival is
+    // the finite even-df series exp(−x/2)·(1 + x/2 + (x/2)²/2).
     Q("k19_fisher_combined", (s, d) => {
       GraftExtensions.registerAll(s)
       val bg = Tables.betaLong(s, d)
@@ -1643,7 +1674,42 @@ object QueriesStats {
           round(col("p_k"), 6).as("p_k"), round(col("x2"), 6).as("x2"),
           round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id")
-    }, None),
+    }, Some(ctes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      welchChain("w_") + mwChain("r_") + ksChain("s_") +
+      """,
+        |w_longt AS (SELECT probe_id, df, t FROM w_welch)""".stripMargin +
+      SqlOracles.studentTFracDfPv("probe_id, df", "w_") +
+      """,
+        |r_pvarg AS (SELECT probe_id, sqrt(z * z / 2.0) AS ex FROM r_mw),
+        |r_pv AS (SELECT probe_id,
+        |""".stripMargin +
+      s"       ${SqlOracles.erfc("ex")} AS p\n" +
+      "FROM r_pvarg)" +
+      """,
+        |s_st AS (
+        |  SELECT probe_id, n1, n2,
+        |         CAST(gap AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |           * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |                  / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) AS t
+        |  FROM s_a WHERE n1 > 0 AND n2 > 0 AND n1 >= 3 AND n2 >= 3)""".stripMargin +
+      SqlOracles.kolmogorovPv("", "s_") +
+      """,
+        |fused AS (
+        |  SELECT w.probe_id, w.p AS p_w, r.p AS p_r, s.p AS p_k,
+        |         -2.0 * (ln(greatest(w.p, 4.9e-324))
+        |                 + ln(greatest(r.p, 4.9e-324))
+        |                 + ln(greatest(s.p, 4.9e-324))) AS x2
+        |  FROM w_pv w JOIN r_pv r USING (probe_id) JOIN s_pv s USING (probe_id)),
+        |pv AS (
+        |  SELECT probe_id, p_w, p_r, p_k, x2,
+        |         exp(-x2 / 2.0)
+        |           * (1.0 + x2 / 2.0 + (x2 / 2.0) * (x2 / 2.0) / 2.0) AS p
+        |  FROM fused)""".stripMargin +
+      SqlOracles.bhTail("probe_id, p_w, p_r, p_k, x2") + "\n" +
+      """SELECT probe_id, round(p_w, 6) AS p_w, round(p_r, 6) AS p_r,
+        |       round(p_k, 6) AS p_k, round(x2, 6) AS x2,
+        |       round(p, 6) AS p_value, round(fdr, 6) AS fdr
+        |FROM f ORDER BY probe_id""".stripMargin)),
 
     // K12 — sample×sample Spearman correlation matrix (the QC-heatmap
     // companion to k08's euclidean distances; rank-based, so outlier
@@ -2183,37 +2249,10 @@ object QueriesStats {
           round(col("delta_beta"), 6).as("delta_beta"),
           round(col("t"), 6).as("t"), round(col("df"), 6).as("df"))
         .orderBy("probe_id"),
-    Some(ctes +
-      """, bg AS (
-        |  SELECT b.probe_id, CAST(round(b.beta * 997) AS BIGINT) AS k,
-        |         s."group" AS grp
-        |  FROM beta b JOIN sheet s USING (sample_id)),
-        |m AS (
-        |  SELECT probe_id,
-        |         CAST(sum(CASE WHEN grp = 'WT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |         CAST(sum(CASE WHEN grp = 'WT' THEN k ELSE 0 END) AS BIGINT) AS s1,
-        |         CAST(sum(CASE WHEN grp = 'WT' THEN k * k ELSE 0 END) AS BIGINT) AS ss1,
-        |         CAST(sum(CASE WHEN grp = 'MUT' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-        |         CAST(sum(CASE WHEN grp = 'MUT' THEN k ELSE 0 END) AS BIGINT) AS s2,
-        |         CAST(sum(CASE WHEN grp = 'MUT' THEN k * k ELSE 0 END) AS BIGINT) AS ss2
-        |  FROM bg GROUP BY 1),
-        |e AS (
-        |  SELECT probe_id, n1, n2,
-        |         (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
-        |           / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE) AS se1,
-        |         (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
-        |           / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE) AS se2,
-        |         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-        |           - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS md
-        |  FROM m WHERE n1 >= 3 AND n2 >= 3)
-        |SELECT probe_id, n1, n2,
-        |       round(md / 997.0, 6) AS delta_beta,
-        |       round(md / sqrt(se1 + se2), 6) AS t,
-        |       round((se1 + se2) * (se1 + se2)
-        |             / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
-        |                + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS df
-        |FROM e WHERE se1 + se2 > 0.0
-        |ORDER BY probe_id""".stripMargin)),
+    Some(ctes + welchChainSql + "\n" +
+      """SELECT probe_id, n1, n2, round(delta_beta, 6) AS delta_beta,
+        |       round(t, 6) AS t, round(df, 6) AS df
+        |FROM welch ORDER BY probe_id""".stripMargin)),
 
     // K18 — Brown–Forsythe variance-homogeneity screen (Levene's test with
     // median centers): the pre-test that decides between pooled and
@@ -2271,8 +2310,12 @@ object QueriesStats {
 
     // K17 inferential completion (the k13/k10 pattern): two-sided p from
     // the native codegen Student-t survival function at the Welch
-    // fractional df, BH-adjusted across probes. Rows-only — the t CDF has
-    // no SQL analog; (t, df) ride k17_welch_dmp's oracle.
+    // fractional df, BH-adjusted across probes. FULLY oracle-checked
+    // (r9): the fractional-df t tail is I_x(df/2, 1/2), which DuckDB
+    // evaluates by the SAME continued fraction commons-math uses, run as
+    // a fixed-depth Lentz recursion (SqlOracles.studentTFracDfPv) over
+    // the shared welchChainSql (t, df) — agreement ~1e-13, far inside
+    // round-6.
     Q("k17_welch_inference", (s, d) => {
       GraftExtensions.registerAll(s)
       val stats = welchT(s, d).withColumn("p_value", expr("graft_t_pvalue(t, df)"))
@@ -2281,7 +2324,14 @@ object QueriesStats {
           round(col("t"), 6).as("t"), round(col("df"), 6).as("df"),
           round(col("p_value"), 6).as("p_value"), round(col("fdr"), 6).as("fdr"))
         .orderBy("probe_id")
-    }, None),
+    }, Some(ctes.replaceFirst("WITH ", "WITH RECURSIVE ") + welchChainSql +
+      """,
+        |longt AS (SELECT probe_id, n1, n2, df, t FROM welch)""".stripMargin +
+      SqlOracles.studentTFracDfPv("probe_id, n1, n2, df") +
+      SqlOracles.bhTail("probe_id, n1, n2, df, t") + "\n" +
+      """SELECT probe_id, n1, n2, round(t, 6) AS t, round(df, 6) AS df,
+        |       round(p, 6) AS p_value, round(fdr, 6) AS fdr
+        |FROM f ORDER BY probe_id""".stripMargin)),
 
     // K20 — Kruskal–Wallis H across the three instrument runs: the
     // nonparametric one-way ANOVA (rank analog of k13, multi-group analog
@@ -2483,9 +2533,11 @@ object QueriesStats {
     // t₁ = (Δ−δ)/se against H₀: Δ ≥ δ and t₂ = (Δ+δ)/se against
     // H₀: Δ ≤ −δ, p_tost = max of the one-sided p's through the codegen
     // Student-t (one-sided from the symmetric two-sided survival
-    // function, row-local). Rows-only — (Δ, t, df) ride k17_welch_dmp's
-    // oracle; ExactInferenceSpec pins both one-sided p's against
-    // commons-math's TDistribution cdf.
+    // function, row-local). FULLY oracle-checked (r9): both one-sided
+    // tails replay through the fractional-df continued fraction
+    // (SqlOracles.studentTFracDfPv, two rows per probe via a side union)
+    // over the shared welchChainSql; ExactInferenceSpec additionally pins
+    // both one-sided p's against commons-math's TDistribution cdf.
     Q("k40_tost_equivalence", (s, d) => {
       GraftExtensions.registerAll(s)
       val delta = 0.20 // equivalence margin in beta units — wide enough
@@ -2508,7 +2560,32 @@ object QueriesStats {
           round(col("p_tost"), 6).as("p_tost"),
           (col("p_tost") < 0.05).as("equivalent"))
         .orderBy("probe_id")
-    }, None),
+    }, Some(ctes.replaceFirst("WITH ", "WITH RECURSIVE ") + welchChainSql +
+      """,
+        |longt AS (
+        |  SELECT probe_id, 1 AS side, delta_beta, se_beta,
+        |         (delta_beta - CAST(0.2 AS DOUBLE)) / se_beta AS t, df
+        |  FROM welch WHERE se_beta > 0.0
+        |  UNION ALL
+        |  SELECT probe_id, 2 AS side, delta_beta, se_beta,
+        |         (delta_beta + CAST(0.2 AS DOUBLE)) / se_beta AS t, df
+        |  FROM welch WHERE se_beta > 0.0)""".stripMargin +
+      SqlOracles.studentTFracDfPv("probe_id, side, delta_beta, se_beta") +
+      """,
+        |tq AS (
+        |  SELECT probe_id, delta_beta, se_beta,
+        |         max(CASE WHEN side = 1 THEN
+        |               CASE WHEN t >= 0 THEN 1.0 - p / 2.0 ELSE p / 2.0 END
+        |             END) AS p_upper,
+        |         max(CASE WHEN side = 2 THEN
+        |               CASE WHEN t >= 0 THEN p / 2.0 ELSE 1.0 - p / 2.0 END
+        |             END) AS p_lower
+        |  FROM pv GROUP BY 1, 2, 3)
+        |SELECT probe_id, round(delta_beta, 6) AS delta_beta,
+        |       round(se_beta, 6) AS se_beta,
+        |       round(greatest(p_upper, p_lower), 6) AS p_tost,
+        |       greatest(p_upper, p_lower) < 0.05 AS equivalent
+        |FROM tq ORDER BY probe_id""".stripMargin)),
 
     // K38 — random-effects meta-analysis (DerSimonian–Laird) of the
     // WT−MUT effect across the three instrument runs: the multi-site

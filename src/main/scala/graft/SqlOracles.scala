@@ -136,6 +136,41 @@ object SqlOracles {
     * into a plausible-but-wrong p (the sf0.01 gate runs ν ≤ a few
     * hundred — extend the range literal before replaying larger designs).
     */
+  /** SQL replay of the asymptotic two-sided Kolmogorov p at t = the KS
+    * statistic (the k11 series, factored in r9 so k19 can reuse it with a
+    * prefix): Q(t) = 2Σ(−1)^{k−1}e^{−2k²t²} as an ordered ascending
+    * running sum over range(1,101) with the absterm ≥ 1e-16 stop, the
+    * t ≤ 0.05 → 1 short-circuit, and the [0,1] clamp — the identical
+    * IEEE sequence graft_ks_sf runs. Expects `${pfx}st` with columns
+    * (probe_id, $stPass..., t); emits `${pfx}terms/ssum/q/pv`, where
+    * `${pfx}pv` carries (probe_id, $stPass..., t, p).
+    */
+  def kolmogorovPv(stPass: String, pfx: String = ""): String = {
+    val carry =
+      if (stPass.trim.isEmpty) ""
+      else stPass.split(",").map(c => s"st.${c.trim}, ").mkString
+    s""",
+       |${pfx}terms AS (
+       |  SELECT probe_id, kk.k,
+       |         CASE WHEN kk.k % 2 = 1 THEN 1.0 ELSE -1.0 END
+       |           * exp(-2.0 * kk.k * kk.k * t * t) AS term,
+       |         exp(-2.0 * kk.k * kk.k * t * t) AS absterm
+       |  FROM ${pfx}st, (SELECT unnest(range(1, 101)) AS k) kk
+       |  WHERE t > 0.05),
+       |${pfx}ssum AS (
+       |  SELECT probe_id,
+       |         sum(term) OVER (PARTITION BY probe_id ORDER BY k
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY k DESC) AS rk
+       |  FROM ${pfx}terms WHERE absterm >= 1e-16),
+       |${pfx}q AS (SELECT probe_id, least(1.0, greatest(0.0, 2.0 * sm)) AS p
+       |      FROM ${pfx}ssum WHERE rk = 1),
+       |${pfx}pv AS (
+       |  SELECT st.probe_id, ${carry}st.t,
+       |         CASE WHEN st.t <= 0.05 THEN 1.0 ELSE coalesce(q.p, 0.0) END AS p
+       |  FROM ${pfx}st st LEFT JOIN ${pfx}q q USING (probe_id))""".stripMargin
+  }
+
   def studentTIntDfPv(keys: String, passCols: String): String =
     s""",
        |geom AS (
@@ -224,6 +259,82 @@ object SqlOracles {
        |          * ((5.6418958354775628695e-1 - $s3 * $num3 / $den3) / $x)
        |END""".stripMargin.replace("\n", " ").replaceAll("\\s+", " ")
   }
+
+  /** SQL replay of the two-sided Student-t tail for FRACTIONAL df (the
+    * Welch–Satterthwaite family, where [[studentTIntDfPv]]'s finite
+    * elementary forms do not exist): P(|T_df| ≥ t) = I_x(df/2, 1/2) with
+    * x = df/(df+t²) — the regularized incomplete beta evaluated by the
+    * SAME continued fraction commons-math's Beta.regularizedBeta uses
+    * (b₂ₘ = m(b−m)x/((a+2m−1)(a+2m)), b₂ₘ₊₁ = −(a+m)(a+b+m)x/((a+2m)
+    * (a+2m+1)), all partial numerators 1), run through modified Lentz as
+    * a FIXED-depth recursive CTE (200 levels — the CF in the convergent
+    * region reaches machine precision in well under 100; commons-math
+    * stops at relative 1e-14, so the two evaluations agree to ~1e-13,
+    * far inside the round-6 comparison), with commons-math's region
+    * switch (x > (a+1)/(a+b+2) ∧ 1−x ≤ (b+1)/(a+b+2) → 1 − I₁₋ₓ(b,a))
+    * and its 1e-50 small-value floor. The prefactor's log-beta is
+    * lgamma(a)+lgamma(b)−lgamma(a+b) — DuckDB's C lgamma and
+    * commons-math's Lanczos agree far below the rounding (the k29
+    * precedent). Expects a prior CTE named `longt` with columns
+    * ($passCols, t, df) where df is a DOUBLE; appends cf_* CTEs ending in
+    * `pv` ($passCols, t, p) so [[bhTail]] can follow. The host query's
+    * WITH must be declared RECURSIVE (the k24
+    * `ctes.replaceFirst("WITH ", "WITH RECURSIVE ")` pattern).
+    */
+  def studentTFracDfPv(passCols: String, pfx: String = ""): String =
+    s""",
+       |${pfx}cf_in AS (
+       |  SELECT $passCols, t,
+       |         least(df, 1000000.0) / (least(df, 1000000.0) + t * t) AS x0,
+       |         least(df, 1000000.0) / 2.0 AS a0, 0.5 AS b0
+       |  FROM ${pfx}longt),
+       |${pfx}cf_sw AS (
+       |  SELECT $passCols, t, x0, a0, b0,
+       |         (x0 > (a0 + 1.0) / (2.0 + b0 + a0)
+       |          AND 1.0 - x0 <= (b0 + 1.0) / (2.0 + b0 + a0)) AS swap
+       |  FROM ${pfx}cf_in),
+       |${pfx}cf_arg AS (
+       |  SELECT $passCols, t, swap,
+       |         CASE WHEN swap THEN 1.0 - x0 ELSE x0 END AS x,
+       |         CASE WHEN swap THEN b0 ELSE a0 END AS a,
+       |         CASE WHEN swap THEN a0 ELSE b0 END AS b
+       |  FROM ${pfx}cf_sw),
+       |${pfx}cf_lz AS (
+       |  -- the seeds MUST be DOUBLE: bare 1.0 literals are DECIMAL(2,1)
+       |  -- in DuckDB, and a DECIMAL seed drags the whole recursion into
+       |  -- scale-1 decimal arithmetic (measured: h froze at 0.2)
+       |  SELECT $passCols, t, swap, x, a, b, 1 AS n,
+       |         CAST(1.0 AS DOUBLE) AS h, CAST(1.0 AS DOUBLE) AS c,
+       |         CAST(0.0 AS DOUBLE) AS d
+       |  FROM ${pfx}cf_arg
+       |  UNION ALL
+       |  SELECT $passCols, t, swap, x, a, b, n + 1,
+       |         h * (cn * dn) AS h, cn AS c, dn AS d
+       |  FROM (
+       |    SELECT *,
+       |           CASE WHEN abs(1.0 + bn / c) < 1e-50 THEN 1e-50
+       |                ELSE 1.0 + bn / c END AS cn,
+       |           1.0 / (CASE WHEN abs(1.0 + bn * d) < 1e-50 THEN 1e-50
+       |                       ELSE 1.0 + bn * d END) AS dn
+       |    FROM (
+       |      SELECT *,
+       |             CASE WHEN n % 2 = 0
+       |                  THEN (n // 2) * (b - (n // 2)) * x
+       |                       / ((a + 2.0 * (n // 2) - 1.0) * (a + 2.0 * (n // 2)))
+       |                  ELSE -(a + ((n - 1) // 2)) * (a + b + ((n - 1) // 2)) * x
+       |                       / ((a + 2.0 * ((n - 1) // 2))
+       |                          * (a + 2.0 * ((n - 1) // 2) + 1.0))
+       |             END AS bn
+       |      FROM ${pfx}cf_lz WHERE n <= 200))),
+       |${pfx}cf_h AS (SELECT $passCols, t, swap, x, a, b, h FROM ${pfx}cf_lz WHERE n = 201),
+       |${pfx}pv AS (
+       |  SELECT $passCols, t,
+       |         CASE WHEN swap THEN 1.0 - ib ELSE ib END AS p
+       |  FROM (
+       |    SELECT *,
+       |           exp(a * ln(x) + b * ln(1.0 - x) - ln(a)
+       |               - (lgamma(a) + lgamma(b) - lgamma(a + b))) * 1.0 / h AS ib
+       |    FROM ${pfx}cf_h))""".stripMargin
 
   /** SQL mirror of [[graft.ops.Analytic.bhAdjustWindowed]]'s step-up chain
     * (the w03 pattern), shared by every inference oracle so the BH replay
