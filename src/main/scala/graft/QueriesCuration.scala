@@ -355,15 +355,24 @@ object QueriesCuration {
           |FROM k ORDER BY shard, pos""".stripMargin)),
 
     // BPE merge induction over the corpus word-frequency table: 16 merge
-    // rounds, each one shuffle over the vocab (never the corpus). Iterative
-    // argmax is not SQL-expressible → rows-only here; BpeSpec pins the
-    // merge sequence to an independent implementation on the canonical
-    // Sennrich corpus, and t09_bpe_pair_counts below oracle-checks the
-    // first round's distributed pair-count input cell-by-cell.
+    // rounds, each one shuffle over the vocab (never the corpus). FULLY
+    // oracle-checked (r9): the merge count is a FIXED 16, so the
+    // induction UNROLLS into 16 generated CTE layers (bpeLayersSql) —
+    // per round, the weighted adjacent-pair aggregate, the
+    // (n desc, left, right) argmax, and the left-to-right non-overlapping
+    // rewrite (the a = b self-overlap case resolved by run-parity:
+    // positions at even offsets within maximal equal-symbol runs start a
+    // merge, the exact semantics of the driver scan). BpeSpec additionally
+    // pins the merge sequence on the canonical Sennrich corpus, and
+    // t09_bpe_pair_counts below hash-checks round 1's distributed input.
     Q("t09_bpe_merges", (s, d) =>
       graft.llm.Bpe.mergesDF(s, docs(s, d), numMerges = 16)
         .orderBy("merge_rank"),
-      None),
+      Some("WITH " + bpeLayersSql(16) + "\n" +
+        (1 to 16).map(r =>
+          s"""SELECT $r AS merge_rank, pa AS "left", pb AS "right", n AS pair_freq FROM bpe_m$r""")
+          .mkString("\nUNION ALL\n") +
+        "\nORDER BY merge_rank")),
 
     // BPE interior oracle: the FIRST merge round's distributed input — the
     // corpus-weighted adjacent-character pair counts over the word-frequency
@@ -401,14 +410,32 @@ object QueriesCuration {
     // Tokenizer application: encode the corpus under the 16 learned
     // merges. The merge loop runs once per DISTINCT word (vocab-bounded
     // UDF on the broadcast side); the corpus token stream only joins the
-    // per-word subword count back and aggregates. Iterative merge
-    // learning is not SQL-expressible → rows-only; BpeSpec pins encode
-    // against hand-computed segmentations, the training-rewrite
-    // consistency invariant, and reconstruction.
+    // per-word subword count back and aggregates. FULLY oracle-checked
+    // (r9): after bpeLayersSql's 16 unrolled rounds, bpe_v16 holds each
+    // word's final segmentation (training-rewrite ≡ encode consistency —
+    // the invariant BpeSpec pins), so per-doc subword counts are one
+    // vocab join + aggregate, with the t14 doc-spine left-join for
+    // zero-token docs.
     Q("t14_bpe_encode", (s, d) => {
       val ms = graft.llm.Bpe.learnMerges(docs(s, d), numMerges = 16)
       graft.llm.Bpe.encode(docs(s, d), ms).orderBy("doc_id")
-    }, None),
+    }, Some("WITH " + bpeLayersSql(16) +
+      """,
+        |bpe_toks AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id,
+        |           unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        |    FROM documents) t WHERE w <> ''),
+        |bpe_cnt AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |         CAST(sum(len(v.syms)) AS BIGINT) AS n_subtokens,
+        |         CAST(sum(length(t.w)) AS BIGINT) AS n_chars
+        |  FROM bpe_toks t JOIN bpe_v16 v USING (w) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(c.n_words, CAST(0 AS BIGINT)) AS n_words,
+        |       coalesce(c.n_subtokens, CAST(0 AS BIGINT)) AS n_subtokens,
+        |       coalesce(c.n_chars, CAST(0 AS BIGINT)) AS n_chars
+        |FROM documents d LEFT JOIN bpe_cnt c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
 
     // Temperature-scaled source mixture (the multilingual sampling rule of
     // Lample & Conneau 2019 §3.1, alpha = 0.5, public): per-source weight
@@ -1094,6 +1121,74 @@ object QueriesCuration {
   }
 
   /** Shared SQL mirror of [[erMentions]] for the c17/c18 oracles. */
+  /** Unrolled BPE induction as generated CTE layers (t09/t14 oracles):
+    * the merge count is a fixed literal, so the "iterative" induction is
+    * `rounds` copies of (pair aggregate → argmax → rewrite) over the
+    * word-frequency vocab — plain SQL, one definition for both oracles.
+    *
+    * Rewrite semantics mirror [[graft.llm.Bpe.learnMerges]]'s driver scan
+    * exactly: left-to-right non-overlapping. For a merge pair (a, b) with
+    * a ≠ b adjacent matches cannot overlap (a match at i+1 would need
+    * b = a), so every match merges; for a = b the scan pairs maximal
+    * equal-symbol runs greedily from the left, which is exactly "matches
+    * at EVEN offsets within the run start a merge" — the isl/off
+    * gaps-and-islands columns compute that parity. A position is consumed
+    * (dropped) iff its predecessor starts a merge.
+    *
+    * Caveat (documented, matches the tested corpora): if some round has
+    * no pairs left, its argmax CTE is empty and the cross join empties
+    * every later layer — the Scala side stops early instead; the oracle
+    * is only valid for corpora that sustain all `rounds` merges (sf0.01
+    * does; BpeSpec covers the early-stop path).
+    */
+  private def bpeLayersSql(rounds: Int): String = {
+    val v0 =
+      """bpe_v0 AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+        |         list_transform(generate_series(1, length(w)),
+        |                        x -> substr(w, CAST(x AS INTEGER), 1)) AS syms
+        |  FROM (
+        |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        |    FROM documents) t
+        |  WHERE w <> '' GROUP BY 1)""".stripMargin
+    val layers = (1 to rounds).map { r =>
+      val p = r - 1
+      s""",
+         |bpe_e$r AS MATERIALIZED (
+         |  SELECT w, freq, CAST(g.pos AS BIGINT) AS pos,
+         |         syms[CAST(g.pos AS INTEGER)] AS sym,
+         |         syms[CAST(g.pos AS INTEGER) + 1] AS nxt
+         |  FROM bpe_v$p, unnest(generate_series(1, len(syms))) AS g(pos)),
+         |bpe_m$r AS MATERIALIZED (
+         |  SELECT sym AS pa, nxt AS pb, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM bpe_e$r WHERE nxt IS NOT NULL
+         |  GROUP BY 1, 2 ORDER BY n DESC, pa, pb LIMIT 1),
+         |bpe_i$r AS MATERIALIZED (
+         |  SELECT e.*, m.pa, m.pb,
+         |         CASE WHEN e.sym = m.pa
+         |              THEN e.pos - row_number() OVER (
+         |                     PARTITION BY e.w, (e.sym = m.pa) ORDER BY e.pos)
+         |         END AS isl
+         |  FROM bpe_e$r e CROSS JOIN bpe_m$r m),
+         |bpe_s$r AS MATERIALIZED (
+         |  SELECT *, coalesce(sym = pa AND nxt = pb
+         |                     AND (pa <> pb OR off % 2 = 0), FALSE) AS ms
+         |  FROM (
+         |    SELECT *, CASE WHEN isl IS NOT NULL
+         |                   THEN pos - min(pos) OVER (PARTITION BY w, isl)
+         |              END AS off
+         |    FROM bpe_i$r)),
+         |bpe_v$r AS MATERIALIZED (
+         |  SELECT w, freq,
+         |         list(CASE WHEN ms THEN pa || pb ELSE sym END ORDER BY pos) AS syms
+         |  FROM (
+         |    SELECT *, coalesce(lag(ms) OVER (PARTITION BY w ORDER BY pos), FALSE) AS cons
+         |    FROM bpe_s$r)
+         |  WHERE NOT cons GROUP BY w, freq)""".stripMargin
+    }
+    v0 + layers.mkString
+  }
+
   private val erSql: String =
     """WITH crm AS (
       |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation,
