@@ -987,6 +987,52 @@ object QueriesStats {
        |             / CAST(n1 + n2 - 2 AS DOUBLE), 4) AS s2_pooled
        |FROM agg WHERE n1 >= 3 AND n2 >= 3 ORDER BY probe_id""".stripMargin
 
+  /** k03 UNROUNDED moments chain ending in CTE `dm_mom` (probe_id, n1,
+    * n2, logfc, df, s2 — Dmp.moments column for column), shared by the
+    * moderated/volcano oracles; [[SqlOracles.ebayesPriorSql]] consumes it
+    * with pfx = "dm_".
+    */
+  private val dmpMomSql: String =
+    s""", dm_bg AS (
+       |  SELECT b.probe_id, s."group" AS grp, ${SqlOracles.mValueClamped("b.beta")} AS m
+       |  FROM beta b JOIN sheet s USING (sample_id)),
+       |dm_agg AS (
+       |  SELECT probe_id,
+       |         count(CASE WHEN grp = 'WT' THEN 1 END) AS n1,
+       |         count(CASE WHEN grp = 'MUT' THEN 1 END) AS n2,
+       |         avg(CASE WHEN grp = 'WT' THEN m END) AS mean1,
+       |         avg(CASE WHEN grp = 'MUT' THEN m END) AS mean2,
+       |         var_samp(CASE WHEN grp = 'WT' THEN m END) AS var1,
+       |         var_samp(CASE WHEN grp = 'MUT' THEN m END) AS var2
+       |  FROM dm_bg GROUP BY 1),
+       |dm_mom AS (
+       |  SELECT probe_id, n1, n2, mean1 - mean2 AS logfc,
+       |         CAST(n1 + n2 - 2 AS DOUBLE) AS df,
+       |         (CAST(n1 - 1 AS DOUBLE) * var1 + CAST(n2 - 1 AS DOUBLE) * var2)
+       |           / CAST(n1 + n2 - 2 AS DOUBLE) AS s2
+       |  FROM dm_agg WHERE n1 >= 3 AND n2 >= 3)""".stripMargin
+
+  /** The moderated-statistics tail shared by the k03_dmp_moderated and
+    * e14 oracles: eBayes prior → s2_post/t_mod → fractional-df CF p → BH
+    * → the significance call. Appends to [[dmpMomSql]]; host WITH must be
+    * RECURSIVE.
+    */
+  private val dmpModeratedTailSql: String =
+    SqlOracles.ebayesPriorSql("dm_", None) +
+      """,
+        |dm_md AS (
+        |  SELECT m.probe_id, m.n1, m.n2, m.logfc, m.df, p.d0,
+        |         ((p.d0 * p.s02) + m.df * m.s2) / (p.d0 + m.df) AS s2_post
+        |  FROM dm_mom m CROSS JOIN dm_prior p),
+        |longt AS (
+        |  SELECT probe_id, n1, n2, logfc,
+        |         logfc / sqrt(s2_post * (1.0 / CAST(n1 AS DOUBLE)
+        |                                 + 1.0 / CAST(n2 AS DOUBLE))) AS t,
+        |         df + d0 AS df
+        |  FROM dm_md)""".stripMargin +
+      SqlOracles.studentTFracDfPv("probe_id, n1, n2, logfc") +
+      SqlOracles.bhTail("probe_id, n1, n2, logfc, t")
+
   def all: Seq[Q] = Seq(
 
     // K3 pass 1 — per-probe two-group M-value moments, pooled variance,
@@ -1006,11 +1052,19 @@ object QueriesStats {
     // team exposes to analysts who never touch the Scala API. The TVF
     // builder hands the analyzer the same logical plan as the Scala
     // query, so Catalyst optimizes TVF body + outer query as one plan.
-    // Rows-only for the moderated surface (eBayes, like k03_dmp_moderated)
+    // FULLY oracle-checked since r9: the moderated surface replays end to
+    // end (see k03_dmp_moderated), so the TVF is held to the IDENTICAL
+    // DuckDB SQL — full moderated-lifecycle TVF parity, not just pass-1.
     Q("e14_sql_tvf_dmp", (s, d) => {
       GraftExtensions.registerAll(s)
       s.sql(s"SELECT * FROM graft_dmp('$d') ORDER BY probe_id")
-    }, None),
+    }, Some(ctes.replaceFirst("WITH ", "WITH RECURSIVE ") + dmpMomSql +
+      dmpModeratedTailSql + "\n" +
+      """SELECT probe_id, n1, n2, round(logfc, 6) AS logfc,
+        |       round(t, 6) AS t_mod, round(p, 6) AS p_value,
+        |       round(fdr, 6) AS fdr,
+        |       (fdr < 0.05 AND abs(logfc) > ln(1.5) / ln(2.0)) AS significant
+        |FROM f ORDER BY probe_id""".stripMargin)),
 
     // ... and the fully ORACLE-CHECKED slice of the same SQL surface: the
     // graft_dmp_pass1 TVF must hash-match the identical DuckDB SQL the
@@ -1020,9 +1074,15 @@ object QueriesStats {
       s.sql(s"SELECT * FROM graft_dmp_pass1('$d') ORDER BY probe_id")
     }, Some(dmpPass1OracleSql)),
 
-    // K3 full — moderated t / p / BH FDR / significance call. The eBayes
-    // prior fit + t CDF have no SQL analog → rows-only; unit-tested in
-    // DmpSpec against hand-computed moments.
+    // K3 full — moderated t / p / BH FDR / significance call. FULLY
+    // oracle-checked (r9): the whole eBayes lifecycle replays in DuckDB —
+    // the method-of-moments prior via digamma/trigamma scalar replays and
+    // the driver's exact 200-step early-stop bisection for
+    // trigammaInverse (a recursive CTE whose state freezes at the stop),
+    // the moderated t row-locally, and p at the FRACTIONAL df + d0
+    // through the continued-fraction replay. The driver-side scalars
+    // (d0, s0²) agree to ~1e-12 (aggregate moments + bisection width),
+    // far inside the round-6 comparison.
     Q("k03_dmp_moderated", (s, d) => {
       val bg = Tables.betaLong(s, d)
         .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
@@ -1034,7 +1094,13 @@ object QueriesStats {
           round(col("fdr"), 6).as("fdr"),
           col("significant"))
         .orderBy("probe_id")
-    }, None),
+    }, Some(ctes.replaceFirst("WITH ", "WITH RECURSIVE ") + dmpMomSql +
+      dmpModeratedTailSql + "\n" +
+      """SELECT probe_id, n1, n2, round(logfc, 6) AS logfc,
+        |       round(t, 6) AS t_mod, round(p, 6) AS p_value,
+        |       round(fdr, 6) AS fdr,
+        |       (fdr < 0.05 AND abs(logfc) > ln(1.5) / ln(2.0)) AS significant
+        |FROM f ORDER BY probe_id""".stripMargin)),
 
     // E3 — the volcano/DMP result table (reference plots.R:139-165,
     // volcano.R:117-166): moderated stats + delta-beta + -log10(p) +
@@ -1057,7 +1123,25 @@ object QueriesStats {
           round(col("neg_log10_p"), 6).as("neg_log10_p"),
           round(col("fdr"), 6).as("fdr"), col("category"))
         .orderBy("probe_id")
-    }, None),
+    }, Some(ctes.replaceFirst("WITH ", "WITH RECURSIVE ") + dmpMomSql +
+      dmpModeratedTailSql +
+      """,
+        |vol_db AS (
+        |  SELECT b.probe_id,
+        |         avg(CASE WHEN s."group" = 'WT' THEN b.beta END)
+        |           - avg(CASE WHEN s."group" = 'MUT' THEN b.beta END) AS delta_beta
+        |  FROM beta b JOIN sheet s USING (sample_id) GROUP BY 1)
+        |SELECT f.probe_id, round(f.logfc, 6) AS logfc,
+        |       round(v.delta_beta, 6) AS delta_beta,
+        |       round(CASE WHEN f.p > 0 THEN -log10(f.p) END, 6) AS neg_log10_p,
+        |       round(f.fdr, 6) AS fdr,
+        |       CASE WHEN f.fdr < 0.05 AND abs(f.logfc) > ln(1.5) / ln(2.0)
+        |                 AND f.logfc > 0 THEN 'sigUp'
+        |            WHEN f.fdr < 0.05 AND abs(f.logfc) > ln(1.5) / ln(2.0)
+        |                 AND f.logfc < 0 THEN 'sigDown'
+        |            ELSE 'notSig' END AS category
+        |FROM f JOIN vol_db v USING (probe_id)
+        |ORDER BY f.probe_id""".stripMargin)),
 
     // K3 multi-contrast — all comparisons in one job, comparison_id as an
     // extra grouping column (reference 16-contrast variant,
@@ -1104,9 +1188,12 @@ object QueriesStats {
     // K3 multi-contrast eBayes — per-contrast prior fit + moderated t/p +
     // per-contrast BH, all contrasts in one moments job (reference
     // Mouse_Microarray_General_Workflow.R:113-146 contrasts.fit → eBayes →
-    // per-coef topTable). Prior fit + t CDF have no SQL analog → rows-only;
-    // DmpSpec asserts each contrast's prior matches the single-contrast fit
-    // on that slice.
+    // per-coef topTable). FULLY oracle-checked (r9): the k03_dmp_moderated
+    // replay, keyed — ebayesPriorSql fits each contrast's prior with its
+    // own bisection (one recursive CTE carrying comparison_id), the CF p
+    // runs at each contrast's fractional df + d0, and BH partitions by
+    // contrast (bhTailBy). DmpSpec additionally asserts each contrast's
+    // prior matches the single-contrast fit on that slice.
     Q("k03_dmp_multicontrast_moderated", (s, d) => {
       val bg = Tables.betaLong(s, d)
         .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
@@ -1123,7 +1210,52 @@ object QueriesStats {
           round(col("fdr"), 6).as("fdr"),
           col("significant"))
         .orderBy("comparison_id", "probe_id")
-    }, None),
+    }, Some(ctes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", dmc_bgx AS (
+         |  SELECT b.probe_id, s."group" || '_' || s.run AS grp,
+         |         ${SqlOracles.mValueClamped("b.beta")} AS m
+         |  FROM beta b JOIN sheet s USING (sample_id)),
+         |dmc_c(comparison_id, g1, g2) AS (VALUES
+         |  ('c_run0', 'WT_run_0', 'MUT_run_0'),
+         |  ('c_run1', 'WT_run_1', 'MUT_run_1'),
+         |  ('c_run2', 'WT_run_2', 'MUT_run_2')),
+         |dmc_j AS (SELECT c.comparison_id, bg.probe_id,
+         |                 CASE WHEN bg.grp = c.g1 THEN 'A' ELSE 'B' END AS side, bg.m
+         |          FROM dmc_bgx bg JOIN dmc_c c ON bg.grp = c.g1 OR bg.grp = c.g2),
+         |dmc_agg AS (SELECT comparison_id, probe_id,
+         |                   count(CASE WHEN side = 'A' THEN 1 END) AS n1,
+         |                   count(CASE WHEN side = 'B' THEN 1 END) AS n2,
+         |                   avg(CASE WHEN side = 'A' THEN m END) AS m1,
+         |                   avg(CASE WHEN side = 'B' THEN m END) AS m2,
+         |                   var_samp(CASE WHEN side = 'A' THEN m END) AS v1,
+         |                   var_samp(CASE WHEN side = 'B' THEN m END) AS v2
+         |            FROM dmc_j GROUP BY 1, 2),
+         |dmc_mom AS (
+         |  SELECT comparison_id, probe_id, n1, n2, m1 - m2 AS logfc,
+         |         CAST(n1 + n2 - 2 AS DOUBLE) AS df,
+         |         (CAST(n1 - 1 AS DOUBLE) * v1 + CAST(n2 - 1 AS DOUBLE) * v2)
+         |           / CAST(n1 + n2 - 2 AS DOUBLE) AS s2
+         |  FROM dmc_agg WHERE n1 >= 3 AND n2 >= 3)""".stripMargin +
+      SqlOracles.ebayesPriorSql("dmc_", Some("comparison_id")) +
+      """,
+        |dmc_md AS (
+        |  SELECT m.comparison_id, m.probe_id, m.n1, m.n2, m.logfc, m.df, p.d0,
+        |         ((p.d0 * p.s02) + m.df * m.s2) / (p.d0 + m.df) AS s2_post
+        |  FROM dmc_mom m LEFT JOIN dmc_prior p USING (comparison_id)),
+        |longt AS (
+        |  SELECT comparison_id, probe_id, n1, n2, logfc,
+        |         logfc / sqrt(s2_post * (1.0 / CAST(n1 AS DOUBLE)
+        |                                 + 1.0 / CAST(n2 AS DOUBLE))) AS t,
+        |         df + d0 AS df
+        |  FROM dmc_md)""".stripMargin +
+      SqlOracles.studentTFracDfPv("comparison_id, probe_id, n1, n2, logfc") +
+      SqlOracles.bhTailBy("comparison_id",
+        "comparison_id, probe_id, n1, n2, logfc, t", "probe_id") + "\n" +
+      """SELECT comparison_id, probe_id, n1, n2, round(logfc, 6) AS logfc,
+        |       round(t, 6) AS t_mod, round(p, 6) AS p_value,
+        |       round(fdr, 6) AS fdr,
+        |       (fdr < 0.05 AND abs(logfc) > ln(1.5) / ln(2.0)) AS significant
+        |FROM f ORDER BY comparison_id, probe_id""".stripMargin)),
 
     // K1 — StandardScaler+PCA flavor (reference pca_analysis.py:38-48).
     Q("k01_pca_scaled", (s, d) =>

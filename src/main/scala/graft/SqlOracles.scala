@@ -136,6 +136,111 @@ object SqlOracles {
     * into a plausible-but-wrong p (the sf0.01 gate runs ν ≤ a few
     * hundred — extend the range literal before replaying larger designs).
     */
+  /** SQL replay of the digamma function ψ(x), x > 0 — the commons-math
+    * shape (shift the argument up to the C_LIMIT = 49 asymptotic region
+    * via ψ(x) = ψ(x+1) − 1/x, then the 3-term Bernoulli series;
+    * x ≤ 1e-5 short-circuits to −γ − 1/x). The shift sum is an unordered
+    * list_sum where commons-math unwinds sequentially — a ~1e-15 ulp
+    * difference, far inside the round-6 comparison everywhere this is
+    * used (per-probe prior moments, which are then AVERAGED).
+    * `x` must be a bare column holding a positive double.
+    */
+  def digammaSql(x: String): String = {
+    val n = s"CAST(greatest(0, ceil(49.0 - $x)) AS BIGINT)"
+    val z = s"($x + $n)"
+    val inv = s"(1.0 / ($z * $z))"
+    val asympt =
+      s"(ln($z) - 0.5 / $z - $inv * ((1.0 / 12.0) + $inv * (1.0 / 120.0 - $inv / 252.0)))"
+    val shift =
+      s"coalesce(list_sum(list_transform(generate_series(0, $n - 1), j -> 1.0 / ($x + j))), 0.0)"
+    s"""CASE WHEN $x > 0 AND $x <= 1e-5
+       |     THEN -0.577215664901532860606512090082 - 1.0 / $x
+       |     ELSE $asympt - $shift
+       |END""".stripMargin.replace("\n", " ").replaceAll("\\s+", " ")
+  }
+
+  /** SQL replay of the trigamma function ψ′(x), x > 0 — same commons-math
+    * shape as [[digammaSql]] (shift via ψ′(x) = ψ′(x+1) + 1/x², 3-term
+    * asymptotic at ≥ 49, 1/x² below 1e-5).
+    */
+  def trigammaSql(x: String): String = {
+    val n = s"CAST(greatest(0, ceil(49.0 - $x)) AS BIGINT)"
+    val z = s"($x + $n)"
+    val inv = s"(1.0 / ($z * $z))"
+    val asympt =
+      s"(1.0 / $z + $inv / 2.0 + $inv / $z * (1.0 / 6.0 - $inv * (1.0 / 30.0 - $inv / 42.0)))"
+    val shift =
+      s"coalesce(list_sum(list_transform(generate_series(0, $n - 1), j -> 1.0 / (($x + j) * ($x + j)))), 0.0)"
+    s"""CASE WHEN $x > 0 AND $x <= 1e-5 THEN 1.0 / ($x * $x)
+       |     ELSE $asympt + $shift
+       |END""".stripMargin.replace("\n", " ").replaceAll("\\s+", " ")
+  }
+
+  /** SQL replay of the k03 eBayes prior fit (ops/Dmp.scala fitPrior /
+    * fitPriorsBy): per-probe z = ln s² − (ψ(df/2) − ln(df/2)) and
+    * ψ′(df/2), method-of-moments (avg, var_samp, avg ψ′), then
+    * d0 = 2·trigammaInverse(evar) by the SAME 200-step early-stop
+    * bisection on [1e-6, 1e7] the driver runs (a keyed recursive CTE —
+    * after the (hi−lo)/hi ≤ 1e-12 stop the state freezes, so the
+    * fixed-depth recursion returns the driver loop's exact exit state),
+    * and s0² = exp(emean + ψ(d0/2) − ln(d0/2)), with fitPrior's
+    * degenerate branches (no valid probe → (1e12, 1), one probe →
+    * (1e12, e^emean), evar ≤ 0 → (1e12, e^emean) — 1e12 is moderated()'s
+    * finite stand-in for the ∞ prior). Expects `${pfx}mom` with columns
+    * ($by?, probe_id, df, s2, …); emits `${pfx}prior` with ($by?, d0,
+    * s02). `by` keys the fit per contrast (fitPriorsBy); None fits one
+    * global prior — the emitted `${pfx}prior` then has exactly one row
+    * to CROSS JOIN. Host WITH must be RECURSIVE.
+    */
+  def ebayesPriorSql(pfx: String, by: Option[String]): String = {
+    val k = by.fold("")(c => s"$c, ")
+    val grp = by.fold("")(c => s" GROUP BY $c")
+    val joinKey = by.getOrElse("")
+    val rootJoin = by.fold(
+      s"LEFT JOIN (SELECT (lo + hi) / 2.0 AS root FROM ${pfx}bi WHERE i = 200) r ON TRUE")(
+      c => s"LEFT JOIN (SELECT $c, (lo + hi) / 2.0 AS root FROM ${pfx}bi WHERE i = 200) r USING ($c)")
+    s""",
+       |${pfx}z AS (
+       |  SELECT ${k}z_raw.hdf,
+       |         ln(z_raw.s2) - (${digammaSql("z_raw.hdf")} - ln(z_raw.hdf)) AS z,
+       |         ${trigammaSql("z_raw.hdf")} AS tri
+       |  FROM (SELECT ${k}df / 2.0 AS hdf, s2 FROM ${pfx}mom
+       |        WHERE s2 > 0 AND NOT isnan(s2)) z_raw),
+       |${pfx}y AS (
+       |  SELECT ${k}emean, evar0 - etri AS y FROM (
+       |    SELECT ${k}avg(z) AS emean, var_samp(z) AS evar0, avg(tri) AS etri
+       |    FROM ${pfx}z$grp)),
+       |${pfx}bi AS (
+       |  SELECT ${k}0 AS i, CAST(1e-6 AS DOUBLE) AS lo, CAST(1e7 AS DOUBLE) AS hi, y
+       |  FROM ${pfx}y WHERE y > 0
+       |  UNION ALL
+       |  SELECT ${k}i + 1,
+       |         CASE WHEN stop THEN lo WHEN tm > y THEN mid ELSE lo END,
+       |         CASE WHEN stop THEN hi WHEN tm > y THEN hi ELSE mid END, y
+       |  FROM (
+       |    SELECT *, CASE WHEN stop THEN CAST(0.0 AS DOUBLE)
+       |                   ELSE ${trigammaSql("mid")} END AS tm
+       |    FROM (SELECT *, (lo + hi) / 2.0 AS mid,
+       |                 (hi - lo) / hi <= 1e-12 AS stop
+       |          FROM ${pfx}bi WHERE i < 200))),
+       |${pfx}edge AS (
+       |  SELECT ${trigammaSql("exlo")} AS tlo, ${trigammaSql("exhi")} AS thi
+       |  FROM (SELECT CAST(1e-6 AS DOUBLE) AS exlo, CAST(1e7 AS DOUBLE) AS exhi)),
+       |${pfx}prior AS (
+       |  SELECT ${k}CASE WHEN emean IS NULL OR y IS NULL OR y <= 0
+       |              THEN CAST(1e12 AS DOUBLE) ELSE 2.0 * root0 END AS d0,
+       |         CASE WHEN emean IS NULL THEN 1.0
+       |              WHEN y IS NULL OR y <= 0 THEN exp(emean)
+       |              ELSE exp(emean + ${digammaSql("root0")} - ln(root0)) END AS s02
+       |  FROM (
+       |    SELECT ${k}emean, y,
+       |           CASE WHEN e.tlo < y THEN CAST(1e-6 AS DOUBLE)
+       |                WHEN e.thi > y THEN CAST(1e7 AS DOUBLE)
+       |                ELSE r.root END AS root0
+       |    FROM ${pfx}y CROSS JOIN ${pfx}edge e
+       |    $rootJoin))""".stripMargin
+  }
+
   /** SQL replay of the asymptotic two-sided Kolmogorov p at t = the KS
     * statistic (the k11 series, factored in r9 so k19 can reuse it with a
     * prefix): Q(t) = 2Σ(−1)^{k−1}e^{−2k²t²} as an ordered ascending
@@ -343,6 +448,22 @@ object SqlOracles {
     * so the final SELECT reads `FROM f` with columns ($passCols, p, fdr).
     * `tieBreak` must match the Spark side's bhAdjust tie-break column.
     */
+  /** Per-group flavor of [[bhTail]] — the SQL mirror of
+    * [[graft.ops.Analytic.bhAdjustBy]] (rank, m and the suffix-min all
+    * partition by `by`, which must be ⊆ passCols).
+    */
+  def bhTailBy(by: String, passCols: String, tieBreak: String): String =
+    s""",
+       |rr AS (SELECT $passCols, p,
+       |              row_number() OVER (PARTITION BY $by ORDER BY p, $tieBreak) AS rn,
+       |              count(*) OVER (PARTITION BY $by) AS mm
+       |       FROM pv),
+       |f AS (SELECT $passCols, p,
+       |             least(min(p * CAST(mm AS DOUBLE) / CAST(rn AS DOUBLE))
+       |                   OVER (PARTITION BY $by ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |                   1.0) AS fdr
+       |      FROM rr)""".stripMargin
+
   def bhTail(passCols: String, tieBreak: String = "probe_id"): String =
     s""",
        |rr AS (SELECT $passCols, p,
