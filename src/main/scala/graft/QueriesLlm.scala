@@ -1708,8 +1708,16 @@ object QueriesLlm {
         .filter(col("q") >= 0.3)
         .withColumn("lang_pred", TextAnalysis.langId(col("__t")))
         .withColumn("fp", TextAnalysis.fingerprint(col("__t")))
-      val keep = staged.groupBy("fp").agg(min("doc_id").as("doc_id"))
-      staged.join(keep, Seq("fp", "doc_id"))
+      // keep-first per fingerprint as ONE window pass (r9): the
+      // groupBy(fp).min(doc_id) + join-back formulation evaluated the
+      // whole row-local extraction chain TWICE (the plan showed the
+      // Union/regex subtree under both the broadcast agg and the probe
+      // side) — min-by-doc_id via row_number is the identical keep rule
+      // with the chain evaluated once and one fp shuffle instead of two.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy(col("doc_id").asc)
+      staged.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
         .groupBy("lang_pred")
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.tokenCount(col("__t"))).as("sum_tokens"),

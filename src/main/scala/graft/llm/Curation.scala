@@ -101,10 +101,15 @@ object Curation {
                           localThreshold: Long = 1000000L): DataFrame = {
     // The edge list is read once per round — persist it (released by the
     // harness via ops.Caches) so an expensive upstream (e.g. the Jaccard
-    // pair join) doesn't recompute every iteration.
+    // pair join) doesn't recompute every iteration. The one-orientation
+    // list persists FIRST: materializing the two-orientation union
+    // directly evaluated the upstream pair join once per union branch
+    // (r9, KernelProbe: the CC stage cost ~2× the pair join; now the
+    // upstream runs once and the doubled view is two cache reads).
+    val edg = graft.ops.Caches.track(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist())
     val und = graft.ops.Caches.track(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      edg.union(edg.select(col("dst").as("src"), col("src").as("dst")))
         .persist())
     // Size dispatch (the bhAdjust pattern): near-dup edge lists are a tiny
     // fraction of the corpus — when they fit on the driver, union-find in

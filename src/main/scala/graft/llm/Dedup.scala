@@ -69,7 +69,13 @@ object Dedup {
     // and the prune is a co-keyed join on the same key the self-join
     // shuffles on — no extra shuffle of the shingle table.
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val pruned = sh.join(df.filter(col("df") <= maxDf).select("shingle"), "shingle")
+    // jaccardPairs reads its input three ways (sizes + both self-join
+    // sides); without a persist the df aggregate + prune join re-ran per
+    // consumer (r9, KernelProbe: ~1 s/pass at sf0.1). Released by the
+    // harness via ops.Caches.
+    val pruned = graft.ops.Caches.track(
+      sh.join(df.filter(col("df") <= maxDf).select("shingle"), "shingle")
+        .persist())
     jaccardPairs(pruned, minJaccard)
   }
 

@@ -83,12 +83,17 @@ object Pipelines {
     // the scored side, and the provenance join) — persist like `survivors`.
     val exact = Caches.track(
       observed(Dedup.exactDedup(docs), "after_exact_dedup").persist())
-    val kept = observed(
+    // kept feeds two consumers (decontaminate's shingle build and the
+    // survivor join) — without a persist the lazy bestOfCluster residue
+    // (the qualityScore regex over every doc + the cluster rank window)
+    // re-evaluated under both branches (r9: one full regex pass saved).
+    val kept = Caches.track(observed(
       Curation.bestOfCluster(exact, minJaccard,
           TextAnalysis.qualityScore(col("text")), maxDf)
         .select(col("kept_doc").as("doc_id"), col("score"))
         .join(exact, "doc_id")
         .filter(col("score") >= minQuality), "after_quality_gate")
+      .persist())
     // survivors feed two consumers (chunk text + provenance join); the
     // cache is registered in Caches and released by the harness.
     val survivors = Caches.track(
