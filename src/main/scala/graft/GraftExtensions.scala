@@ -102,6 +102,11 @@ object GraftExtensions {
         functions.DistinctShingles(es.head,
           es(1).eval().asInstanceOf[Number].intValue())
       }),
+      ("graft_minhash_sigs", 2, es => {
+        require(es(1).foldable, "graft_minhash_sigs: numPerm must be a literal")
+        functions.MinhashSigs(es.head,
+          es(1).eval().asInstanceOf[Number].intValue())
+      }),
       ("graft_winnow", 3, es => {
         require(es(1).foldable && es(2).foldable,
           "graft_winnow: k and w must be literals")

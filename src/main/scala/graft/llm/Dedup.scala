@@ -118,14 +118,17 @@ object Dedup {
     * in the batch path either).
     */
   def minhashSignatureArray(text: org.apache.spark.sql.Column, numPerm: Int,
-                            n: Int = 3): org.apache.spark.sql.Column = {
-    val arr = call_function("graft_shingles", TextAnalysis.normalized(text), lit(n))
-    when(size(arr) > 0,
-      array((0 until numPerm).map { i =>
-        array_min(transform(arr,
-          s => xxhash64(concat_ws("#", lit(s"perm$i"), s))))
-      }: _*))
-  }
+                            n: Int = 3): org.apache.spark.sql.Column =
+    // ONE compiled pass over the shingle array (functions/MinhashSigs —
+    // NULL for empty arrays, so the old when(size > 0) guard is folded
+    // into the kernel). The previous numPerm × transform/array_min HOF
+    // formulation ran interpreted per element (HOFs never codegen) and
+    // was the dominant row-local cost of the e12/streaming monitor plans;
+    // DedupSpec pins value parity with the batch minhashSignatures
+    // aggregate, permutation by permutation.
+    call_function("graft_minhash_sigs",
+      call_function("graft_shingles", TextAnalysis.normalized(text), lit(n)),
+      lit(numPerm))
 
   /** Per-(band, bucket) rows with the full signature carried along:
     * `(doc_id, <passthrough cols>, band, sig, sigv)` — the row-local

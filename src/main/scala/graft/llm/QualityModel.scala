@@ -54,12 +54,29 @@ object QualityModel {
                  textCol: String = "text"): DataFrame = {
     val labeled = featureFrame(docs, textCol)
       .withColumn("label", weakLabel(col(textCol)))
-    val assembled = new VectorAssembler()
+    val assembled0 = new VectorAssembler()
       .setInputCols(featureCols).setOutputCol("features")
       // null text propagates null features; skip such rows instead of
       // aborting the whole training job (the assembler's default "error")
       .setHandleInvalid("skip")
       .transform(labeled)
+    // Size-adaptive training parallelism (the bhAdjust dispatch pattern):
+    // every L-BFGS iteration is one treeAggregate job over the instance
+    // partitions, so a small corpus on a wide session pays
+    // iterations × cores of task overhead for microseconds of per-task
+    // math (measured: most of t10's wall at sf0.1). Persist the features
+    // (scoring re-reads them too — Spark ML only caches its internal
+    // instance RDD), count once, and aim for ≥ ~64k rows per training
+    // partition, capped at the session's parallelism so a 100 TB corpus
+    // still trains at full width.
+    val spark = docs.sparkSession
+    val assembled = {
+      val a = graft.ops.Caches.track(assembled0.persist())
+      val n = a.count()
+      val target = math.max(1L,
+        math.min(spark.sparkContext.defaultParallelism.toLong, n / 65536L + 1L))
+      a.coalesce(target.toInt)
+    }
     val model = new LogisticRegression()
       .setMaxIter(100).setRegParam(1e-3).setStandardization(true)
       .fit(assembled)
