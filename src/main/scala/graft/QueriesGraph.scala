@@ -43,6 +43,9 @@ object QueriesGraph {
     // Self-join of the edge list on the customer side; fan-out is bounded
     // by per-customer degree (suppliers-per-customer²), never corpus².
     Q("g02_copurchase_projection", (s, d) => {
+      // NOT persisted (r9 A/B): the self-join's two identical subtrees
+      // share one shuffle via ReuseExchange, so a persist only adds a
+      // materialization barrier (measured 2.5 s -> 2.7 s)
       val e = Graph.custSuppEdges(Tables.table(s, d, "orders"),
           Tables.table(s, d, "lineitem"))
         .select((col("src") / 2L).cast("bigint").as("cust"),

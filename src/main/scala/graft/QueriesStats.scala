@@ -1528,13 +1528,18 @@ object QueriesStats {
       val bk = bk0.join(broadcast(top), "probe_id")
       val l = bk.select(col("probe_id"), col("sample_id").as("sa"), col("k").as("ka"))
       val r = bk.select(col("probe_id"), col("sample_id").as("sb"), col("k").as("kb"))
-      val pairs = l.join(r, "probe_id").filter(col("sa") < col("sb"))
-        .groupBy("sa", "sb")
-        .agg(count(lit(1)).as("n_shared"),
-          sum((col("ka") - col("kb")) * (col("ka") - col("kb"))).as("d2_num"))
-        .withColumn("d2", col("d2_num").cast("double")
-          / (lit(994009.0) * col("n_shared").cast("double")))
-        .select("sa", "sb", "d2")
+      // pairs persists FIRST (the CC/graph r9 fix): materializing the
+      // two-orientation union directly would run the expansion join once
+      // per union branch
+      val pairs = graft.ops.Caches.track(
+        l.join(r, "probe_id").filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb")
+          .agg(count(lit(1)).as("n_shared"),
+            sum((col("ka") - col("kb")) * (col("ka") - col("kb"))).as("d2_num"))
+          .withColumn("d2", col("d2_num").cast("double")
+            / (lit(994009.0) * col("n_shared").cast("double")))
+          .select("sa", "sb", "d2")
+          .persist())
       val sym = graft.ops.Caches.track(pairs
         .unionByName(pairs.select(col("sb").as("sa"), col("sa").as("sb"),
           col("d2")))

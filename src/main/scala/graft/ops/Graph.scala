@@ -66,9 +66,13 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iterations: Int = 5,
                localThreshold: Long = 2000000L): DataFrame = {
+    // persist the one-orientation list FIRST (the connectedComponents r9
+    // fix): materializing the two-orientation union directly evaluates
+    // the upstream edge derivation once per union branch
+    val edg = Caches.track(
+      edges.select(col("src"), col("dst")).persist())
     val und = Caches.track(
-      edges.select(col("src"), col("dst"))
-        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      edg.union(edg.select(col("dst").as("src"), col("src").as("dst")))
         .persist())
     // Size dispatch (the connectedComponents pattern): integer arithmetic
     // is order-independent, so the driver-local recurrence is bit-identical
@@ -184,12 +188,19 @@ object Graph {
     * @return one row per triangle, vertices sorted ascending as (x, y, z)
     */
   def triangles(pairs: DataFrame): DataFrame = {
-    val deg = pairs.select(col("u").as("n"))
-      .unionAll(pairs.select(col("v").as("n")))
+    // NOT persisted (r9): pairs feeds three subtrees (both degree union
+    // branches + the orientation join), but an A/B measurement at sf0.1
+    // showed the persist SLOWER (3.0 s -> 3.4 s for g03) — the cache
+    // materialization barrier costs more than the recomputes it saves on
+    // a cached-scan upstream. Callers with a genuinely expensive pair
+    // generator should persist before calling.
+    val pr = pairs
+    val deg = pr.select(col("u").as("n"))
+      .unionAll(pr.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val e = pairs
+    val e = pr
       .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
       .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
@@ -227,9 +238,11 @@ object Graph {
     * @return (id, dist) for every node within maxHops of a seed
     */
   def shortestPaths(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    // one-orientation list persists first — see pageRank
+    val edg = Caches.track(
+      edges.select(col("src"), col("dst")).persist())
     val und = Caches.track(
-      edges.select(col("src"), col("dst"))
-        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      edg.union(edg.select(col("dst").as("src"), col("src").as("dst")))
         .persist())
     var settled = seeds.select(col("id")).distinct()
       .withColumn("dist", lit(0)).localCheckpoint()
