@@ -1108,11 +1108,13 @@ object QueriesStats {
     Q("k03_volcano_table", (s, d) => {
       val bg = Tables.betaLong(s, d)
         .join(broadcast(Tables.sampleSheet(s, d)), "sample_id")
-      val deltaBeta = bg.groupBy("probe_id")
-        .agg((avg(when(col("group") === "WT", col("beta"))) -
-          avg(when(col("group") === "MUT", col("beta")))).as("delta_beta"))
-      Dmp.dmp(bg, "WT", "MUT")
-        .join(deltaBeta, "probe_id")
+      // delta_beta rides the moments aggregate (Dmp.dmp extraAggs, r9) —
+      // the separate groupBy + probe-keyed join-back cost a second full
+      // pass over the joined betas; same groups, same avg, so the value
+      // (and the oracle's separate-CTE replay) is unchanged
+      Dmp.dmp(bg, "WT", "MUT", extraAggs = Seq(
+          (avg(when(col("group") === "WT", col("beta"))) -
+            avg(when(col("group") === "MUT", col("beta")))).as("delta_beta")))
         .withColumn("neg_log10_p", Fns.negLog10(col("p_value")))
         .withColumn("category",
           when(col("significant") && col("logfc") > 0, "sigUp")

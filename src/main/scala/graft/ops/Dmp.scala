@@ -36,16 +36,17 @@ object Dmp {
     * (/root/reference/plots.R:73-76).
     */
   def moments(betaWithGroup: DataFrame, g1: String, g2: String,
-              minPerGroup: Int = 3): DataFrame = {
+              minPerGroup: Int = 3,
+              extraAggs: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val m = Fns.mValueClamped(col("beta"))
+    val aggs = Seq(
+      count(when(col("group") === g2, 1)).as("n2"),
+      avg(when(col("group") === g1, m)).as("mean1"),
+      avg(when(col("group") === g2, m)).as("mean2"),
+      var_samp(when(col("group") === g1, m)).as("var1"),
+      var_samp(when(col("group") === g2, m)).as("var2")) ++ extraAggs
     betaWithGroup.groupBy("probe_id")
-      .agg(
-        count(when(col("group") === g1, 1)).as("n1"),
-        count(when(col("group") === g2, 1)).as("n2"),
-        avg(when(col("group") === g1, m)).as("mean1"),
-        avg(when(col("group") === g2, m)).as("mean2"),
-        var_samp(when(col("group") === g1, m)).as("var1"),
-        var_samp(when(col("group") === g2, m)).as("var2"))
+      .agg(count(when(col("group") === g1, 1)).as("n1"), aggs: _*)
       .filter(col("n1") >= minPerGroup && col("n2") >= minPerGroup)
       .withColumn("logfc", col("mean1") - col("mean2"))
       .withColumn("df", (col("n1") + col("n2") - 2).cast("double"))
@@ -178,8 +179,14 @@ object Dmp {
     * deliberate multi-action cache, tracked in [[Caches]] so
     * session-sharing harnesses release it between queries.
     */
-  def dmp(betaWithGroup: DataFrame, g1: String, g2: String): DataFrame = {
-    val mom = Caches.track(moments(betaWithGroup, g1, g2).persist())
+  def dmp(betaWithGroup: DataFrame, g1: String, g2: String,
+          extraAggs: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    // extraAggs ride the SAME moments aggregate and pass through the
+    // moderated tail untouched (r9: k03_volcano's delta_beta previously
+    // cost a second full aggregate over the joined betas plus a
+    // probe-keyed join back).
+    val mom = Caches.track(moments(betaWithGroup, g1, g2,
+      extraAggs = extraAggs).persist())
     moderated(mom, fitPrior(mom))
   }
 
