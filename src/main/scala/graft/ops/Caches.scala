@@ -25,11 +25,17 @@ object Caches {
     df
   }
 
-  /** Unpersist every tracked intermediate (non-blocking). */
+  /** Unpersist every tracked intermediate. BLOCKING since r9: the
+    * harnesses call this between timed queries, and async unpersist left
+    * the blocks of query N resident while query N+1 ran — on the 8 g
+    * bench heap that read as diffuse ~0.5 s slowdowns on memory-heavy
+    * neighbors. Block removal is reference dropping (no recompute), so
+    * the synchronous wait is microseconds-to-ms per cache.
+    */
   def releaseAll(): Unit = {
     var df = tracked.poll()
     while (df != null) {
-      try df.unpersist(false)
+      try df.unpersist(true)
       catch { case _: Throwable => () } // session may already be stopped
       df = tracked.poll()
     }
