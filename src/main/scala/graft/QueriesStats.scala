@@ -2242,10 +2242,11 @@ object QueriesStats {
           .select(key)
       val goodS = gate(detp, "sample_id")
       val goodP = gate(detp.join(goodS, Seq("sample_id"), "left_semi"), "probe_id")
-      val qc = Tables.betaLong(s, d)
+      val qc = graft.ops.Caches.track(Tables.betaLong(s, d)
         .join(goodS, Seq("sample_id"), "left_semi")
         .join(goodP, Seq("probe_id"), "left_semi")
         .withColumn("k", round(col("beta") * 997).cast("long"))
+        .persist())
       val sheet = broadcast(Tables.sampleSheet(s, d))
       // two-group delta screen (the k14 significance gate) → 1-row scalar
       val nSig = qc.join(sheet, "sample_id")
