@@ -29,6 +29,8 @@ object KernelProbe {
     }
     val which = if (args.length > 1) args(1) else "k12"
     if (which == "e04") { probeE04(spark, sfDir); spark.stop(); return }
+    if (which == "k01") { probeK01(spark, sfDir); spark.stop(); return }
+    if (which == "k12t") { probeK12T(spark, sfDir); spark.stop(); return }
 
     val df = Tables.betaLong(spark, sfDir)
     df.count() // warm the shared view
@@ -89,6 +91,104 @@ object KernelProbe {
       graft.ops.Caches.releaseAll()
     }
     spark.stop()
+  }
+
+  /** Interior decomposition of the k12 thresholded Spearman: rank+persist,
+    * dispatch aggregate, sign-sketch projection, candidate pairs, verify.
+    */
+  private def probeK12T(spark: SparkSession, sfDir: String): Unit = {
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $tag%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+    }
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.betaLong(spark, sfDir)
+    df.count()
+    val (probeCol, sampleCol, valCol) = ("probe_id", "sample_id", "beta")
+    (1 to 2).foreach { rep =>
+      println(s"--- rep $rep")
+      val cells = df.groupBy(sampleCol, valCol).agg(count(lit(1)).as("t"))
+      val wCum = Window.partitionBy(sampleCol).orderBy(valCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = cells.withColumn("cum", sum("t").over(wCum))
+        .withColumn("ar2", lit(2L) * col("cum") - (col("t") - lit(1L)))
+        .select(col(sampleCol), col(valCol), col("ar2"))
+      val rb = graft.ops.Caches.track(
+        df.join(ranked, Seq(sampleCol, valCol))
+          .select(col(probeCol), col(sampleCol), col("ar2"))
+          .persist())
+      time("dispatch agg")(
+        rb.groupBy(sampleCol).agg(count(lit(1)).as("__n")).collect().length)
+      val perSample = rb.groupBy(sampleCol).agg(count(lit(1)).as("__n")).collect()
+      val sampleIds = perSample.map(_.getString(0)).sorted
+      val nSamples = sampleIds.length.toLong
+      val r = (4 to 30).find(b => (1L << b) * 4 >= nSamples).getOrElse(30)
+      val nbits = 8 * r
+      val nWords = (nbits + 63) / 64
+      def signBit(j: Int) =
+        when(substring(md5(concat(col(probeCol), lit("#"), lit(j.toString))),
+          1, 1) < "8", lit(1L << (j % 64))).otherwise(lit(0L))
+      val signWords = (0 until nWords).map { w =>
+        (w * 64 until math.min((w + 1) * 64, nbits))
+          .map(signBit).reduce(_.bitwiseOR(_))
+      }
+      val signs = rb.select(col(probeCol)).distinct()
+        .select(col(probeCol), array(signWords: _*).as("words"))
+      time("signs count")(signs.count())
+      val sketch = udaf(new graft.functions.SignSketchAgg(nbits))
+      val proj = rb.join(signs, probeCol)
+        .repartition(col(sampleCol))
+        .groupBy(col(sampleCol))
+        .agg(sketch(col("ar2"), col("words")).as("bits"))
+      time("sketch proj")(proj.count())
+      time("full thresholded")(
+        graft.ops.Analytic.spearmanThresholded(df, probeCol, sampleCol,
+          valCol, tau = 0.25).count())
+      graft.ops.Caches.releaseAll()
+    }
+  }
+
+  /** Interior decomposition of the k01 all-CpG PCA: sample collect, the
+    * centered long table, the collect_list + Dataset-decode + sparse-row
+    * build, and the Gram treeAggregate.
+    */
+  private def probeK01(spark: SparkSession, sfDir: String): Unit = {
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $tag%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+    }
+    import spark.implicits._
+    val beta = Tables.betaLong(spark, sfDir)
+    beta.count()
+    (1 to 2).foreach { rep =>
+      println(s"--- rep $rep")
+      time("samples collect")(
+        beta.select("sample_id").distinct().as[String].collect().length)
+      val samples = beta.select("sample_id").distinct().as[String].collect().sorted
+      val nS = samples.length
+      val sdim = broadcast(samples.zipWithIndex.toSeq.toDF("sample_id", "__sid"))
+      val mu = beta.groupBy("probe_id").agg(avg("beta").as("__mu"))
+      val centered = beta.join(mu, "probe_id").join(sdim, "sample_id")
+        .select(col("probe_id"), col("__sid"), (col("beta") - col("__mu")).as("v"))
+      time("centered count")(centered.count())
+      val grouped = centered.groupBy("probe_id")
+        .agg(collect_list(struct(col("__sid").as("_1"), col("v").as("_2"))).as("cells"))
+      time("collect_list count")(grouped.count())
+      val rows = grouped.select("cells").as[Seq[(Int, Double)]]
+        .rdd.map { cells =>
+          val sorted = cells.sortBy(_._1)
+          org.apache.spark.mllib.linalg.Vectors.sparse(
+            nS, sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+        }
+      time("rdd decode count")(rows.count())
+      time("gram")(
+        { new org.apache.spark.mllib.linalg.distributed.RowMatrix(rows, 0L, nS)
+            .computeGramianMatrix(); 1L })
+      time("full pcaAllCpg")(graft.ops.Pca.pcaAllCpg(beta, 3).count())
+      graft.ops.Caches.releaseAll()
+    }
   }
 
   /** Cumulative-prefix decomposition of the e04 curation pipeline (the

@@ -421,20 +421,27 @@ object Analytic {
     */
   def spearmanMatrix(df: DataFrame, probeCol: String, sampleCol: String,
       valCol: String, forceDecimal: Option[Boolean] = None): DataFrame = {
-    val cells = df.groupBy(sampleCol, valCol).agg(count(lit(1)).as("t"))
-    val wCum = Window.partitionBy(sampleCol).orderBy(valCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = cells.withColumn("cum", sum("t").over(wCum))
-      .withColumn("ar2", lit(2L) * col("cum") - (col("t") - lit(1L)))
-      .select(col(sampleCol), col(valCol), col("ar2"))
+    // Doubled average ranks in ONE window pass over the rows (r9): with
+    // cum = count over RANGE unbounded..current (peers included ⇒ the
+    // tie group's MAX rank) and t = count over RANGE current..current
+    // (the tie count), min+max rank = 2·cum − t + 1 — the identical
+    // exact integer the tie-cell construction produced as
+    // 2·Σt − (t−1). Both frames share one (sample, order-by-value)
+    // window spec, so this is one exchange + one sort, replacing the
+    // cells aggregate + cell window + (sample, value) join-back
+    // (three shuffles; KernelProbe measured the old chain ~1.6 s/pass
+    // at sf0.1).
+    val w = Window.partitionBy(sampleCol).orderBy(valCol)
+    val cumAll = count(lit(1))
+      .over(w.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    val ties = count(lit(1))
+      .over(w.rangeBetween(Window.currentRow, Window.currentRow))
     // Both sides of the pair-expansion self-join read the ranked rows —
-    // persist (the spearmanThresholded posture; released by the harness
-    // via Caches) so the cells aggregate + rank window + join-back chain
-    // runs once, not once per join side (KernelProbe: ~1.6 s/pass at
-    // sf0.1). Projected to the three surviving columns so the cache holds
-    // narrow rows.
+    // persist (released by the harness via Caches) so the rank window
+    // runs once, not once per join side. Projected to the three
+    // surviving columns so the cache holds narrow rows.
     val rb = graft.ops.Caches.track(
-      df.join(ranked, Seq(sampleCol, valCol))
+      df.withColumn("ar2", lit(2L) * cumAll - ties + lit(1L))
         .select(col(probeCol), col(sampleCol), col("ar2"))
         .persist())
     // ONE pass over rb decides the moment width, collects the bounded
@@ -536,16 +543,16 @@ object Analytic {
     require(tau > 0.0 && tau < 1.0, s"tau=$tau outside (0, 1)")
     val spark = df.sparkSession
     import spark.implicits._
-    val cells = df.groupBy(sampleCol, valCol).agg(count(lit(1)).as("t"))
-    val wCum = Window.partitionBy(sampleCol).orderBy(valCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = cells.withColumn("cum", sum("t").over(wCum))
-      .withColumn("ar2", lit(2L) * col("cum") - (col("t") - lit(1L)))
-      .select(col(sampleCol), col(valCol), col("ar2"))
+    // one-window-pass doubled ranks — see spearmanMatrix (r9)
+    val w = Window.partitionBy(sampleCol).orderBy(valCol)
+    val cumAll = count(lit(1))
+      .over(w.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    val ties = count(lit(1))
+      .over(w.rangeBetween(Window.currentRow, Window.currentRow))
     // consumed by the sketch (probes×bits) AND the candidate verify —
     // persist so the rank window runs once
     val rb = graft.ops.Caches.track(
-      df.join(ranked, Seq(sampleCol, valCol))
+      df.withColumn("ar2", lit(2L) * cumAll - ties + lit(1L))
         .select(col(probeCol), col(sampleCol), col("ar2"))
         .persist())
     // Width dispatch on the semantically-correct axis: every moment here
