@@ -50,18 +50,41 @@ object Analytic {
     * (p·n then /rank, suffix-min, clamp), asserted bit-equal in PropertySpec.
     */
   def bhAdjust(df: DataFrame, pCol: String, tieBreak: String,
-               outCol: String = "fdr", windowMaxRows: Long = 5000000L): DataFrame = {
-    // Persist before the dispatch count — otherwise the (possibly
-    // expensive) upstream plan runs twice, once for the count and once for
-    // the chosen path. Only when the caller hasn't persisted it already:
-    // tracking a cache the caller owns would let the harness's releaseAll
-    // kill it (ops.Caches ownership contract).
-    val input =
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        Caches.track(df.persist())
-      else df
-    if (input.count() <= windowMaxRows) bhAdjustWindowed(input, pCol, tieBreak, outCol)
-    else bhAdjustRanged(input, pCol, tieBreak, outCol)
+               outCol: String = "fdr", windowMaxRows: Long = 5000000L,
+               knownRows: Option[Long] = None): DataFrame = {
+    // Plan-ONLY dispatch: the two paths compute the identical double-op
+    // sequence (PropertySpec asserts them bit-equal), so the row count
+    // here picks a physical plan, never a result — which licenses an
+    // ESTIMATE in place of an exact count (the k12 width-dispatch
+    // precedent). Until r10 this ran `persist(); count()` — one extra job
+    // plus one cache fill per call, per adjusted query, pure fixed cost at
+    // every scale (the 8-vs-32-core cohort below 0.7 was job-count-bound).
+    // Callers that already know the exact row count pass it via knownRows
+    // (Dmp folds it into the prior-fit aggregate); everyone else gets the
+    // leaf-bytes estimate, which over-counts rows by ≥one order (≥48-byte
+    // statistic rows, /8 divisor, compressed leaf bytes) and so errs
+    // toward the scale-safe ranged path, never toward an oversized
+    // single-partition window sort.
+    // The windowed path consumes its input exactly once inside the
+    // caller's single action, so dropping the persist removes a cache
+    // fill without duplicating any upstream work.
+    val rows = knownRows.getOrElse(planRowEstimate(df))
+    if (rows <= windowMaxRows) bhAdjustWindowed(df, pCol, tieBreak, outCol)
+    else bhAdjustRanged(df, pCol, tieBreak, outCol)
+  }
+
+  /** Row-count ESTIMATE from plan statistics — no job. Sums the leaf
+    * relations' sizeInBytes (cached relations report their real in-memory
+    * bytes; file relations their on-disk bytes) and divides by 8 — a
+    * deliberate under-count of bytes/row for the ≥48-byte statistic rows
+    * the adjusters see, so the row estimate OVER-counts. Suitable only for
+    * plan-equivalent dispatches (windowed vs ranged are bit-equal); never
+    * use where the count affects a result.
+    */
+  private[graft] def planRowEstimate(df: DataFrame): Long = {
+    val leafBytes = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    (leafBytes / 8).min(BigInt(Long.MaxValue)).toLong
   }
 
   /** Benjamini–Yekutieli FDR — the dependence-robust BH variant: the
@@ -92,14 +115,11 @@ object Analytic {
     * where BH runs a suffix-min descending. Same two-path size dispatch.
     */
   def holmAdjust(df: DataFrame, pCol: String, tieBreak: String,
-                 outCol: String = "p_holm", windowMaxRows: Long = 5000000L): DataFrame = {
-    val input =
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        Caches.track(df.persist())
-      else df
-    if (input.count() <= windowMaxRows) holmWindowed(input, pCol, tieBreak, outCol)
-    else holmRanged(input, pCol, tieBreak, outCol)
-  }
+                 outCol: String = "p_holm", windowMaxRows: Long = 5000000L): DataFrame =
+    // plan-only dispatch — see bhAdjust (holmWindowed ≡ holmRanged
+    // bit-equal, PropertySpec)
+    if (planRowEstimate(df) <= windowMaxRows) holmWindowed(df, pCol, tieBreak, outCol)
+    else holmRanged(df, pCol, tieBreak, outCol)
 
   private[graft] def holmWindowed(df: DataFrame, pCol: String, tieBreak: String,
                                   outCol: String = "p_holm"): DataFrame = {

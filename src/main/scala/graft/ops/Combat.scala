@@ -49,8 +49,11 @@ object Combat {
     val dims = sheet.select("sample_id", "run", "group")
     val joined = mvals.join(broadcast(dims), "sample_id")
 
-    val batches = dims.select("run").distinct().as[String].collect().sorted
-    val groups = dims.select("group").distinct().as[String].collect().sorted
+    // ONE aggregate job collects both bounded axes (was two distinct()
+    // collects — r10, the k12 consolidation template)
+    val axes = dims.agg(collect_set(col("run")), collect_set(col("group"))).head()
+    val batches = axes.getSeq[String](0).toArray.sorted
+    val groups = axes.getSeq[String](1).toArray.sorted
     val bc = spark.sparkContext.broadcast((batches, groups))
 
     val cells = joined.groupBy("probe_id", "run", "group")
@@ -192,18 +195,29 @@ object Combat {
       (g, dlt)
     }
 
-    val eb = batchStats.withColumn("eb",
+    // ONE adjustment-parameter join instead of two (r10): cellStats holds
+    // exactly one row per (probe, batch, group) cell carrying BOTH the
+    // per-(probe, group) standardization stats and the per-(probe, batch)
+    // EB inputs (each duplicated across the other axis by construction),
+    // so the EB solve can run directly on the cell rows and the long table
+    // joins the parameters once on the full cell key — the old shape
+    // shuffled the adjusted table twice (once keyed (probe, group) for
+    // stand, once keyed (probe, run) for eb). Every long row's own cell is
+    // non-empty (the row itself is an observation in it), so the inner
+    // triple-key join keeps exactly the rows the two-join shape kept; the
+    // EB fixed point depends only on (probe, batch) columns, so its per-
+    // cell evaluation repeats the identical iteration G times instead of
+    // once — bounded extra compute (groups are a constant axis), zero
+    // extra shuffle bytes.
+    val adjParams = cellStats.withColumn("eb",
         ebSolve(col("batch"), col("gamma_hat"), col("delta2_hat"), col("n_b"),
           col("z_sum_b"), col("z_ss_b")))
-      .select(col("probe_id"), col("batch").as("run"),
+      .select(col("probe_id"), col("batch").as("run"), col("group"),
+        col("stand_mean"), col("var_pooled"),
         col("eb._1").as("gamma_star"), col("eb._2").as("delta_star"))
 
-    val stand = cellStats.groupBy("probe_id", "group")
-      .agg(first("stand_mean").as("stand_mean"), first("var_pooled").as("var_pooled"))
-
     joined
-      .join(stand, Seq("probe_id", "group"))
-      .join(eb, Seq("probe_id", "run"))
+      .join(adjParams, Seq("probe_id", "run", "group"))
       .withColumn("sd", sqrt(col("var_pooled")))
       .withColumn("z", (col("m") - col("stand_mean")) / col("sd"))
       .withColumn("m_adj",

@@ -102,21 +102,34 @@ object Dmp {
     }
   }
 
-  def fitPrior(moments: DataFrame): Prior = {
+  def fitPrior(moments: DataFrame): Prior = fitPriorCounted(moments)._1
+
+  /** [[fitPrior]] plus the TOTAL row count of `moments`, from the same
+    * single aggregate job (r10): the count previously cost its own job
+    * inside bhAdjust's dispatch. The prior moments run over the valid-s²
+    * subset via null-skipping `when` guards — the identical value sequence
+    * (same rows, same partition order) the old `filter(...)` formulation
+    * aggregated, so the fitted prior is bit-unchanged.
+    */
+  private[ops] def fitPriorCounted(moments: DataFrame): (Prior, Long) = {
     registerFunctions(moments.sparkSession)
-    val z = log(col("s2")) - adjCol("df")
+    val valid = col("s2") > 0 && !isnan(col("s2"))
+    val z = when(valid, log(col("s2")) - adjCol("df"))
     val row = moments
-      .filter(col("s2") > 0 && !isnan(col("s2")))
       .select(avg(z).as("emean"), var_samp(z).as("evar"),
-        avg(triCol("df")).as("etri"))
+        avg(when(valid, triCol("df"))).as("etri"),
+        count(lit(1)).as("rows"))
       .head()
+    val rows = row.getLong(3)
     // 0 or 1 valid probes leave avg/var_samp null — same degenerate-input
     // guards as fitPriorsBy: no probes → flat unit prior; one probe → no
     // spread evidence, shrink fully to its value (df.prior = Inf).
-    if (row.isNullAt(0)) Prior(Double.PositiveInfinity, 1.0)
-    else if (row.isNullAt(1))
-      Prior(Double.PositiveInfinity, math.exp(row.getDouble(0)))
-    else priorFromMoments(row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    val prior =
+      if (row.isNullAt(0)) Prior(Double.PositiveInfinity, 1.0)
+      else if (row.isNullAt(1))
+        Prior(Double.PositiveInfinity, math.exp(row.getDouble(0)))
+      else priorFromMoments(row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    (prior, rows)
   }
 
   /** Per-group prior fit: one aggregate shuffled on `byCol`, C rows to the
@@ -159,7 +172,8 @@ object Dmp {
     * The t CDF is a native codegen Expression ([[graft.functions.StudentTPValue]]),
     * not a UDF — the projection stays inside whole-stage codegen.
     */
-  def moderated(moments: DataFrame, prior: Prior): DataFrame = {
+  def moderated(moments: DataFrame, prior: Prior,
+                knownRows: Option[Long] = None): DataFrame = {
     registerFunctions(moments.sparkSession)
     val d0 = if (prior.d0.isInfinite) 1e12 else prior.d0
     val withT = moments
@@ -169,7 +183,7 @@ object Dmp {
         col("logfc") / sqrt(col("s2_post") *
           (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double"))))
       .withColumn("p_value", expr(s"graft_t_pvalue(t_mod, df + ${d0}D)"))
-    Analytic.bhAdjust(withT, "p_value", "probe_id")
+    Analytic.bhAdjust(withT, "p_value", "probe_id", knownRows = knownRows)
       .withColumn("significant",
         col("fdr") < 0.05 && abs(col("logfc")) > math.log(1.5) / math.log(2))
   }
@@ -187,7 +201,10 @@ object Dmp {
     // probe-keyed join back).
     val mom = Caches.track(moments(betaWithGroup, g1, g2,
       extraAggs = extraAggs).persist())
-    moderated(mom, fitPrior(mom))
+    // one aggregate job serves the prior fit, the bhAdjust dispatch count
+    // AND the mom cache fill (r10 — the k12 consolidation template)
+    val (prior, rows) = fitPriorCounted(mom)
+    moderated(mom, prior, knownRows = Some(rows))
   }
 
   /** Multi-contrast variant (reference

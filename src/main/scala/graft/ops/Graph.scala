@@ -66,22 +66,29 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iterations: Int = 5,
                localThreshold: Long = 2000000L): DataFrame = {
-    // persist the one-orientation list FIRST (the connectedComponents r9
-    // fix): materializing the two-orientation union directly evaluates
-    // the upstream edge derivation once per union branch
-    val edg = Caches.track(
-      edges.select(col("src"), col("dst")).persist())
-    val und = Caches.track(
-      edg.union(edg.select(col("dst").as("src"), col("src").as("dst")))
-        .persist())
     // Size dispatch (the connectedComponents pattern): integer arithmetic
     // is order-independent, so the driver-local recurrence is bit-identical
     // to the distributed one — below the threshold, skip the per-iteration
     // join/aggregate/checkpoint fixed cost entirely. GraphSpec pins both
     // paths to the same output.
-    // threshold compares INPUT edges (und holds both orientations), the
-    // same unit Curation.connectedComponents uses for its localThreshold
-    if (und.count() / 2 <= localThreshold) return pageRankLocal(und, iterations)
+    // Only the ONE-orientation list persists above the dispatch (r10): it
+    // serves two actions either way (the dispatch count + the local
+    // collect, or the count + the distributed union fill), so the
+    // across-actions persist rule applies. The r9 shape additionally
+    // persisted the two-orientation union BEFORE the dispatch — on the
+    // local path that second fill (2E rows) plus the doubled-width collect
+    // were pure materialization barriers ahead of a driver collect (driver
+    // host measured g01 1.42 → 2.32 s); an un-persisted variant (count +
+    // collect re-deriving the edge join twice) measured slower still
+    // (1.78 → 1.95 s subset A/B). The union persist moves BELOW the
+    // dispatch, where only the distributed path — whose per-iteration
+    // joins re-read it — pays its fill.
+    val edg = Caches.track(
+      edges.select(col("src"), col("dst")).persist())
+    if (edg.count() <= localThreshold) return pageRankLocal(edg, iterations)
+    val und = Caches.track(
+      edg.union(edg.select(col("dst").as("src"), col("src").as("dst")))
+        .persist())
     val deg = und.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // One bounded scalar to the driver: the node count feeds the literal
     // teleport term (matches the oracle's count(*) over the degree CTE).
@@ -105,13 +112,20 @@ object Graph {
   /** Small-graph path of [[pageRank]]: the identical integer recurrence on
     * the driver (every step int64 floor-divide/add, so summation order is
     * irrelevant and the result matches the distributed path bit-for-bit).
+    * Takes the ONE-orientation edge list and doubles it driver-side (each
+    * collected row contributes both directed edges) — half the collect
+    * bytes of shipping the two-orientation union, and no union branch ever
+    * evaluates the upstream derivation a second time.
     */
-  private def pageRankLocal(und: DataFrame, iterations: Int): DataFrame = {
-    val spark = und.sparkSession
+  private def pageRankLocal(edg: DataFrame, iterations: Int): DataFrame = {
+    val spark = edg.sparkSession
     import spark.implicits._
-    val rows = und.select(col("src"), col("dst")).collect()
+    val rows = edg.select(col("src"), col("dst")).collect()
     // dense re-index so the iteration runs over primitive arrays (boxed
-    // Long->Long maps measured ~5x slower on a 1M-edge graph)
+    // Long->Long maps measured ~5x slower on a 1M-edge graph). Discovery
+    // order (src then dst per row) matches the old und collect, whose
+    // swapped branch introduced no new ids — but the output is an
+    // unordered (id, rank) set either way.
     val index = scala.collection.mutable.LongMap.empty[Int]
     val srcIdx = new Array[Int](rows.length)
     val dstIdx = new Array[Int](rows.length)
@@ -126,9 +140,14 @@ object Graph {
     }
     val n = ids.length.toLong
     require(n > 0, "pageRank: empty graph")
+    // each undirected edge is two directed edges: degree and rank flow
+    // accumulate in both directions, identical to iterating the union
     val deg = new Array[Long](ids.length)
     e = 0
-    while (e < rows.length) { deg(srcIdx(e)) += 1L; e += 1 }
+    while (e < rows.length) {
+      deg(srcIdx(e)) += 1L; deg(dstIdx(e)) += 1L
+      e += 1
+    }
     val base = 15L * Scale / (100L * n)
     var ranks = Array.fill(ids.length)(Scale / n)
     for (_ <- 1 to iterations) {
@@ -136,6 +155,7 @@ object Graph {
       e = 0
       while (e < rows.length) {
         sums(dstIdx(e)) += ranks(srcIdx(e)) / deg(srcIdx(e))
+        sums(srcIdx(e)) += ranks(dstIdx(e)) / deg(dstIdx(e))
         e += 1
       }
       ranks = sums.map(s => base + 85L * s / 100L)

@@ -64,9 +64,14 @@ object Pca {
     val wide = beta.join(broadcast(topDf), Seq("probe_id"), "left_semi")
       .groupBy("sample_id").pivot("probe_id", topProbes).agg(first("beta"))
       .na.fill(0.5) // reference drops NA rows pre-PCA; absent cells are imputed at the midpoint
+    // assembled feeds the scaler FIT (one pass) and the transformed
+    // feature table (a second pass) — persist it so the pivot shuffle runs
+    // once, not once per consumer (r10, §2.4; rows = samples, a bounded
+    // axis, so the cache is small at any probe scale)
     val assembled = new VectorAssembler()
       .setInputCols(topProbes.toArray).setOutputCol("features")
       .transform(wide)
+      .persist()
     val scaler = fitWithRetry("StandardScaler.fit") {
       new StandardScaler().setWithMean(true).setWithStd(scale)
         .setInputCol("features").setOutputCol("scaled")
@@ -106,6 +111,7 @@ object Pca {
     val rows = projected.collect()
     val schema = projected.schema
     feats.unpersist(false)
+    assembled.unpersist(false)
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
   }
 
