@@ -273,8 +273,12 @@ object QueriesSources {
       // branches + the beta aggregate); re-parsing per branch was MEASURED
       // cheaper than persisting the decoded rows here (16×: 20.3 s
       // re-parsed vs 23.9 s persisted — local small files, row-local
-      // codegen decode beats a 38M-row cache materialization). On remote
-      // object storage the trade flips: wrap `dec` in Caches.track(
+      // codegen decode beats a 38M-row cache materialization). Re-A/B'd in
+      // r10 under the blocking cache release, same verdict, worse: at
+      // sf0.1 the decoded-row persist benched 7.25 s and a narrow RAW-row
+      // persist (sample, channel, address, mean before decode) 3.53 s,
+      // vs 2.75 s re-parsed — the trade did not flip. On remote object
+      // storage it would: wrap `dec` in Caches.track(
       // dec.persist(MEMORY_AND_DISK)) there.
       val dec = Poobah.decodeAddress(Idat.read(s, dir))
       Poobah.betas(dec)

@@ -35,7 +35,22 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for documents sharing >=1 shingle
     * (inverted-index blocking: the self-join key is the shingle itself).
     */
-  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+  def jaccardPairs(sh0: DataFrame, minJaccard: Double): DataFrame = {
+    // The shingle table feeds TWO distinct exchanges (the doc-keyed sizes
+    // aggregate and the shingle-keyed self-join — ReuseExchange dedupes
+    // only the two identical self-join sides), so an un-persisted input
+    // runs the normalize/shingle/explode chain twice per action. Persist
+    // unless the caller already did (jaccardPairsDfPruned's pruned table,
+    // dedupClusters' sh — the Caches ownership rule). r10 subset A/B on
+    // d02 measured NEUTRAL at sf0.1 (2.39 → 2.42 s, inside the noise
+    // band): the pair join dominates there. Kept for the uncached-scan
+    // regime the cache targets — at corpus scale the duplicated branch is
+    // a second full normalize+shingle pass over every document, not a
+    // re-read of a few cached MB.
+    val sh =
+      if (sh0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        graft.ops.Caches.track(sh0.persist())
+      else sh0
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"), "shingle")
       .filter(col("x.doc_id") < col("y.doc_id"))

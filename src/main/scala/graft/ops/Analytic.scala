@@ -476,9 +476,25 @@ object Analytic {
     import spark.implicits._
     val disp = rb.agg(
       approx_count_distinct(col(probeCol)).as("np"),
-      collect_set(col(sampleCol)).as("ss")).head()
+      collect_set(col(sampleCol)).as("ss"),
+      count(lit(1)).as("rows")).head()
     val useDecimal = forceDecimal.getOrElse(disp.getLong(0) > 250000L)
     val width = if (useDecimal) "decimal(38,0)" else "bigint"
+    // Driver-local size dispatch (the pageRank/CC pattern, r10): below the
+    // thresholds the whole pair expansion is integer accumulation over a
+    // samples²-bounded table — the per-iteration shuffle/aggregate fixed
+    // cost of the distributed expansion dominates it by ~2×. The local
+    // kernel computes the IDENTICAL exact integer moments and the
+    // identical final double sequence (asserted against the distributed
+    // path in PropertySpec, and every k12 query replays against the
+    // DuckDB oracle), so the dispatch is plan-only. forceDecimal pins the
+    // distributed path for the width-equivalence tests.
+    if (forceDecimal.isEmpty && disp.getLong(2) <= SpearmanLocalMaxRows &&
+        disp.getSeq[String](1).size <= SpearmanMatrixLocalMaxSamples) {
+      val local = spearmanMatrixLocal(rb, probeCol, sampleCol,
+        disp.getSeq[String](1).toArray.sorted)
+      if (local.isDefined) return local.get
+    }
     // Dict-encode the bounded sample axis (sorted → index order preserves
     // the id sort, so `sa < sb` keeps its string semantics) so the
     // expansion join's pair aggregate hashes one 8-byte int pair instead
@@ -511,6 +527,268 @@ object Analytic {
       .join(broadcast(sdim.toDF("sb", "sb_i")), "sb_i")
       .select(col("sa"), col("sb"), col("cnt").cast("bigint").as("n_shared"),
         ((n * sxy - sx * sy).cast("double") / sqrt(denx * deny)).as("rho"))
+  }
+
+  /** Driver-local dispatch gates for the k12 pair kernels: collected rank
+    * rows and the sample axis must both be bounded. MaxRows 1.3M is the
+    * SAME 4·n³ < 2⁶³ envelope as the distributed bigint fast path (a
+    * sample's doubled ranks are < 2·n_s+1 and a pair shares ≤ min(n_a,
+    * n_b) probes, so every moment sum is ≤ 4·rows³), keeping all local
+    * accumulation exact in longs while the collect stays ≈ 100 MB;
+    * MaxSamples 1500 bounds the flat moment arrays at 6·1500²·8 B
+    * ≈ 108 MB.
+    */
+  private[graft] val SpearmanLocalMaxRows = 1300000L
+  private[graft] val SpearmanLocalMaxSamples = 1500
+  /** The FULL-matrix local path additionally gates the sample axis at 256:
+    * its output is all C(nS, 2) pairs, and materializing hundreds of
+    * thousands of pairs as a driver-local relation starves the caller's
+    * downstream (round/sort/BH all run over the local scan) — measured
+    * SLOWER at 1000 samples (corr 2.8 → 3.3 s, inference 2.9 → 5.6 s)
+    * while the sketch-thresholded variant, whose output is candidate-
+    * bounded, kept winning at the wider gate.
+    */
+  private[graft] val SpearmanMatrixLocalMaxSamples = 256
+  /** Pair-event budget for the local kernels: beyond ~3·10⁸ accumulate
+    * steps the distributed expansion's parallelism wins back its fixed
+    * cost, so the local path declines and the caller falls through.
+    */
+  private val SpearmanLocalEventBudget = 300000000L
+  private val SpearmanPackBits = 40 // packed entry: sid << 40 | ar2 (ar2 < 2²⁰ under MaxRows)
+
+  /** Collect the persisted rank table and group it per probe as packed
+    * (sampleIndex << 40 | ar2) longs. Caller guarantees rows ≤
+    * [[SpearmanLocalMaxRows]] (which bounds ar2 < 2²⁰ ≪ 2⁴⁰).
+    */
+  private def spearmanCollectGroups(rb: DataFrame, probeCol: String,
+      sampleCol: String, sampleIds: Array[String])
+      : (Array[String], Array[Array[Long]]) = {
+    val sid = new java.util.HashMap[String, Integer]()
+    sampleIds.zipWithIndex.foreach { case (s, i) => sid.put(s, i) }
+    val byProbe = new java.util.HashMap[String,
+      scala.collection.mutable.ArrayBuffer[Long]]()
+    rb.select(col(probeCol), col(sampleCol), col("ar2")).collect().foreach { r =>
+      val s = sid.get(r.getString(1)).toLong
+      byProbe.computeIfAbsent(r.getString(0),
+        _ => new scala.collection.mutable.ArrayBuffer[Long]()) +=
+        ((s << SpearmanPackBits) | r.getLong(2))
+    }
+    val probes = new Array[String](byProbe.size())
+    val groups = new Array[Array[Long]](byProbe.size())
+    var i = 0
+    val it = byProbe.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      probes(i) = e.getKey
+      groups(i) = e.getValue.toArray
+      i += 1
+    }
+    (probes, groups)
+  }
+
+  /** Driver-local exact pair moments + ρ — the integer/double sequence of
+    * [[spearmanMatrix]]'s distributed expansion, verbatim: per shared
+    * probe accumulate (cnt, Σra, Σrb, Σra², Σrb², Σra·rb) in exact longs
+    * for each ordered pair (dict index asc, equal-sample rows skipped);
+    * per pair with cnt ≥ 2, combine in exact BigInt (the decimal(38,0)
+    * sequence), cast to double, keep denx·deny > 0, ρ = num/√(denx·deny).
+    * BigInt.toDouble and Decimal.toDouble are both correctly-rounded, so
+    * the doubles match bit-for-bit (PropertySpec + the k12 oracles pin
+    * it). Returns None when the pair-event count exceeds the budget —
+    * callers fall through to the distributed plan.
+    *
+    * @param cand candidate-pair filter as (saIdx << 32 | sbIdx) keys, or
+    *             null for all pairs (the full-matrix kernel)
+    * @param tau  |ρ| threshold applied at emit, or NaN for none
+    */
+  private def spearmanPairsLocalFrom(spark: org.apache.spark.sql.SparkSession,
+      groups: Array[Array[Long]], sampleIds: Array[String],
+      cand: java.util.HashSet[java.lang.Long], tau: Double): Option[DataFrame] = {
+    val nS = sampleIds.length
+    var events = 0L
+    groups.foreach(g => events += g.length.toLong * (g.length - 1) / 2)
+    if (events > SpearmanLocalEventBudget) return None
+    val mask = (1L << SpearmanPackBits) - 1
+    val cells = nS * nS
+    val cnt = new Array[Long](cells)
+    val sx = new Array[Long](cells)
+    val sy = new Array[Long](cells)
+    val sxx = new Array[Long](cells)
+    val syy = new Array[Long](cells)
+    val sxy = new Array[Long](cells)
+    groups.foreach { g =>
+      java.util.Arrays.sort(g) // sid-ascending (sid is the high bits)
+      var i = 0
+      while (i < g.length) {
+        val si = (g(i) >>> SpearmanPackBits).toInt
+        val ai = g(i) & mask
+        val rowBase = si * nS
+        var j = i + 1
+        while (j < g.length) {
+          val sj = (g(j) >>> SpearmanPackBits).toInt
+          if (sj != si) { // equal-sample duplicates: sa < sb excludes them
+            val aj = g(j) & mask
+            val idx = rowBase + sj
+            cnt(idx) += 1
+            sx(idx) += ai
+            sy(idx) += aj
+            sxx(idx) += ai * ai
+            syy(idx) += aj * aj
+            sxy(idx) += ai * aj
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var a = 0
+    while (a < nS) {
+      var b = a + 1
+      while (b < nS) {
+        val idx = a * nS + b
+        val n = cnt(idx)
+        if (n >= 2 &&
+            (cand == null || cand.contains((a.toLong << 32) | b.toLong))) {
+          val bn = BigInt(n)
+          val bsx = BigInt(sx(idx))
+          val bsy = BigInt(sy(idx))
+          val denx = (bn * sxx(idx) - bsx * bsx).toDouble
+          val deny = (bn * syy(idx) - bsy * bsy).toDouble
+          if (denx * deny > 0.0) {
+            val rho = (bn * sxy(idx) - bsx * bsy).toDouble /
+              math.sqrt(denx * deny)
+            if (tau.isNaN || math.abs(rho) >= tau)
+              out += org.apache.spark.sql.Row(sampleIds(a), sampleIds(b), n, rho)
+          }
+        }
+        b += 1
+      }
+      a += 1
+    }
+    // schema mirrors the distributed output exactly, nullability included
+    // (sa/sb from a local-seq dim join, n_shared a non-null count cast,
+    // rho a nullable arithmetic column). A LocalRelation (not an RDD) so
+    // plan statistics stay accurate for downstream dispatches
+    // (planRowEstimate reads its real byte size; a LogicalRDD reports the
+    // unknown-size default and would shunt a 5k-row BH onto the ranged
+    // path).
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sa",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("sb",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("n_shared",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rho",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    Some(spark.createDataFrame(
+      java.util.Arrays.asList(out.toArray: _*), schema))
+  }
+
+  /** Local full-matrix kernel: collect + all-pairs moments. */
+  private def spearmanMatrixLocal(rb: DataFrame, probeCol: String,
+      sampleCol: String, sampleIds: Array[String]): Option[DataFrame] = {
+    val (_, groups) = spearmanCollectGroups(rb, probeCol, sampleCol, sampleIds)
+    spearmanPairsLocalFrom(rb.sparkSession, groups, sampleIds, null, Double.NaN)
+  }
+
+  /** Local thresholded kernel: the identical md5 hyperplane table, exact
+    * integer projections ([[graft.functions.SignSketchAgg]]'s
+    * n·sdot − sr·ssum ≥ 0 bit rule), band canonicalization and bucket
+    * candidate pairs as the distributed plan, then the shared local pair
+    * verify restricted to candidates. The sign convention replays
+    * `substring(md5(probe || '#' || j), 1, 1) < '8'` as "first digest
+    * byte ≥ 0" (high nibble 0–7 ⟺ non-negative signed byte).
+    */
+  private def spearmanThresholdedLocal(rb: DataFrame, probeCol: String,
+      sampleCol: String, sampleIds: Array[String], bands: Int, r: Int,
+      tau: Double): Option[DataFrame] = {
+    val (probes, groups) = spearmanCollectGroups(rb, probeCol, sampleCol, sampleIds)
+    val nS = sampleIds.length
+    val nbits = bands * r
+    val mask = (1L << SpearmanPackBits) - 1
+    // ±1 per (probe, bit): md5 over the distinct-probe axis, as distributed
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val plusBits = new Array[Array[Boolean]](probes.length)
+    var p = 0
+    while (p < probes.length) {
+      val bits = new Array[Boolean](nbits)
+      var j = 0
+      while (j < nbits) {
+        md.reset()
+        bits(j) = md.digest(
+          (probes(p) + "#" + j).getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) >= 0
+        j += 1
+      }
+      plusBits(p) = bits
+      p += 1
+    }
+    // per-sample exact integer sketch state (SignSketchAgg's buffer)
+    val n = new Array[Long](nS)
+    val sr = new Array[Long](nS)
+    val sdot = Array.ofDim[Long](nS, nbits)
+    val ssum = Array.ofDim[Long](nS, nbits)
+    p = 0
+    while (p < probes.length) {
+      val bits = plusBits(p)
+      val g = groups(p)
+      var i = 0
+      while (i < g.length) {
+        val s = (g(i) >>> SpearmanPackBits).toInt
+        val ar2 = g(i) & mask
+        n(s) += 1
+        sr(s) += ar2
+        val sd = sdot(s)
+        val ss = ssum(s)
+        var j = 0
+        while (j < nbits) {
+          if (bits(j)) { sd(j) += ar2; ss(j) += 1 } else { sd(j) -= ar2; ss(j) -= 1 }
+          j += 1
+        }
+        i += 1
+      }
+      p += 1
+    }
+    // band signatures, flip-canonicalized; bucket → candidate pairs
+    val buckets = new java.util.HashMap[java.lang.Long,
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    var s = 0
+    while (s < nS) {
+      def bit(j: Int): Long = {
+        val proj = n(s) * sdot(s)(j) - sr(s) * ssum(s)(j)
+        if (proj >= 0L) 1L else 0L
+      }
+      var b = 0
+      while (b < bands) {
+        var sig = 0L
+        var i = 0
+        while (i < r) { sig += bit(b * r + i) << i; i += 1 }
+        val canon = if (bit(b * r) == 1L) ((1L << r) - 1) - sig else sig
+        buckets.computeIfAbsent((b.toLong << 32) | canon,
+          _ => new scala.collection.mutable.ArrayBuffer[Int]()) += s
+        b += 1
+      }
+      s += 1
+    }
+    val cand = new java.util.HashSet[java.lang.Long]()
+    val bit2 = buckets.values().iterator()
+    while (bit2.hasNext) {
+      val members = bit2.next()
+      var i = 0
+      while (i < members.length) {
+        var j = i + 1
+        while (j < members.length) {
+          val (lo, hi) =
+            if (members(i) < members(j)) (members(i), members(j))
+            else (members(j), members(i))
+          cand.add((lo.toLong << 32) | hi.toLong)
+          j += 1
+        }
+        i += 1
+      }
+    }
+    spearmanPairsLocalFrom(rb.sparkSession, groups, sampleIds, cand, tau)
   }
 
   /** K12 thresholded production variant (r8): emit only sample pairs with
@@ -595,6 +873,19 @@ object Analytic {
     val sampleIds = perSample.map(_.getString(0)).sorted
     val nSamples = sampleIds.length.toLong
     val r = (4 to 30).find(b => (1L << b) * 4 >= nSamples).getOrElse(30)
+    // Driver-local size dispatch (r10, see spearmanMatrix): the sketch +
+    // candidate + verify chain replays driver-side over the collected rank
+    // table — identical md5 signs, identical exact integer projections and
+    // moments, identical doubles (PropertySpec pins local ≡ distributed;
+    // the k12_spearman_thresholded oracle replays the whole chain). The
+    // ~10-shuffle sketch/candidate plan is pure fixed cost at this size.
+    if (forceDecimal.isEmpty &&
+        perSample.foldLeft(0L)(_ + _.getLong(1)) <= SpearmanLocalMaxRows &&
+        nSamples <= SpearmanLocalMaxSamples) {
+      val local = spearmanThresholdedLocal(rb, probeCol, sampleCol,
+        sampleIds, bands, r, tau)
+      if (local.isDefined) return local.get
+    }
     val nbits = bands * r
     // ±1 per (probe, bit) computed once on the distinct-probe axis and
     // PACKED into a long bitmask (bit set ⇒ +1) — md5 runs probes×bits

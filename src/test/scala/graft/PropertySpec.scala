@@ -209,6 +209,36 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("property: spearman driver-local kernels are bit-equal to the distributed plans") {
+    // forceDecimal = Some(false) pins the DISTRIBUTED bigint plan; None on
+    // these tiny inputs takes the r10 driver-local path — the collected
+    // rows must reproduce the distributed integers and doubles exactly,
+    // for both the full matrix and the sketch-thresholded variant (whose
+    // local path replays md5 signs, projections, band canonicalization
+    // and the candidate buckets).
+    samples(Gen.listOfN(400,
+      Gen.zip(Gen.choose(0, 60), Gen.choose(0, 7), Gen.choose(0, 12))), 6)
+      .foreach { triples =>
+        val df = triples.distinct
+          .map { case (p, s, v) => (f"p$p%03d", s"s$s", v / 12.0) }
+          .toDF("probe_id", "sample_id", "beta")
+        val localM = Analytic.spearmanMatrix(df, "probe_id", "sample_id", "beta")
+          .orderBy("sa", "sb").collect().toSeq
+        val distM = Analytic.spearmanMatrix(df, "probe_id", "sample_id",
+            "beta", forceDecimal = Some(false))
+          .orderBy("sa", "sb").collect().toSeq
+        assert(localM == distM)
+        assert(localM.nonEmpty)
+        val localT = Analytic.spearmanThresholded(df, "probe_id", "sample_id",
+            "beta", tau = 0.2)
+          .orderBy("sa", "sb").collect().toSeq
+        val distT = Analytic.spearmanThresholded(df, "probe_id", "sample_id",
+            "beta", tau = 0.2, forceDecimal = Some(false))
+          .orderBy("sa", "sb").collect().toSeq
+        assert(localT == distT)
+      }
+  }
+
   test("property: top-k by variance is invariant under row permutation") {
     val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 5), Gen.choose(0.0, 100.0)))
     samples(gen, 10).filter(_.map(_._1).distinct.size >= 3).foreach { rows =>
