@@ -89,6 +89,24 @@ class GraphSpec extends SparkSpec {
     } finally graft.ops.Caches.releaseAll()
   }
 
+  test("shortestPaths: local and distributed paths settle the same set") {
+    val sp = spark
+    import sp.implicits._
+    // branchy graph + a seed (42) touching no edge: it must settle at 0
+    // on both paths
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L),
+      (6L, 7L), (8L, 9L), (9L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L, 42L).toDF("id")
+    def run(threshold: Long) =
+      try Graph.shortestPaths(edges, seeds, maxHops = 3, threshold)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      finally graft.ops.Caches.releaseAll()
+    val local = run(2000000L)
+    val dist = run(0L)
+    assert(local == dist, s"paths disagree: local=$local dist=$dist")
+    assert(local(42L) == 0 && local(9L) == 1 && local(4L) == 3)
+  }
+
   test("custSuppEdges namespaces customers even / suppliers odd, distinct") {
     val sp = spark
     import sp.implicits._
