@@ -22,11 +22,11 @@ object StageProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     import graft.ops._
-    def time(tag: String)(f: => Long): Unit = {
+    def time(tag: String)(f: => Long): Unit = (1 to 3).foreach { rep =>
       graft.ops.Caches.releaseAll()
       val t0 = System.nanoTime()
       val n = f
-      println(f"[probe] $tag%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+      println(f"[probe] $tag%-18s rep$rep ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
     }
     val beta = Tables.betaLong(spark, sfDir)
     val detp = Tables.detpLong(spark, sfDir)

@@ -108,18 +108,22 @@ object Curation {
     // upstream runs once and the doubled view is two cache reads).
     val edg = graft.ops.Caches.track(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist())
-    val und = graft.ops.Caches.track(
-      edg.union(edg.select(col("dst").as("src"), col("src").as("dst")))
-        .persist())
     // Size dispatch (the bhAdjust pattern): near-dup edge lists are a tiny
     // fraction of the corpus — when they fit on the driver, union-find in
     // O(E·α) beats paying the iterative loop's per-round shuffle cost
     // (measured 5.2 s for 590 edges at sf0.1 — all fixed overhead). Above
     // the threshold the label-propagation loop below takes over; a
     // CurationSpec property test asserts the two paths are bit-equal.
-    val undCount = und.count()
-    if (undCount / 2 <= localThreshold)
-      return localComponents(und, vertices, idCol)
+    // The dispatch counts the ONE-orientation list and the union persists
+    // BELOW it (r10, the pageRank rule): on the local path the doubled
+    // view's fill and double-width collect were pure materialization
+    // barriers ahead of a driver collect — union-find is orientation-
+    // agnostic, so the local path takes edg directly.
+    if (edg.count() <= localThreshold)
+      return localComponents(edg, vertices, idCol)
+    val und = graft.ops.Caches.track(
+      edg.union(edg.select(col("dst").as("src"), col("src").as("dst")))
+        .persist())
     // Only edge-touched vertices can ever change label — iterate over that
     // subgraph and re-attach everything else as singleton clusters at the
     // end. In a dedup corpus the near-dup fraction is small, so each
@@ -177,13 +181,15 @@ object Curation {
     * label the propagation loop converges to; path compression keeps find
     * amortized near-constant. The label map returns as an RDD-backed frame
     * (not a plan-embedded local relation — it can be millions of rows).
+    * Takes the ONE-orientation edge list (union-find is orientation-
+    * agnostic; a self-loop just registers its vertex, the same label the
+    * propagation path gives it).
     */
-  private def localComponents(und: DataFrame, vertices: DataFrame,
+  private def localComponents(edg: DataFrame, vertices: DataFrame,
                               idCol: String): DataFrame = {
-    val spark = und.sparkSession
+    val spark = edg.sparkSession
     import spark.implicits._
-    val pairs = und.filter(col("src") < col("dst"))
-      .select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val pairs = edg.select(col("src"), col("dst")).as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -673,13 +679,13 @@ object Curation {
     // a downstream-breaking discontinuity at the size threshold)
     val normalized =
       docs.withColumn(tokenCol, coalesce(col(tokenCol).cast("long"), lit(0L)))
-    val input =
-      if (docs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        graft.ops.Caches.track(normalized.persist())
-      else normalized
-    if (input.count() <= windowMaxRows)
-      tokenBudgetWindowed(input, scoreCol, tokenCol, idCol, budget)
-    else tokenBudgetRanged(input, scoreCol, tokenCol, idCol, budget)
+    // Plan-only dispatch on the leaf-bytes estimate (r10, see
+    // Analytic.bhAdjust): the two paths are bit-equal (PropertySpec), so
+    // the old persist()+count() here was one job plus a cache fill of
+    // pure fixed cost; the windowed path consumes its input exactly once.
+    if (graft.ops.Analytic.planRowEstimate(normalized) <= windowMaxRows)
+      tokenBudgetWindowed(normalized, scoreCol, tokenCol, idCol, budget)
+    else tokenBudgetRanged(normalized, scoreCol, tokenCol, idCol, budget)
   }
 
   private[graft] def tokenBudgetWindowed(df: DataFrame, scoreCol: String,
