@@ -35,22 +35,16 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for documents sharing >=1 shingle
     * (inverted-index blocking: the self-join key is the shingle itself).
     */
-  def jaccardPairs(sh0: DataFrame, minJaccard: Double): DataFrame = {
-    // The shingle table feeds TWO distinct exchanges (the doc-keyed sizes
-    // aggregate and the shingle-keyed self-join — ReuseExchange dedupes
-    // only the two identical self-join sides), so an un-persisted input
-    // runs the normalize/shingle/explode chain twice per action. Persist
-    // unless the caller already did (jaccardPairsDfPruned's pruned table,
-    // dedupClusters' sh — the Caches ownership rule). r10 subset A/B on
-    // d02 measured NEUTRAL at sf0.1 (2.39 → 2.42 s, inside the noise
-    // band): the pair join dominates there. Kept for the uncached-scan
-    // regime the cache targets — at corpus scale the duplicated branch is
-    // a second full normalize+shingle pass over every document, not a
-    // re-read of a few cached MB.
-    val sh =
-      if (sh0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        graft.ops.Caches.track(sh0.persist())
-      else sh0
+  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+    // NOT persisted here (r10 A/B): the input feeds two distinct
+    // exchanges (doc-keyed sizes + the shingle-keyed self-join), so an
+    // un-persisted caller pays the shingle chain twice per action — but
+    // the tried persist-if-unpersisted guard measured NEUTRAL at sf0.1
+    // (d02 2.39 → 2.42 s; the pair join dominates) and its cache blocks
+    // squeezed execution memory into an OOM on the 64× adversarial
+    // replica, where d02's pair stream is quadratic in duplication by
+    // contract. Callers with an expensive upstream and bounded shingle
+    // tables persist it themselves (dedupClusters, jaccardPairsDfPruned).
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"), "shingle")
       .filter(col("x.doc_id") < col("y.doc_id"))
