@@ -75,16 +75,23 @@ object Analytic {
 
   /** Row-count ESTIMATE from plan statistics — no job. Sums the leaf
     * relations' sizeInBytes (cached relations report their real in-memory
-    * bytes; file relations their on-disk bytes) and divides by 8 — a
-    * deliberate under-count of bytes/row for the ≥48-byte statistic rows
-    * the adjusters see, so the row estimate OVER-counts. Suitable only for
-    * plan-equivalent dispatches (windowed vs ranged are bit-equal); never
-    * use where the count affects a result.
+    * bytes; file relations their on-disk bytes) and divides by 48 ≈ the
+    * bytes/row of this engine's long tables in either representation
+    * (~56 B UnsafeRow in cache, ~30–60 B compressed on disk), i.e. the
+    * estimate approximates the LEAF row count. That still over-counts
+    * the dispatch-relevant quantity: every adjusted input here is a
+    * per-key aggregate of its leaves (rows ≪ leaf rows), and self-joined
+    * leaves are summed once per appearance. (An /8 divisor was measured
+    * to shunt the k-tier's ~130 MB multi-leaf inputs onto the ranged
+    * path at sf0.1 — k22_mk_inference 1.48 → 1.82 s — for windows that
+    * fit one task with 10× headroom.) Suitable only for plan-equivalent
+    * dispatches (windowed vs ranged are bit-equal); never use where the
+    * count affects a result.
     */
   private[graft] def planRowEstimate(df: DataFrame): Long = {
     val leafBytes = df.queryExecution.optimizedPlan.collectLeaves()
       .map(_.stats.sizeInBytes).sum
-    (leafBytes / 8).min(BigInt(Long.MaxValue)).toLong
+    (leafBytes / 48).min(BigInt(Long.MaxValue)).toLong
   }
 
   /** Benjamini–Yekutieli FDR — the dependence-robust BH variant: the
